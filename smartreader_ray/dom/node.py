@@ -1,0 +1,351 @@
+"""Minimal mutable DOM for the extraction engine.
+
+A from-scratch node model built for the readability algorithm: elements carry
+tag (uppercase, AngleSharp ``TagName`` convention — see reference
+``SmartReader.cs:1042`` usage), an ordered attribute dict, children, and a
+parent pointer.  Score state lives OFF the attribute map (``score`` slot) —
+the reference keeps it in a ``readability-score`` string attribute
+(``SmartReader.cs:881-905``); semantics are equivalent because the attribute
+is parsed back to double on every read and stripped before serialization.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+ELEMENT_NODE = 1
+TEXT_NODE = 3
+COMMENT_NODE = 8
+DOCUMENT_NODE = 9
+
+#: HTML void elements (serialize with no end tag, never have children).
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen "
+    "link meta param source track wbr".split()
+)
+
+#: Elements whose text children serialize raw (no entity escaping).
+RAW_TEXT_ELEMENTS = frozenset(
+    "style script xmp iframe noembed noframes plaintext noscript".split()
+)
+
+
+class Node:
+    __slots__ = ("parent",)
+
+    node_type = 0
+
+    @property
+    def next_sibling(self) -> Optional["Node"]:
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.childNodes
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_sibling(self) -> Optional["Node"]:
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.childNodes
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i - 1] if i > 0 else None
+
+    @property
+    def parent_element(self) -> Optional["Element"]:
+        p = self.parent
+        return p if isinstance(p, Element) else None
+
+    def remove(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+
+class TextNode(Node):
+    __slots__ = ("data",)
+
+    node_type = TEXT_NODE
+    node_name = "#text"
+
+    def __init__(self, data: str):
+        self.parent = None
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Text({self.data[:30]!r})"
+
+
+class CommentNode(Node):
+    __slots__ = ("data",)
+
+    node_type = COMMENT_NODE
+    node_name = "#comment"
+
+    def __init__(self, data: str):
+        self.parent = None
+        self.data = data
+
+    @property
+    def text_content(self) -> str:
+        return self.data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Comment({self.data[:30]!r})"
+
+
+class ParentNode(Node):
+    __slots__ = ("childNodes",)
+
+    def __init__(self):
+        self.parent = None
+        self.childNodes: list[Node] = []
+
+    # -- mutation ---------------------------------------------------------
+    def append_child(self, node: Node) -> Node:
+        if node.parent is not None:
+            node.parent.remove_child(node)
+        node.parent = self
+        self.childNodes.append(node)
+        return node
+
+    def remove_child(self, node: Node) -> Node:
+        self.childNodes.remove(node)
+        node.parent = None
+        return node
+
+    def insert_before(self, node: Node, ref: Optional[Node]) -> Node:
+        if ref is None:
+            return self.append_child(node)
+        if node.parent is not None:
+            node.parent.remove_child(node)
+        i = self.childNodes.index(ref)
+        node.parent = self
+        self.childNodes.insert(i, node)
+        return node
+
+    def replace_child(self, new: Node, old: Node) -> Node:
+        i = self.childNodes.index(old)
+        if new.parent is not None:
+            new.parent.remove_child(new)
+        self.childNodes[i] = new
+        new.parent = self
+        old.parent = None
+        return old
+
+    # -- structure queries ------------------------------------------------
+    @property
+    def first_child(self) -> Optional[Node]:
+        return self.childNodes[0] if self.childNodes else None
+
+    @property
+    def last_child(self) -> Optional[Node]:
+        return self.childNodes[-1] if self.childNodes else None
+
+    @property
+    def children(self) -> list["Element"]:
+        return [c for c in self.childNodes if isinstance(c, Element)]
+
+    @property
+    def first_element_child(self) -> Optional["Element"]:
+        for c in self.childNodes:
+            if isinstance(c, Element):
+                return c
+        return None
+
+    @property
+    def last_element_child(self) -> Optional["Element"]:
+        for c in reversed(self.childNodes):
+            if isinstance(c, Element):
+                return c
+        return None
+
+    @property
+    def text_content(self) -> str:
+        out: list[str] = []
+        stack = list(reversed(self.childNodes))
+        while stack:
+            n = stack.pop()
+            if n.node_type == TEXT_NODE:
+                out.append(n.data)  # type: ignore[attr-defined]
+            elif isinstance(n, Element):
+                stack.extend(reversed(n.childNodes))
+        return "".join(out)
+
+    def iter_elements(self) -> Iterator["Element"]:
+        """Depth-first pre-order over descendant elements (snapshot-free)."""
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(reversed(n.children))
+
+    def descendants(self) -> Iterator[Node]:
+        stack = list(reversed(self.childNodes))
+        while stack:
+            n = stack.pop()
+            yield n
+            if isinstance(n, ParentNode):
+                stack.extend(reversed(n.childNodes))
+
+    def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
+        """Snapshot list in document order; ``*`` matches all elements."""
+        if tag == "*":
+            return list(self.iter_elements())
+        t = tag.upper()
+        return [e for e in self.iter_elements() if e.tag == t]
+
+    def get_all_nodes_with_tag(self, tags) -> list["Element"]:
+        ts = {t.upper() for t in tags}
+        return [e for e in self.iter_elements() if e.tag in ts]
+
+
+class Element(ParentNode):
+    __slots__ = ("tag", "attrs", "score", "_ns")
+
+    node_type = ELEMENT_NODE
+
+    def __init__(self, tag: str, attrs: Optional[dict] = None):
+        super().__init__()
+        self.tag = tag.upper()
+        self.attrs: dict[str, str] = attrs if attrs is not None else {}
+        self.score: Optional[float] = None  # readability score (off-DOM attr)
+        self._ns: Optional[str] = None  # set for svg/math foreign content
+
+    @property
+    def node_name(self) -> str:
+        return self.tag
+
+    @property
+    def local_name(self) -> str:
+        return self.tag.lower()
+
+    # -- attributes -------------------------------------------------------
+    def get_attribute(self, name: str) -> Optional[str]:
+        return self.attrs.get(name.lower())
+
+    def has_attribute(self, name: str) -> bool:
+        return name.lower() in self.attrs
+
+    def set_attribute(self, name: str, value: str) -> None:
+        self.attrs[name.lower()] = value
+
+    def remove_attribute(self, name: str) -> None:
+        self.attrs.pop(name.lower(), None)
+
+    @property
+    def class_name(self) -> str:
+        return self.attrs.get("class", "")
+
+    @class_name.setter
+    def class_name(self, value: str) -> None:
+        self.attrs["class"] = value
+
+    @property
+    def id(self) -> str:
+        return self.attrs.get("id", "")
+
+    @id.setter
+    def id(self, value: str) -> None:
+        self.attrs["id"] = value
+
+    # -- element-sibling nav ---------------------------------------------
+    @property
+    def next_element_sibling(self) -> Optional["Element"]:
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.childNodes
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        for j in range(i + 1, len(sibs)):
+            if isinstance(sibs[j], Element):
+                return sibs[j]
+        return None
+
+    @property
+    def previous_element_sibling(self) -> Optional["Element"]:
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.childNodes
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        for j in range(i - 1, -1, -1):
+            if isinstance(sibs[j], Element):
+                return sibs[j]
+        return None
+
+    def get_root(self) -> Node:
+        n: Node = self
+        while n.parent is not None:
+            n = n.parent
+        return n
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.tag} {self.attrs!r} children={len(self.childNodes)}>"
+
+
+class Document(ParentNode):
+    __slots__ = ()
+
+    node_type = DOCUMENT_NODE
+    node_name = "#document"
+
+    @property
+    def document_element(self) -> Optional[Element]:
+        return self.first_element_child
+
+    @property
+    def body(self) -> Optional[Element]:
+        root = self.document_element
+        if root is None:
+            return None
+        for c in root.children:
+            if c.tag == "BODY":
+                return c
+        return None
+
+    @property
+    def head(self) -> Optional[Element]:
+        root = self.document_element
+        if root is None:
+            return None
+        for c in root.children:
+            if c.tag == "HEAD":
+                return c
+        return None
+
+    @property
+    def title(self) -> str:
+        """Stripped-and-collapsed text of the first <title> (DOM spec)."""
+        from .text import collapse_whitespace
+
+        for e in self.iter_elements():
+            if e.tag == "TITLE":
+                return collapse_whitespace(e.text_content.strip())
+        return ""
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag)
+
+    def create_text_node(self, data: str) -> TextNode:
+        return TextNode(data)
+
+    def create_document_fragment(self) -> "Document":
+        return Document()
