@@ -18,6 +18,16 @@ _PART_RE = re.compile(
 )
 _ATTR_RE = re.compile(r"""\[\s*([^\]=\s]+)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\]\s]*)))?\s*\]""")
 
+#: HTML-spec legacy attributes whose values match ASCII case-insensitively
+#: in selectors (the reference's AngleSharp honors this list).
+_CI_VALUE_ATTRS = frozenset(
+    """accept accept-charset align alink axis bgcolor charset checked clear
+    codetype color compact declare defer dir direction disabled enctype face
+    frame hreflang http-equiv lang language link media method multiple nohref
+    noresize noshade nowrap readonly rel rev rules scope scrolling selected
+    shape target text type valign valuetype vlink""".split()
+)
+
 
 class _Simple:
     __slots__ = ("tag", "attrs")
@@ -43,8 +53,12 @@ class _Simple:
             actual = el.get_attribute(name)
             if actual is None:
                 return False
-            if value is not None and actual != value:
-                return False
+            if value is not None:
+                if name in _CI_VALUE_ATTRS:
+                    if actual.lower() != value.lower():
+                        return False
+                elif actual != value:
+                    return False
         return True
 
 

@@ -99,10 +99,19 @@ def convert_to_plaintext(el: Element) -> str:
 
 
 def count_letters(text: str) -> int:
-    """TimeToReadCalculator.cs:42 — chars that are not ' ' nor punctuation."""
-    return sum(
-        1 for ch in text if ch != " " and not unicodedata.category(ch).startswith("P")
-    )
+    """TimeToReadCalculator.cs:42 — chars that are not ' ' nor punctuation.
+
+    Counted in UTF-16 code units (.NET ``char`` semantics): astral-plane
+    characters contribute 2 (surrogates are category Cs — neither space
+    nor punctuation).
+    """
+    count = 0
+    for ch in text:
+        if ord(ch) > 0xFFFF:
+            count += 2
+        elif ch != " " and not unicodedata.category(ch).startswith("P"):
+            count += 1
+    return count
 
 
 def time_to_read_seconds(element_text: str, plain_text: str, language: Optional[str]) -> int:

@@ -604,8 +604,20 @@ class Extractor:
         else:
             # common-ancestor promotion (SmartReader.cs:1331-1360)
             alternative_ancestors = []
+            top_score = _get_score(top_candidate)
             for i in range(1, len(top_candidates)):
-                if _get_score(top_candidates[i]) / _get_score(top_candidate) >= 0.75:
+                cand_score = _get_score(top_candidates[i])
+                # IEEE semantics like the reference: x/0 → ±Inf, 0/0 → NaN
+                # (NaN >= 0.75 is False), never an exception
+                if top_score == 0.0:
+                    ratio = (
+                        math.nan
+                        if cand_score == 0.0
+                        else math.copysign(math.inf, cand_score)
+                    )
+                else:
+                    ratio = cand_score / top_score
+                if ratio >= 0.75:
                     alternative_ancestors.append(get_node_ancestors(top_candidates[i]))
             MINIMUM_TOPCANDIDATES = 3
             if len(alternative_ancestors) >= MINIMUM_TOPCANDIDATES:
