@@ -212,7 +212,7 @@ class ParentNode(Node):
 
 
 class Element(ParentNode):
-    __slots__ = ("tag", "attrs", "score", "_ns")
+    __slots__ = ("tag", "attrs", "score", "_ns", "xml_name")
 
     node_type = ELEMENT_NODE
 
@@ -222,6 +222,7 @@ class Element(ParentNode):
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.score: Optional[float] = None  # readability score (off-DOM attr)
         self._ns: Optional[str] = None  # set for svg/math foreign content
+        self.xml_name: Optional[str] = None  # case-preserved name (foreign)
 
     @property
     def node_name(self) -> str:

@@ -64,6 +64,55 @@ _TABLE_CTX = frozenset({"TABLE", "TBODY", "THEAD", "TFOOT", "TR"})
 
 _FOREIGN_ROOTS = frozenset({"SVG", "MATH"})
 
+# HTML5 spec "adjust SVG attributes": tokenizer-lowercased names → camelCase
+_SVG_ATTR_ADJUST = {
+    n.lower(): n
+    for n in (
+        "attributeName attributeType baseFrequency baseProfile calcMode "
+        "clipPathUnits diffuseConstant edgeMode filterUnits glyphRef "
+        "gradientTransform gradientUnits kernelMatrix kernelUnitLength "
+        "keyPoints keySplines keyTimes lengthAdjust limitingConeAngle "
+        "markerHeight markerUnits markerWidth maskContentUnits maskUnits "
+        "numOctaves pathLength patternContentUnits patternTransform "
+        "patternUnits pointsAtX pointsAtY pointsAtZ preserveAlpha "
+        "preserveAspectRatio primitiveUnits refX refY repeatCount repeatDur "
+        "requiredExtensions requiredFeatures specularConstant "
+        "specularExponent spreadMethod startOffset stdDeviation stitchTiles "
+        "surfaceScale systemLanguage tableValues targetX targetY textLength "
+        "viewBox viewTarget xChannelSelector yChannelSelector zoomAndPan"
+    ).split()
+}
+
+# HTML5 spec "SVG tag name adjustment"
+_SVG_TAG_ADJUST = {
+    n.lower(): n
+    for n in (
+        "altGlyph altGlyphDef altGlyphItem animateColor animateMotion "
+        "animateTransform clipPath feBlend feColorMatrix feComponentTransfer "
+        "feComposite feConvolveMatrix feDiffuseLighting feDisplacementMap "
+        "feDistantLight feDropShadow feFlood feFuncA feFuncB feFuncG feFuncR "
+        "feGaussianBlur feImage feMerge feMergeNode feMorphology feOffset "
+        "fePointLight feSpecularLighting feSpotLight feTile feTurbulence "
+        "foreignObject glyphRef linearGradient radialGradient textPath"
+    ).split()
+}
+
+
+def _foreign_element(tag: str, attrs) -> Element:
+    """Build a foreign-content element with spec case adjustments and
+    case-preserving attribute storage."""
+    name = _SVG_TAG_ADJUST.get(tag, tag)
+    attrdict: dict[str, str] = {}
+    for k, v in attrs:
+        k = _SVG_ATTR_ADJUST.get(k, k)
+        if k not in attrdict:
+            attrdict[k] = v if v is not None else ""
+    el = Element(name)
+    el.attrs = attrdict
+    el._ns = "foreign"
+    el.xml_name = name
+    return el
+
 
 def _is_space_only(s: str) -> bool:
     return not s.strip(" \t\n\f\r")
@@ -241,8 +290,7 @@ class _TreeBuilder(HTMLParser):
                 attrdict[k] = v if v is not None else ""
 
         if self._in_foreign():
-            el = Element(tag, attrdict)
-            el._ns = "foreign"
+            el = _foreign_element(tag, attrs)
             self._top.append_child(el)
             self.stack.append(el)
             if tag in ("svg", "math"):
@@ -294,13 +342,16 @@ class _TreeBuilder(HTMLParser):
             while self._top.local_name in ("option", "optgroup"):
                 self.stack.pop()
         elif tag == "a":
-            # misnested <a>: close an open <a> (approximate adoption agency)
+            # misnested <a>: the adoption agency closes the open <a> but the
+            # block elements above it stay open — remove ONLY the <a> from
+            # the stack (formatting-marker boundaries per spec)
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].local_name
                 if t == "a":
-                    del self.stack[i:]
+                    del self.stack[i]
                     break
-                if t in _SPECIAL_BREAK:
+                if t in ("table", "td", "th", "caption", "object", "marquee",
+                         "template", "html", "body", "select"):
                     break
         elif tag == "button":
             self._pop_to_tag_inclusive(frozenset({"button"}), _SCOPE_STOP)
@@ -317,25 +368,22 @@ class _TreeBuilder(HTMLParser):
                     self._prep_table_child(tag)
                 foster = False
 
-        el = Element(tag, attrdict)
-        self._insert_node(el, foster=foster)
         if tag in ("svg", "math"):
-            el._ns = "foreign"
+            el = _foreign_element(tag, attrs)
+            self._insert_node(el, foster=foster)
             self.stack.append(el)
             self._foreign_depth += 1
-        elif tag not in VOID_ELEMENTS:
+            return
+        el = Element(tag, attrdict)
+        self._insert_node(el, foster=foster)
+        if tag not in VOID_ELEMENTS:
             self.stack.append(el)
             if tag in ("pre", "listing", "textarea"):
                 self._pre_pending = el
 
     def handle_startendtag(self, tag, attrs):
         if self._in_foreign():
-            attrdict = {}
-            for k, v in attrs:
-                if k not in attrdict:
-                    attrdict[k] = v if v is not None else ""
-            el = Element(tag, attrdict)
-            el._ns = "foreign"
+            el = _foreign_element(tag, attrs)
             self._top.append_child(el)
             return
         # HTML content: self-closing flag is ignored except for void elements

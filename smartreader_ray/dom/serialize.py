@@ -33,7 +33,7 @@ def _escape_attr(s: str) -> str:
 
 def _start_tag(el: Element, out: list[str]) -> None:
     out.append("<")
-    out.append(el.local_name)
+    out.append(el.xml_name or el.local_name)
     for name, value in el.attrs.items():
         out.append(" ")
         out.append(name)
@@ -63,7 +63,7 @@ def _serialize_node(node, out: list[str]) -> None:
         for c in node.childNodes:
             _serialize_node(c, out)
         out.append("</")
-        out.append(node.local_name)
+        out.append(node.xml_name or node.local_name)
         out.append(">")
 
 

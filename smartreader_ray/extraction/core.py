@@ -1109,6 +1109,18 @@ class Extractor:
         self._simplify_nested_elements(article_content)
         if not self.config.keep_classes:
             self._clean_classes(article_content, list(self.config.classes_to_preserve))
+        if not self.config.debug:
+            # reader-internal attrs (SmartReader.cs:640-644, 736-747);
+            # scores live off-DOM so only the data-table marks remain
+            self._clean_reader_attributes(article_content, "datatable")
+
+    def _clean_reader_attributes(self, node: Element, attribute: str) -> None:
+        if node.get_attribute(attribute):
+            node.remove_attribute(attribute)
+        child = node.first_element_child
+        while child is not None:
+            self._clean_reader_attributes(child, attribute)
+            child = child.next_element_sibling
 
     def _fix_relative_uris(
         self, article_content: Element, uri: PageUri, doc: Document

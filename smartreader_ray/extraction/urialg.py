@@ -87,8 +87,13 @@ class PageUri:
 
 def is_well_formed_absolute(uri: str) -> bool:
     """Approximation of ``Uri.IsWellFormedUriString(s, Absolute)``: an
-    absolute scheme://… URI with no spaces or unescaped structural chars."""
-    if not _ABSOLUTE_RE.match(uri):
+    absolute scheme:… URI with no spaces or unescaped structural chars.
+
+    .NET's Uri parser strips leading/trailing whitespace and embedded
+    ``\\r \\n \\t`` before validating — mirror that (validation only; the
+    caller still returns the original string untouched)."""
+    candidate = uri.strip().replace("\r", "").replace("\n", "").replace("\t", "")
+    if not _ABSOLUTE_RE.match(candidate):
         return False
     # .NET rejects strings with illegal chars such as spaces, <, >, "
-    return not any(c in uri for c in ' <>"{}|^`\\')
+    return not any(c in candidate for c in ' <>"{}|^`\\')
