@@ -50,12 +50,12 @@ _SCOPE_STOP = frozenset({"html", "body", "table", "td", "th", "caption", "object
 # Elements that terminate the li/dd/dt implied-close walk.
 _SPECIAL_BREAK = frozenset(
     """applet area article aside base basefont bgsound blockquote body br
-    button caption center col colgroup details dir embed fieldset figcaption
-    figure footer form frame frameset h1 h2 h3 h4 h5 h6 head header hgroup
-    hr html iframe img input isindex li link listing main marquee menu meta
-    nav noembed noframes noscript object ol param plaintext pre script
-    section select source style summary table tbody td textarea tfoot th
-    thead title tr track ul wbr xmp""".split()
+    button caption center col colgroup dd details dir dl dt embed fieldset
+    figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6 head
+    header hgroup hr html iframe img input isindex li link listing main
+    marquee menu meta nav noembed noframes noscript object ol p param
+    plaintext pre script section select source style summary table tbody td
+    textarea tfoot th thead title tr track ul wbr xmp""".split()
 )
 
 _HEAD_ONLY = frozenset({"base", "basefont", "bgsound", "link", "meta", "title", "style", "script"})
