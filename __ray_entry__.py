@@ -1,44 +1,459 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes each implemented operator (SURVEY.md §2 +
+corpus-level training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for the SQL-expressible ones (the driver compares row-count +
+schema + order-insensitive value hash at sf=0.01).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+The extraction oracle works because ``sources.wrap_document_html`` wraps
+each document as ``<title>Document {id}</title>…<article><p>{text}</p>``,
+making the extractor's output a closed form of ``text``:
+title = 'Document '||id; length = length(text); readerable ⇔ len > 240
+(two readerability contributors, <article> and <p>, each √(len−140),
+threshold 20 — SmartReader.cs:2206-2267); time-to-read =
+max(1, floor(letters/960))·60 with letters = non-space chars
+(TimeToReadCalculator.cs:33-47, default 960 cpm when no language).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_EN_STOP = (
+    "'the','and','of','to','a','in','is','that','it','for','with','was','on'"
+)
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+
+
+def _extract_articles(sf_dir: str):
+    """documents → F1 spans → streaming extraction pipeline."""
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.sources import documents_to_spans
+
+    spans = documents_to_spans(sf_dir)
+    return build_extraction_pipeline(spans, batch_size=32, concurrency=(1, 8))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: extraction over sf0.001 documents (streaming, actor pool)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return _extract_articles(sf_dir).select_columns(
+        ["doc_id", "title", "language", "length", "time_to_read_s",
+         "is_readable", "completed", "text_content"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def _q_extract_meta(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "title": batch.column("title"),
+                "length": pc.cast(batch.column("length"), pa.int64()),
+                "time_to_read_s": pc.cast(batch.column("time_to_read_s"), pa.int64()),
+                "is_readable": batch.column("is_readable"),
+                "completed": batch.column("completed"),
+            }
+        )
+
+    return _extract_articles(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def _q_extract_text(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "text_content": batch.column("text_content"),
+                "excerpt": batch.column("excerpt"),
+            }
+        )
+
+    return _extract_articles(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def _q_doc_stats(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars", pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(add_len, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # avg as exact-int division → bit-identical to the SQL AVG of ints
+        avg = pc.divide(
+            pc.cast(batch.column("total_chars"), pa.float64()),
+            pc.cast(batch.column("n_docs"), pa.float64()),
+        )
+        return batch.append_column("avg_chars", avg)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_token_stats(sf_dir: str):
+    from smartreader_ray.functions import token_stats
+
+    return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    from smartreader_ray.functions import quality_stats
+
+    return _docs(sf_dir).map_batches(quality_stats, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from smartreader_ray.functions import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), key_tokens=5)
+
+
+def _q_language_id(sf_dir: str):
+    from smartreader_ray.functions import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    import pyarrow as pa
+    from smartreader_ray.functions import doc_fingerprint
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = doc_fingerprint(batch)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": out.column("doc_id"),
+                "fingerprint": out.column("fingerprint").cast(pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def _q_minhash(sf_dir: str):
+    from smartreader_ray.functions import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str):
+    from smartreader_ray.functions import simhash_neardup
+
+    return simhash_neardup(_docs(sf_dir))
+
+
+def _query_matrix(sf_dir: str, n: int = 5):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )[:n]
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
+def _q_ann(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import ann_topk
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    table = ann_topk(ds, _query_matrix(sf_dir), k=10)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
+def _q_embed_neardup(sf_dir: str):
+    import ray.data
+
+    from smartreader_ray.functions import embedding_neardup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_neardup(ds, threshold=0.45)
+    return pairs.select_columns(["vec_a", "vec_b"])
+
+
+def _q_embed_neardup_lsh(sf_dir: str):
+    import ray.data
+
+    from smartreader_ray.functions import embedding_neardup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # LSH-bucketed scale path: candidates within identical 8-bit
+    # hyperplane signatures (recall < 1 by design → rows-only check)
+    return embedding_neardup(ds, threshold=0.45, use_lsh=True, hyperplanes=8)
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block combine before the shuffle: groupby ships one row per
+        # (block, flag, status) instead of one per lineitem
+        return (
+            batch.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "part_qty", "part_count"]
+            )
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("part_qty", alias_name="sum_qty"),
+            Sum("part_count", alias_name="count_order"),
+        )
+    )
+    return final
+
+
+def _q_top_orders(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        # partial: sum revenue per orderkey within the block
+        return (
+            batch.append_column("rev", rev)
+            .group_by(["l_orderkey"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "part_rev"])
+        )
+
+    partials = ds.map_batches(revenue, batch_format="pyarrow")
+    total = partials.groupby("l_orderkey").aggregate(Sum("part_rev", alias_name="revenue"))
+    top = total.sort("revenue", descending=True).limit(10)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey"])
+
+    return top.map_batches(strip, batch_format="pyarrow")
+
+
+def _q_events_by_type(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    per_user = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n_events_user")
+    )
+    from ray.data.aggregate import Sum
+
+    return per_user.groupby("event_type").aggregate(
+        Count(alias_name="n_users"),
+        Sum("n_events_user", alias_name="n_events"),
+    )
+
+
+def _q_extract_fixtures(sf_dir: str):
+    """Real-HTML extraction over a fixture subset (sf-independent)."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.sources import fixture_names, fixture_spans_table
+
+    names = fixture_names()[:40]
+    ds = ray.data.from_arrow(fixture_spans_table(names))
+    out = build_extraction_pipeline(ds, batch_size=4, concurrency=(1, 8))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["doc_id", "title", "byline", "language", "length", "is_readable"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _q_media_meta(sf_dir: str):
+    """Media spans from extracted fixture articles → decode-stub stage."""
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.sources import fixture_names, fixture_spans_table
+    from smartreader_ray.stages.media import MediaDecodeStub, media_spans_table
+
+    names = fixture_names()[:20]
+    ds = ray.data.from_arrow(fixture_spans_table(names))
+    articles = build_extraction_pipeline(ds, batch_size=4, concurrency=(1, 4))
+    media = articles.map_batches(media_spans_table, batch_format="pyarrow")
+    return media.map_batches(
+        MediaDecodeStub, batch_format="pyarrow", concurrency=(1, 4), batch_size=16
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_meta": _q_extract_meta,
+        "extract_text": _q_extract_text,
+        "extract_fixtures": _q_extract_fixtures,
+        "doc_stats": _q_doc_stats,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality,
+        "exact_dedup": _q_exact_dedup,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "minhash_candidates": _q_minhash,
+        "simhash_neardup": _q_simhash,
+        "ann_topk": _q_ann,
+        "embed_neardup": _q_embed_neardup,
+        "embed_neardup_lsh": _q_embed_neardup_lsh,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "top_orders": _q_top_orders,
+        "events_by_type": _q_events_by_type,
+        "media_meta": _q_media_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_meta": """
+            SELECT doc_id,
+                   'Document ' || CAST(doc_id AS VARCHAR) AS title,
+                   length(text) AS length,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE GREATEST(CAST(floor(length(replace(text,' ',''))/960) AS BIGINT), 1) * 60
+                   END AS time_to_read_s,
+                   length(text) > 240 AS is_readable,
+                   TRUE AS completed
+            FROM documents
+        """,
+        "extract_text": """
+            SELECT doc_id, text AS text_content, text AS excerpt FROM documents
+        """,
+        "doc_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(length(text)) AS total_chars,
+                   AVG(length(text)) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nospace
+            FROM documents
+        """,
+        "quality_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   0.0 AS punct_ratio,
+                   0.0 AS digit_ratio,
+                   CAST(length(replace(text,' ','')) AS DOUBLE)
+                     / length(string_split_regex(trim(text), '\\s+')) AS mean_token_len,
+                   CAST(length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                           x -> list_contains([{_EN_STOP}], x))) AS DOUBLE)
+                     / length(string_split_regex(trim(text), '\\s+')) AS stopword_ratio_en
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:5], ' ') AS dup_key,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rank <= 10
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT l_orderkey FROM (
+                SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM lineitem GROUP BY l_orderkey
+            ) ORDER BY revenue DESC LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
+        # simhash_neardup, embed_neardup_lsh, media_meta: not SQL-expressible
+        # (readability heuristics / hash families / decode stage) → rows-only.
+    }

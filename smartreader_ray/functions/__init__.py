@@ -1,0 +1,36 @@
+"""Corpus-level operators: dedup, similarity search, text analysis.
+
+These are the wide/stateful operations the extraction reference doesn't
+have (SURVEY §2.7) but a 100 TB training-data pipeline needs. Design
+rules: pre-aggregate inside map_batches before any groupby; broadcast
+small sides with ray.put; vectorize with numpy/pyarrow.compute.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_batch,
+    simhash_neardup,
+)
+from .similarity import ann_topk, embedding_neardup
+from .textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_stats,
+    token_stats,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard",
+    "simhash_batch",
+    "simhash_neardup",
+    "ann_topk",
+    "embedding_neardup",
+    "doc_fingerprint",
+    "language_id",
+    "quality_stats",
+    "token_stats",
+]

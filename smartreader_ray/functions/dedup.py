@@ -1,0 +1,246 @@
+"""Deduplication operators over a (doc_id, text) table.
+
+- exact_dedup: hash-partition groupby + per-group first (Min/Count
+  aggregates pre-combine per block before the shuffle)
+- minhash_lsh_candidates: shingle → minhash → band → bucket groupby;
+  only bucket keys shuffle, never documents
+- simhash_neardup: 64-bit simhash, banded hamming buckets
+- ngram_jaccard: exact verify for candidate pairs
+
+All per-batch math is vectorized numpy over Arrow columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = np.uint64((1 << 61) - 1)
+
+
+def _token_ngrams(text: str, n: int = 3) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _hash64(values: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hashes of strings (FNV-1a, vector-friendly)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        h = 0xCBF29CE484222325
+        for b in v.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def dedup_key_batch(batch: pa.Table, key_tokens: int = 5) -> pa.Table:
+    """Add the exact-dedup key: first ``key_tokens`` whitespace tokens."""
+    texts = batch.column("text").to_pylist()
+    keys = [" ".join((t or "").split()[:key_tokens]) for t in texts]
+    return batch.append_column("dup_key", pa.array(keys, type=pa.string()))
+
+
+def exact_dedup(ds, key_tokens: int = 5):
+    """Representative (min doc_id) + group size per dedup key.
+
+    The groupby ships only (dup_key, doc_id) after column pruning; Min and
+    Count pre-combine inside each block before the exchange.
+    """
+    from ray.data.aggregate import Count, Min
+
+    keyed = ds.map_batches(
+        lambda b: dedup_key_batch(b, key_tokens), batch_format="pyarrow"
+    ).select_columns(["dup_key", "doc_id"])
+    agg = keyed.groupby("dup_key").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dups"),
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+class MinHasher:
+    """Warm actor state: the (a, b) hash-family parameters, built once."""
+
+    def __init__(self, num_hashes: int = 128, bands: int = 16, ngram: int = 3, seed: int = 42):
+        assert num_hashes % bands == 0
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows = num_hashes // bands
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        grams = _token_ngrams(text, self.ngram)
+        if not grams:
+            return np.full(self.num_hashes, _MAX_HASH, dtype=np.uint64)
+        h = _hash64(grams)  # (G,)
+        # (a*h + b) mod p for each hash fn — (H, G) then min over G
+        prod = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1).astype(np.uint64)
+
+    def band_keys(self, sig: np.ndarray) -> list[str]:
+        import hashlib
+
+        keys = []
+        for band in range(self.bands):
+            chunk = sig[band * self.rows : (band + 1) * self.rows]
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            keys.append(f"{band}:{digest}")
+        return keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """doc → one row per band: (band_key, doc_id). Only keys shuffle."""
+        doc_ids, band_keys = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = self.signature(text or "")
+            for key in self.band_keys(sig):
+                doc_ids.append(doc_id)
+                band_keys.append(key)
+        return pa.Table.from_pydict(
+            {"band_key": band_keys, "doc_id": doc_ids}
+        )
+
+
+def minhash_lsh_candidates(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3):
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    Returns a Dataset of (doc_a, doc_b) candidate pairs (doc_a < doc_b,
+    deduplicated). Verify with ``ngram_jaccard`` on the pair texts.
+    """
+    banded = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands, ngram=ngram),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def bucket_to_pairs(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field("doc_id").type
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        pairs_a, pairs_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs_a.append(ids[i])
+                pairs_b.append(ids[j])
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(pairs_a, type=id_type),
+                "doc_b": pa.array(pairs_b, type=id_type),
+            }
+        )
+
+    pairs = banded.groupby("band_key").map_groups(bucket_to_pairs, batch_format="pyarrow")
+    # candidate pairs can appear in multiple bands → distinct
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    a = set(_token_ngrams(text_a, n))
+    b = set(_token_ngrams(text_b, n))
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text: str, ngram: int = 2) -> int:
+    grams = _token_ngrams(text, ngram)
+    if not grams:
+        return 0
+    h = _hash64(grams)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    votes = bits.sum(axis=0) * 2 - len(grams)
+    sim = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            sim |= 1 << bit
+    return sim
+
+
+def simhash_batch(batch: pa.Table, ngram: int = 2) -> pa.Table:
+    sims = [simhash64(t or "", ngram) for t in batch.column("text").to_pylist()]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(np.array(sims, dtype=np.uint64), type=pa.uint64()),
+        }
+    )
+
+
+def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2):
+    """Near-dup pairs by simhash: band the 64-bit hash into 4×16-bit
+    chunks (any pair within hamming ≤ 3 of each other shares ≥1 exact
+    chunk by pigeonhole) → bucket groupby → verify hamming in-bucket."""
+    hashed = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: simhash_batch(b, ngram), batch_format="pyarrow"
+    )
+
+    def band(batch: pa.Table) -> pa.Table:
+        doc_ids, keys, sims = [], [], []
+        for doc_id, sim in zip(
+            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
+        ):
+            for chunk in range(4):
+                piece = (sim >> (16 * chunk)) & 0xFFFF
+                doc_ids.append(doc_id)
+                keys.append(f"{chunk}:{piece:04x}")
+                sims.append(sim)
+        return pa.Table.from_pydict(
+            {"band_key": keys, "doc_id": doc_ids, "simhash": pa.array(sims, type=pa.uint64())}
+        )
+
+    banded = hashed.map_batches(band, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(
+                zip(
+                    group.column("doc_id").to_pylist(),
+                    group.column("simhash").to_pylist(),
+                )
+            )
+        )
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = int(rows[i][1] ^ rows[j][1]).bit_count()
+                if d <= max_hamming:
+                    out_a.append(rows[i][0])
+                    out_b.append(rows[j][0])
+                    out_d.append(d)
+        id_type = group.schema.field("doc_id").type
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, type=id_type),
+                "doc_b": pa.array(out_b, type=id_type),
+                "hamming": pa.array(out_d, type=pa.int32()),
+            }
+        )
+
+    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming_min"))

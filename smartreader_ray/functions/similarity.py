@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ann_topk: brute-force cosine top-k — the small-side query matrix is
+  ``ray.put`` once and matmul'd against every batch (never re-shipped
+  per batch); per-batch partial top-k keeps the combine tiny.
+- embedding_neardup: near-dup pairs by cosine ≥ threshold; brute
+  all-pairs per batch against the broadcast matrix for small corpora,
+  or LSH (random-hyperplane) bucketed for the scale path.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _embeddings_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    lists = batch.column(col)
+    arr = lists.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(1, batch.num_rows)
+    return flat.reshape(batch.num_rows, dim).astype(np.float64)
+
+
+class _TopKPartial:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.queries = _normalize(np.asarray(q, dtype=np.float64))
+        self.query_ids = None
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_embeddings_matrix(batch))
+        sims = self.queries @ mat.T  # (Q, B)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
+            for i in idx:
+                out_q.append(qi)
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(row[i]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ann_topk(ds, query_matrix: np.ndarray, k: int = 10, round_to: int = 6):
+    """Exact cosine top-k: partial top-k per block, tiny final heap merge
+    on the driver. Returns a pyarrow Table (query_id, vec_id, sim, rank)
+    ordered by (query_id, -sim, vec_id) — deterministic under ties.
+
+    Scale path: replace the driver merge with a groupby(query_id)
+    .map_groups top-k when Q is large; here Q is small by construction.
+    """
+    import ray
+
+    queries_ref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+    partials = ds.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    heaps: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for q, v, s in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("vec_id").to_pylist(),
+            batch.column("sim").to_pylist(),
+        ):
+            heap = heaps.setdefault(q, [])
+            item = (s, -v)  # tie-break: smaller vec_id wins
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for q in sorted(heaps):
+        ranked = sorted(heaps[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negv) in enumerate(ranked, start=1):
+            out_q.append(q)
+            out_v.append(-negv)
+            out_s.append(round(s, round_to))
+            out_r.append(rank)
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
+class _NearDupBrute:
+    def __init__(self, matrix_ref, ids_ref, threshold: float):
+        import ray
+
+        self.all_mat = _normalize(np.asarray(ray.get(matrix_ref), dtype=np.float64))
+        self.all_ids = np.asarray(ray.get(ids_ref), dtype=np.int64)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_embeddings_matrix(batch))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = mat @ self.all_mat.T  # (B, N)
+        rows, cols = np.where(sims >= self.threshold)
+        out_a, out_b, out_s = [], [], []
+        for r, c in zip(rows, cols):
+            a = int(ids[r])
+            b = int(self.all_ids[c])
+            if a < b:
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(round(float(sims[r, c]), 6))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(out_a, type=pa.int64()),
+                "vec_b": pa.array(out_b, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool = False, hyperplanes: int = 16, seed: int = 42):
+    """Cosine near-dup pairs (vec_a < vec_b, sim ≥ threshold).
+
+    Brute path: broadcast the (normalized) full matrix once via ray.put;
+    each batch matmuls against it — O(N·B) per batch but zero shuffle.
+    LSH path (``use_lsh=True``): random-hyperplane signature → bucket
+    groupby → in-bucket pair check; only signatures shuffle. The LSH
+    path is the 100 TB answer (brute is quadratic in corpus size).
+    """
+    import ray
+
+    if not use_lsh:
+        full = ds.select_columns(["vec_id", "embedding"]).take_all()
+        ids = [r["vec_id"] for r in full]
+        mat = np.asarray([r["embedding"] for r in full], dtype=np.float64)
+        matrix_ref = ray.put(mat)
+        ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
+        return ds.map_batches(
+            _NearDupBrute,
+            fn_constructor_kwargs=dict(
+                matrix_ref=matrix_ref, ids_ref=ids_ref, threshold=threshold
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+
+    rng = np.random.RandomState(seed)
+    planes = None  # built lazily per worker from the seed (deterministic)
+
+    def sign_batch(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        mat = _normalize(_embeddings_matrix(batch))
+        if planes is None:
+            local_rng = np.random.RandomState(seed)
+            p = local_rng.randn(mat.shape[1], hyperplanes)
+        else:  # pragma: no cover
+            p = planes
+        bits = (mat @ p) > 0
+        keys = ["".join("1" if b else "0" for b in row) for row in bits]
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(keys, type=pa.string()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        mat = _normalize(_embeddings_matrix(group))
+        ids = group.column("vec_id").to_pylist()
+        sims = mat @ mat.T
+        out_a, out_b, out_s = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    a, b = ids[i], ids[j]
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(float(sims[i, j]), 6))
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(out_a, type=pa.int64()),
+                "vec_b": pa.array(out_b, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    signed = ds.map_batches(sign_batch, batch_format="pyarrow")
+    return signed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")

@@ -1,0 +1,118 @@
+"""The streaming extraction pipeline.
+
+Shape (SURVEY §3.5):
+
+    read spans → SizeProbe (cheap tag) → split by doc size
+       ├─ normal docs  → ExtractBatch actor pool, batch_size=B
+       └─ oversized    → ExtractBatch actor pool, batch_size=1
+    → union → (write / aggregate)
+
+The split keeps one pathological 1.6 MB page from stalling a batch of
+small ones (reference war story: ``docfx_project/articles/notes.md``
+"Dealing with Long Extraction Time"). Everything stays lazy/streaming —
+no materialization, no shuffle (the extraction map is embarrassingly
+parallel; the only wide op anywhere is the optional metrics rollup,
+which pre-aggregates per block before the tiny final combine).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..extraction import ExtractorConfig
+from ..stages.extract import ExtractBatch, SizeProbe
+
+#: docs above this source size are routed to the batch_size=1 pool
+DEFAULT_SIZE_THRESHOLD = 1_000_000
+
+
+def _mask_batch(threshold: int, keep_small: bool):
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("doc_bytes"), threshold)
+        if not keep_small:
+            mask = pc.invert(mask)
+        return batch.filter(mask).drop_columns(["doc_bytes"])
+
+    return fn
+
+
+def build_extraction_pipeline(
+    ds,
+    config: Optional[ExtractorConfig] = None,
+    base_uri: str = "https://localhost/",
+    batch_size: int = 16,
+    concurrency=None,
+    size_threshold: int = DEFAULT_SIZE_THRESHOLD,
+    include_content: bool = True,
+):
+    """spans Dataset → article-rows Dataset (lazy)."""
+    probed = ds.map_batches(SizeProbe(), batch_format="pyarrow")
+
+    small = probed.map_batches(
+        _mask_batch(size_threshold, keep_small=True), batch_format="pyarrow"
+    )
+    big = probed.map_batches(
+        _mask_batch(size_threshold, keep_small=False), batch_format="pyarrow"
+    )
+
+    kwargs = dict(batch_format="pyarrow", num_cpus=1)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+
+    small_out = small.map_batches(
+        ExtractBatch,
+        fn_constructor_kwargs=dict(
+            config=config, base_uri=base_uri, include_content=include_content
+        ),
+        batch_size=batch_size,
+        **kwargs,
+    )
+    big_out = big.map_batches(
+        ExtractBatch,
+        fn_constructor_kwargs=dict(
+            config=config, base_uri=base_uri, include_content=include_content
+        ),
+        batch_size=1,
+        **kwargs,
+    )
+    return small_out.union(big_out)
+
+
+def _metrics_fold(batch: pa.Table) -> pa.Table:
+    """Per-block partial aggregate — the combine side of the rollup, so the
+    driver-side final reduce sees one tiny row per block, not the corpus."""
+    metrics = batch.column("metrics")
+    flat = pa.Table.from_arrays(
+        [metrics.combine_chunks().field(name) for name in (
+            "chars_kept", "chars_dropped", "parse_ms",
+        )],
+        names=["chars_kept", "chars_dropped", "parse_ms"],
+    )
+    return pa.Table.from_pydict(
+        {
+            "docs": [batch.num_rows],
+            "completed": [pc.sum(pc.cast(batch.column("completed"), pa.int64())).as_py() or 0],
+            "readable": [pc.sum(pc.cast(batch.column("is_readable"), pa.int64())).as_py() or 0],
+            "chars_kept": [pc.sum(flat.column("chars_kept")).as_py() or 0],
+            "chars_dropped": [pc.sum(flat.column("chars_dropped")).as_py() or 0],
+            "parse_ms": [pc.sum(flat.column("parse_ms")).as_py() or 0.0],
+        }
+    )
+
+
+def corpus_metrics(article_ds) -> dict:
+    """Rollup of the extraction metrics columns (small result → driver)."""
+    partial = article_ds.map_batches(_metrics_fold, batch_format="pyarrow")
+    table = pa.Table.from_pylist(partial.take_all())
+    if table.num_rows == 0:
+        return {
+            "docs": 0, "completed": 0, "readable": 0,
+            "chars_kept": 0, "chars_dropped": 0, "parse_ms": 0.0,
+        }
+    return {
+        name: (pc.sum(table.column(name)).as_py() or 0)
+        for name in table.column_names
+    }

@@ -1,0 +1,185 @@
+"""Sources: span-table readers and deterministic corpus builders.
+
+The canonical input is the F1 interleaved-span table (parquet here; a
+thin seam so Lance can slot in where available — ``read_spans``). Plus:
+- ``documents_to_spans``: bridge from the driver's ``documents.parquet``
+  (doc_id:int64, text, lang, …) into F1 span docs with an HTML wrapper
+  whose extraction output is analytically predictable (→ SQL oracles).
+- ``fixture_spans_table``: the 142 reference test pages as one span table.
+- ``synthetic_corpus``: seeded heavy-tailed corpus for the bench.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+from typing import Optional
+
+import pyarrow as pa
+
+from ..spanio import html_to_spans
+
+FIXTURE_DIR = "/root/reference/src/SmartReaderTests/test-pages"
+
+
+def read_spans(path: str, **kwargs):
+    """Read an F1 span table as a Ray Dataset (parquet; lance if present)."""
+    import ray.data
+
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        try:
+            return ray.data.read_lance(path, **kwargs)
+        except (AttributeError, ImportError):
+            pass
+    return ray.data.read_parquet(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# documents.parquet → span docs (deterministic wrapper; see __ray_entry__
+# oracle_sql for the closed-form expected outputs this wrapper guarantees)
+# ---------------------------------------------------------------------------
+def wrap_document_html(doc_id, text: str) -> str:
+    """One <p> per document: extraction output becomes a closed-form
+    function of ``text`` (title='Document {id}', text_content=text,
+    length=len(text), readerable ⇔ len>540)."""
+    body = _html.escape(text, quote=False)
+    return (
+        f"<html><head><title>Document {doc_id}</title></head>"
+        f"<body><article><p>{body}</p></article></body></html>"
+    )
+
+
+def documents_to_spans_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = (
+        batch.column("lang").to_pylist()
+        if "lang" in batch.column_names
+        else [""] * len(doc_ids)
+    )
+    out_ids, out_spans, out_langs = [], [], []
+    for doc_id, text, lang in zip(doc_ids, texts, langs):
+        out_ids.append(str(doc_id))
+        out_spans.append(html_to_spans(wrap_document_html(doc_id, text or "")))
+        out_langs.append(lang or "")
+    from ..stages.extract import SPAN_TYPE
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_ids, type=pa.string()),
+            pa.array(out_spans, type=SPAN_TYPE),
+            pa.array(out_langs, type=pa.string()),
+        ],
+        names=["doc_id", "spans", "lang"],
+    )
+
+
+def documents_to_spans(sf_dir: str, **read_kwargs):
+    """Ray Dataset of F1 span docs from ``{sf_dir}/documents.parquet``."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        **read_kwargs,
+    )
+    return ds.map_batches(documents_to_spans_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fixture corpus (142 reference test pages)
+# ---------------------------------------------------------------------------
+def fixture_names() -> list[str]:
+    return sorted(
+        d
+        for d in os.listdir(FIXTURE_DIR)
+        if os.path.isdir(os.path.join(FIXTURE_DIR, d))
+    )
+
+
+def fixture_spans_table(names: Optional[list[str]] = None) -> pa.Table:
+    from ..stages.extract import SPAN_TYPE
+
+    names = names or fixture_names()
+    ids, spans = [], []
+    for name in names:
+        with open(
+            os.path.join(FIXTURE_DIR, name, "source.html"), encoding="utf-8-sig"
+        ) as f:
+            ids.append(name)
+            spans.append(html_to_spans(f.read()))
+    return pa.Table.from_arrays(
+        [pa.array(ids, type=pa.string()), pa.array(spans, type=SPAN_TYPE)],
+        names=["doc_id", "spans"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic heavy-tailed corpus (seeded; for bench + skew tests)
+# ---------------------------------------------------------------------------
+_LOREM = (
+    "stream batch filter merge shuffle window partition replica consensus "
+    "vector tensor gradient token corpus anchor heading sidebar footer nav "
+    "article paragraph sentence figure caption embed quote list table cell"
+).split()
+
+
+def synthetic_doc_html(doc_id: int, size_hint: int, seed: int = 42) -> str:
+    """Deterministic page of ~size_hint bytes with realistic structure."""
+    import random
+
+    rng = random.Random(seed * 1_000_003 + doc_id)
+    parts = [
+        "<html><head>",
+        f"<title>Synthetic {doc_id} | BenchSite</title>",
+        '<meta name="description" content="synthetic benchmark page">',
+        "</head><body>",
+        '<div id="header" class="header-banner">BenchSite nav nav nav</div>',
+        '<div id="content" class="main-content">',
+    ]
+    size = len("".join(parts))
+    p_i = 0
+    while size < size_hint:
+        n_words = rng.randint(20, 120)
+        words = " ".join(rng.choice(_LOREM) for _ in range(n_words))
+        para = f"<p>{words}, {words[: rng.randint(10, 60)]}.</p>"
+        if p_i % 7 == 3:
+            para += f'<img src="/img/{doc_id}_{p_i}.jpg" alt="figure {p_i}">'
+        if p_i % 11 == 5:
+            para = f'<div class="social-share sharedaddy">share me</div>' + para
+        parts.append(para)
+        size += len(para)
+        p_i += 1
+    parts.append("</div>")
+    parts.append('<div class="footer" id="footer">footer links</div>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def synthetic_corpus_table(
+    n_docs: int,
+    seed: int = 42,
+    mean_size: int = 16_000,
+    heavy_tail_every: int = 200,
+    heavy_size: int = 1_600_000,
+) -> pa.Table:
+    """Seeded corpus whose size distribution mirrors the fixture corpus
+    (avg ~197 KB scaled down by default; 1 in ``heavy_tail_every`` docs is
+    a ~1.6 MB monster, the fixture max)."""
+    import random
+
+    from ..stages.extract import SPAN_TYPE
+
+    rng = random.Random(seed)
+    ids, spans = [], []
+    for i in range(n_docs):
+        if heavy_tail_every and i % heavy_tail_every == heavy_tail_every - 1:
+            size = heavy_size
+        else:
+            size = max(2_000, int(rng.expovariate(1.0 / mean_size)))
+        ids.append(f"synth-{i:06d}")
+        spans.append(html_to_spans(synthetic_doc_html(i, size, seed)))
+    return pa.Table.from_arrays(
+        [pa.array(ids, type=pa.string()), pa.array(spans, type=SPAN_TYPE)],
+        names=["doc_id", "spans"],
+    )
