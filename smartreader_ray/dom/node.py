@@ -1,12 +1,18 @@
 """Minimal mutable DOM for the extraction engine.
 
-A from-scratch node model built for the readability algorithm: elements carry
-tag (uppercase, AngleSharp ``TagName`` convention — see reference
-``SmartReader.cs:1042`` usage), an ordered attribute dict, children, and a
-parent pointer.  Score state lives OFF the attribute map (``score`` slot) —
-the reference keeps it in a ``readability-score`` string attribute
-(``SmartReader.cs:881-905``); semantics are equivalent because the attribute
-is parsed back to double on every read and stripped before serialization.
+A from-scratch node model built for the readability algorithm: elements
+carry tag (uppercase, AngleSharp ``TagName`` convention), an ordered
+attribute dict, linked children, and a parent pointer. Siblings are a
+doubly-linked list so ``next_sibling`` / ``remove_child`` /
+``insert_before`` are O(1) — the remove-and-get-next DFS walks the
+algorithm performs are linear, like AngleSharp's linked DOM (a plain
+list-index model degrades to O(n²) on wide real-world pages).
+
+Score state lives OFF the attribute map (``score`` slot) — the reference
+keeps it in a ``readability-score`` string attribute
+(``SmartReader.cs:881-905``); semantics are equivalent because the
+attribute is parsed back to double on every read and stripped before
+serialization.
 """
 
 from __future__ import annotations
@@ -31,33 +37,22 @@ RAW_TEXT_ELEMENTS = frozenset(
 
 
 class Node:
-    __slots__ = ("parent",)
+    __slots__ = ("parent", "_next", "_prev")
 
     node_type = 0
 
+    def __init__(self):
+        self.parent: Optional["ParentNode"] = None
+        self._next: Optional["Node"] = None
+        self._prev: Optional["Node"] = None
+
     @property
     def next_sibling(self) -> Optional["Node"]:
-        p = self.parent
-        if p is None:
-            return None
-        sibs = p.childNodes
-        try:
-            i = sibs.index(self)
-        except ValueError:
-            return None
-        return sibs[i + 1] if i + 1 < len(sibs) else None
+        return self._next
 
     @property
     def previous_sibling(self) -> Optional["Node"]:
-        p = self.parent
-        if p is None:
-            return None
-        sibs = p.childNodes
-        try:
-            i = sibs.index(self)
-        except ValueError:
-            return None
-        return sibs[i - 1] if i > 0 else None
+        return self._prev
 
     @property
     def parent_element(self) -> Optional["Element"]:
@@ -76,7 +71,7 @@ class TextNode(Node):
     node_name = "#text"
 
     def __init__(self, data: str):
-        self.parent = None
+        super().__init__()
         self.data = data
 
     @property
@@ -94,7 +89,7 @@ class CommentNode(Node):
     node_name = "#comment"
 
     def __init__(self, data: str):
-        self.parent = None
+        super().__init__()
         self.data = data
 
     @property
@@ -106,90 +101,165 @@ class CommentNode(Node):
 
 
 class ParentNode(Node):
-    __slots__ = ("childNodes",)
+    __slots__ = ("_first", "_last", "_n_children")
 
     def __init__(self):
-        self.parent = None
-        self.childNodes: list[Node] = []
+        super().__init__()
+        self._first: Optional[Node] = None
+        self._last: Optional[Node] = None
+        self._n_children = 0
+
+    # -- linked-list plumbing ---------------------------------------------
+    def _detach(self, node: Node) -> None:
+        prev, nxt = node._prev, node._next
+        if prev is not None:
+            prev._next = nxt
+        else:
+            self._first = nxt
+        if nxt is not None:
+            nxt._prev = prev
+        else:
+            self._last = prev
+        node.parent = None
+        node._prev = None
+        node._next = None
+        self._n_children -= 1
 
     # -- mutation ---------------------------------------------------------
     def append_child(self, node: Node) -> Node:
         if node.parent is not None:
-            node.parent.remove_child(node)
+            node.parent._detach(node)
         node.parent = self
-        self.childNodes.append(node)
+        node._prev = self._last
+        node._next = None
+        if self._last is not None:
+            self._last._next = node
+        else:
+            self._first = node
+        self._last = node
+        self._n_children += 1
         return node
 
     def remove_child(self, node: Node) -> Node:
-        self.childNodes.remove(node)
-        node.parent = None
+        if node.parent is not self:
+            raise ValueError("node is not a child of this parent")
+        self._detach(node)
         return node
 
     def insert_before(self, node: Node, ref: Optional[Node]) -> Node:
         if ref is None:
             return self.append_child(node)
+        if ref.parent is not self:
+            raise ValueError("reference node is not a child of this parent")
+        if node is ref:
+            return node
         if node.parent is not None:
-            node.parent.remove_child(node)
-        i = self.childNodes.index(ref)
+            node.parent._detach(node)
+        prev = ref._prev
         node.parent = self
-        self.childNodes.insert(i, node)
+        node._prev = prev
+        node._next = ref
+        ref._prev = node
+        if prev is not None:
+            prev._next = node
+        else:
+            self._first = node
+        self._n_children += 1
         return node
 
     def replace_child(self, new: Node, old: Node) -> Node:
-        i = self.childNodes.index(old)
-        if new.parent is not None:
-            new.parent.remove_child(new)
-        self.childNodes[i] = new
-        new.parent = self
-        old.parent = None
+        if old.parent is not self:
+            raise ValueError("old node is not a child of this parent")
+        if new is old:
+            return old
+        self.insert_before(new, old)
+        self._detach(old)
         return old
 
     # -- structure queries ------------------------------------------------
     @property
+    def childNodes(self) -> list[Node]:
+        out = []
+        n = self._first
+        while n is not None:
+            out.append(n)
+            n = n._next
+        return out
+
+    @property
     def first_child(self) -> Optional[Node]:
-        return self.childNodes[0] if self.childNodes else None
+        return self._first
 
     @property
     def last_child(self) -> Optional[Node]:
-        return self.childNodes[-1] if self.childNodes else None
+        return self._last
+
+    @property
+    def has_child_nodes(self) -> bool:
+        return self._first is not None
+
+    @property
+    def num_child_nodes(self) -> int:
+        return self._n_children
 
     @property
     def children(self) -> list["Element"]:
-        return [c for c in self.childNodes if isinstance(c, Element)]
+        out = []
+        n = self._first
+        while n is not None:
+            if isinstance(n, Element):
+                out.append(n)
+            n = n._next
+        return out
 
     @property
     def first_element_child(self) -> Optional["Element"]:
-        for c in self.childNodes:
-            if isinstance(c, Element):
-                return c
+        n = self._first
+        while n is not None:
+            if isinstance(n, Element):
+                return n
+            n = n._next
         return None
 
     @property
     def last_element_child(self) -> Optional["Element"]:
-        for c in reversed(self.childNodes):
-            if isinstance(c, Element):
-                return c
+        n = self._last
+        while n is not None:
+            if isinstance(n, Element):
+                return n
+            n = n._prev
         return None
 
     @property
     def text_content(self) -> str:
         out: list[str] = []
-        stack = list(reversed(self.childNodes))
+        stack: list[Node] = []
+        n = self._last
+        while n is not None:
+            stack.append(n)
+            n = n._prev
         while stack:
             n = stack.pop()
             if n.node_type == TEXT_NODE:
                 out.append(n.data)  # type: ignore[attr-defined]
             elif isinstance(n, Element):
-                stack.extend(reversed(n.childNodes))
+                c = n._last
+                while c is not None:
+                    stack.append(c)
+                    c = c._prev
         return "".join(out)
 
     def iter_elements(self) -> Iterator["Element"]:
-        """Depth-first pre-order over descendant elements (snapshot-free)."""
+        """Depth-first pre-order over descendant elements."""
         stack = list(reversed(self.children))
         while stack:
             n = stack.pop()
             yield n
-            stack.extend(reversed(n.children))
+            c = n._last
+            while c is not None:
+                if isinstance(c, Element):
+                    stack.append(c)
+                c = c._prev
 
     def descendants(self) -> Iterator[Node]:
         stack = list(reversed(self.childNodes))
@@ -197,7 +267,10 @@ class ParentNode(Node):
             n = stack.pop()
             yield n
             if isinstance(n, ParentNode):
-                stack.extend(reversed(n.childNodes))
+                c = n._last
+                while c is not None:
+                    stack.append(c)
+                    c = c._prev
 
     def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
         """Snapshot list in document order; ``*`` matches all elements."""
@@ -264,32 +337,20 @@ class Element(ParentNode):
     # -- element-sibling nav ---------------------------------------------
     @property
     def next_element_sibling(self) -> Optional["Element"]:
-        p = self.parent
-        if p is None:
-            return None
-        sibs = p.childNodes
-        try:
-            i = sibs.index(self)
-        except ValueError:
-            return None
-        for j in range(i + 1, len(sibs)):
-            if isinstance(sibs[j], Element):
-                return sibs[j]
+        n = self._next
+        while n is not None:
+            if isinstance(n, Element):
+                return n
+            n = n._next
         return None
 
     @property
     def previous_element_sibling(self) -> Optional["Element"]:
-        p = self.parent
-        if p is None:
-            return None
-        sibs = p.childNodes
-        try:
-            i = sibs.index(self)
-        except ValueError:
-            return None
-        for j in range(i - 1, -1, -1):
-            if isinstance(sibs[j], Element):
-                return sibs[j]
+        n = self._prev
+        while n is not None:
+            if isinstance(n, Element):
+                return n
+            n = n._prev
         return None
 
     def get_root(self) -> Node:
@@ -299,7 +360,7 @@ class Element(ParentNode):
         return n
 
     def __repr__(self) -> str:  # pragma: no cover
-        return f"<{self.tag} {self.attrs!r} children={len(self.childNodes)}>"
+        return f"<{self.tag} {self.attrs!r} children={self._n_children}>"
 
 
 class Document(ParentNode):

@@ -219,12 +219,7 @@ class _TreeBuilder(HTMLParser):
     def _append_text(self, text: str, *, foster: bool = True) -> None:
         if foster and self._top.tag in _TABLE_CTX and not _is_space_only(text):
             parent, ref = self._foster_target()
-            prev = None
-            if ref is not None:
-                i = parent.childNodes.index(ref)
-                prev = parent.childNodes[i - 1] if i > 0 else None
-            else:
-                prev = parent.last_child
+            prev = ref.previous_sibling if ref is not None else parent.last_child
             if isinstance(prev, TextNode):
                 prev.data += text
             else:

@@ -86,13 +86,12 @@ def set_inner_html(el: Element, html: str) -> None:
     from .parser import parse_html
 
     doc = parse_html(html)
-    el.childNodes = []
+    while el.first_child is not None:
+        el.remove_child(el.first_child)
     body = doc.body
     if body is not None:
         for c in list(body.childNodes):
-            body.remove_child(c)
-            c.parent = el
-            el.childNodes.append(c)
+            el.append_child(c)
 
 
 def document_html(doc: Document) -> str:

@@ -486,11 +486,11 @@ class Extractor:
                 elements_to_score.append(node)
 
             if node.tag == "P":
-                if len(node.childNodes) == 0:
+                if node.num_child_nodes == 0:
                     node = remove_and_get_next(node)
                     continue
-                if len(node.childNodes) == 1:
-                    child = node.childNodes[0]
+                if node.num_child_nodes == 1:
+                    child = node.first_child
                     if child.node_type == TEXT_NODE:
                         raw_text = child.data
                         # quirk (SmartReader.cs:1133): compares the decoded
@@ -892,7 +892,7 @@ class Extractor:
                 table.set_attribute("datatable", "true")
                 continue
             captions = table.get_elements_by_tag_name("caption")
-            if captions and len(captions[0].childNodes) > 0:
+            if captions and captions[0].num_child_nodes > 0:
                 table.set_attribute("datatable", "true")
                 continue
             if any(
@@ -1131,8 +1131,8 @@ class Extractor:
             if href and href.strip():
                 if href.lower().startswith("javascript:"):
                     if (
-                        len(link.childNodes) == 1
-                        and link.childNodes[0].node_type == TEXT_NODE
+                        link.num_child_nodes == 1
+                        and link.first_child.node_type == TEXT_NODE
                     ):
                         text = TextNode(link.text_content)
                         link.parent.replace_child(text, link)

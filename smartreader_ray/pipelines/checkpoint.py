@@ -146,14 +146,24 @@ class CheckpointedExtraction:
 
     def result_dataset(self):
         """All committed partitions as one Dataset."""
+        import glob
+
         import ray.data
 
         committed = sorted(read_manifest(self.out_dir))
-        dirs = [os.path.join(self.out_dir, f"part-{p:05d}") for p in committed]
-        return ray.data.read_parquet(dirs) if dirs else None
+        files = [
+            f
+            for p in committed
+            for f in sorted(
+                glob.glob(os.path.join(self.out_dir, f"part-{p:05d}", "*.parquet"))
+            )
+        ]
+        return ray.data.read_parquet(files) if files else None
 
 
 def _read_part(part_dir: str):
+    import glob
+
     import ray.data
 
-    return ray.data.read_parquet(part_dir)
+    return ray.data.read_parquet(sorted(glob.glob(os.path.join(part_dir, "*.parquet"))))

@@ -58,9 +58,17 @@ def build_extraction_pipeline(
         _mask_batch(size_threshold, keep_small=False), batch_format="pyarrow"
     )
 
-    kwargs = dict(batch_format="pyarrow", num_cpus=1)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    if concurrency is None:
+        # size the actor pool to the cluster: extraction is pure-CPU python
+        # → 1 actor per CPU, autoscaling from 1
+        try:
+            import ray
+
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover
+            n_cpus = 8
+        concurrency = (1, max(2, n_cpus))
+    kwargs = dict(batch_format="pyarrow", num_cpus=1, concurrency=concurrency)
 
     small_out = small.map_batches(
         ExtractBatch,

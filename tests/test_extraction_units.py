@@ -1,0 +1,287 @@
+"""Tier-2 unit tests mirroring the reference's BasicTests / UtilityTests /
+TextUtilityTests / UriExtensionsTests coverage buckets (SURVEY §5.2-5.3)."""
+
+from datetime import datetime, timezone
+
+from smartreader_ray.dom import parse_html
+from smartreader_ray.extraction import (
+    get_jsonld,
+    parse_article,
+    text_similarity,
+    try_parse_date,
+)
+from smartreader_ray.extraction.article import (
+    chars_per_minute,
+    convert_to_plaintext,
+    count_letters,
+)
+from smartreader_ray.extraction.metadata import clean_title, get_article_title
+from smartreader_ray.extraction.nodeutil import (
+    clean_xml_name,
+    get_display_from_style,
+    get_visibility_from_style,
+    is_probably_visible,
+)
+from smartreader_ray.extraction.urialg import PageUri
+
+
+def _doc(html):
+    return parse_html(html)
+
+
+# -- titles (BasicTests.cs:29-153) ------------------------------------------
+def test_clean_title_removes_sitename_suffix():
+    assert clean_title("Big News - My Site", "My Site") == "Big News"
+    assert clean_title("Big News | My Site", "My Site") == "Big News"
+    assert clean_title("Big News", "Other") == "Big News"
+    # no site name → untouched (whitespace still normalized)
+    assert clean_title("A  B", None) == "A B"
+
+
+def test_get_article_title_separator():
+    doc = _doc(
+        "<html><head><title>The Big Interesting Article Headline - Some Site</title></head><body></body></html>"
+    )
+    assert get_article_title(doc) == "The Big Interesting Article Headline"
+
+
+def test_get_article_title_short_keeps_original():
+    # result would be < 3 words → falls back to original title
+    doc = _doc("<html><head><title>Hi There - X</title></head><body></body></html>")
+    assert get_article_title(doc) == "Hi There - X"
+
+
+def test_get_article_title_colon():
+    doc = _doc(
+        "<html><head><title>Site: The Very Real Interesting Title Here</title></head><body></body></html>"
+    )
+    assert get_article_title(doc) == "The Very Real Interesting Title Here"
+
+
+def test_get_article_title_h1_fallback():
+    doc = _doc(
+        "<html><head><title>x</title></head><body><h1>The Actual Long Headline Here</h1></body></html>"
+    )
+    assert get_article_title(doc) == "The Actual Long Headline Here"
+
+
+# -- dates (BasicTests.cs:365-426) ------------------------------------------
+def test_date_from_meta():
+    a = parse_article(
+        "https://localhost/",
+        '<html><head><title>t</title><meta property="article:published_time" content="2019-10-18T19:23:34+02:00"></head><body><p>hello</p></body></html>',
+    )
+    assert a.publication_date == datetime(2019, 10, 18, 17, 23, 34, tzinfo=timezone.utc)
+
+
+def test_date_from_time_pubdate():
+    # the reference requires a non-empty pubDate attribute VALUE
+    # (BasicTests.cs:400: pubDate="pubDate")
+    a = parse_article(
+        "https://localhost/",
+        '<html><body><time pubdate="pubdate" datetime="2018-12-21T12:55:00">x</time><p>hello</p></body></html>',
+    )
+    assert a.publication_date == datetime(2018, 12, 21, 12, 55)
+    # bare (empty-valued) pubdate attr is ignored, as in the reference
+    b = parse_article(
+        "https://localhost/",
+        '<html><body><time pubdate datetime="2018-12-21T12:55:00">x</time><p>hello</p></body></html>',
+    )
+    assert b.publication_date is None
+
+
+def test_date_from_url_with_day_clamp():
+    a = parse_article(
+        "https://localhost/2110/10/37/article.html",
+        "<html><body><p>hello</p></body></html>",
+    )
+    assert a.publication_date == datetime(2110, 10, 1)
+
+
+def test_date_from_url():
+    a = parse_article(
+        "https://localhost/2020/05/12/x", "<html><body><p>hello</p></body></html>"
+    )
+    assert a.publication_date == datetime(2020, 5, 12)
+
+
+def test_try_parse_date_formats():
+    assert try_parse_date("2015-04-30T07:19:58") == datetime(2015, 4, 30, 7, 19, 58)
+    assert try_parse_date("2024-04-20T04:20:00.000Z") == datetime(
+        2024, 4, 20, 4, 20, tzinfo=timezone.utc
+    )
+    assert try_parse_date("May 3, 2021") == datetime(2021, 5, 3)
+    assert try_parse_date("garbage") is None
+
+
+# -- JSON-LD (BasicTests.cs:595-673) ----------------------------------------
+def _jsonld_doc(payload):
+    return _doc(
+        "<html><head><title>t</title>"
+        f'<script type="application/ld+json">{payload}</script>'
+        "</head><body></body></html>"
+    )
+
+
+def test_jsonld_author_object():
+    meta = get_jsonld(
+        _jsonld_doc(
+            '{"@context":"https://schema.org","@type":"Article","name":"N",'
+            '"author":{"name":"John Doe"}}'
+        )
+    )
+    assert meta["jsonld:author"] == "John Doe"
+    assert meta["jsonld:title"] == "N"
+
+
+def test_jsonld_author_array():
+    meta = get_jsonld(
+        _jsonld_doc(
+            '{"@context":"https://schema.org","@type":"Article",'
+            '"author":[{"name":"A"},{"name":"B"}]}'
+        )
+    )
+    assert meta["jsonld:author"] == "A, B"
+
+
+def test_jsonld_wrong_type_rejected():
+    meta = get_jsonld(
+        _jsonld_doc('{"@context":"https://schema.org","@type":"WebSite","name":"N"}')
+    )
+    assert meta == {}
+
+
+def test_jsonld_non_schema_context_rejected():
+    meta = get_jsonld(
+        _jsonld_doc('{"@context":"https://example.org","@type":"Article","name":"N"}')
+    )
+    assert meta == {}
+
+
+def test_jsonld_graph():
+    # quirk parity (Readability.cs:377-402): after @graph promotion the
+    # @context check runs on the INNER object — a graph child without its
+    # own @context is rejected
+    meta = get_jsonld(
+        _jsonld_doc(
+            '{"@context":"https://schema.org","@graph":[{"@type":"Article","name":"G"}]}'
+        )
+    )
+    assert meta == {}
+    meta = get_jsonld(
+        _jsonld_doc(
+            '{"@context":"https://schema.org","@graph":'
+            '[{"@context":"https://schema.org","@type":"Article","name":"G"}]}'
+        )
+    )
+    assert meta.get("jsonld:title") == "G"
+
+
+# -- plaintext (BasicTests.cs:489-519) --------------------------------------
+def test_plaintext_whitespace_rules():
+    doc = _doc("<body><div><p>one  two</p>\t<p>three</p><br>four</div></body>")
+    text = convert_to_plaintext(doc.body)
+    assert "one two" in text
+    assert "\n\n" in text  # paragraph gap normalized to exactly two newlines
+    assert "\n\n\n" not in text
+
+
+# -- alternative languages (BasicTests.cs:222-330) --------------------------
+def test_alt_language_links():
+    a = parse_article(
+        "https://localhost/",
+        '<html><head><title>t</title>'
+        '<link rel="alternate" hreflang="de" href="/de">'
+        '<link rel="alternate" hreflang="x-default" href="/x">'
+        '<link rel="alternate" hreflang="de" href="/de2">'
+        '<link rel="alternate" hreflang="fr" href="https://ex.com/fr">'
+        "</head><body><p>hello</p></body></html>",
+    )
+    assert a.alternative_language_uris == {
+        "de": "https://localhost/de",
+        "fr": "https://ex.com/fr",
+    }
+
+
+# -- similarity / utilities --------------------------------------------------
+def test_text_similarity():
+    assert text_similarity("the big title", "the big title") == 1.0
+    assert text_similarity("abc", "xyz") == 0.0
+    # asymmetric by design: measures how much of B is NOT in A
+    assert text_similarity("the big red title", "the big title") == 1.0
+    assert 0.0 < text_similarity("the big title", "the big red title") < 1.0
+
+
+def test_visibility_style_parsing():
+    assert get_display_from_style("display:none") == "none"
+    assert get_display_from_style("color:red;display:none;x:y") == "none"
+    # quirk parity: no trailing-trim when there is no semicolon after value
+    assert get_display_from_style("display: none") == " none"
+    assert get_visibility_from_style("visibility: hidden") == "hidden"
+
+    doc = _doc(
+        '<body><div id=a style="display:none"></div>'
+        '<div id=b hidden></div>'
+        '<div id=c aria-hidden="true"></div>'
+        '<div id=d aria-hidden="true" class="fallback-image"></div>'
+        "<div id=e></div></body>"
+    )
+    by = {e.id: e for e in doc.body.children}
+    assert not is_probably_visible(by["a"])
+    assert not is_probably_visible(by["b"])
+    assert not is_probably_visible(by["c"])
+    assert is_probably_visible(by["d"])
+    assert is_probably_visible(by["e"])
+
+
+def test_clean_xml_name():
+    assert clean_xml_name("123abc") == "abc"
+    assert clean_xml_name("a b") == "ab"
+    assert clean_xml_name("ok-name") == "ok-name"
+
+
+# -- time to read (TimeToReadCalculator.cs) ----------------------------------
+def test_time_to_read_weights():
+    assert chars_per_minute("en") == 987
+    assert chars_per_minute("it-IT") == 950
+    assert chars_per_minute("xx") == 960
+    assert chars_per_minute(None) == 960
+
+
+def test_count_letters_utf16_units():
+    assert count_letters("ab c.") == 3  # space + punct excluded
+    assert count_letters("🌟") == 2  # astral → 2 UTF-16 units
+
+
+# -- URI algebra (UriExtensionsTests.cs) -------------------------------------
+def test_uri_absolutization():
+    u = PageUri("https://ex.com/a/b/page.html?q=1")
+    assert u.to_absolute_uri("") == "https://ex.com/a/b/"
+    assert u.to_absolute_uri("#frag") == "#frag"
+    assert u.to_absolute_uri("//cdn.com/x") == "https://cdn.com/x"
+    assert u.to_absolute_uri("/root.png") == "https://ex.com/root.png"
+    assert u.to_absolute_uri("./sib.png") == "https://ex.com/a/b/sib.png"
+    assert u.to_absolute_uri("rel.png") == "https://ex.com/a/b/rel.png"
+    assert u.to_absolute_uri("http://abs.com/x") == "http://abs.com/x"
+    assert u.to_absolute_uri("data:text/plain,hi") == "data:text/plain,hi"
+    assert u.to_absolute_uri("blob:http://x/1-2") == "blob:http://x/1-2"
+
+
+# -- error isolation ---------------------------------------------------------
+def test_error_row_not_exception(monkeypatch):
+    import smartreader_ray.extraction.core as core
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(core, "get_jsonld", boom)
+    a = parse_article("https://localhost/", "<html><body><p>x</p></body></html>")
+    assert not a.completed
+    assert "injected" in a.error
+
+
+def test_not_readable_still_extracts():
+    a = parse_article("https://localhost/", "<html><body><p>tiny</p></body></html>")
+    assert a.completed
+    assert not a.is_readable
+    assert "tiny" in a.text_content

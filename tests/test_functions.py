@@ -1,0 +1,180 @@
+"""Corpus-operator tests: dedup families, similarity search, text stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from smartreader_ray.functions import ngram_jaccard
+from smartreader_ray.functions.dedup import simhash64
+
+
+def _docs_table():
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through "
+        "the wide open field towards the distant river bank every morning"
+    )
+    near = base.replace("lazy", "sleepy")  # near-duplicate
+    other = (
+        "completely different content about database systems and distributed "
+        "query execution with vectorized operators and shuffle services"
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [base, base, near, other],
+        }
+    )
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import exact_dedup
+
+    out = exact_dedup(ray.data.from_arrow(_docs_table()), key_tokens=5).take_all()
+    by_key = {r["dup_key"]: r for r in out}
+    key = "the quick brown fox jumps"
+    assert by_key[key]["n_dups"] == 3  # doc 1, 2 and the near-dup share first-5
+    assert by_key[key]["keep_doc_id"] == 1
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(
+        ray.data.from_arrow(_docs_table()), num_hashes=64, bands=16
+    ).take_all()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always a candidate
+    assert (1, 3) in found or (2, 3) in found  # near-dup caught by some band
+    assert all(4 not in p for p in found)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    j = ngram_jaccard(
+        "the quick brown fox jumps over the fence",
+        "the quick brown fox leaps over the fence",
+    )
+    assert 0.0 < j < 1.0
+
+
+def test_simhash_hamming(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import simhash_neardup
+
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 4)
+    b = simhash64("the quick brown fox jumps over the sleepy dog " * 4)
+    c = simhash64("unrelated text about completely different topics entirely")
+    assert int(a ^ b).bit_count() < int(a ^ c).bit_count()
+
+    pairs = simhash_neardup(
+        ray.data.from_arrow(_docs_table()), max_hamming=3
+    ).take_all()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in found  # identical docs: hamming 0
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import ann_topk
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(50, 16)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    queries = mat[:3].astype(np.float64)
+    got = ann_topk(ray.data.from_arrow(table), queries, k=5)
+
+    # numpy reference
+    m32 = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in table.column("embedding").to_pylist()]
+    )
+    norm = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ norm.T
+    for qi in range(3):
+        expect = np.argsort(-sims[qi], kind="stable")[:5].tolist()
+        got_q = got.filter(
+            __import__("pyarrow.compute", fromlist=["x"]).equal(
+                got.column("query_id"), qi
+            )
+        )
+        assert got_q.column("vec_id").to_pylist() == expect
+        assert got_q.column("vec_id").to_pylist()[0] == qi  # self is top hit
+
+
+def test_embedding_neardup_brute(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import embedding_neardup
+
+    v = np.eye(4)
+    vecs = [v[0], v[0] * 0.9 + v[1] * 0.01, v[2]]
+    table = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, x)) for x in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    pairs = embedding_neardup(
+        ray.data.from_arrow(table), threshold=0.95
+    ).take_all()
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert all(2 not in p for p in found)
+
+
+def test_token_and_quality_stats(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import quality_stats, token_stats
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["the cat sat on the mat"],
+        }
+    )
+    t = token_stats(table)
+    assert t.column("n_tokens").to_pylist() == [6]
+    assert t.column("n_chars_nospace").to_pylist() == [17]
+
+    q = quality_stats(table)
+    assert q.column("n_tokens").to_pylist() == [6]
+    assert q.column("stopword_ratio_en").to_pylist()[0] == pytest.approx(3 / 6)
+
+
+def test_language_id(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import language_id
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [
+                "the cat and the dog sat in the house for a while and it was good",
+                "der Hund und die Katze sind nicht auf der Straße mit dem Ball",
+            ],
+        }
+    )
+    rows = {r["doc_id"]: r["pred_lang"] for r in language_id(
+        ray.data.from_arrow(table)
+    ).take_all()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"

@@ -1,0 +1,165 @@
+"""Tier-3 pipeline tests: Ray extraction end-to-end, error isolation,
+skew routing, checkpoint/resume, pathological docs, media stage."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from smartreader_ray.sources import fixture_spans_table, synthetic_corpus_table
+from smartreader_ray.spanio import html_to_spans
+from smartreader_ray.stages.extract import SPAN_TYPE
+
+
+def _spans_table(docs: dict[str, str]) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array(list(docs.keys()), type=pa.string()),
+            pa.array([html_to_spans(h) for h in docs.values()], type=SPAN_TYPE),
+        ],
+        names=["doc_id", "spans"],
+    )
+
+
+def test_extraction_pipeline_on_fixtures(ray_session):
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline, corpus_metrics
+
+    names = ["001", "002", "aclu", "videos-1", "rtl-1"]
+    ds = ray.data.from_arrow(fixture_spans_table(names))
+    out = build_extraction_pipeline(ds, batch_size=2, concurrency=(1, 2))
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert set(rows) == set(names)
+    assert rows["001"]["title"] == "Get your Frontend JavaScript Code Covered | Code"
+    assert rows["001"]["completed"]
+    assert rows["rtl-1"]["dir"] == "rtl"
+    assert all(r["lineage"]["engine_version"] for r in rows.values())
+
+    metrics = corpus_metrics(build_extraction_pipeline(ds, batch_size=2))
+    assert metrics["docs"] == len(names)
+    assert metrics["completed"] == len(names)
+    assert metrics["chars_kept"] > 0
+
+
+def test_error_row_isolation(ray_session):
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+
+    # a doc whose spans are null-ish plus healthy docs: all rows come back
+    table = _spans_table(
+        {
+            "good": "<html><body><p>fine content here</p></body></html>",
+            "broken": "\x00<not html at all<<<>><p",
+            "empty": "",
+        }
+    )
+    out = build_extraction_pipeline(ray.data.from_arrow(table), batch_size=2)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert set(rows) == {"good", "broken", "empty"}
+    assert rows["good"]["completed"]
+    # degenerate inputs produce rows (completed or not), never task failures
+    for r in rows.values():
+        assert isinstance(r["completed"], bool)
+
+
+def test_skew_routing_splits_paths(ray_session):
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+
+    big_doc = (
+        "<html><body>" + "<p>big paragraph with text</p>" * 60_000 + "</body></html>"
+    )
+    table = _spans_table(
+        {"small": "<html><body><p>small doc text</p></body></html>", "big": big_doc}
+    )
+    out = build_extraction_pipeline(
+        ray.data.from_arrow(table), batch_size=4, size_threshold=100_000
+    )
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert set(rows) == {"small", "big"}
+    assert rows["big"]["completed"]
+    assert rows["big"]["length"] > 100_000
+
+
+def test_pathological_empty_paragraphs_preclean(ray_session):
+    import time
+
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    # the notes.md war story: tens of thousands of empty <p> nodes
+    doc = "<html><body><div>" + "<p>&nbsp;</p>" * 20_000 + "<p>real text</p></div></body></html>"
+    cfg = ExtractorConfig(pre_clean_page=True)
+    t0 = time.time()
+    a = parse_article("https://localhost/", doc, cfg)
+    assert time.time() - t0 < 30
+    assert a.completed
+    assert "real text" in a.text_content
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data
+
+    from smartreader_ray.pipelines import CheckpointedExtraction, read_manifest
+
+    table = synthetic_corpus_table(24, heavy_tail_every=0)
+    out_dir = str(tmp_path / "out")
+
+    def make_ds():
+        return ray.data.from_arrow(table)
+
+    job = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
+    # first run: only 2 of 4 partitions (simulated crash after wave 2)
+    summary1 = job.run(make_ds, max_partitions=2)
+    assert summary1["partitions_run"] == 2
+    committed = read_manifest(out_dir)
+    assert len(committed) == 2
+
+    # resume: processes ONLY the remaining partitions
+    job2 = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
+    pending_before = set(job2.pending_partitions())
+    summary2 = job2.run(make_ds)
+    assert summary2["partitions_run"] == 2
+    assert set(read_manifest(out_dir)) == {0, 1, 2, 3}
+    assert pending_before.isdisjoint(set(committed))
+
+    # final table covers every doc exactly once
+    result = job2.result_dataset()
+    doc_ids = [r["doc_id"] for r in result.select_columns(["doc_id"]).take_all()]
+    assert sorted(doc_ids) == sorted(table.column("doc_id").to_pylist())
+
+    # manifest carries per-partition lineage metrics
+    for rec in read_manifest(out_dir).values():
+        assert rec["row_count"] > 0
+        assert rec["metrics"]["chars_kept"] > 0
+        assert rec["wall_ms"] > 0
+
+
+def test_media_stage(ray_session):
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.stages.media import MediaDecodeStub, media_spans_table
+
+    table = _spans_table(
+        {
+            "withimg": (
+                "<html><body><div><p>some long enough paragraph of text here</p>"
+                '<img src="/a.png" alt="A"><p>more text follows here too</p>'
+                "</div></body></html>"
+            )
+        }
+    )
+    articles = build_extraction_pipeline(ray.data.from_arrow(table), batch_size=2)
+    media = articles.map_batches(media_spans_table, batch_format="pyarrow")
+    decoded = media.map_batches(
+        MediaDecodeStub, batch_format="pyarrow", concurrency=(1, 2)
+    ).take_all()
+    assert len(decoded) == 1
+    meta = decoded[0]["media_meta"]
+    assert meta["kind"] == "image"
+    assert meta["media_ref"].endswith("/a.png")
+    assert meta["sha256"]
