@@ -281,7 +281,10 @@ def _q_top_orders(sf_dir: str):
 
     partials = ds.map_batches(revenue, batch_format="pyarrow")
     total = partials.groupby("l_orderkey").aggregate(Sum("part_rev", alias_name="revenue"))
-    top = total.sort("revenue", descending=True).limit(10)
+    # distributed top-k: per-block select_k, then sort only the survivors
+    from smartreader_ray.functions import top_k
+
+    top = top_k(total, "revenue", k=10)
 
     def strip(batch: pa.Table) -> pa.Table:
         return batch.select(["l_orderkey"])

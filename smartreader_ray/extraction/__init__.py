@@ -2,7 +2,7 @@
 
 from .article import ArticleResult, convert_to_plaintext, time_to_read_seconds
 from .config import DEFAULT_CONFIG, ExtractorConfig
-from .core import Extractor, parse_article
+from .core import ExtractionBudgetExceeded, Extractor, parse_article
 from .metadata import get_article_metadata, get_jsonld, text_similarity, try_parse_date
 from .urialg import PageUri
 
@@ -12,6 +12,7 @@ __all__ = [
     "time_to_read_seconds",
     "DEFAULT_CONFIG",
     "ExtractorConfig",
+    "ExtractionBudgetExceeded",
     "Extractor",
     "parse_article",
     "get_article_metadata",

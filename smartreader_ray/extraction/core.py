@@ -88,6 +88,11 @@ TEXTISH_TAGS = ("SPAN", "LI", "TD", "BLOCKQUOTE", "DL", "DIV", "IMG", "OL", "P",
 HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
 
 
+class ExtractionBudgetExceeded(RuntimeError):
+    """Per-document wall-clock budget overrun (our analogue of the
+    reference's OperationCanceledException paths)."""
+
+
 def _get_score(el: Element) -> float:
     return el.score if el.score is not None else 0.0
 
@@ -130,6 +135,7 @@ class Extractor:
         self._reset()
 
     def _reset(self) -> None:
+        self._deadline: Optional[float] = None
         self.article_title = ""
         self.article_byline: Optional[str] = None
         self.article_dir: Optional[str] = None
@@ -150,8 +156,12 @@ class Extractor:
     # ------------------------------------------------------------------
     # public entry: (uri, html) -> ArticleResult   (SmartReader.cs:588-598)
     # ------------------------------------------------------------------
-    def parse(self, uri: str, text: str) -> ArticleResult:
+    def parse(
+        self, uri: str, text: str, time_budget_s: Optional[float] = None
+    ) -> ArticleResult:
         self._reset()
+        if time_budget_s:
+            self._deadline = time.monotonic() + time_budget_s
         started = time.perf_counter()
         page_uri = PageUri(uri)
         try:
@@ -171,9 +181,18 @@ class Extractor:
             text = regexes.PRE_CLEAN_EMPTY_P.sub("", text)
         return parse_html(text)
 
+    def _check_budget(self) -> None:
+        """Cooperative per-document cancellation, checked at the same phase
+        boundaries as the reference's CancellationToken (SmartReader.cs:1015,
+        1025, 2291, 2304, 2329, 2341). On overrun the document becomes an
+        error row (completed=False), never a task failure."""
+        if self._deadline is not None and time.monotonic() > self._deadline:
+            raise ExtractionBudgetExceeded("per-document time budget exceeded")
+
     def _parse_inner(self, uri: PageUri, text: str) -> ArticleResult:
         cfg = self.config
         doc = self._prepare_doc(text)
+        self._check_budget()
 
         if cfg.max_elems_to_parse > 0:
             num_tags = len(doc.get_elements_by_tag_name("*"))
@@ -183,6 +202,7 @@ class Extractor:
                 )
 
         is_readable = self._is_probably_readerable(doc)
+        self._check_budget()
 
         if not is_readable and not cfg.continue_if_not_readable:
             return ArticleResult(
@@ -206,6 +226,7 @@ class Extractor:
                 uri=uri.raw, title=self.article_title, is_readable=False
             )
 
+        self._check_budget()
         self._post_process_content(article_content, uri, doc)
 
         for op in cfg.custom_operations_end:
@@ -407,6 +428,7 @@ class Extractor:
             return None
 
         while True:
+            self._check_budget()
             self.grab_rounds += 1
             result = self._grab_article_once(doc)
             if result is not None:

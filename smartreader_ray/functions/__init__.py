@@ -14,6 +14,7 @@ from .dedup import (
     simhash_neardup,
 )
 from .similarity import ann_topk, embedding_neardup
+from .topk import top_k
 from .textstats import (
     doc_fingerprint,
     language_id,
@@ -29,6 +30,7 @@ __all__ = [
     "simhash_neardup",
     "ann_topk",
     "embedding_neardup",
+    "top_k",
     "doc_fingerprint",
     "language_id",
     "quality_stats",

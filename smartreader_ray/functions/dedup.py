@@ -43,7 +43,8 @@ def _hash64(values: list[str]) -> np.ndarray:
 def dedup_key_batch(batch: pa.Table, key_tokens: int = 5) -> pa.Table:
     """Add the exact-dedup key: first ``key_tokens`` whitespace tokens."""
     texts = batch.column("text").to_pylist()
-    keys = [" ".join((t or "").split()[:key_tokens]) for t in texts]
+    # maxsplit: never tokenize more of the document than the key needs
+    keys = [" ".join((t or "").split(None, key_tokens)[:key_tokens]) for t in texts]
     return batch.append_column("dup_key", pa.array(keys, type=pa.string()))
 
 

@@ -90,12 +90,14 @@ class CheckpointedExtraction:
         config: Optional[ExtractorConfig] = None,
         base_uri: str = "https://localhost/",
         batch_size: int = 16,
+        time_budget_s: float = 0.0,
     ):
         self.out_dir = out_dir
         self.num_partitions = num_partitions
         self.config = config
         self.base_uri = base_uri
         self.batch_size = batch_size
+        self.time_budget_s = time_budget_s
         os.makedirs(out_dir, exist_ok=True)
 
     def pending_partitions(self) -> list[int]:
@@ -126,6 +128,7 @@ class CheckpointedExtraction:
                 config=self.config,
                 base_uri=self.base_uri,
                 batch_size=self.batch_size,
+                time_budget_s=self.time_budget_s,
             )
             out.write_parquet(part_dir)
             metrics = corpus_metrics(_read_part(part_dir))

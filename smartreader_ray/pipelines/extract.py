@@ -1,18 +1,26 @@
 """The streaming extraction pipeline.
 
-Shape (SURVEY §3.5):
+Default shape (SURVEY §3.5, single pass — the input is read ONCE):
 
-    read spans → SizeProbe (cheap tag) → split by doc size
-       ├─ normal docs  → ExtractBatch actor pool, batch_size=B
-       └─ oversized    → ExtractBatch actor pool, batch_size=1
-    → union → (write / aggregate)
+    read spans → ExtractBatch actor pool (generator UDF)
+    → (write / aggregate)
 
-The split keeps one pathological 1.6 MB page from stalling a batch of
-small ones (reference war story: ``docfx_project/articles/notes.md``
-"Dealing with Long Extraction Time"). Everything stays lazy/streaming —
-no materialization, no shuffle (the extraction map is embarrassingly
-parallel; the only wide op anywhere is the optional metrics rollup,
-which pre-aggregates per block before the tiny final combine).
+Skew is handled *inside* the actor, not by branching the plan: the UDF
+flushes finished rows incrementally (an oversized doc's output ships on
+its own, bounding actor heap), and ``time_budget_s`` cooperatively
+cancels pathological docs into error rows (reference war story:
+``docfx_project/articles/notes.md`` "Dealing with Long Extraction
+Time"). Everything stays lazy/streaming — no materialization, no
+shuffle (the extraction map is embarrassingly parallel; the only wide
+op anywhere is the optional metrics rollup, which pre-aggregates per
+block before the tiny final combine).
+
+``split_oversized=True`` selects the two-branch plan (SizeProbe → route
+docs over ``size_threshold`` to a ``batch_size=1`` pool → union). That
+gives oversized docs their own scheduling granularity but makes each
+branch re-execute the upstream read — at 100 TB that is a 2× input-IO
+tax, so it is opt-in, for inputs where ``doc_bytes`` is already a cheap
+column of a pre-probed metadata table.
 """
 
 from __future__ import annotations
@@ -47,17 +55,10 @@ def build_extraction_pipeline(
     concurrency=None,
     size_threshold: int = DEFAULT_SIZE_THRESHOLD,
     include_content: bool = True,
+    time_budget_s: float = 0.0,
+    split_oversized: bool = False,
 ):
     """spans Dataset → article-rows Dataset (lazy)."""
-    probed = ds.map_batches(SizeProbe(), batch_format="pyarrow")
-
-    small = probed.map_batches(
-        _mask_batch(size_threshold, keep_small=True), batch_format="pyarrow"
-    )
-    big = probed.map_batches(
-        _mask_batch(size_threshold, keep_small=False), batch_format="pyarrow"
-    )
-
     if concurrency is None:
         # size the actor pool to the cluster: extraction is pure-CPU python
         # → 1 actor per CPU, autoscaling from 1
@@ -69,22 +70,35 @@ def build_extraction_pipeline(
             n_cpus = 8
         concurrency = (1, max(2, n_cpus))
     kwargs = dict(batch_format="pyarrow", num_cpus=1, concurrency=concurrency)
+    ctor = dict(
+        config=config,
+        base_uri=base_uri,
+        include_content=include_content,
+        time_budget_s=time_budget_s,
+        size_threshold=size_threshold,
+    )
 
+    if not split_oversized:
+        # single pass: input read once; skew handled inside the generator UDF
+        return ds.map_batches(
+            ExtractBatch,
+            fn_constructor_kwargs=ctor,
+            batch_size=batch_size,
+            **kwargs,
+        )
+
+    probed = ds.map_batches(SizeProbe(), batch_format="pyarrow")
+    small = probed.map_batches(
+        _mask_batch(size_threshold, keep_small=True), batch_format="pyarrow"
+    )
+    big = probed.map_batches(
+        _mask_batch(size_threshold, keep_small=False), batch_format="pyarrow"
+    )
     small_out = small.map_batches(
-        ExtractBatch,
-        fn_constructor_kwargs=dict(
-            config=config, base_uri=base_uri, include_content=include_content
-        ),
-        batch_size=batch_size,
-        **kwargs,
+        ExtractBatch, fn_constructor_kwargs=ctor, batch_size=batch_size, **kwargs
     )
     big_out = big.map_batches(
-        ExtractBatch,
-        fn_constructor_kwargs=dict(
-            config=config, base_uri=base_uri, include_content=include_content
-        ),
-        batch_size=1,
-        **kwargs,
+        ExtractBatch, fn_constructor_kwargs=ctor, batch_size=1, **kwargs
     )
     return small_out.union(big_out)
 

@@ -143,6 +143,14 @@ class ExtractBatch:
 
     Input batch columns: ``doc_id`` (string castable), ``spans`` (F1 span
     list) OR ``html`` (raw string); optional ``uri`` and ``partition_id``.
+
+    ``__call__`` is a generator: finished rows are flushed as soon as the
+    pending output exceeds ``flush_bytes`` (or after any oversized doc),
+    so one multi-MB document never pins a whole batch of outputs in the
+    actor heap — Ray's streaming executor ships each yielded sub-batch
+    downstream immediately. ``time_budget_s`` bounds pathological docs
+    (reference war story: notes.md "Dealing with Long Extraction Time");
+    an overrun yields an error row (completed=False), never a task death.
     """
 
     def __init__(
@@ -151,14 +159,18 @@ class ExtractBatch:
         base_uri: str = "https://localhost/",
         include_content: bool = True,
         time_budget_s: float = 0.0,
+        flush_bytes: int = 32 << 20,
+        size_threshold: int = 0,
     ):
         self.extractor = Extractor(config or DEFAULT_CONFIG)
         self.base_uri = base_uri
         self.include_content = include_content
         self.time_budget_s = time_budget_s
+        self.flush_bytes = flush_bytes
+        self.size_threshold = size_threshold
         self.worker_id = f"{socket.gethostname()}:{os.getpid()}"
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
         names = set(batch.column_names)
         doc_ids = batch.column("doc_id").to_pylist()
         if "spans" in names:
@@ -179,21 +191,33 @@ class ExtractBatch:
             else [-1] * len(doc_ids)
         )
 
-        rows = []
+        rows: list[dict] = []
+        pending = 0
         for doc_id, html, uri, pid in zip(doc_ids, htmls, uris, pids):
-            article = self.extractor.parse(uri or self.base_uri, html or "")
+            src_len = len(html or "")
+            article = self.extractor.parse(
+                uri or self.base_uri,
+                html or "",
+                time_budget_s=self.time_budget_s or None,
+            )
             row = article_to_row(
                 str(doc_id),
                 article,
                 partition_id=pid if pid is not None else -1,
                 worker_id=self.worker_id,
-                source_chars=len(html or ""),
+                source_chars=src_len,
             )
             if not self.include_content:
                 row["content_html"] = ""
                 row["text_content"] = ""
             rows.append(row)
-        return rows_to_table(rows)
+            pending += src_len + len(row["content_html"]) + len(row["text_content"])
+            oversized = self.size_threshold and src_len >= self.size_threshold
+            if pending >= self.flush_bytes or oversized:
+                yield rows_to_table(rows)
+                rows, pending = [], 0
+        if rows:
+            yield rows_to_table(rows)
 
 
 class SizeProbe:

@@ -178,3 +178,24 @@ def test_language_id(ray_session):
     ).take_all()}
     assert rows[1] == "en"
     assert rows[2] == "de"
+
+
+def test_top_k(ray_session):
+    import random
+
+    import ray.data
+
+    from smartreader_ray.functions import top_k
+
+    rng = random.Random(7)
+    vals = [(i, rng.random()) for i in range(5000)]
+    ds = ray.data.from_items(
+        [{"id": i, "v": v} for i, v in vals]
+    ).repartition(13)
+    got = top_k(ds, "v", k=10).take_all()
+    want = sorted(vals, key=lambda t: -t[1])[:10]
+    assert [r["id"] for r in got] == [i for i, _ in want]
+    # ascending too
+    got_asc = top_k(ds, "v", k=5, descending=False).take_all()
+    want_asc = sorted(vals, key=lambda t: t[1])[:5]
+    assert [r["id"] for r in got_asc] == [i for i, _ in want_asc]

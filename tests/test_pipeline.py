@@ -65,7 +65,8 @@ def test_error_row_isolation(ray_session):
         assert isinstance(r["completed"], bool)
 
 
-def test_skew_routing_splits_paths(ray_session):
+@pytest.mark.parametrize("split_oversized", [False, True])
+def test_skew_routing_splits_paths(ray_session, split_oversized):
     import ray.data
 
     from smartreader_ray.pipelines import build_extraction_pipeline
@@ -77,12 +78,54 @@ def test_skew_routing_splits_paths(ray_session):
         {"small": "<html><body><p>small doc text</p></body></html>", "big": big_doc}
     )
     out = build_extraction_pipeline(
-        ray.data.from_arrow(table), batch_size=4, size_threshold=100_000
+        ray.data.from_arrow(table),
+        batch_size=4,
+        size_threshold=100_000,
+        split_oversized=split_oversized,
     )
     rows = {r["doc_id"]: r for r in out.take_all()}
     assert set(rows) == {"small", "big"}
     assert rows["big"]["completed"]
     assert rows["big"]["length"] > 100_000
+
+
+def test_oversized_doc_flushes_own_subbatch():
+    # generator UDF: the oversized doc's output ships as its own table
+    from smartreader_ray.stages.extract import ExtractBatch
+
+    big_doc = (
+        "<html><body>" + "<p>big paragraph with text</p>" * 10_000 + "</body></html>"
+    )
+    table = _spans_table(
+        {
+            "a": "<html><body><p>small doc text one</p></body></html>",
+            "big": big_doc,
+            "b": "<html><body><p>small doc text two</p></body></html>",
+        }
+    )
+    udf = ExtractBatch(size_threshold=10_000)
+    outs = list(udf(table))
+    assert len(outs) >= 2  # the big doc forced an early flush
+    ids = [i for t in outs for i in t.column("doc_id").to_pylist()]
+    assert ids == ["a", "big", "b"]  # row order preserved across flushes
+
+
+def test_time_budget_yields_error_row():
+    from smartreader_ray.extraction import Extractor
+
+    # tens of thousands of nodes + an impossible budget → error row,
+    # never an exception escaping parse()
+    doc = (
+        "<html><body><div>"
+        + "<p>some repeated paragraph text</p>" * 20_000
+        + "</div></body></html>"
+    )
+    a = Extractor().parse("https://localhost/", doc, time_budget_s=1e-4)
+    assert not a.completed
+    assert "budget" in a.error
+    # and with no budget the same doc completes
+    b = Extractor().parse("https://localhost/", doc)
+    assert b.completed
 
 
 def test_pathological_empty_paragraphs_preclean(ray_session):
