@@ -24,6 +24,15 @@ TEXT_NODE = 3
 COMMENT_NODE = 8
 DOCUMENT_NODE = 9
 
+#: Global DOM revision: bumped on every structural mutation (attach /
+#: detach). Subtree-text caches are (rev, value) pairs validated against
+#: it — one mutation anywhere invalidates everything, which is exactly
+#: right for the readability workload: long read-only scoring passes
+#: (link density, inner text, char counts) separated by mutation bursts.
+#: Text nodes are immutable after construction (no ``.data`` writes in
+#: the engine), so structure is the only thing that can change text.
+_REV = 0
+
 #: HTML void elements (serialize with no end tag, never have children).
 VOID_ELEMENTS = frozenset(
     "area base basefont bgsound br col embed frame hr img input keygen "
@@ -101,16 +110,23 @@ class CommentNode(Node):
 
 
 class ParentNode(Node):
-    __slots__ = ("_first", "_last", "_n_children")
+    __slots__ = ("_first", "_last", "_n_children", "_tc_rev", "_tc_val",
+                 "_it_rev", "_it_val")
 
     def __init__(self):
         super().__init__()
         self._first: Optional[Node] = None
         self._last: Optional[Node] = None
         self._n_children = 0
+        self._tc_rev = -1  # text_content cache
+        self._tc_val = ""
+        self._it_rev = -1  # normalized inner-text cache (nodeutil)
+        self._it_val = ""
 
     # -- linked-list plumbing ---------------------------------------------
     def _detach(self, node: Node) -> None:
+        global _REV
+        _REV += 1
         prev, nxt = node._prev, node._next
         if prev is not None:
             prev._next = nxt
@@ -127,6 +143,8 @@ class ParentNode(Node):
 
     # -- mutation ---------------------------------------------------------
     def append_child(self, node: Node) -> Node:
+        global _REV
+        _REV += 1
         if node.parent is not None:
             node.parent._detach(node)
         node.parent = self
@@ -147,6 +165,8 @@ class ParentNode(Node):
         return node
 
     def insert_before(self, node: Node, ref: Optional[Node]) -> Node:
+        global _REV
+        _REV += 1
         if ref is None:
             return self.append_child(node)
         if ref.parent is not self:
@@ -232,6 +252,8 @@ class ParentNode(Node):
 
     @property
     def text_content(self) -> str:
+        if self._tc_rev == _REV:
+            return self._tc_val
         out: list[str] = []
         stack: list[Node] = []
         n = self._last
@@ -243,11 +265,17 @@ class ParentNode(Node):
             if n.node_type == TEXT_NODE:
                 out.append(n.data)  # type: ignore[attr-defined]
             elif isinstance(n, Element):
+                if n._tc_rev == _REV:
+                    out.append(n._tc_val)
+                    continue
                 c = n._last
                 while c is not None:
                     stack.append(c)
                     c = c._prev
-        return "".join(out)
+        val = "".join(out)
+        self._tc_rev = _REV
+        self._tc_val = val
+        return val
 
     def iter_elements(self) -> Iterator["Element"]:
         """Depth-first pre-order over descendant elements."""
@@ -272,26 +300,49 @@ class ParentNode(Node):
                     stack.append(c)
                     c = c._prev
 
+    def _collect_elements(self, want) -> list["Element"]:
+        """Iterative pre-order collect; ``want`` is None (all) or a
+        set/frozenset of uppercase tags. Avoids generator overhead on the
+        hottest traversal in the engine."""
+        out: list[Element] = []
+        stack: list[Element] = []
+        push = stack.append
+        emit = out.append
+        c = self._last
+        while c is not None:
+            if isinstance(c, Element):
+                push(c)
+            c = c._prev
+        while stack:
+            n = stack.pop()
+            if want is None or n.tag in want:
+                emit(n)
+            c = n._last
+            while c is not None:
+                if isinstance(c, Element):
+                    push(c)
+                c = c._prev
+        return out
+
     def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
         """Snapshot list in document order; ``*`` matches all elements."""
         if tag == "*":
-            return list(self.iter_elements())
-        t = tag.upper()
-        return [e for e in self.iter_elements() if e.tag == t]
+            return self._collect_elements(None)
+        return self._collect_elements((tag.upper(),))
 
     def get_all_nodes_with_tag(self, tags) -> list["Element"]:
-        ts = {t.upper() for t in tags}
-        return [e for e in self.iter_elements() if e.tag in ts]
+        return self._collect_elements({t.upper() for t in tags})
 
 
 class Element(ParentNode):
-    __slots__ = ("tag", "attrs", "score", "_ns", "xml_name")
+    __slots__ = ("tag", "attrs", "score", "_ns", "xml_name", "_lname")
 
     node_type = ELEMENT_NODE
 
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         super().__init__()
         self.tag = tag.upper()
+        self._lname = self.tag.lower()  # tag is never reassigned post-init
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.score: Optional[float] = None  # readability score (off-DOM attr)
         self._ns: Optional[str] = None  # set for svg/math foreign content
@@ -303,7 +354,7 @@ class Element(ParentNode):
 
     @property
     def local_name(self) -> str:
-        return self.tag.lower()
+        return self._lname
 
     # -- attributes -------------------------------------------------------
     def get_attribute(self, name: str) -> Optional[str]:

@@ -67,35 +67,52 @@ def _convert_to_text(el: Element, out: list[str]) -> None:
         out.append("\n")
 
 
+#: every Unicode Z-category codepoint (Zs + Zl + Zp) — the set the
+#: reference's char.IsWhiteSpace-ish "space" test reduces to here; a
+#: frozenset lookup replaces a per-char unicodedata.category call
+_Z_SPACE = frozenset(
+    "\x20\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
+
 def convert_to_plaintext(el: Element) -> str:
-    """Article.cs:268-312 — whitespace-normalizing DOM→text conversion."""
+    """Article.cs:268-312 — whitespace-normalizing DOM→text conversion.
+
+    Drop rule (faithful to the reference's char loop): a Z-category space
+    is dropped iff the next char is a newline, the previous char was a
+    newline, or the previous char was a space."""
     sb: list[str] = []
     _convert_to_text(el, sb)
-    text = "".join(sb)
-    text = regexes.ELIMINATE_TABS.sub(" ", text)
+    text = regexes.ELIMINATE_TABS.sub(" ", "".join(sb))
 
     out: list[str] = []
-    previous_space = False
-    previous_newline = False
+    append = out.append
+    z_set = _Z_SPACE
+    prev_space = False
+    prev_newline = False
     n = len(text)
-    for i in range(n):
-        ch = text[i]
-        is_space = unicodedata.category(ch).startswith("Z")
-        is_newline = ch in ("\r", "\n")
-        is_next_newline = i < n - 1 and text[i + 1] in ("\r", "\n")
-        if (
-            (is_space and is_next_newline)
-            or (previous_newline and is_space)
-            or (previous_space and is_space)
-        ):
-            pass
+    for i, ch in enumerate(text):
+        if ch in z_set:
+            if not (
+                prev_space
+                or prev_newline
+                or (i + 1 < n and text[i + 1] in "\r\n")
+            ):
+                append(ch)
+            prev_space = True
+            prev_newline = False
         else:
-            out.append(ch)
-        previous_space = is_space
-        previous_newline = is_newline
+            append(ch)
+            prev_space = False
+            prev_newline = ch == "\n" or ch == "\r"
 
     text = "".join(out).strip()
     return regexes.NORMALIZE_NEWLINES.sub("\n\n", text)
+
+
+#: lazily-built per-char UTF-16 letter weights (see count_letters)
+_LETTER_WEIGHT: dict[str, int] = {}
 
 
 def count_letters(text: str) -> int:
@@ -103,15 +120,25 @@ def count_letters(text: str) -> int:
 
     Counted in UTF-16 code units (.NET ``char`` semantics): astral-plane
     characters contribute 2 (surrogates are category Cs — neither space
-    nor punctuation).
+    nor punctuation). Classified once per distinct char (memo dict) and
+    multiplied by occurrence counts — C-speed counting via Counter.
     """
-    count = 0
-    for ch in text:
-        if ord(ch) > 0xFFFF:
-            count += 2
-        elif ch != " " and not unicodedata.category(ch).startswith("P"):
-            count += 1
-    return count
+    from collections import Counter
+
+    weights = _LETTER_WEIGHT
+    total = 0
+    for ch, n in Counter(text).items():
+        w = weights.get(ch)
+        if w is None:
+            if ord(ch) > 0xFFFF:
+                w = 2
+            elif ch != " " and not unicodedata.category(ch).startswith("P"):
+                w = 1
+            else:
+                w = 0
+            weights[ch] = w
+        total += w * n
+    return total
 
 
 def time_to_read_seconds(element_text: str, plain_text: str, language: Optional[str]) -> int:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 from ..dom import Element, Node, TextNode, collapse_whitespace, query_selector_all
+from ..dom import node as _dom_node
 from ..dom.node import ELEMENT_NODE, TEXT_NODE, ParentNode
 from . import regexes
 
@@ -213,7 +214,17 @@ def is_whitespace(node: Node) -> bool:
 
 # -- text metrics -----------------------------------------------------------
 def get_inner_text(node, normalize_spaces: bool = True) -> str:
-    """NodeUtility.cs:405-412 (AngleSharp Collapse = HTML5 space chars)."""
+    """NodeUtility.cs:405-412 (AngleSharp Collapse = HTML5 space chars).
+
+    The normalized form is cached per node against the global DOM
+    revision (same validity rule as ``text_content``)."""
+    if normalize_spaces and isinstance(node, ParentNode):
+        if node._it_rev == _dom_node._REV:
+            return node._it_val
+        val = collapse_whitespace(node.text_content.strip())
+        node._it_rev = _dom_node._REV
+        node._it_val = val
+        return val
     text = node.text_content.strip()
     return collapse_whitespace(text) if normalize_spaces else text
 

@@ -57,19 +57,32 @@ def build_extraction_pipeline(
     include_content: bool = True,
     time_budget_s: float = 0.0,
     split_oversized: bool = False,
+    actor_num_cpus: float = 0.9,
 ):
     """spans Dataset → article-rows Dataset (lazy)."""
     if concurrency is None:
         # size the actor pool to the cluster: extraction is pure-CPU python
-        # → 1 actor per CPU, autoscaling from 1
+        # → 1 actor per CPU. Fixed pool, not (1, n) autoscaling: the
+        # autoscaler ramps far too slowly for a CPU-bound stage and leaves
+        # most of the cluster idle for the first minutes of a run.
         try:
             import ray
 
             n_cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:  # pragma: no cover
             n_cpus = 8
-        concurrency = (1, max(2, n_cpus))
-    kwargs = dict(batch_format="pyarrow", num_cpus=1, concurrency=concurrency)
+        # n-1 actors, not n: a fixed pool that reserves every cluster CPU
+        # starves the upstream read/map tasks and the pipeline stalls.
+        concurrency = max(2, n_cpus - 1)
+        if split_oversized:
+            # two pools share the cluster; fixed sizes would deadlock
+            # waiting for each other's actors — autoscale each instead
+            concurrency = (1, concurrency)
+    # actor_num_cpus slightly < 1 keeps a little extra headroom for the
+    # producer side even when callers pass a full-size pool explicitly.
+    kwargs = dict(
+        batch_format="pyarrow", num_cpus=actor_num_cpus, concurrency=concurrency
+    )
     ctor = dict(
         config=config,
         base_uri=base_uri,
