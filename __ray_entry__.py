@@ -171,6 +171,23 @@ def _q_minhash(sf_dir: str):
     return minhash_lsh_candidates(_docs(sf_dir))
 
 
+def _q_minhash_dedup(sf_dir: str):
+    """Candidates → exact n-gram-Jaccard verify (full near-dedup chain)."""
+    from smartreader_ray.functions import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir), threshold=0.5)
+
+
+def _q_ann_ivf(sf_dir: str):
+    import ray.data
+
+    from smartreader_ray.functions import ann_ivf
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    table = ann_ivf(ds, _query_matrix(sf_dir), k=10, n_clusters=16, nprobe=4)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
 def _q_simhash(sf_dir: str):
     from smartreader_ray.functions import simhash_neardup
 
@@ -359,8 +376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
         "minhash_candidates": _q_minhash,
+        "minhash_dedup": _q_minhash_dedup,
         "simhash_neardup": _q_simhash,
         "ann_topk": _q_ann,
+        "ann_ivf": _q_ann_ivf,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -457,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
-        # simhash_neardup, embed_neardup_lsh, media_meta: not SQL-expressible
-        # (readability heuristics / hash families / decode stage) → rows-only.
+        # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,
+        # media_meta: not SQL-expressible (readability heuristics / hash
+        # families / approximate index / decode stage) → rows-only.
     }

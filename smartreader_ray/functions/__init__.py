@@ -8,12 +8,14 @@ small sides with ray.put; vectorize with numpy/pyarrow.compute.
 
 from .dedup import (
     exact_dedup,
+    minhash_dedup,
     minhash_lsh_candidates,
     ngram_jaccard,
     simhash_batch,
     simhash_neardup,
+    verify_candidate_pairs,
 )
-from .similarity import ann_topk, embedding_neardup
+from .similarity import ann_ivf, ann_topk, embedding_neardup, kmeans_centroids
 from .topk import top_k
 from .textstats import (
     doc_fingerprint,
@@ -28,8 +30,12 @@ __all__ = [
     "ngram_jaccard",
     "simhash_batch",
     "simhash_neardup",
+    "ann_ivf",
     "ann_topk",
     "embedding_neardup",
+    "kmeans_centroids",
+    "minhash_dedup",
+    "verify_candidate_pairs",
     "top_k",
     "doc_fingerprint",
     "language_id",

@@ -245,3 +245,103 @@ def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2):
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming_min"))
+
+
+# ---------------------------------------------------------------------------
+# candidate-pair verification (exact n-gram Jaccard)
+# ---------------------------------------------------------------------------
+def verify_candidate_pairs(docs_ds, pairs, ngram: int = 3, threshold: float = 0.5):
+    """Exact-Jaccard verification of candidate near-dup pairs.
+
+    ``pairs``: list of (doc_a, doc_b) (or a pyarrow Table with those
+    columns) — the SMALL side (LSH candidates), broadcast via ``ray.put``.
+    The big side (documents) streams once: each batch emits (pair_id,
+    doc_id, text) only for docs that appear in some pair, then a
+    groupby(pair_id) joins the two texts and computes n-gram Jaccard.
+    Only matched texts shuffle — never the corpus. (A hash ``ds.join``
+    would shuffle all document texts twice.)
+
+    Returns a Dataset of (doc_a, doc_b, jaccard, is_dup).
+    """
+    import ray
+
+    if isinstance(pairs, pa.Table):
+        pair_list = list(
+            zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist())
+        )
+    else:
+        pair_list = [(a, b) for a, b, *_ in pairs] if pairs and len(pairs[0]) > 2 else list(pairs)
+
+    membership: dict = {}
+    for pid, (a, b) in enumerate(pair_list):
+        membership.setdefault(a, []).append((pid, 0))
+        membership.setdefault(b, []).append((pid, 1))
+    membership_ref = ray.put(membership)
+    pairs_ref = ray.put(pair_list)
+
+    def emit_matched(batch: pa.Table) -> pa.Table:
+        index = ray.get(membership_ref)
+        pid_out, side_out, text_out = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for pid, side in index.get(doc_id, ()):
+                pid_out.append(pid)
+                side_out.append(side)
+                text_out.append(text or "")
+        return pa.Table.from_pydict(
+            {
+                "pair_id": pa.array(pid_out, type=pa.int64()),
+                "side": pa.array(side_out, type=pa.int8()),
+                "text": pa.array(text_out, type=pa.string()),
+            }
+        )
+
+    def score_pair(group: pa.Table) -> pa.Table:
+        all_pairs = ray.get(pairs_ref)
+        pid = group.column("pair_id")[0].as_py()
+        texts = {s: t for s, t in zip(group.column("side").to_pylist(),
+                                      group.column("text").to_pylist())}
+        a, b = all_pairs[pid]
+        j = ngram_jaccard(texts.get(0, ""), texts.get(1, ""), ngram)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([a]),
+                "doc_b": pa.array([b]),
+                "jaccard": pa.array([round(j, 6)], type=pa.float64()),
+                "is_dup": pa.array([j >= threshold], type=pa.bool_()),
+            }
+        )
+
+    matched = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        emit_matched, batch_format="pyarrow"
+    )
+    return matched.groupby("pair_id").map_groups(score_pair, batch_format="pyarrow")
+
+
+def minhash_dedup(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
+                  threshold: float = 0.5):
+    """Full MinHash+LSH near-dedup: candidates → exact-Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard, is_dup) for every LSH candidate pair.
+    The candidate set is materialized on the driver (it is tiny relative
+    to the corpus — only docs sharing a band bucket); the verify pass
+    streams the corpus once.
+    """
+    cands = minhash_lsh_candidates(ds, num_hashes=num_hashes, bands=bands, ngram=ngram)
+    pair_rows = cands.select_columns(["doc_a", "doc_b"]).take_all()
+    pair_list = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
+    if not pair_list:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                    "is_dup": pa.array([], type=pa.bool_()),
+                }
+            )
+        )
+    return verify_candidate_pairs(ds, pair_list, ngram=ngram, threshold=threshold)

@@ -199,3 +199,69 @@ def test_top_k(ray_session):
     got_asc = top_k(ds, "v", k=5, descending=False).take_all()
     want_asc = sorted(vals, key=lambda t: t[1])[:5]
     assert [r["id"] for r in got_asc] == [i for i, _ in want_asc]
+
+
+def test_verify_candidate_pairs(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import ngram_jaccard, verify_candidate_pairs
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and once more",
+        3: "completely different content about ray data pipelines and arrow",
+    }
+    ds = ray.data.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    out = verify_candidate_pairs(ds, [(1, 2), (1, 3)], ngram=3, threshold=0.5)
+    rows = {(r["doc_a"], r["doc_b"]): r for r in out.take_all()}
+    assert set(rows) == {(1, 2), (1, 3)}
+    # jaccard matches the scalar reference implementation exactly
+    assert abs(rows[(1, 2)]["jaccard"] - round(ngram_jaccard(docs[1], docs[2], 3), 6)) < 1e-9
+    assert rows[(1, 2)]["is_dup"]
+    assert not rows[(1, 3)]["is_dup"]
+
+
+def test_minhash_dedup_end_to_end(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import minhash_dedup
+
+    base = "word%d " * 50
+    near = (base % tuple(range(50))) 
+    docs = [
+        {"doc_id": 1, "text": near},
+        {"doc_id": 2, "text": near.replace("word49", "word99")},  # near-dup of 1
+        {"doc_id": 3, "text": "totally unrelated text about something else entirely " * 10},
+    ]
+    out = minhash_dedup(ray.data.from_items(docs), threshold=0.5).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["is_dup"]
+    assert all(not r["is_dup"] for k, r in pairs.items() if k != (1, 2))
+
+
+def test_ann_ivf_recall(ray_session):
+    import numpy as np
+    import ray.data
+
+    from smartreader_ray.functions import ann_ivf, ann_topk
+
+    rng = np.random.RandomState(3)
+    n, dim = 400, 16
+    mat = rng.randn(n, dim)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    ).repartition(8)
+    queries = mat[:3] + rng.randn(3, dim) * 0.01
+    exact = ann_topk(ds, queries, k=10)
+    # nprobe == n_clusters → IVF degenerates to exact brute force
+    full = ann_ivf(ds, queries, k=10, n_clusters=8, nprobe=8, train_sample=256)
+    assert exact.select(["query_id", "vec_id", "rank"]).equals(
+        full.select(["query_id", "vec_id", "rank"])
+    )
+    # pruned probe: recall stays high on clustered queries
+    pruned = ann_ivf(ds, queries, k=10, n_clusters=8, nprobe=3, train_sample=256)
+    exact_set = set(zip(exact.column("query_id").to_pylist(), exact.column("vec_id").to_pylist()))
+    pruned_set = set(zip(pruned.column("query_id").to_pylist(), pruned.column("vec_id").to_pylist()))
+    recall = len(exact_set & pruned_set) / len(exact_set)
+    assert recall >= 0.5, recall
