@@ -125,6 +125,25 @@ def _q_doc_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_corpus_metrics(sf_dir: str):
+    """North-rule metrics rollup over the extraction output (per-block
+    partial fold → tiny driver combine), projected to the SQL-checkable
+    columns."""
+    import pyarrow as pa
+
+    from smartreader_ray.pipelines import corpus_metrics
+
+    m = corpus_metrics(_extract_articles(sf_dir))
+    return pa.Table.from_pydict(
+        {
+            "docs": pa.array([m["docs"]], type=pa.int64()),
+            "completed": pa.array([m["completed"]], type=pa.int64()),
+            "readable": pa.array([m["readable"]], type=pa.int64()),
+            "chars_kept": pa.array([m["chars_kept"]], type=pa.int64()),
+        }
+    )
+
+
 def _q_token_stats(sf_dir: str):
     from smartreader_ray.functions import token_stats
 
@@ -370,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "extract_fixtures": _q_extract_fixtures,
         "doc_stats": _q_doc_stats,
+        "corpus_metrics": _q_corpus_metrics,
         "token_stats": _q_token_stats,
         "quality_stats": _q_quality,
         "exact_dedup": _q_exact_dedup,
@@ -404,6 +424,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_text": """
             SELECT doc_id, text AS text_content, text AS excerpt FROM documents
+        """,
+        "corpus_metrics": """
+            SELECT COUNT(*) AS docs,
+                   COUNT(*) AS completed,
+                   SUM(CASE WHEN length(text) > 240 THEN 1 ELSE 0 END) AS readable,
+                   SUM(length(text)) AS chars_kept
+            FROM documents
         """,
         "doc_stats": """
             SELECT lang,

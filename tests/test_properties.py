@@ -1,0 +1,153 @@
+"""Property tests: optimized hot paths vs naive reference implementations.
+
+The DOM text caches, the Z-category space set, and the memoized letter
+counter replaced per-char unicodedata calls and repeated subtree walks;
+these properties pin them to the straightforward definitions on
+arbitrary inputs (hypothesis).
+"""
+
+import unicodedata
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text with a bias toward the interesting classes: spaces of every
+# Z category, newlines, tabs, punctuation, astral chars
+_special = "     　\r\n\t .,!«»—\U0001f600\U00010400"
+_alphabet = st.sampled_from(list("abcdef ") + list(_special))
+texts = st.text(alphabet=_alphabet, max_size=200)
+
+
+def _naive_space_squash(text: str) -> str:
+    """The reference's char loop (Article.cs:268-312), written naively."""
+    out = []
+    prev_space = False
+    prev_newline = False
+    n = len(text)
+    for i in range(n):
+        ch = text[i]
+        is_space = unicodedata.category(ch).startswith("Z")
+        is_newline = ch in ("\r", "\n")
+        is_next_newline = i < n - 1 and text[i + 1] in ("\r", "\n")
+        if (
+            (is_space and is_next_newline)
+            or (prev_newline and is_space)
+            or (prev_space and is_space)
+        ):
+            pass
+        else:
+            out.append(ch)
+        prev_space = is_space
+        prev_newline = is_newline
+    return "".join(out)
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_space_squash_matches_naive(text):
+    from smartreader_ray.extraction.article import _Z_SPACE
+
+    # re-run the optimized inner loop standalone (mirrors convert_to_plaintext)
+    out = []
+    prev_space = False
+    prev_newline = False
+    n = len(text)
+    for i, ch in enumerate(text):
+        if ch in _Z_SPACE:
+            if not (prev_space or prev_newline or (i + 1 < n and text[i + 1] in "\r\n")):
+                out.append(ch)
+            prev_space = True
+            prev_newline = False
+        else:
+            out.append(ch)
+            prev_space = False
+            prev_newline = ch == "\n" or ch == "\r"
+    assert "".join(out) == _naive_space_squash(text)
+
+
+def _naive_count_letters(text: str) -> int:
+    count = 0
+    for ch in text:
+        if ord(ch) > 0xFFFF:
+            count += 2
+        elif ch != " " and not unicodedata.category(ch).startswith("P"):
+            count += 1
+    return count
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_count_letters_matches_naive(text):
+    from smartreader_ray.extraction.article import count_letters
+
+    assert count_letters(text) == _naive_count_letters(text)
+
+
+# -- DOM invariants ---------------------------------------------------------
+tags = st.sampled_from(["div", "p", "span", "a", "ul", "li", "section"])
+
+
+@st.composite
+def html_docs(draw):
+    """Small random well-formed-ish HTML documents."""
+    parts = ["<html><body>"]
+    depth = 0
+    stack = []
+    for _ in range(draw(st.integers(0, 30))):
+        action = draw(st.integers(0, 2))
+        if action == 0 and depth < 5:
+            t = draw(tags)
+            parts.append(f"<{t}>")
+            stack.append(t)
+            depth += 1
+        elif action == 1 and stack:
+            parts.append(f"</{stack.pop()}>")
+            depth -= 1
+        else:
+            parts.append(draw(st.text(alphabet="ab c", max_size=10)))
+    while stack:
+        parts.append(f"</{stack.pop()}>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+@given(html_docs())
+@settings(max_examples=150, deadline=None)
+def test_collect_elements_matches_iterator(doc):
+    from smartreader_ray.dom import parse_html
+
+    d = parse_html(doc)
+    body = d.body
+    if body is None:
+        return
+    via_iter = [e for e in body.iter_elements() if e.tag == "P"]
+    via_collect = body.get_elements_by_tag_name("p")
+    assert via_iter == via_collect
+    assert list(body.iter_elements()) == body.get_elements_by_tag_name("*")
+
+
+@given(html_docs())
+@settings(max_examples=150, deadline=None)
+def test_text_cache_survives_mutation(doc):
+    from smartreader_ray.dom import parse_html
+
+    d = parse_html(doc)
+    body = d.body
+    if body is None:
+        return
+    before = body.text_content
+    assert body.text_content == before  # cached read
+    # mutate: remove the first element child (if any), text must recompute
+    first = body.first_element_child
+    if first is not None:
+        removed_text = first.text_content
+        body.remove_child(first)
+        after = body.text_content
+        # naive recompute from remaining children
+        naive = "".join(
+            c.text_content for c in body.childNodes
+        )
+        assert after == naive
+        # and re-inserting restores the original text
+        body.insert_before(first, body.first_child)
+        assert body.text_content == removed_text + after or body.text_content == before
