@@ -328,6 +328,59 @@ def _q_top_orders(sf_dir: str):
     return top.map_batches(strip, batch_format="pyarrow")
 
 
+def _q_orders_by_nation(sf_dir: str):
+    """orders ⨝ customer ⨝ nation as two chained broadcast joins (small
+    dimension tables ray.put once), then a partial-combined groupby."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from smartreader_ray.functions import broadcast_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    enriched = broadcast_join(orders, customer, key="o_custkey",
+                              value_cols=["c_nationkey"], small_key="c_custkey")
+    named = broadcast_join(enriched, nation, key="c_nationkey",
+                           value_cols=["n_name"], small_key="n_nationkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["n_name"])
+            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            .rename_columns(["n_name", "part_total", "part_n"])
+        )
+
+    agg = (
+        named.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("part_total", alias_name="total_price"),
+            Sum("part_n", alias_name="n_orders"),
+        )
+    )
+
+    def round_total(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # float sums are summation-order-sensitive in the last bits;
+        # round to cents on both sides of the oracle comparison
+        i = batch.column_names.index("total_price")
+        return batch.set_column(
+            i, "total_price", pc.round(batch.column("total_price"), 2)
+        )
+
+    return agg.map_batches(round_total, batch_format="pyarrow")
+
+
 def _q_events_by_type(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
@@ -405,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "top_orders": _q_top_orders,
         "events_by_type": _q_events_by_type,
+        "orders_by_nation": _q_orders_by_nation,
         "media_meta": _q_media_meta,
     }
 
@@ -495,6 +549,15 @@ def oracle_sql() -> dict[str, str]:
                        SUM(l_extendedprice * (1 - l_discount)) AS revenue
                 FROM lineitem GROUP BY l_orderkey
             ) ORDER BY revenue DESC LIMIT 10
+        """,
+        "orders_by_nation": """
+            SELECT n_name,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "events_by_type": """
             SELECT event_type,

@@ -15,6 +15,7 @@ from .dedup import (
     simhash_neardup,
     verify_candidate_pairs,
 )
+from .join import broadcast_join
 from .similarity import ann_ivf, ann_topk, embedding_neardup, kmeans_centroids
 from .topk import top_k
 from .textstats import (
@@ -36,6 +37,7 @@ __all__ = [
     "kmeans_centroids",
     "minhash_dedup",
     "verify_candidate_pairs",
+    "broadcast_join",
     "top_k",
     "doc_fingerprint",
     "language_id",

@@ -265,3 +265,27 @@ def test_ann_ivf_recall(ray_session):
     pruned_set = set(zip(pruned.column("query_id").to_pylist(), pruned.column("vec_id").to_pylist()))
     recall = len(exact_set & pruned_set) / len(exact_set)
     assert recall >= 0.5, recall
+
+
+def test_broadcast_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import broadcast_join
+
+    big = ray.data.from_items(
+        [{"k": i % 3, "v": i} for i in range(20)]
+    ).repartition(4)
+    small = pa.Table.from_pydict(
+        {"key": [0, 1], "name": ["zero", "one"], "w": [10.0, 11.0]}
+    )
+    out = broadcast_join(big, small, key="k", value_cols=["name", "w"], small_key="key")
+    rows = out.take_all()
+    assert len(rows) == 20
+    for r in rows:
+        if r["k"] == 0:
+            assert r["name"] == "zero" and r["w"] == 10.0
+        elif r["k"] == 1:
+            assert r["name"] == "one" and r["w"] == 11.0
+        else:  # unmatched → left-join nulls
+            assert r["name"] is None and r["w"] is None
