@@ -152,8 +152,9 @@ def run_main() -> dict:
 
     q = entrymod.queries()
     for name in (
-        "exact_dedup", "minhash_candidates", "simhash_neardup", "token_stats",
-        "ann_topk", "embed_neardup", "lineitem_pricing", "top_orders",
+        "exact_dedup", "minhash_candidates", "minhash_dedup", "simhash_neardup",
+        "token_stats", "ann_topk", "ann_ivf", "embed_neardup",
+        "lineitem_pricing", "top_orders", "orders_by_nation",
         "events_by_type", "language_id",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
