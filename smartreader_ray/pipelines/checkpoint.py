@@ -118,7 +118,13 @@ class CheckpointedExtraction:
             started = time.time()
             part_dir = os.path.join(self.out_dir, f"part-{pid:05d}")
             # a crashed earlier attempt may have left partial files: the
-            # partition is not in the manifest, so rewrite it from scratch
+            # partition is not in the manifest, so DELETE the directory and
+            # rewrite from scratch (write_parquet appends new files; stale
+            # ones would otherwise be read back or double-counted)
+            if os.path.isdir(part_dir):
+                import shutil
+
+                shutil.rmtree(part_dir)
             ds = make_input_ds().map_batches(
                 _partition_filter(pid, self.num_partitions),
                 batch_format="pyarrow",

@@ -206,3 +206,41 @@ def test_media_stage(ray_session):
     assert meta["kind"] == "image"
     assert meta["media_ref"].endswith("/a.png")
     assert meta["sha256"]
+
+
+def test_resume_rewrites_uncommitted_partition(ray_session, tmp_path):
+    """Crash window: partition files on disk but the manifest line was
+    never fsync'd → the partition is NOT committed and must be rewritten
+    from scratch on resume (no duplicates, no missing docs)."""
+    import glob
+
+    import ray.data
+
+    from smartreader_ray.pipelines import CheckpointedExtraction, read_manifest
+
+    table = synthetic_corpus_table(16, heavy_tail_every=0)
+    out_dir = str(tmp_path / "out")
+
+    def make_ds():
+        return ray.data.from_arrow(table)
+
+    job = CheckpointedExtraction(out_dir, num_partitions=2, batch_size=4)
+    job.run(make_ds, max_partitions=1)
+    committed = set(read_manifest(out_dir))
+    assert len(committed) == 1
+
+    # simulate the crash window for the OTHER partition: files exist,
+    # manifest line lost
+    pending = job.pending_partitions()[0]
+    part_dir = tmp_path / "out" / f"part-{pending:05d}"
+    part_dir.mkdir()
+    (part_dir / "garbage.parquet").write_bytes(b"not a parquet file")
+
+    job2 = CheckpointedExtraction(out_dir, num_partitions=2, batch_size=4)
+    assert job2.pending_partitions() == [pending]
+    job2.run(make_ds)
+    assert set(read_manifest(out_dir)) == {0, 1}
+
+    result = job2.result_dataset()
+    doc_ids = [r["doc_id"] for r in result.select_columns(["doc_id"]).take_all()]
+    assert sorted(doc_ids) == sorted(table.column("doc_id").to_pylist())
