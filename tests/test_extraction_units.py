@@ -285,3 +285,119 @@ def test_not_readable_still_extracts():
     assert a.completed
     assert not a.is_readable
     assert "tiny" in a.text_content
+
+
+# -- §2.6 extension surface (BasicTests.cs:522-592, 701-723 mirrors) --------
+_SIMPLE_DOC = (
+    "<html><head><title>A Title</title></head><body><article>"
+    "<p>" + "reasonably long paragraph of content text here. " * 20 + "</p>"
+    "</article></body></html>"
+)
+
+
+def test_custom_serializer_and_converter():
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    cfg = ExtractorConfig(
+        serializer=lambda el: "<custom/>",
+        converter=lambda el: "CONVERTED",
+    )
+    a = parse_article("https://localhost/", _SIMPLE_DOC, cfg)
+    assert a.completed
+    assert a.content_html == "<custom/>"
+    assert a.text_content == "CONVERTED"
+    assert a.length == len("CONVERTED")
+
+
+def test_language_id_and_summary_delegates():
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    cfg = ExtractorConfig(
+        language_identification=lambda text, lang: "xx",
+        create_summary=lambda text, excerpt: "MY SUMMARY",
+    )
+    a = parse_article("https://localhost/", _SIMPLE_DOC, cfg)
+    assert a.language == "xx"
+    assert a.excerpt == "MY SUMMARY"
+
+
+def test_max_elems_to_parse_error_row():
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    a = parse_article(
+        "https://localhost/", _SIMPLE_DOC, ExtractorConfig(max_elems_to_parse=2)
+    )
+    assert not a.completed
+    assert "Aborting parsing document" in a.error
+    assert "elements found" in a.error
+
+
+def test_custom_operations_start_and_end():
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    calls = []
+
+    def start_op(doc_el):
+        calls.append(("start", doc_el.tag))
+
+    def end_op(article_el):
+        calls.append(("end", article_el.tag))
+        # mutate the final article like the reference's console demo
+        for img in article_el.get_elements_by_tag_name("img"):
+            img.remove()
+
+    cfg = ExtractorConfig(
+        custom_operations_start=(start_op,), custom_operations_end=(end_op,)
+    )
+    a = parse_article("https://localhost/", _SIMPLE_DOC, cfg)
+    assert a.completed
+    assert ("start", "HTML") in calls
+    assert calls[-1][0] == "end"
+
+
+def test_replace_and_add_regex_options():
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    doc = (
+        "<html><body><article>"
+        "<p>" + "main content paragraph with plenty of text here. " * 20 + "</p>"
+        '<div class="xyzzy-block"><p>'
+        + "this block would normally survive the unlikely filter fine. " * 10
+        + "</p></div></article></body></html>"
+    )
+    base = parse_article("https://localhost/", doc)
+    assert "normally survive" in base.text_content
+
+    # AddOptionToRegularExpression equivalent: xyzzy-block becomes unlikely
+    cfg = ExtractorConfig(add_regex_options=(("unlikelyCandidates", "xyzzy"),))
+    patched = parse_article("https://localhost/", doc, cfg)
+    assert "normally survive" not in patched.text_content
+    assert "main content paragraph" in patched.text_content
+
+    # ReplaceRegularExpression equivalent: neutralize the default list
+    cfg2 = ExtractorConfig(
+        replace_regexes=(("unlikelyCandidates", "match-nothing-ever-xq"),)
+    )
+    doc2 = doc.replace("xyzzy-block", "sidebar comment")  # normally stripped
+    kept = parse_article("https://localhost/", doc2, cfg2)
+    assert "normally survive" in kept.text_content
+
+
+def test_keep_classes_and_classes_to_preserve():
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    doc = (
+        "<html><body><article>"
+        '<p class="lede keep-me">' + "text content of the paragraph here. " * 20
+        + "</p></article></body></html>"
+    )
+    default = parse_article("https://localhost/", doc)
+    assert 'class="lede keep-me"' not in default.content_html
+
+    kept = parse_article("https://localhost/", doc, ExtractorConfig(keep_classes=True))
+    assert 'class="lede keep-me"' in kept.content_html
+
+    preserved = parse_article(
+        "https://localhost/", doc, ExtractorConfig(classes_to_preserve=("page", "keep-me"))
+    )
+    assert 'class="keep-me"' in preserved.content_html
