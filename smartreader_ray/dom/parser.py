@@ -210,14 +210,16 @@ class _TreeBuilder(HTMLParser):
         return self._ensure_body(), None
 
     def _insert_node(self, node, *, foster: bool) -> None:
-        if foster and self._top.tag in _TABLE_CTX:
+        top = self.stack[-1]
+        if foster and top.tag in _TABLE_CTX:
             parent, ref = self._foster_target()
             parent.insert_before(node, ref)
         else:
-            self._top.append_child(node)
+            top.append_child(node)
 
     def _append_text(self, text: str, *, foster: bool = True) -> None:
-        if foster and self._top.tag in _TABLE_CTX and not _is_space_only(text):
+        top = self.stack[-1]
+        if foster and top.tag in _TABLE_CTX and not _is_space_only(text):
             parent, ref = self._foster_target()
             prev = ref.previous_sibling if ref is not None else parent.last_child
             if isinstance(prev, TextNode):
@@ -225,8 +227,7 @@ class _TreeBuilder(HTMLParser):
             else:
                 parent.insert_before(TextNode(text), ref)
             return
-        top = self._top
-        last = top.last_child
+        last = top._last
         if isinstance(last, TextNode):
             last.data += text
         else:
@@ -284,7 +285,7 @@ class _TreeBuilder(HTMLParser):
             if k not in attrdict:
                 attrdict[k] = v if v is not None else ""
 
-        if self._in_foreign():
+        if self._foreign_depth > 0:
             el = _foreign_element(tag, attrs)
             self._top.append_child(el)
             self.stack.append(el)
@@ -319,7 +320,8 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(el)
             return
 
-        self._ensure_body()
+        if self.body_el is None:
+            self._ensure_body()
 
         if tag in _P_CLOSERS:
             self._close_p_if_open()
