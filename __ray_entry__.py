@@ -115,10 +115,12 @@ def _q_doc_stats(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        # avg as exact-int division → bit-identical to the SQL AVG of ints
+        # Integer division on both sides (SQL uses `//`): float AVG's
+        # textual form is not portable across engines (driver hash r01),
+        # exact int64 division is.
         avg = pc.divide(
-            pc.cast(batch.column("total_chars"), pa.float64()),
-            pc.cast(batch.column("n_docs"), pa.float64()),
+            pc.cast(batch.column("total_chars"), pa.int64()),
+            pc.cast(batch.column("n_docs"), pa.int64()),
         )
         return batch.append_column("avg_chars", avg)
 
@@ -480,17 +482,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text AS text_content, text AS excerpt FROM documents
         """,
         "corpus_metrics": """
-            SELECT COUNT(*) AS docs,
-                   COUNT(*) AS completed,
-                   SUM(CASE WHEN length(text) > 240 THEN 1 ELSE 0 END) AS readable,
-                   SUM(length(text)) AS chars_kept
+            SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(COUNT(*) AS BIGINT) AS completed,
+                   CAST(SUM(CASE WHEN length(text) > 240 THEN 1 ELSE 0 END) AS BIGINT) AS readable,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars_kept
             FROM documents
         """,
         "doc_stats": """
             SELECT lang,
-                   COUNT(*) AS n_docs,
-                   SUM(length(text)) AS total_chars,
-                   AVG(length(text)) AS avg_chars
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(length(text)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_chars
             FROM documents GROUP BY lang
         """,
         "token_stats": """

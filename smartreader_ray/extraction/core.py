@@ -445,6 +445,11 @@ class Extractor:
 
     def _reprep(self, source_text: str) -> Document:
         doc = self._prepare_doc(source_text)
+        # The reference caches page.InnerHtml AFTER CustomOperationsStart
+        # ran (SmartReader.cs:1020, 2308) and restores it each retry round,
+        # so start-hook effects persist; re-run them here to match.
+        for op in self.config.custom_operations_start:
+            op(doc.document_element)
         unwrap_noscript_images(doc)
         remove_scripts(doc.document_element)
         self._prep_document(doc)

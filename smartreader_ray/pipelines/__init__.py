@@ -1,11 +1,18 @@
 """Pipelines: streaming extraction with skew routing + checkpointed runs."""
 
 from .extract import build_extraction_pipeline, corpus_metrics
-from .checkpoint import CheckpointedExtraction, read_manifest
+from .checkpoint import (
+    CheckpointedExtraction,
+    files_fingerprint,
+    read_manifest,
+    read_manifest_header,
+)
 
 __all__ = [
     "build_extraction_pipeline",
     "corpus_metrics",
     "CheckpointedExtraction",
+    "files_fingerprint",
     "read_manifest",
+    "read_manifest_header",
 ]

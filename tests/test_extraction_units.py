@@ -401,3 +401,35 @@ def test_keep_classes_and_classes_to_preserve():
         "https://localhost/", doc, ExtractorConfig(classes_to_preserve=("page", "keep-me"))
     )
     assert 'class="keep-me"' in preserved.content_html
+
+
+def test_custom_start_ops_persist_across_retry_rounds():
+    """SmartReader.cs:1020/2308: the retry loop restores HTML cached AFTER
+    CustomOperationsStart ran, so start-hook effects persist into relaxed
+    rounds. Our _reprep re-applies the hooks; if it didn't, the injected
+    sidebar below would vanish in round 2 and extraction would fail."""
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    marker = "retrymarker" + " persistent sidebar prose, with commas," * 20
+
+    def start_op(doc_el):
+        body = doc_el.get_elements_by_tag_name("body")[0]
+        from smartreader_ray.dom import parse_html
+
+        frag = parse_html(
+            f'<div class="sidebar"><p>{marker}</p></div>'
+        ).get_elements_by_tag_name("div")[0]
+        body.append_child(frag)
+
+    # base doc is too short to pass char_threshold on its own; the injected
+    # content sits in an "unlikely candidate" (sidebar) so round 1
+    # (StripUnlikelys on) drops it and fails, round 2 must still have it
+    doc = (
+        "<html><body><div><p>short real paragraph, just a few words here"
+        "</p></div></body></html>"
+    )
+    cfg = ExtractorConfig(custom_operations_start=(start_op,))
+    a = parse_article("https://localhost/", doc, cfg)
+    assert a.attempts >= 2  # round 1 failed, a flag was relaxed
+    assert "retrymarker" in a.text_content
+    assert a.length > 500

@@ -244,3 +244,93 @@ def test_resume_rewrites_uncommitted_partition(ray_session, tmp_path):
     result = job2.result_dataset()
     doc_ids = [r["doc_id"] for r in result.select_columns(["doc_id"]).take_all()]
     assert sorted(doc_ids) == sorted(table.column("doc_id").to_pylist())
+
+
+def test_checkpoint_file_sliced_reads_only_own_slice(ray_session, tmp_path):
+    """run_files: each wave reads ONLY its file slice — the whole run
+    passes every input file to the reader exactly once (no K full scans),
+    and resume picks up only the uncommitted slices."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from smartreader_ray.pipelines import CheckpointedExtraction, read_manifest
+
+    table = synthetic_corpus_table(24, heavy_tail_every=0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    for i in range(6):  # 6 input files x 4 docs
+        path = str(in_dir / f"shard-{i:03d}.parquet")
+        pq.write_table(table.slice(i * 4, 4), path)
+        files.append(path)
+    out_dir = str(tmp_path / "out")
+
+    calls: list[list[str]] = []
+
+    def reader(fs):
+        calls.append(list(fs))
+        return ray.data.read_parquet(fs)
+
+    job = CheckpointedExtraction(out_dir, num_partitions=3, batch_size=4)
+    job.run_files(files, reader=reader, max_partitions=1)
+    assert len(calls) == 1 and len(calls[0]) == 2  # wave 0: files [0::3]
+    assert set(read_manifest(out_dir)) == {0}
+
+    job2 = CheckpointedExtraction(out_dir, num_partitions=3, batch_size=4)
+    job2.run_files(files, reader=reader)
+    assert set(read_manifest(out_dir)) == {0, 1, 2}
+    # across all waves every file was read exactly once
+    seen = [f for c in calls for f in c]
+    assert sorted(seen) == sorted(files)
+    # slices are disjoint
+    assert len(set(seen)) == len(seen)
+
+    result = job2.result_dataset()
+    doc_ids = [r["doc_id"] for r in result.select_columns(["doc_id"]).take_all()]
+    assert sorted(doc_ids) == sorted(table.column("doc_id").to_pylist())
+    # lineage: each row tagged with the partition that owned its file
+    pids = {r["lineage"]["partition_id"]
+            for r in result.select_columns(["lineage"]).take_all()}
+    assert pids == {0, 1, 2}
+
+
+def test_checkpoint_header_guards_resume(ray_session, tmp_path):
+    """Manifest header fail-fast: resuming with a different num_partitions
+    or a different input listing raises instead of silently remapping."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from smartreader_ray.pipelines import CheckpointedExtraction
+
+    table = synthetic_corpus_table(8, heavy_tail_every=0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    for i in range(4):
+        path = str(in_dir / f"shard-{i:03d}.parquet")
+        pq.write_table(table.slice(i * 2, 2), path)
+        files.append(path)
+    out_dir = str(tmp_path / "out")
+
+    job = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
+    job.run_files(files, max_partitions=1)
+
+    # wrong partition count
+    bad = CheckpointedExtraction(out_dir, num_partitions=2, batch_size=4)
+    with pytest.raises(ValueError, match="num_partitions"):
+        bad.run_files(files)
+
+    # wrong input listing
+    bad2 = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
+    with pytest.raises(ValueError, match="input"):
+        bad2.run_files(files[:3])
+
+    # wrong mode (hash resume over a files manifest)
+    bad3 = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
+    with pytest.raises(ValueError, match="mode"):
+        bad3.run(lambda: ray.data.from_arrow(table))
+
+    # correct config resumes fine
+    ok = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
+    ok.run_files(files)
+    assert ok.pending_partitions() == []
