@@ -438,6 +438,30 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+def _q_media_data_uri(sf_dir: str):
+    """Data-URI image inlining (Image.cs:29-36, Article.cs:236-260) over
+    extracted fixture articles; payloads come from the deterministic
+    stub resolver (network GET is out of scope). Rows-only."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.sources import fixture_names, fixture_spans_table
+    from smartreader_ray.stages.media import ImageDataUriInliner
+
+    names = fixture_names()[:20]
+    ds = ray.data.from_arrow(fixture_spans_table(names))
+    articles = build_extraction_pipeline(ds, batch_size=4, concurrency=(1, 4))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "n_inlined", "n_removed"])
+
+    return articles.map_batches(
+        ImageDataUriInliner, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=8,
+    ).map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -462,17 +486,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "orders_by_nation": _q_orders_by_nation,
         "media_meta": _q_media_meta,
+        "media_data_uri": _q_media_data_uri,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_meta": """
+        "extract_meta": r"""
             SELECT doc_id,
                    'Document ' || CAST(doc_id AS VARCHAR) AS title,
                    length(text) AS length,
+                   -- letters = not-space and not Unicode punctuation
+                   -- (TimeToReadCalculator.cs:42; \p{P} matches the
+                   -- implementation's category-P exclusion; remaining
+                   -- divergence only for astral chars, counted as UTF-16
+                   -- code units by the impl and codepoints by SQL)
                    CASE WHEN length(text) = 0 THEN 0
-                        ELSE GREATEST(CAST(floor(length(replace(text,' ',''))/960) AS BIGINT), 1) * 60
+                        ELSE GREATEST(CAST(floor(
+                            length(regexp_replace(replace(text,' ',''), '\p{P}', '', 'g'))
+                            /960) AS BIGINT), 1) * 60
                    END AS time_to_read_s,
                    length(text) > 240 AS is_readable,
                    TRUE AS completed

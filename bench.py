@@ -33,11 +33,27 @@ def _num_cpus() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def _quiet_ray_data_warnings() -> None:
+    """Silence two benign-but-noisy Ray Data internals warnings: empty
+    shuffle partitions emit schema-less RefBundles after groupby
+    aggregates, and parquet schema metadata dicts defeat Ray's schema
+    hashing. Neither indicates a pipeline problem; keep the bench log
+    clean so real warnings stand out."""
+    import logging
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def _init_ray(num_cpus: int):
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    _quiet_ray_data_warnings()
     return ray
 
 

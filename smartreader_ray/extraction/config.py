@@ -35,6 +35,12 @@ class ExtractorConfig:
     pre_clean_page: bool = False
     debug: bool = False
 
+    # logging surface (SmartReader.cs:118-122): ``logger`` receives every
+    # trace message; "info"-level sites fire when debug or logging=="info",
+    # issue-level sites (role removal, not-readable warning) always fire.
+    logging: str = "issue"  # "issue" | "info"
+    logger: Optional[Callable[[str], None]] = None
+
     # extension surface: hooks run on the document element before parsing /
     # on the article element after (SmartReader.cs:373-435)
     custom_operations_start: tuple[Callable, ...] = ()

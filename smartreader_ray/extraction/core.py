@@ -130,9 +130,24 @@ class Extractor:
         self.re_videos = rx["videos"]
         self.re_share = rx["shareElements"]
         self.is_node_visible = config.is_node_visible or is_probably_visible
+        # logging surface (SmartReader.cs:118-122): info-level sites fire
+        # only when debug/logging=="info"; issue-level sites always fire
+        self._log_info = config.debug or config.logging == "info"
+        # fast-path flag so per-node trace sites cost nothing when off
+        self._trace = config.logger is not None and self._log_info
 
         # per-document state (reset in parse)
         self._reset()
+
+    def _log(self, msg: str) -> None:
+        """Info-level trace (reference: `if (Debug || Logging == Info)`)."""
+        if self.config.logger is not None and self._log_info:
+            self.config.logger(msg)
+
+    def _log_always(self, msg: str) -> None:
+        """Issue-level trace — unguarded in the reference."""
+        if self.config.logger is not None:
+            self.config.logger(msg)
 
     def _reset(self) -> None:
         self._deadline: Optional[float] = None
@@ -204,10 +219,13 @@ class Extractor:
         is_readable = self._is_probably_readerable(doc)
         self._check_budget()
 
-        if not is_readable and not cfg.continue_if_not_readable:
-            return ArticleResult(
-                uri=uri.raw, title=self.article_title, is_readable=False
-            )
+        if not is_readable:
+            # SmartReader.cs:2298 — issue-level, unguarded
+            self._log_always("<h2>Warning: article probably not readable</h2>")
+            if not cfg.continue_if_not_readable:
+                return ArticleResult(
+                    uri=uri.raw, title=self.article_title, is_readable=False
+                )
 
         for op in cfg.custom_operations_start:
             op(doc.document_element)
@@ -220,14 +238,22 @@ class Extractor:
         metadata = get_article_metadata(doc, uri, self.language, jsonld)
         self.article_title = metadata.title or ""
 
+        if self._log_info and doc.document_element is not None:
+            # SmartReader.cs:2322-2323
+            self._log("<h2>Pre-GrabArticle:</h2>" + inner_html(doc.document_element))
+
         article_content = self._grab_article(doc, text)
         if article_content is None:
             return ArticleResult(
                 uri=uri.raw, title=self.article_title, is_readable=False
             )
+        if self._log_info:
+            self._log("<h2>Grabbed:</h2>" + inner_html(article_content))  # :2335-2336
 
         self._check_budget()
         self._post_process_content(article_content, uri, doc)
+        if self._log_info:
+            self._log("<h2>Post Process result:</h2>" + inner_html(article_content))  # :2347-2348
 
         for op in cfg.custom_operations_end:
             op(article_content)
@@ -423,13 +449,19 @@ class Extractor:
     # the grab loop (SmartReader.cs:990-1589)
     # ------------------------------------------------------------------
     def _grab_article(self, doc: Document, source_text: str) -> Optional[Element]:
+        self._log("**** grabArticle ****")  # SmartReader.cs:992-993
         page = doc.body
         if page is None:
+            self._log_always("No body found in document. Abort.")  # :1002
             return None
+        if self._log_info:
+            self._log("Original Body:")  # :1007-1010
+            self._log(inner_html(page))
 
         while True:
             self._check_budget()
             self.grab_rounds += 1
+            self._log("Starting grabArticle loop")  # :1027-1028
             result = self._grab_article_once(doc)
             if result is not None:
                 return result
@@ -468,6 +500,8 @@ class Extractor:
             match_string = _class_id_match_string(node)
 
             if not is_probably_visible(node):
+                if self._trace:
+                    self._log("Removing hidden node - " + match_string)  # :1046-1047
                 node = remove_and_get_next(node)
                 continue
 
@@ -483,6 +517,11 @@ class Extractor:
                 continue
 
             if should_remove_title_header and self._header_duplicates_title(node):
+                if self._trace:
+                    self._log(  # :1068-1069
+                        f"Removing header: {node.text_content.strip()} "
+                        f"{self.article_title.strip()}"
+                    )
                 should_remove_title_header = False
                 node = remove_and_get_next(node)
                 continue
@@ -496,10 +535,16 @@ class Extractor:
                     and node.tag != "BODY"
                     and node.tag != "A"
                 ):
+                    if self._trace:
+                        self._log("Removing unlikely candidate - " + match_string)  # :1086-1087
                     node = remove_and_get_next(node)
                     continue
 
             if (node.get_attribute("role") or "") in UNLIKELY_ROLES:
+                self._log_always(  # :1096 — issue-level, unguarded
+                    f"Removing content with role {node.get_attribute('role')} "
+                    f"-  {match_string}"
+                )
                 node = remove_and_get_next(node)
                 continue
 
@@ -752,7 +797,11 @@ class Extractor:
                 sl -= 1
             s += 1
 
+        if self._log_info:  # SmartReader.cs:1491-1492
+            self._log("<h2>Article content pre-prep:</h2>" + inner_html(article_content))
         self._prep_article(article_content)
+        if self._log_info:  # :1497-1498
+            self._log("<h2>Article content post-prep:</h2>" + inner_html(article_content))
 
         if needed_to_create_top_candidate:
             top_candidate.id = "readability-page-1"
@@ -1007,6 +1056,8 @@ class Extractor:
             return
 
         def _filter(node: Element) -> bool:
+            if self._trace:
+                self._log(f"Cleaning Conditionally {node.tag}")  # SmartReader.cs:1985-1986
             is_list = tag in ("ul", "ol")
             if not is_list:
                 list_length = 0
@@ -1121,10 +1172,17 @@ class Extractor:
 
     def _clean_headers(self, e: Element) -> None:
         """SmartReader.cs:2156-2169"""
-        remove_nodes(
-            get_all_nodes_with_tag(e, ["h1", "h2"]),
-            lambda node: self._get_class_weight(node) < 0,
-        )
+
+        def _low_weight(node: Element) -> bool:
+            if self._get_class_weight(node) < 0:
+                if self._trace:
+                    self._log(  # :2164-2165
+                        f"Removing header with low class weight: {node.tag}"
+                    )
+                return True
+            return False
+
+        remove_nodes(get_all_nodes_with_tag(e, ["h1", "h2"]), _low_weight)
 
     # ------------------------------------------------------------------
     # post-processing (Readability.cs:50-219, SmartReader.cs:628-645)

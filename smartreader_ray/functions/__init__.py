@@ -14,6 +14,7 @@ from .dedup import (
     simhash_batch,
     simhash_neardup,
     verify_candidate_pairs,
+    verify_candidate_pairs_distributed,
 )
 from .join import broadcast_join
 from .similarity import ann_ivf, ann_topk, embedding_neardup, kmeans_centroids
@@ -27,6 +28,7 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "verify_candidate_pairs_distributed",
     "minhash_lsh_candidates",
     "ngram_jaccard",
     "simhash_batch",

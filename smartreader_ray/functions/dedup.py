@@ -12,11 +12,48 @@ All per-batch math is vectorized numpy over Arrow columns.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _MAX_HASH = np.uint64((1 << 61) - 1)
+
+
+_LOG = logging.getLogger(__name__)
+
+#: default cap on LSH bucket membership before sub-splitting (see
+#: _capped_subgroups). Pair emission per bucket is bounded by
+#: ceil(n/cap) * C(cap, 2) ≈ n*cap/2 — linear in n, never quadratic.
+DEFAULT_MAX_BUCKET = 128
+
+
+def _capped_subgroups(members: list, cap: int, salt: str, key=lambda m: m) -> list[list]:
+    """Skew guard for LSH bucket pairers: split an over-full bucket into
+    deterministic sub-buckets of ≈cap members (secondary FNV hash of the
+    member id) and pair only within sub-buckets.
+
+    A boilerplate-heavy bucket (empty pages, templated docs) otherwise
+    emits O(n²) pairs — the classic 100×-scale OOM/straggler. The cost of
+    the cap is recall on cross-sub-bucket pairs inside degenerate buckets
+    only; members of such buckets are near-identical and overwhelmingly
+    re-collide in other bands/sub-buckets.
+    """
+    if len(members) <= cap:
+        return [members]
+    k = -(-len(members) // cap)
+    assign = _hash64([f"{salt}:{key(m)}" for m in members]) % np.uint64(k)
+    groups: list[list] = [[] for _ in range(k)]
+    for m, g in zip(members, assign):
+        groups[int(g)].append(m)
+    _LOG.warning(
+        "LSH bucket with %d members exceeds cap %d: sub-split into %d "
+        "groups (cross-sub-bucket pairs in this bucket are skipped)",
+        len(members), cap, k,
+    )
+    return groups
 
 
 def _token_ngrams(text: str, n: int = 3) -> list[str]:
@@ -26,15 +63,41 @@ def _token_ngrams(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def _hash64(values: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes of strings (FNV-1a, vector-friendly)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        h = 0xCBF29CE484222325
-        for b in v.encode():
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+    """Deterministic 64-bit FNV-1a hashes of strings.
+
+    Vectorized ACROSS strings: the byte sequences are padded into one
+    (n, maxlen) uint8 matrix and the FNV round runs once per byte
+    POSITION over the whole column (maxlen ≈ 20 numpy ops for token
+    n-grams, vs a per-byte Python loop). Output is bit-identical to the
+    scalar FNV-1a loop — signatures stay seed-deterministic.
+    """
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [v.encode() for v in values]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    if total:
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        rows = np.repeat(np.arange(n), lens)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cols = np.arange(total) - np.repeat(offsets, lens)
+        buf[rows, cols] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            nh = (h ^ buf[:, j].astype(np.uint64)) * _FNV_PRIME
+            h = np.where(lens > j, nh, h)
+    return h
 
 
 # ---------------------------------------------------------------------------
@@ -86,8 +149,16 @@ class MinHasher:
         grams = _token_ngrams(text, self.ngram)
         if not grams:
             return np.full(self.num_hashes, _MAX_HASH, dtype=np.uint64)
-        h = _hash64(grams)  # (G,)
-        # (a*h + b) mod p for each hash fn — (H, G) then min over G
+        # unique: min over the shingle SET == min over the multiset, and
+        # boilerplate-heavy documents repeat shingles a lot
+        h = np.unique(_hash64(grams))  # (G',)
+        # (a*h + b) mod p for each hash fn — (H, G') then min over G'.
+        # NOTE the a*h product wraps mod 2^64 before the mod-p (numpy
+        # uint64), so this is a wrapped variant of the (a,b) universal
+        # family, not the textbook one. Deterministic and empirically
+        # uniform; kept intentionally — exact mod-p needs 128-bit math
+        # numpy doesn't have, and the LSH band tuning is not sensitive
+        # to the difference at our (bands, rows) settings.
         prod = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1).astype(np.uint64)
 
@@ -116,11 +187,14 @@ class MinHasher:
         )
 
 
-def minhash_lsh_candidates(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3):
+def minhash_lsh_candidates(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
+                           max_bucket: int = DEFAULT_MAX_BUCKET):
     """Candidate near-duplicate pairs via banded MinHash.
 
     Returns a Dataset of (doc_a, doc_b) candidate pairs (doc_a < doc_b,
     deduplicated). Verify with ``ngram_jaccard`` on the pair texts.
+    Buckets over ``max_bucket`` members are sub-split (skew guard, see
+    ``_capped_subgroups``) so pair output stays linear in bucket size.
     """
     banded = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
@@ -132,11 +206,13 @@ def minhash_lsh_candidates(ds, num_hashes: int = 128, bands: int = 16, ngram: in
     def bucket_to_pairs(group: pa.Table) -> pa.Table:
         id_type = group.schema.field("doc_id").type
         ids = sorted(set(group.column("doc_id").to_pylist()))
+        salt = group.column("band_key")[0].as_py() if group.num_rows else ""
         pairs_a, pairs_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs_a.append(ids[i])
-                pairs_b.append(ids[j])
+        for sub in _capped_subgroups(ids, max_bucket, salt):
+            for i in range(len(sub)):
+                for j in range(i + 1, len(sub)):
+                    pairs_a.append(sub[i])
+                    pairs_b.append(sub[j])
         return pa.Table.from_pydict(
             {
                 "doc_a": pa.array(pairs_a, type=id_type),
@@ -191,10 +267,12 @@ def simhash_batch(batch: pa.Table, ngram: int = 2) -> pa.Table:
     )
 
 
-def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2):
+def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2,
+                    max_bucket: int = DEFAULT_MAX_BUCKET):
     """Near-dup pairs by simhash: band the 64-bit hash into 4×16-bit
     chunks (any pair within hamming ≤ 3 of each other shares ≥1 exact
-    chunk by pigeonhole) → bucket groupby → verify hamming in-bucket."""
+    chunk by pigeonhole) → bucket groupby → verify hamming in-bucket.
+    Buckets over ``max_bucket`` members are sub-split (skew guard)."""
     hashed = ds.select_columns(["doc_id", "text"]).map_batches(
         lambda b: simhash_batch(b, ngram), batch_format="pyarrow"
     )
@@ -224,14 +302,16 @@ def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2):
                 )
             )
         )
+        salt = group.column("band_key")[0].as_py() if group.num_rows else ""
         out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(rows[i][1] ^ rows[j][1]).bit_count()
-                if d <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
+        for sub in _capped_subgroups(rows, max_bucket, salt, key=lambda r: r[0]):
+            for i in range(len(sub)):
+                for j in range(i + 1, len(sub)):
+                    d = int(sub[i][1] ^ sub[j][1]).bit_count()
+                    if d <= max_hamming:
+                        out_a.append(sub[i][0])
+                        out_b.append(sub[j][0])
+                        out_d.append(d)
         id_type = group.schema.field("doc_id").type
         return pa.Table.from_pydict(
             {
@@ -319,29 +399,149 @@ def verify_candidate_pairs(docs_ds, pairs, ngram: int = 3, threshold: float = 0.
     return matched.groupby("pair_id").map_groups(score_pair, batch_format="pyarrow")
 
 
+def _ds_column_type(ds, name: str) -> pa.DataType:
+    """Arrow type of a column of a Ray Dataset (Schema wraps pyarrow)."""
+    schema = ds.schema()
+    return dict(zip(schema.names, schema.types))[name]
+
+
+def verify_candidate_pairs_distributed(docs_ds, cands_ds, ngram: int = 3,
+                                       threshold: float = 0.5):
+    """Fully distributed exact-Jaccard verify: no driver materialization
+    of the candidate set at all.
+
+    Shape: candidates flat-map to "needs" rows (doc_id, doc_a, doc_b,
+    side); the corpus unions with the needs and a groupby(doc_id) joins
+    each needed text to its pairs; a second groupby(doc_a, doc_b) brings
+    the two texts of a pair together and scores them. Costs one
+    all-to-all of the corpus texts (the price of a distributed join) —
+    use the broadcast path (``verify_candidate_pairs``) when the pair
+    count is provably small; this path exists so an unbounded candidate
+    set (skewed corpus at 100 TB) never lands on the driver.
+    """
+    id_type = _ds_column_type(cands_ds, "doc_a")
+
+    def to_needs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.concat_arrays(
+                    [pc.cast(a.combine_chunks(), pa.string()),
+                     pc.cast(b.combine_chunks(), pa.string())]
+                ),
+                "doc_a": pa.concat_arrays([a.combine_chunks()] * 2),
+                "doc_b": pa.concat_arrays([b.combine_chunks()] * 2),
+                "side": pa.array([0] * n + [1] * n, type=pa.int8()),
+                "text": pa.array([None] * (2 * n), type=pa.string()),
+            }
+        )
+
+    def to_corpus_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id").combine_chunks(), pa.string()),
+                "doc_a": pa.array([None] * n, type=id_type),
+                "doc_b": pa.array([None] * n, type=id_type),
+                "side": pa.array([-1] * n, type=pa.int8()),
+                "text": batch.column("text"),
+            }
+        )
+
+    def attach_text(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_pylist()
+        texts = group.column("text").to_pylist()
+        doc_text = next(
+            (t for s, t in zip(sides, texts) if s == -1), None
+        )
+        if doc_text is None:  # pair references a doc missing from corpus
+            doc_text_rows = []
+        else:
+            doc_text_rows = [i for i, s in enumerate(sides) if s >= 0]
+        if not doc_text_rows:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=id_type),
+                    "doc_b": pa.array([], type=id_type),
+                    "side": pa.array([], type=pa.int8()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        taken = group.take(doc_text_rows)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": taken.column("doc_a"),
+                "doc_b": taken.column("doc_b"),
+                "side": taken.column("side"),
+                "text": pa.array([doc_text] * len(doc_text_rows), type=pa.string()),
+            }
+        )
+
+    def score(group: pa.Table) -> pa.Table:
+        texts = {s: t for s, t in zip(group.column("side").to_pylist(),
+                                      group.column("text").to_pylist())}
+        j = ngram_jaccard(texts.get(0, ""), texts.get(1, ""), ngram)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": group.column("doc_a").slice(0, 1),
+                "doc_b": group.column("doc_b").slice(0, 1),
+                "jaccard": pa.array([round(j, 6)], type=pa.float64()),
+                "is_dup": pa.array([j >= threshold], type=pa.bool_()),
+            }
+        )
+
+    needs = cands_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+        to_needs, batch_format="pyarrow"
+    )
+    corpus = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        to_corpus_rows, batch_format="pyarrow"
+    )
+    joined = needs.union(corpus).groupby("doc_id").map_groups(
+        attach_text, batch_format="pyarrow"
+    )
+    return joined.groupby(["doc_a", "doc_b"]).map_groups(
+        score, batch_format="pyarrow"
+    )
+
+
 def minhash_dedup(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
-                  threshold: float = 0.5):
+                  threshold: float = 0.5, broadcast_pair_limit: int = 200_000,
+                  max_bucket: int = DEFAULT_MAX_BUCKET):
     """Full MinHash+LSH near-dedup: candidates → exact-Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard, is_dup) for every LSH candidate pair.
-    The candidate set is materialized on the driver (it is tiny relative
-    to the corpus — only docs sharing a band bucket); the verify pass
-    streams the corpus once.
+    The candidate Dataset is counted (a distributed aggregate, contents
+    never collected): at most ``broadcast_pair_limit`` pairs use the
+    zero-shuffle broadcast verify; above the bound the fully distributed
+    verify join runs instead — the driver never holds an unbounded
+    candidate set. The verify pass streams the corpus once either way.
     """
-    cands = minhash_lsh_candidates(ds, num_hashes=num_hashes, bands=bands, ngram=ngram)
-    pair_rows = cands.select_columns(["doc_a", "doc_b"]).take_all()
-    pair_list = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
-    if not pair_list:
+    cands = minhash_lsh_candidates(
+        ds, num_hashes=num_hashes, bands=bands, ngram=ngram, max_bucket=max_bucket
+    ).materialize()  # small (pairs only); avoids re-running LSH for count + verify
+    n_pairs = cands.count()
+    if n_pairs == 0:
         import ray.data
 
+        # derive pair-id types from the input's doc_id (ADVICE r01: a
+        # string-keyed corpus must get a string-typed empty result)
+        id_type = _ds_column_type(ds, "doc_id")
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {
-                    "doc_a": pa.array([], type=pa.int64()),
-                    "doc_b": pa.array([], type=pa.int64()),
+                    "doc_a": pa.array([], type=id_type),
+                    "doc_b": pa.array([], type=id_type),
                     "jaccard": pa.array([], type=pa.float64()),
                     "is_dup": pa.array([], type=pa.bool_()),
                 }
             )
         )
+    if n_pairs > broadcast_pair_limit:
+        return verify_candidate_pairs_distributed(
+            ds, cands, ngram=ngram, threshold=threshold
+        )
+    pair_rows = cands.select_columns(["doc_a", "doc_b"]).take_all()
+    pair_list = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
     return verify_candidate_pairs(ds, pair_list, ngram=ngram, threshold=threshold)

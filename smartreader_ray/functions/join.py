@@ -13,14 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pyarrow as pa
-
-
-def _lookup_dict(table: pa.Table, key: str, value_cols: list[str]) -> dict:
-    keys = table.column(key).to_pylist()
-    cols = {c: table.column(c).to_pylist() for c in value_cols}
-    return {
-        k: tuple(cols[c][i] for c in value_cols) for i, k in enumerate(keys)
-    }
+import pyarrow.compute as pc
 
 
 def broadcast_join(ds, small, key: str, value_cols: list[str],
@@ -30,27 +23,32 @@ def broadcast_join(ds, small, key: str, value_cols: list[str],
     ``small``: pyarrow Table or Ray Dataset (materialized — it must be
     the SMALL side). ``key``: join column on ``ds``; ``small_key``: join
     column on the small side (defaults to ``key``). Unmatched rows get
-    nulls (left join semantics).
+    nulls (left join semantics). Duplicate small-side keys resolve to
+    the first occurrence.
+
+    The probe is Arrow-native: ``pc.index_in`` maps each batch key to
+    its small-side row (hash lookup in C), then one ``take`` per value
+    column — no per-row Python.
     """
     import ray
 
     if hasattr(small, "to_arrow_refs"):  # Ray Dataset → driver table
         small = pa.Table.from_pylist(small.take_all())
-    lookup_ref = ray.put(_lookup_dict(small, small_key or key, value_cols))
+    sk = small_key or key
+    small = small.combine_chunks()
+    small_ref = ray.put(small.select([sk] + list(value_cols)))
 
     class Enrich:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            t = ray.get(small_ref)
+            self.small_keys = t.column(sk).combine_chunks()
+            self.values = {c: t.column(c).combine_chunks() for c in value_cols}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column(key).to_pylist()
-            n_vals = len(value_cols)
-            missing = (None,) * n_vals
-            rows = [self.lookup.get(k, missing) for k in keys]
-            for ci, c in enumerate(value_cols):
-                batch = batch.append_column(
-                    c, pa.array([r[ci] for r in rows], type=small.schema.field(c).type)
-                )
+            # null index for unmatched keys → take yields null (left join)
+            idx = pc.index_in(batch.column(key), value_set=self.small_keys)
+            for c in value_cols:
+                batch = batch.append_column(c, pc.take(self.values[c], idx))
             return batch
 
     return ds.map_batches(Enrich, batch_format="pyarrow", concurrency=concurrency)

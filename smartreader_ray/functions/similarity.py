@@ -143,17 +143,27 @@ class _NearDupBrute:
         )
 
 
-def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool = False, hyperplanes: int = 16, seed: int = 42):
+def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool | None = None,
+                      hyperplanes: int = 16, seed: int = 42,
+                      brute_limit: int = 100_000,
+                      max_bucket: int = 4096):
     """Cosine near-dup pairs (vec_a < vec_b, sim ≥ threshold).
 
     Brute path: broadcast the (normalized) full matrix once via ray.put;
     each batch matmuls against it — O(N·B) per batch but zero shuffle.
-    LSH path (``use_lsh=True``): random-hyperplane signature → bucket
-    groupby → in-bucket pair check; only signatures shuffle. The LSH
-    path is the 100 TB answer (brute is quadratic in corpus size).
+    LSH path: random-hyperplane signature → bucket groupby → in-bucket
+    pair check; only signatures + embeddings of co-bucketed vectors
+    shuffle, and buckets over ``max_bucket`` are sub-split (skew guard).
+
+    ``use_lsh=None`` (default) auto-selects: corpora over ``brute_limit``
+    rows take the LSH path — brute is quadratic in corpus size and
+    materializes the full matrix, so it is only ever the small-N /
+    exact-oracle path.
     """
     import ray
 
+    if use_lsh is None:
+        use_lsh = ds.count() > brute_limit
     if not use_lsh:
         full = ds.select_columns(["vec_id", "embedding"]).take_all()
         ids = [r["vec_id"] for r in full]
@@ -191,20 +201,28 @@ def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool = False, hyperp
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        from .dedup import _capped_subgroups
+
         mat = _normalize(_embeddings_matrix(group))
         ids = group.column("vec_id").to_pylist()
-        sims = mat @ mat.T
+        bucket = group.column("bucket")[0].as_py() if group.num_rows else ""
         out_a, out_b, out_s = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a, b = ids[i], ids[j]
-                    if a > b:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(round(float(sims[i, j]), 6))
+        # sub-split oversized buckets: the sims matrix is O(n²) memory,
+        # so one hot bucket must never pair all-vs-all
+        for sub in _capped_subgroups(
+            list(range(len(ids))), max_bucket, bucket, key=lambda i: ids[i]
+        ):
+            idx = np.asarray(sub, dtype=np.int64)
+            sims = mat[idx] @ mat[idx].T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for si, sj in zip(ii, jj):
+                a, b = ids[idx[si]], ids[idx[sj]]
+                s = sims[si, sj]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(round(float(s), 6))
         return pa.Table.from_pydict(
             {
                 "vec_a": pa.array(out_a, type=pa.int64()),

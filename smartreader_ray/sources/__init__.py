@@ -41,7 +41,8 @@ def read_spans(path: str, **kwargs):
 def wrap_document_html(doc_id, text: str) -> str:
     """One <p> per document: extraction output becomes a closed-form
     function of ``text`` (title='Document {id}', text_content=text,
-    length=len(text), readerable ⇔ len>540)."""
+    length=len(text), readerable ⇔ len>240 — two readerability
+    contributors, <article> and <p>, each √(len−140), threshold 20)."""
     body = _html.escape(text, quote=False)
     return (
         f"<html><head><title>Document {doc_id}</title></head>"

@@ -91,6 +91,114 @@ class MediaDecodeStub:
         )
 
 
+# ---------------------------------------------------------------------------
+# data-URI image inlining (Image.cs:29-36, Article.cs:236-260)
+# ---------------------------------------------------------------------------
+#: extension (no dot, lowercase) → mime type; the reference delegates to
+#: the MimeTypeNames package — this is the image/video subset it resolves.
+MIME_FROM_EXTENSION = {
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+    "gif": "image/gif", "webp": "image/webp", "svg": "image/svg+xml",
+    "bmp": "image/bmp", "ico": "image/x-icon", "tif": "image/tiff",
+    "tiff": "image/tiff", "avif": "image/avif",
+    "mp4": "video/mp4", "webm": "video/webm", "ogv": "video/ogg",
+    "mp3": "audio/mpeg", "ogg": "audio/ogg", "wav": "audio/wav",
+}
+
+
+def convert_image_to_data_uri(path: str, data: bytes) -> str:
+    """`Image.ConvertImageToDataUri` parity (Image.cs:29-36): mime from
+    the path's last-dot extension, standard padded base64."""
+    import base64
+
+    dot = path.rfind(".")
+    ext = path[dot + 1 :].lower() if dot > 0 else ""
+    # strip URL query/fragment remnants ("logo.png?v=2")
+    ext = ext.split("?", 1)[0].split("#", 1)[0]
+    mime = MIME_FROM_EXTENSION.get(ext, "application/octet-stream")
+    return f"data:{mime};base64,{base64.b64encode(data).decode('ascii')}"
+
+
+def convert_images_to_data_uri(
+    content_html: str, fetch, min_size: int = 75000
+) -> tuple[str, int, int]:
+    """`Article.ConvertImagesToDataUriAsync` parity (Article.cs:236-260):
+    every ``<img src>`` whose payload exceeds ``min_size`` bytes gets its
+    src replaced by the data-URI form; smaller images are REMOVED; fetch
+    errors leave the img untouched (the reference's bare catch).
+
+    ``fetch(src) -> bytes`` replaces the network GET (out of scope here);
+    pipelines pass a payload-column resolver or the deterministic stub.
+    Returns (new_html, n_inlined, n_removed).
+    """
+    from urllib.parse import urlparse
+
+    from ..dom import parse_html
+    from ..dom.serialize import inner_html
+
+    doc = parse_html(content_html)
+    body = doc.body
+    if body is None:
+        return content_html, 0, 0
+    inlined = removed = 0
+    for img in list(body.get_elements_by_tag_name("img")):
+        src = img.get_attribute("src")
+        if not src or src.startswith("data:"):
+            continue
+        try:
+            data = fetch(src)
+            if data is None:
+                continue
+            if len(data) > min_size:
+                img.set_attribute(
+                    "src", convert_image_to_data_uri(urlparse(src).path, data)
+                )
+                inlined += 1
+            else:
+                img.remove()
+                removed += 1
+        except Exception:
+            continue
+    return inner_html(body), inlined, removed
+
+
+def _payload_stub(media_ref: str) -> bytes:
+    """Deterministic fake image bytes (size derived from the ref hash) —
+    stands in for the network GET the sandbox cannot do."""
+    digest = hashlib.sha256((media_ref or "").encode()).digest()
+    size = 1000 + int.from_bytes(digest[:4], "big") % 200_000
+    reps = -(-size // len(digest))
+    return (digest * reps)[:size]
+
+
+class ImageDataUriInliner:
+    """Actor-pool stage over extracted article rows: rewrite
+    ``content_html`` inlining images as data URIs (resolver-fed payloads,
+    default deterministic stub). Emits per-doc inline/remove counts."""
+
+    def __init__(self, resolver=None, min_size: int = 75000):
+        self.resolver = resolver or _payload_stub
+        self.min_size = min_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_html, out_inlined, out_removed = [], [], []
+        for html in batch.column("content_html").to_pylist():
+            new_html, n_in, n_rm = convert_images_to_data_uri(
+                html or "", self.resolver, self.min_size
+            )
+            out_html.append(new_html)
+            out_inlined.append(n_in)
+            out_removed.append(n_rm)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_html": pa.array(out_html, type=pa.string()),
+                "n_inlined": pa.array(out_inlined, type=pa.int64()),
+                "n_removed": pa.array(out_removed, type=pa.int64()),
+            }
+        )
+
+
 def media_spans_table(article_batch: pa.Table) -> pa.Table:
     """Explode extracted article rows into one row per media span —
     the hand-off from extraction output to media-processing stages."""

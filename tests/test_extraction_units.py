@@ -433,3 +433,55 @@ def test_custom_start_ops_persist_across_retry_rounds():
     assert a.attempts >= 2  # round 1 failed, a flag was relaxed
     assert "retrymarker" in a.text_content
     assert a.length > 500
+
+
+def test_logger_delegate_call_sites():
+    """LoggerDelegate parity (SmartReader.cs:122 + GrabArticle trace
+    sites): info-level messages fire only when debug/logging=='info';
+    issue-level sites (role removal, not-readable warning) always fire."""
+    from smartreader_ray.extraction import ExtractorConfig, parse_article
+
+    doc = (
+        "<html><body>"
+        '<div style="display:none">hidden stuff</div>'
+        '<div class="sidebar">unlikely sidebar content</div>'
+        '<nav role="navigation">site nav</nav>'
+        "<div><p>"
+        + "Real article prose, with commas, goes here and keeps going. " * 20
+        + "</p></div></body></html>"
+    )
+
+    # info level: the full trace fires
+    info_msgs = []
+    cfg = ExtractorConfig(logging="info", logger=info_msgs.append)
+    parse_article("https://localhost/", doc, cfg)
+    joined = "\n".join(info_msgs)
+    assert "**** grabArticle ****" in joined
+    assert "Starting grabArticle loop" in joined
+    assert "Removing hidden node - " in joined
+    assert "Removing unlikely candidate - sidebar" in joined
+    assert "Removing content with role navigation" in joined
+    assert "<h2>Article content pre-prep:</h2>" in joined
+    assert "<h2>Article content post-prep:</h2>" in joined
+    assert "<h2>Pre-GrabArticle:</h2>" in joined
+    assert "<h2>Grabbed:</h2>" in joined
+    assert "<h2>Post Process result:</h2>" in joined
+
+    # default (issue) level: only unguarded sites fire
+    issue_msgs = []
+    cfg2 = ExtractorConfig(logger=issue_msgs.append)
+    parse_article("https://localhost/", doc, cfg2)
+    joined2 = "\n".join(issue_msgs)
+    assert "Removing content with role navigation" in joined2
+    assert "grabArticle" not in joined2
+    assert "Removing hidden node" not in joined2
+
+    # not-readable warning is issue-level
+    warn_msgs = []
+    cfg3 = ExtractorConfig(logger=warn_msgs.append)
+    parse_article("https://localhost/", "<html><body><p>tiny</p></body></html>", cfg3)
+    assert any("probably not readable" in m for m in warn_msgs)
+
+    # no logger → no crash, debug off → zero overhead path
+    a = parse_article("https://localhost/", doc, ExtractorConfig())
+    assert a.completed

@@ -289,3 +289,186 @@ def test_broadcast_join(ray_session):
             assert r["name"] == "one" and r["w"] == 11.0
         else:  # unmatched → left-join nulls
             assert r["name"] is None and r["w"] is None
+
+
+def test_hash64_matches_scalar_fnv1a():
+    """The vectorized _hash64 must stay bit-identical to scalar FNV-1a —
+    minhash/simhash signatures (and their pinned tests) depend on it."""
+    import numpy as np
+
+    from smartreader_ray.functions.dedup import _hash64
+
+    def scalar(v: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in v.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    vals = ["", "a", "hello world", "日本語テキスト", "x" * 200, "word1 word2 word3"]
+    got = _hash64(vals)
+    assert got.dtype == np.uint64
+    assert [int(g) for g in got] == [scalar(v) for v in vals]
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(ray_session):
+    """Skew guard: a corpus where every doc lands in the same LSH buckets
+    (identical text) must produce a bounded pair count — O(n·cap), never
+    the quadratic C(n,2)."""
+    import ray.data
+
+    from smartreader_ray.functions import minhash_lsh_candidates
+
+    n, cap, bands = 600, 50, 16
+    docs = [{"doc_id": i, "text": "identical boilerplate page text " * 30}
+            for i in range(n)]
+    cands = minhash_lsh_candidates(
+        ray.data.from_items(docs), max_bucket=cap, bands=bands
+    )
+    n_pairs = cands.count()
+    # per band, emission ≤ ceil(n/cap)·C(cap,2) ≈ n·cap/2 (linear in n);
+    # the distinct union across bands is bounded by bands× that
+    assert 0 < n_pairs <= bands * n * cap // 2
+    assert n_pairs < n * (n - 1) // 2 // 3  # well under the quadratic
+
+
+def test_simhash_bucket_cap(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import simhash_neardup
+
+    n, cap = 400, 40
+    docs = [{"doc_id": i, "text": "same exact content repeated " * 20}
+            for i in range(n)]
+    pairs = simhash_neardup(ray.data.from_items(docs), max_bucket=cap)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= 4 * n * cap
+    assert n_pairs < n * (n - 1) // 2
+
+
+def test_minhash_dedup_distributed_verify_matches_broadcast(ray_session):
+    """Forcing the distributed verify join (broadcast_pair_limit=0) must
+    give the same verified pairs as the broadcast path."""
+    import ray.data
+
+    from smartreader_ray.functions import minhash_dedup
+
+    base = "token%d " * 60
+    near = base % tuple(range(60))
+    docs = [
+        {"doc_id": 1, "text": near},
+        {"doc_id": 2, "text": near.replace("token59", "token99")},
+        {"doc_id": 3, "text": near.replace("token0", "tokenX")},
+        {"doc_id": 4, "text": "completely different content here " * 12},
+    ]
+
+    def norm(rows):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"], r["is_dup"]) for r in rows
+        )
+
+    ds = ray.data.from_items(docs)
+    via_broadcast = norm(minhash_dedup(ds, threshold=0.5).take_all())
+    ds2 = ray.data.from_items(docs)
+    via_distributed = norm(
+        minhash_dedup(ds2, threshold=0.5, broadcast_pair_limit=0).take_all()
+    )
+    assert via_broadcast == via_distributed
+    assert len(via_broadcast) >= 1
+
+
+def test_minhash_dedup_empty_schema_follows_doc_id_type(ray_session):
+    """ADVICE r01: a string-keyed corpus with no candidates must return a
+    string-typed empty (doc_a, doc_b) — not hardcoded int64."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import minhash_dedup
+
+    docs = [
+        {"doc_id": "alpha", "text": "first entirely unique document body " * 8},
+        {"doc_id": "beta", "text": "second text with no overlap at all whatsoever " * 8},
+        {"doc_id": "gamma", "text": "third subject matter completely distinct again " * 8},
+    ]
+    out = minhash_dedup(ray.data.from_items(docs))
+    schema = out.schema()
+    types = dict(zip(schema.names, schema.types))
+    assert out.count() == 0
+    assert types["doc_a"] == pa.string()
+    assert types["doc_b"] == pa.string()
+
+
+def test_quality_stats_matches_scalar_reference():
+    """Vectorized quality_stats must agree with the straightforward
+    per-row Python definition on edge cases (empty, None, unicode,
+    punctuation, digits, stopwords)."""
+    import unicodedata
+
+    import numpy as np
+    import pyarrow as pa
+
+    from smartreader_ray.functions import quality_stats
+    from smartreader_ray.functions.textstats import _STOPWORDS
+
+    texts = [
+        "", "   ", "The quick, brown fox! It was 42 times faster...",
+        "no punct here at all", "...!!!", "The the THE of and 123 456",
+        "multi\nline\ttext with the stopwords for it",
+        "日本語、テキスト。punct mixed the", None, "a",
+    ]
+    batch = pa.table(
+        {"doc_id": list(range(len(texts))),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = quality_stats(batch).to_pydict()
+    en_stop = _STOPWORDS["en"]
+    for i, text in enumerate(texts):
+        t = text or ""
+        toks = t.split()
+        n = len(t)
+        punct = sum(1 for c in t if unicodedata.category(c).startswith("P"))
+        digit = sum(1 for c in t if c.isdigit())
+        assert got["n_chars"][i] == n
+        assert got["n_tokens"][i] == len(toks)
+        assert abs(got["punct_ratio"][i] - (punct / n if n else 0.0)) < 1e-12
+        assert abs(got["digit_ratio"][i] - (digit / n if n else 0.0)) < 1e-12
+        if toks:
+            assert abs(got["mean_token_len"][i]
+                       - sum(len(w) for w in toks) / len(toks)) < 1e-12
+            assert abs(got["stopword_ratio_en"][i]
+                       - sum(1 for w in toks if w.lower() in en_stop) / len(toks)) < 1e-12
+
+
+def test_doc_fingerprint_properties():
+    """Rolling-hash fingerprint: deterministic, whitespace/case
+    normalized, content-sensitive, rolling-composable."""
+    import numpy as np
+    import pyarrow as pa
+
+    from smartreader_ray.functions import doc_fingerprint
+    from smartreader_ray.functions.textstats import _FP_PRIME, _FP_SEED, _fp_powers
+
+    b = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["  The QUICK,  brown fox! ",
+                           "the quick, brown fox!",
+                           "the quick, brown fox?",
+                           ""]})
+    fp = doc_fingerprint(b).to_pydict()["fingerprint"]
+    assert fp == doc_fingerprint(b).to_pydict()["fingerprint"]  # deterministic
+    assert fp[0] == fp[1]      # normalization invariance
+    assert fp[1] != fp[2]      # sensitivity
+    assert fp[3] == int(_FP_SEED)  # empty → seed
+
+    # rolling property: fp(x+y) = fp(x)·p^len(y) + poly(y)  (mod 2^64)
+    x, y = "abcd", "efgh"
+    fx, fxy = (
+        doc_fingerprint(
+            pa.table({"doc_id": [0, 1], "text": [x, x + y]})
+        ).to_pydict()["fingerprint"]
+    )
+    pows = _fp_powers(len(y) + 1)
+    with np.errstate(over="ignore"):
+        poly_y = np.uint64(0)
+        for ch in y.encode():
+            poly_y = poly_y * _FP_PRIME + np.uint64(ch)
+        expect = np.uint64(fx) * pows[len(y)] + poly_y
+    assert fxy == int(expect)

@@ -334,3 +334,96 @@ def test_checkpoint_header_guards_resume(ray_session, tmp_path):
     ok = CheckpointedExtraction(out_dir, num_partitions=4, batch_size=4)
     ok.run_files(files)
     assert ok.pending_partitions() == []
+
+
+def test_convert_images_to_data_uri():
+    """BasicTests.cs:429-467 parity: big image inlined byte-exact, small
+    image removed."""
+    import base64
+
+    from smartreader_ray.stages.media import (
+        convert_image_to_data_uri,
+        convert_images_to_data_uri,
+    )
+
+    # byte-exact length check ported from TestConvertImagesAsDataURI:
+    # big_image.jpg is 429282 bytes → base64 572376 chars + 23-char
+    # "data:image/jpeg;base64," prefix = 572399; the reference asserts
+    # 572400 counting the opening quote of src="
+    big = bytes(range(256)) * 1676 + bytes(226)  # 429282 bytes
+    assert len(big) == 429282
+    uri = convert_image_to_data_uri("/big_image.jpg", big)
+    assert len(uri) == 572399
+    assert 1 + len(uri) == 572400
+    assert uri.startswith("data:image/jpeg;base64,")
+    assert uri == "data:image/jpeg;base64," + base64.b64encode(big).decode()
+
+    html = (
+        "<div><p>This is a paragraph with some text.</p>"
+        '<p>small <img src="https://localhost/small_image.png" alt="Nothing valuable"></p>'
+        '<p>big <img src="https://localhost/big_image.jpg" alt="Something very valuable"></p></div>'
+    )
+    payloads = {
+        "https://localhost/small_image.png": b"x" * 28834,
+        "https://localhost/big_image.jpg": big,
+    }
+    new_html, n_in, n_rm = convert_images_to_data_uri(html, payloads.__getitem__)
+    assert (n_in, n_rm) == (1, 1)
+    assert new_html.count("<img") == 1  # small one removed
+    assert "data:image/jpeg;base64," in new_html
+    assert "small_image.png" not in new_html
+
+    # fetch error leaves the img untouched (reference bare catch)
+    def broken(_):
+        raise OSError("no network")
+
+    unchanged, n_in2, n_rm2 = convert_images_to_data_uri(html, broken)
+    assert (n_in2, n_rm2) == (0, 0)
+    assert unchanged.count("<img") == 2
+
+
+def test_svg_data_uri_preserved_by_fix_relative_uris():
+    """BasicTests.cs:470-486 parity: a data: src must never be
+    absolutized against the page URI."""
+    from smartreader_ray.extraction import parse_article
+
+    svg = (
+        "data:image/svg+xml,%3C%3Fxml version='1.0' encoding='UTF-8'%3F%3E"
+        "%3Csvg xmlns='http://www.w3.org/2000/svg' width='1' height='1'/%3E"
+    )
+    doc = (
+        "<html><body><div><p>"
+        + "Plenty of real article prose, with commas, to extract. " * 20
+        + f'</p><p>inline vector <img src="{svg}"></p></div></body></html>'
+    )
+    a = parse_article("https://localhost/article", doc)
+    assert svg in a.content_html
+    assert "https://localhost/data:" not in a.content_html
+
+
+def test_image_data_uri_inliner_stage(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.media import ImageDataUriInliner
+
+    rows = pa.table(
+        {
+            "doc_id": ["d1", "d2"],
+            "content_html": [
+                '<div><p>text</p><img src="https://x/img-a.jpg"><img src="https://x/img-b.png"></div>',
+                "<div><p>no images at all</p></div>",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ray.data.from_arrow(rows)
+        .map_batches(ImageDataUriInliner, batch_format="pyarrow",
+                     concurrency=1, batch_size=8)
+        .take_all()
+    }
+    assert out["d1"]["n_inlined"] + out["d1"]["n_removed"] == 2
+    assert out["d2"]["n_inlined"] == 0 and out["d2"]["n_removed"] == 0
+    if out["d1"]["n_inlined"]:
+        assert "data:image/" in out["d1"]["content_html"]
