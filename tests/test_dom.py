@@ -116,3 +116,157 @@ def test_mutation_api():
     assert div.children[0].tag == "P"
     div.insert_before(span, p)
     assert [c.tag for c in div.children] == ["SPAN", "P"]
+
+
+# ---------------------------------------------------------------------------
+# fast-tokenizer differential parity vs stdlib html.parser
+# ---------------------------------------------------------------------------
+class _Rec:
+    """Records the handler-event stream (adjacent data merged — the tree
+    builder coalesces adjacent text nodes, so chunking is not observable)."""
+
+    from smartreader_ray.dom.parser import _CDATA_ELEMS as CDATA_CONTENT_ELEMENTS
+
+    def __init__(self):
+        self.events = []
+        self.cdata_elem = None
+
+    def handle_data(self, d):
+        if self.events and self.events[-1][0] == "data":
+            self.events[-1] = ("data", self.events[-1][1] + d)
+        else:
+            self.events.append(("data", d))
+
+    def handle_starttag(self, t, a):
+        self.events.append(("start", t, tuple(a)))
+
+    def handle_startendtag(self, t, a):
+        self.events.append(("startend", t, tuple(a)))
+
+    def handle_endtag(self, t):
+        self.events.append(("end", t))
+
+    def handle_comment(self, d):
+        self.events.append(("comment", d))
+
+    def handle_decl(self, d):
+        self.events.append(("decl", d))
+
+    def handle_pi(self, d):
+        self.events.append(("pi", d))
+
+    def unknown_decl(self, d):
+        self.events.append(("unknown", d))
+
+
+def _events_both(text):
+    from html.parser import HTMLParser
+
+    from smartreader_ray.dom.tokenizer import tokenize
+
+    class _StdRec(HTMLParser, _Rec):
+        CDATA_CONTENT_ELEMENTS = _Rec.CDATA_CONTENT_ELEMENTS
+
+        def __init__(self):
+            HTMLParser.__init__(self, convert_charrefs=True)
+            self.events = []
+
+        handle_data = _Rec.handle_data
+        handle_starttag = _Rec.handle_starttag
+        handle_startendtag = _Rec.handle_startendtag
+        handle_endtag = _Rec.handle_endtag
+        handle_comment = _Rec.handle_comment
+        handle_decl = _Rec.handle_decl
+        handle_pi = _Rec.handle_pi
+        unknown_decl = _Rec.unknown_decl
+
+    std = _StdRec()
+    std_exc = fast_exc = None
+    try:
+        std.feed(text)
+        std.close()
+    except Exception as e:
+        std_exc = type(e).__name__
+    fast = _Rec()
+    try:
+        tokenize(text, fast)
+    except Exception as e:
+        fast_exc = type(e).__name__
+    return (std.events, std_exc), (fast.events, fast_exc)
+
+
+_DIFF_SNIPPETS = [
+    "", "<", "a<", "<>", "< p>", "a < b > c",
+    "&amp; &notanentity; &#65; &#x41; &#xg;",
+    "<p", "<p ", "<p a", "<p a=", "<p a='x", '<p a="x', "<p a=x", "<p/",
+    "<p a=1 b='2' c=\"3\" d>", "<P A=B>", "<p a=b=c>", "<p 'weird'>",
+    "<p a = = b>", "<p/>x", "<br/>", "<input type=text/>",
+    "</p>", "</ p>", "</>", "</ >", "</123>", "</p attr='x'>", "</p", "</",
+    "<!-- comment -->", "<!-- unterminated", "<!--->", "<!---->",
+    "<!doctype html>", "<!doctype", "<!bogus stuff>", "<!bogus",
+    "<?php echo ?>", "<?pi", "<?>",
+    "<![CDATA[ stuff ]]>", "<![CDATA[ unterminated", "<![if !IE]>x<![endif]>",
+    "<![", "<![unknownkw]]>",
+    "<script>var a = '<p>not a tag</p>';</script>after",
+    "<script>unterminated...", "<script></SCRIPT >x",
+    "<style>a { content: '</'; }</style>", "<title>a &amp; b</title>",
+    "<textarea><p>raw</p></textarea>", "<noscript><img src=x></noscript>",
+    "<p>a&nbsp;b&NotAnEntity;c&#160;d</p>", "x &# y", "x &#12",
+    "<div class=foo id = bar >text</div>", "<a href='x'>link</a trailing>",
+    "<table><p>foster</p><tr><td>c</table>", "<em <strong>>weird</em>",
+    "text<\x00null>", "<p \x00attr=1>", "tag soup < 3 > 4 <5",
+    "<p title='multi\nline'>", '<p title="a&quot;b">',
+    "<!--[if IE]>cond<![endif]-->", "<script src='x'/>after",
+    "<iframe>raw <p> text</iframe>tail", "<xmp><p>raw</p></xmp>t",
+]
+
+
+def test_fast_tokenizer_differential_snippets():
+    for snip in _DIFF_SNIPPETS:
+        (se, sx), (fe, fx) = _events_both(snip)
+        assert sx == fx, f"exception mismatch on {snip!r}: {sx} vs {fx}"
+        if sx is None:
+            assert se == fe, f"event mismatch on {snip!r}"
+
+
+def test_fast_tokenizer_differential_fixtures():
+    from smartreader_ray.sources import fixture_names, fixture_spans_table
+    from smartreader_ray.spanio import assemble_html
+
+    names = fixture_names()[:15]
+    t = fixture_spans_table(names)
+    for doc_id, spans in zip(
+        t.column("doc_id").to_pylist(), t.column("spans").to_pylist()
+    ):
+        (se, sx), (fe, fx) = _events_both(assemble_html(spans))
+        assert sx is None and fx is None
+        assert se == fe, f"event mismatch on fixture {doc_id}"
+
+
+def test_fast_tokenizer_differential_fuzz():
+    import random
+
+    rng = random.Random(7)
+    templates = [
+        "<div id='a'><p>text &amp; more</p><script>x<y</script>"
+        "<!-- c --><table><tr><td>z</td></tr></table></div>",
+        "<title>t&amp;</title><textarea>&lt;raw</textarea><style>.a{}</style>",
+        "<!--c--><!doctype html><?pi?><![CDATA[x]]><!bogus><p>t</p>",
+    ]
+    chars = list("<>/!&;='\"-[] abcdeftps#x0123")
+    for trial in range(800):
+        s = list(rng.choice(templates))
+        for _ in range(rng.randint(1, 8)):
+            pos = rng.randrange(len(s)) if s else 0
+            op = rng.random()
+            if op < 0.4 and s:
+                s[pos] = rng.choice(chars)
+            elif op < 0.7:
+                s.insert(pos, rng.choice(chars))
+            elif s:
+                del s[pos]
+        text = "".join(s)
+        (se, sx), (fe, fx) = _events_both(text)
+        assert sx == fx, f"exception mismatch on fuzz input {text!r}"
+        if sx is None:
+            assert se == fe, f"event mismatch on fuzz input {text!r}"

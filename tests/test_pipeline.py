@@ -427,3 +427,59 @@ def test_image_data_uri_inliner_stage(ray_session):
     assert out["d2"]["n_inlined"] == 0 and out["d2"]["n_removed"] == 0
     if out["d1"]["n_inlined"]:
         assert "data:image/" in out["d1"]["content_html"]
+
+
+def test_decode_html_bytes_charset_paths():
+    """S3 charset transcode parity (SmartReader.cs:468-472,
+    HeaderEncodingProvider.cs:9-21): header forcing, BOM, UTF-8, header
+    fallback, meta sniff, latin-1 last resort."""
+    from smartreader_ray.sources import decode_html_bytes
+
+    text = "café città naïve"
+    # forced header encoding wins even over valid utf-8 bytes
+    forced = decode_html_bytes(
+        text.encode("utf-8"), "latin-1", force_header_encoding=True
+    )
+    assert forced == text.encode("utf-8").decode("latin-1")
+    # BOM
+    assert decode_html_bytes(b"\xef\xbb\xbf" + text.encode("utf-8")) == text
+    assert decode_html_bytes(
+        b"\xff\xfe" + text.encode("utf-16-le")) == text
+    # plain utf-8
+    assert decode_html_bytes(text.encode("utf-8")) == text
+    # not utf-8 → header charset
+    assert decode_html_bytes(text.encode("latin-1"), "latin-1") == text
+    # not utf-8, no header → meta sniff
+    doc = f'<html><head><meta charset="iso-8859-1"></head><body>{text}</body></html>'
+    assert text in decode_html_bytes(doc.encode("latin-1"))
+    doc2 = ('<html><head><meta http-equiv="Content-Type" '
+            f'content="text/html; charset=iso-8859-1"></head><body>{text}</body></html>')
+    assert text in decode_html_bytes(doc2.encode("latin-1"))
+    # garbage charset names never raise
+    assert decode_html_bytes(text.encode("latin-1"), "no-such-charset") == \
+        text.encode("latin-1").decode("latin-1")
+
+
+def test_extract_batch_decodes_byte_html(ray_session):
+    """Raw-byte html column + charset column flows through the extractor."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+
+    body = "Séance prose with accents, et plus encore. " * 15
+    html = f"<html><body><div><p>{body}</p></div></body></html>"
+    table = pa.table(
+        {
+            "doc_id": ["latin", "utf8"],
+            "html": pa.array(
+                [html.encode("latin-1"), html.encode("utf-8")], type=pa.binary()
+            ),
+            "charset": ["iso-8859-1", None],
+        }
+    )
+    out = build_extraction_pipeline(ray.data.from_arrow(table), batch_size=2)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert rows["latin"]["completed"] and rows["utf8"]["completed"]
+    assert "Séance" in rows["latin"]["text_content"]
+    assert "Séance" in rows["utf8"]["text_content"]
