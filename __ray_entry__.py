@@ -209,6 +209,27 @@ def _q_ann_ivf(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def _q_ann_ivf_bucketed(sf_dir: str):
+    """IVF bucketed LAYOUT: corpus written partitioned by centroid, search
+    lists only probed buckets' files (IO pruning, the 100 TB path). Run
+    at nprobe=n_clusters so results are exact → same oracle as ann_topk."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from smartreader_ray.functions import ann_ivf_bucketed, ivf_build_index
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    index_dir = os.path.join(
+        "/tmp", "smartreader_ivf_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ivf_build_index(ds, index_dir, n_clusters=8)
+    table = ann_ivf_bucketed(index_dir, _query_matrix(sf_dir), k=10, nprobe=8)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
 def _q_simhash(sf_dir: str):
     from smartreader_ray.functions import simhash_neardup
 
@@ -438,6 +459,46 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+def _q_pdf_extract(sf_dir: str):
+    """North-rule "PDF/layout parse" leg: synthesize a deterministic PDF
+    per document (make_simple_pdf over the documents table — no external
+    corpus), extract with the from-scratch PdfTextExtract stage, and
+    return (doc_id, text). The oracle is exact: extraction must
+    round-trip the source text."""
+    import pyarrow as pa
+
+    from smartreader_ray.stages.pdf import PdfTextExtract, make_simple_pdf
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pdf": pa.array(
+                    [make_simple_pdf(t or "") for t in batch.column("text").to_pylist()],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "text": batch.column("text"),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(to_pdf, batch_format="pyarrow")
+        .map_batches(PdfTextExtract, batch_format="pyarrow",
+                     concurrency=(1, 8), batch_size=64)
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def _q_media_data_uri(sf_dir: str):
     """Data-URI image inlining (Image.cs:29-36, Article.cs:236-260) over
     extracted fixture articles; payloads come from the deterministic
@@ -479,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": _q_simhash,
         "ann_topk": _q_ann,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_bucketed": _q_ann_ivf_bucketed,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -487,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "media_meta": _q_media_meta,
         "media_data_uri": _q_media_data_uri,
+        "pdf_extract": _q_pdf_extract,
     }
 
 
@@ -512,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_text": """
             SELECT doc_id, text AS text_content, text AS excerpt FROM documents
+        """,
+        "pdf_extract": """
+            SELECT doc_id, text FROM documents
         """,
         "corpus_metrics": """
             SELECT CAST(COUNT(*) AS BIGINT) AS docs,
@@ -553,6 +619,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rank <= 10
+        """,
+        "ann_ivf_bucketed": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5)
             SELECT query_id, vec_id, rank FROM (

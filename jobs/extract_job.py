@@ -40,6 +40,12 @@ def main(argv=None) -> int:
                     help="per-document wall-clock budget (0 = unbounded)")
     ap.add_argument("--max-partitions", type=int, default=None,
                     help="stop after N partitions (testing)")
+    ap.add_argument("--mode", choices=("auto", "files", "hash"), default="auto",
+                    help="partitioning: 'files' slices the input file listing "
+                         "(each wave reads ONLY its slice — the at-scale mode); "
+                         "'hash' filters each wave by doc_id hash (K full "
+                         "scans); 'auto' picks files for a directory of "
+                         "parquet shards, hash otherwise")
     args = ap.parse_args(argv)
 
     import ray
@@ -63,7 +69,24 @@ def main(argv=None) -> int:
         f"{args.num_partitions - len(pending)} committed, {len(pending)} pending",
         file=sys.stderr,
     )
-    summary = job.run(lambda: read_spans(args.input), max_partitions=args.max_partitions)
+    import glob
+
+    input_files = None
+    if args.mode in ("auto", "files"):
+        if os.path.isdir(args.input) and not os.path.isdir(
+            os.path.join(args.input, "_versions")  # lance layout → hash mode
+        ):
+            input_files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        elif args.mode == "files" and os.path.isfile(args.input):
+            input_files = [args.input]
+        if args.mode == "files" and not input_files:
+            ap.error(f"--mode files: no parquet files found under {args.input}")
+    if input_files:
+        summary = job.run_files(input_files, max_partitions=args.max_partitions)
+    else:
+        summary = job.run(
+            lambda: read_spans(args.input), max_partitions=args.max_partitions
+        )
     print(json.dumps(summary))
     ray.shutdown()
     return 0

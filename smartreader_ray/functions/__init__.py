@@ -17,7 +17,14 @@ from .dedup import (
     verify_candidate_pairs_distributed,
 )
 from .join import broadcast_join
-from .similarity import ann_ivf, ann_topk, embedding_neardup, kmeans_centroids
+from .similarity import (
+    ann_ivf,
+    ann_ivf_bucketed,
+    ann_topk,
+    embedding_neardup,
+    ivf_build_index,
+    kmeans_centroids,
+)
 from .topk import top_k
 from .textstats import (
     doc_fingerprint,
@@ -28,6 +35,8 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "ann_ivf_bucketed",
+    "ivf_build_index",
     "verify_candidate_pairs_distributed",
     "minhash_lsh_candidates",
     "ngram_jaccard",

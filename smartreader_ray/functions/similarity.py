@@ -236,6 +236,151 @@ def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool | None = None,
 
 
 # ---------------------------------------------------------------------------
+# IVF bucketed LAYOUT: cluster-partitioned storage so unprobed buckets
+# are never READ (ann_ivf prunes compute only; this prunes IO — the
+# actual 100 TB win)
+# ---------------------------------------------------------------------------
+def ivf_build_index(ds, index_dir: str, n_clusters: int = 16,
+                    train_sample: int = 2048, seed: int = 0) -> np.ndarray:
+    """Write the embedding corpus PARTITIONED BY nearest centroid:
+    ``index_dir/centroids.npy`` + ``index_dir/cluster=K/*.parquet``.
+
+    Search then lists only the probed clusters' files — at scale the
+    unprobed (1 − nprobe/n_clusters) of the corpus never leaves storage.
+    Centroids train on a driver-side sample (small by construction);
+    assignment is a broadcast-centroid ``map_batches``; the partitioned
+    write is Ray's own ``partition_cols``. Returns the centroid matrix.
+    """
+    import os
+
+    import ray
+
+    sample_rows = ds.select_columns(["embedding"]).limit(train_sample).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+    centroids_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(centroids_ref)
+        mat = _normalize(_embeddings_matrix(batch))
+        cluster = np.argmax(mat @ C.T, axis=1).astype(np.int64)
+        arr = pa.array(cluster, type=pa.int64())
+        # `cluster` becomes the directory partition (dropped from file
+        # contents by the hive write); `cl` keeps the value in-data so
+        # an explicit-file-list read needs no partition inference
+        return batch.append_column("cluster", arr).append_column("cl", arr)
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cluster"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ann_ivf_bucketed(index_dir: str, query_matrix: np.ndarray, k: int = 10,
+                     nprobe: int = 4, round_to: int = 6):
+    """Top-k search over an ``ivf_build_index`` layout, reading ONLY the
+    probed clusters' parquet files. ``nprobe == n_clusters`` degenerates
+    to exact brute force (every bucket read) — the oracle path."""
+    import glob
+    import os
+
+    import ray
+    import ray.data
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    queries = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    nprobe = min(nprobe, centroids.shape[0])
+    probed = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    clusters = sorted(set(int(c) for row in probed for c in row))
+    files = [
+        f
+        for c in clusters
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet")))
+    ]
+    if not files:
+        return pa.Table.from_pydict(
+            {"query_id": pa.array([], type=pa.int64()),
+             "vec_id": pa.array([], type=pa.int64()),
+             "sim": pa.array([], type=pa.float64()),
+             "rank": pa.array([], type=pa.int64())}
+        )
+    ds = ray.data.read_parquet(files)
+    queries_ref = ray.put(queries)
+    probed_ref = ray.put(probed)
+
+    class _BucketPartial:
+        def __init__(self):
+            self.queries = ray.get(queries_ref)
+            self.probed = ray.get(probed_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_embeddings_matrix(batch))
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            cl = batch.column("cl").to_numpy(zero_copy_only=False).astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self.queries.shape[0]):
+                mask = np.isin(cl, self.probed[qi])
+                if not mask.any():
+                    continue
+                row = self.queries[qi] @ mat[mask].T
+                ids = vec_ids[mask]
+                kk = min(k, len(row))
+                idx = (np.argpartition(-row, kk - 1)[:kk]
+                       if kk < len(row) else np.arange(len(row)))
+                for i in idx:
+                    out_q.append(qi)
+                    out_v.append(int(ids[i]))
+                    out_s.append(float(row[i]))
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "sim": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(_BucketPartial, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    return _merge_topk_partials(partials, k, round_to)
+
+
+def _merge_topk_partials(partials, k: int, round_to: int) -> pa.Table:
+    """Tiny driver-side heap merge of per-block partial top-k rows
+    (shared by ann_topk / ann_ivf / ann_ivf_bucketed)."""
+    heaps: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for q, v, s in zip(
+            batch.column("query_id").to_pylist(),
+            batch.column("vec_id").to_pylist(),
+            batch.column("sim").to_pylist(),
+        ):
+            heap = heaps.setdefault(q, [])
+            item = (s, -v)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for q in sorted(heaps):
+        ranked = sorted(heaps[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negv) in enumerate(ranked, start=1):
+            out_q.append(q)
+            out_v.append(-negv)
+            out_s.append(round(s, round_to))
+            out_r.append(rank)
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the bucketed scale path for top-k search
 # ---------------------------------------------------------------------------
 def kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,

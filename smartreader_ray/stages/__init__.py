@@ -1,4 +1,5 @@
-"""Ray Data batch stages: the extractor actor, size probe, metrics fold."""
+"""Ray Data batch stages: the extractor actor, size probe, metrics fold,
+PDF text extraction, media decode / data-URI inlining."""
 
 from .extract import (
     ARTICLE_SCHEMA,
@@ -7,6 +8,7 @@ from .extract import (
     article_to_row,
     rows_to_table,
 )
+from .pdf import PdfTextExtract, make_simple_pdf, pdf_to_text
 
 __all__ = [
     "ARTICLE_SCHEMA",
@@ -14,4 +16,7 @@ __all__ = [
     "SizeProbe",
     "article_to_row",
     "rows_to_table",
+    "PdfTextExtract",
+    "make_simple_pdf",
+    "pdf_to_text",
 ]

@@ -472,3 +472,51 @@ def test_doc_fingerprint_properties():
             poly_y = poly_y * _FP_PRIME + np.uint64(ch)
         expect = np.uint64(fx) * pows[len(y)] + poly_y
     assert fxy == int(expect)
+
+
+def test_ivf_bucketed_layout(ray_session, tmp_path):
+    """Cluster-partitioned index: search reads ONLY probed buckets'
+    files; nprobe=n_clusters degenerates to exact brute force."""
+    import glob
+    import os
+
+    import ray.data
+
+    from smartreader_ray.functions import ann_ivf_bucketed, ann_topk, ivf_build_index
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(120, 12)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(120), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    index_dir = str(tmp_path / "ivf")
+    ivf_build_index(ray.data.from_arrow(table), index_dir, n_clusters=6)
+
+    # layout: one directory per cluster, centroids stored
+    dirs = sorted(glob.glob(os.path.join(index_dir, "cluster=*")))
+    assert 1 < len(dirs) <= 6
+    assert os.path.exists(os.path.join(index_dir, "centroids.npy"))
+
+    queries = mat[:3].astype(np.float64)
+    # full probe == exact: matches brute-force ann_topk
+    exact = ann_topk(ray.data.from_arrow(table), queries, k=5)
+    full = ann_ivf_bucketed(index_dir, queries, k=5, nprobe=6)
+    assert full.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+    assert full.column("rank").to_pylist() == exact.column("rank").to_pylist()
+
+    # nprobe=1 recalls each query's own vector (it sits in the probed
+    # bucket by construction)
+    pruned = ann_ivf_bucketed(index_dir, queries, k=5, nprobe=1)
+    got = {
+        (q, v)
+        for q, v in zip(
+            pruned.column("query_id").to_pylist(), pruned.column("vec_id").to_pylist()
+        )
+    }
+    for qi in range(3):
+        assert (qi, qi) in got

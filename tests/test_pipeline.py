@@ -483,3 +483,74 @@ def test_extract_batch_decodes_byte_html(ray_session):
     assert rows["latin"]["completed"] and rows["utf8"]["completed"]
     assert "Séance" in rows["latin"]["text_content"]
     assert "Séance" in rows["utf8"]["text_content"]
+
+
+def test_pdf_text_roundtrip():
+    """From-scratch PDF extractor: text round-trips through the
+    deterministic generator for plain and FlateDecode streams."""
+    from smartreader_ray.stages.pdf import make_simple_pdf, pdf_to_text
+
+    cases = [
+        "Hello, PDF world!",
+        "Line one\nLine two\nLine three",
+        "Parens (and) backslash \\ escapes",
+        "",
+        "special chars: 50% #1 <tag> & café",  # latin-1 range
+    ]
+    for text in cases:
+        for compress in (True, False):
+            assert pdf_to_text(make_simple_pdf(text, compress=compress)) == text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PDF"):
+        pdf_to_text(b"plain bytes")
+    with _pytest.raises(ValueError, match="encrypted"):
+        pdf_to_text(b"%PDF-1.4 /Encrypt 1 0 R")
+
+
+def test_pdf_tj_array_and_hex_strings():
+    """TJ arrays (kerned text) and hex strings decode too."""
+    import zlib
+
+    from smartreader_ray.stages.pdf import pdf_to_text
+
+    content = b"BT [(Kerned) -20 ( text)] TJ T* <48656C6C6F> Tj ET"
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    assert pdf_to_text(pdf) == "Kerned text\nHello"
+
+
+def test_pdf_extract_stage(ray_session):
+    """Ray actor-pool stage: per-file failures become error rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.pdf import PdfTextExtract, make_simple_pdf
+
+    rows = pa.table(
+        {
+            "doc_id": ["ok", "broken", "encrypted"],
+            "pdf": pa.array(
+                [
+                    make_simple_pdf("good document text"),
+                    b"garbage not a pdf",
+                    b"%PDF-1.4 /Encrypt x",
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ray.data.from_arrow(rows)
+        .map_batches(PdfTextExtract, batch_format="pyarrow", concurrency=1)
+        .take_all()
+    }
+    assert out["ok"]["text"] == "good document text"
+    assert out["ok"]["error"] == ""
+    assert "ValueError" in out["broken"]["error"]
+    assert "encrypted" in out["encrypted"]["error"]
+    assert out["broken"]["text"] == "" and out["encrypted"]["text"] == ""
