@@ -422,6 +422,32 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity) over the events
+    stream — the engine's windowed-aggregate custom operator; one
+    user_id-keyed shuffle, vectorized per-group kernel."""
+    import os
+
+    import ray.data
+
+    from smartreader_ray.functions import sessionize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ds, gap_s=1800.0)
+
+
+def _q_window_agg(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (partial-combined)."""
+    import os
+
+    import ray.data
+
+    from smartreader_ray.functions import tumbling_window
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return tumbling_window(ds, window_s=3600.0)
+
+
 def _q_extract_fixtures(sf_dir: str):
     """Real-HTML extraction over a fixture subset (sf-independent)."""
     import pyarrow as pa
@@ -546,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "top_orders": _q_top_orders,
         "events_by_type": _q_events_by_type,
+        "sessionize": _q_sessionize,
+        "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "media_meta": _q_media_meta,
         "media_data_uri": _q_media_data_uri,
@@ -677,6 +705,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "window_agg": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH marks AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), nums AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marks
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS t_start, MAX(ts) AS t_end,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM nums GROUP BY user_id, session_id
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

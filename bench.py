@@ -171,7 +171,8 @@ def run_main() -> dict:
         "exact_dedup", "minhash_candidates", "minhash_dedup", "simhash_neardup",
         "token_stats", "ann_topk", "ann_ivf", "embed_neardup",
         "lineitem_pricing", "top_orders", "orders_by_nation",
-        "events_by_type", "language_id",
+        "events_by_type", "language_id", "sessionize", "window_agg",
+        "pdf_extract", "ann_ivf_bucketed",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

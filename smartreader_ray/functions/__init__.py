@@ -26,6 +26,7 @@ from .similarity import (
     kmeans_centroids,
 )
 from .topk import top_k
+from .windows import sessionize, tumbling_window
 from .textstats import (
     doc_fingerprint,
     language_id,
@@ -35,6 +36,8 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "sessionize",
+    "tumbling_window",
     "ann_ivf_bucketed",
     "ivf_build_index",
     "verify_candidate_pairs_distributed",

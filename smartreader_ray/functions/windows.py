@@ -1,0 +1,141 @@
+"""Windowed / sessionized aggregates over event streams.
+
+The reference has no streaming or windowing (strictly per-document);
+these are engine operators for the corpus side (SURVEY §2.7): the
+classic gap-based sessionization every behavioral/training-data
+pipeline needs.
+
+Partitioning assumption: one shuffle keyed by ``user_id`` co-locates
+each user's events; per-user event counts are assumed bounded (a bot
+user with millions of events would make a straggler group — cap with
+``max_events_per_user`` which keeps the EARLIEST events and logs, the
+same skew-guard philosophy as the LSH bucket caps).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+
+_LOG = logging.getLogger(__name__)
+
+
+def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               order_col: str = "event_id",
+               max_events_per_user: int = 1_000_000):
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_s`` seconds.
+
+    Returns one row per (user, session): ``user_id, session_id`` (1-based
+    ordinal within user, by time), ``n_events, t_start, t_end,
+    total_value`` (rounded to cents — float sum order differs between
+    engines). Events ordered by (ts, order_col) for deterministic ties.
+
+    Ray shape: one column-pruned shuffle on ``user_id`` then a
+    vectorized per-group kernel (sort → diff → cumsum) — no driver-side
+    state, no per-row Python loops.
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], group.schema.field(user_col).type),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "t_start": pa.array([], group.schema.field(ts_col).type),
+                    "t_end": pa.array([], group.schema.field(ts_col).type),
+                    "total_value": pa.array([], type=pa.float64()),
+                }
+            )
+        ts_type = group.schema.field(ts_col).type
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)  # datetime64
+        order = group.column(order_col).to_numpy(zero_copy_only=False)
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((order, ts))
+        if n > max_events_per_user:
+            _LOG.warning(
+                "sessionize: user %s has %d events, capping at %d (earliest kept)",
+                group.column(user_col)[0].as_py(), n, max_events_per_user,
+            )
+            idx = idx[:max_events_per_user]
+            n = max_events_per_user
+        ts_s = ts[idx].astype("datetime64[us]").astype(np.int64) / 1e6
+        gaps = np.diff(ts_s, prepend=ts_s[0] - (gap_s + 1.0))
+        new_session = gaps > gap_s
+        session_ids = np.cumsum(new_session)  # 1-based ordinals
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], n)
+        vals_sorted = vals[idx]
+        cum = np.concatenate(([0.0], np.cumsum(vals_sorted)))
+        totals = cum[ends] - cum[starts]
+        counts = (ends - starts).astype(np.int64)
+        user = group.column(user_col)[0]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [user.as_py()] * len(starts),
+                    type=group.schema.field(user_col).type,
+                ),
+                "session_id": pa.array(session_ids[starts], type=pa.int64()),
+                "n_events": pa.array(counts, type=pa.int64()),
+                "t_start": pa.array(ts[idx][starts], type=ts_type),
+                "t_end": pa.array(ts[idx][ends - 1], type=ts_type),
+                "total_value": pa.array(np.round(totals, 2), type=pa.float64()),
+            }
+        )
+
+    pruned = ds.select_columns([user_col, ts_col, value_col, order_col])
+    return pruned.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def tumbling_window(ds, window_s: float = 3600.0, ts_col: str = "ts",
+                    key_col: str = "event_type", value_col: str = "value"):
+    """Fixed (tumbling) time-window aggregate per key: one row per
+    (key, window_start) with ``n_events`` and cent-rounded ``sum_value``.
+
+    Shape: per-batch partial combine (Arrow ``group_by`` inside
+    ``map_batches``) so the shuffle ships one row per (block, key,
+    window), then a small global groupby — the same
+    pre-aggregate-before-exchange pattern as the TPC-H rollups.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column(ts_col), unit="second",
+                                multiple=int(window_s))
+        t = pa.Table.from_pydict(
+            {
+                key_col: batch.column(key_col),
+                "window_start": win,
+                value_col: batch.column(value_col),
+            }
+        )
+        return (
+            t.group_by([key_col, "window_start"])
+            .aggregate([(value_col, "sum"), (value_col, "count")])
+            .rename_columns([key_col, "window_start", "part_sum", "part_n"])
+        )
+
+    agg = (
+        ds.select_columns([key_col, ts_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("part_sum", alias_name="sum_value"),
+            Sum("part_n", alias_name="n_events"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(
+            i, "sum_value", pc.round(batch.column("sum_value"), 2)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -520,3 +520,43 @@ def test_ivf_bucketed_layout(ray_session, tmp_path):
     }
     for qi in range(3):
         assert (qi, qi) in got
+
+
+def test_sessionize(ray_session):
+    """Gap-based sessions: boundaries at gaps > gap_s, per-session
+    aggregates, deterministic ordering, skew cap."""
+    from datetime import datetime, timedelta
+
+    import ray.data
+
+    from smartreader_ray.functions import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: three events close together, a 2h gap, two more
+    for i, offset_min in enumerate([0, 5, 10, 130, 140]):
+        rows.append({"event_id": i, "user_id": 1,
+                     "ts": t0 + timedelta(minutes=offset_min), "value": 10.0})
+    # user 2: single event
+    rows.append({"event_id": 99, "user_id": 2, "ts": t0, "value": 1.5})
+    out = sessionize(
+        ray.data.from_items(rows), gap_s=1800.0
+    ).take_all()
+    by_key = {(r["user_id"], r["session_id"]): r for r in out}
+    assert set(by_key) == {(1, 1), (1, 2), (2, 1)}
+    assert by_key[(1, 1)]["n_events"] == 3
+    assert by_key[(1, 1)]["total_value"] == 30.0
+    assert by_key[(1, 2)]["n_events"] == 2
+    assert by_key[(2, 1)]["n_events"] == 1
+    s1 = by_key[(1, 1)]
+    assert s1["t_start"] == t0 and s1["t_end"] == t0 + timedelta(minutes=10)
+
+    # skew cap keeps earliest events and still yields sessions
+    big = [{"event_id": i, "user_id": 7,
+            "ts": t0 + timedelta(seconds=i), "value": 1.0}
+           for i in range(500)]
+    capped = sessionize(
+        ray.data.from_items(big), gap_s=1800.0, max_events_per_user=100
+    ).take_all()
+    assert len(capped) == 1
+    assert capped[0]["n_events"] == 100
