@@ -136,6 +136,15 @@ class LanguageId:
     Heuristic analogue of the reference's optional FastText stage
     (``SmartReader.NaturalLanguageProcessing/NLP.cs:16-32``) — same
     pipeline position (separate actor-pool map_batches), stdlib model.
+
+    COVERAGE CAVEAT: this stopword heuristic distinguishes 7 Latin-script
+    languages (en/de/fr/es/it/pt/nl) and returns "und" otherwise; the
+    reference's FastText model covers 170+. It is a sandbox substitute
+    (no model download available) — swap ``predict`` for a real model on
+    a connected cluster. ``lang_score`` is the matched-stopword fraction
+    of the first 400 tokens (0..1, monotone in evidence, NOT a calibrated
+    probability); the 0.02 acceptance threshold was tuned on the fixture
+    corpus to avoid false positives on short texts.
     """
 
     def __init__(self):
