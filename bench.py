@@ -41,6 +41,8 @@ def _quiet_ray_data_warnings() -> None:
     clean so real warnings stand out."""
     import logging
 
+    import ray.data  # noqa: F401 — its dictConfig must run BEFORE setLevel
+
     for name in (
         "ray.data._internal.execution.streaming_executor_state",
         "ray.data._internal.arrow_ops.transform_pyarrow",
@@ -172,7 +174,8 @@ def run_main() -> dict:
         "token_stats", "ann_topk", "ann_ivf", "embed_neardup",
         "lineitem_pricing", "top_orders", "orders_by_nation",
         "events_by_type", "language_id", "sessionize", "window_agg",
-        "pdf_extract", "ann_ivf_bucketed",
+        "pdf_extract", "ann_ivf_bucketed", "embed_neardup_lsh",
+        "quality_stats", "doc_fingerprint",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -42,6 +42,28 @@ def read_spans(path: str, **kwargs):
     return ray.data.read_parquet(path, **kwargs)
 
 
+def write_spans(ds, path: str, **kwargs) -> str:
+    """Write a span/article Dataset: Lance when the writer exists in this
+    environment, else partitioned parquet (same logical table either
+    way — the north rule's storage is Lance; parquet is the sandbox
+    stand-in). Returns the format actually used."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    if path.endswith(".lance"):
+        try:
+            ds.write_lance(path, **kwargs)
+            log.info("write_spans: lance path for %s", path)
+            return "lance"
+        except (AttributeError, ImportError) as exc:
+            log.warning(
+                "write_spans: lance unavailable (%s: %s) — writing parquet "
+                "under %s", type(exc).__name__, exc, path,
+            )
+    ds.write_parquet(path, **kwargs)
+    return "parquet"
+
+
 # ---------------------------------------------------------------------------
 # charset decode (S3 — SmartReader.cs:468-472, HeaderEncodingProvider.cs:9-21)
 # ---------------------------------------------------------------------------
