@@ -152,6 +152,15 @@ def _q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """GPT-2-style pre-tokenizer counts (LLM-budget estimator); the
+    stdlib-re pattern uses lookahead RE2 lacks → rows-only check, unit
+    tests pin the counts."""
+    from smartreader_ray.functions import bpe_token_stats
+
+    return _docs(sf_dir).map_batches(bpe_token_stats, batch_format="pyarrow")
+
+
 def _q_quality(sf_dir: str):
     from smartreader_ray.functions import quality_stats
 
@@ -184,6 +193,23 @@ def _q_fingerprint(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def _q_fingerprint_dedup(sf_dir: str):
+    """Exact dedup keyed on the rolling-hash fingerprint; the oracle
+    groups by the normalized text itself (equivalent modulo 64-bit
+    collisions, none at sf scale). Project away the engine-side hash so
+    both sides expose (keep_doc_id, n_dups)."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions import fingerprint_dedup
+
+    out = fingerprint_dedup(_docs(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["keep_doc_id", "n_dups"])
+
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def _q_minhash(sf_dir: str):
@@ -557,10 +583,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "corpus_metrics": _q_corpus_metrics,
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_tokens,
         "quality_stats": _q_quality,
         "exact_dedup": _q_exact_dedup,
         "language_id": _q_language_id,
         "doc_fingerprint": _q_fingerprint,
+        "fingerprint_dedup": _q_fingerprint_dedup,
         "minhash_candidates": _q_minhash,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_neardup": _q_simhash,
@@ -639,6 +667,12 @@ def oracle_sql() -> dict[str, str]:
                                            x -> list_contains([{_EN_STOP}], x))) AS DOUBLE)
                      / length(string_split_regex(trim(text), '\\s+')) AS stopword_ratio_en
             FROM documents
+        """,
+        "fingerprint_dedup": """
+            SELECT MIN(doc_id) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents
+            GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
         """,
         "exact_dedup": """
             SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:5], ' ') AS dup_key,

@@ -8,6 +8,7 @@ small sides with ray.put; vectorize with numpy/pyarrow.compute.
 
 from .dedup import (
     exact_dedup,
+    fingerprint_dedup,
     minhash_dedup,
     minhash_lsh_candidates,
     ngram_jaccard,
@@ -28,6 +29,7 @@ from .similarity import (
 from .topk import top_k
 from .windows import sessionize, tumbling_window
 from .textstats import (
+    bpe_token_stats,
     doc_fingerprint,
     language_id,
     quality_stats,
@@ -36,6 +38,8 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "bpe_token_stats",
+    "fingerprint_dedup",
     "sessionize",
     "tumbling_window",
     "ann_ivf_bucketed",

@@ -111,6 +111,30 @@ def dedup_key_batch(batch: pa.Table, key_tokens: int = 5) -> pa.Table:
     return batch.append_column("dup_key", pa.array(keys, type=pa.string()))
 
 
+def fingerprint_dedup(ds):
+    """Exact full-content dedup keyed on the 64-bit rolling-hash
+    fingerprint (``textstats.doc_fingerprint`` — whitespace/case
+    normalized): representative (min doc_id) + group size per distinct
+    content.
+
+    Only (fingerprint, doc_id) shuffles — never the texts; Min/Count
+    pre-combine per block before the exchange. Equivalent to grouping by
+    the normalized text itself, modulo 64-bit collisions (≈ n²/2⁶⁵ —
+    negligible below ~10⁸ distinct docs; above that, widen the hash or
+    re-verify groups)."""
+    from ray.data.aggregate import Count, Min
+
+    from .textstats import doc_fingerprint
+
+    keyed = ds.select_columns(["doc_id", "text"]).map_batches(
+        doc_fingerprint, batch_format="pyarrow"
+    )
+    return keyed.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dups"),
+    )
+
+
 def exact_dedup(ds, key_tokens: int = 5):
     """Representative (min doc_id) + group size per dedup key.
 

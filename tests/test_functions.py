@@ -560,3 +560,37 @@ def test_sessionize(ray_session):
     ).take_all()
     assert len(capped) == 1
     assert capped[0]["n_events"] == 100
+
+
+def test_fingerprint_dedup(ray_session):
+    """Full-content dedup on the rolling-hash fingerprint: whitespace/
+    case-normalized duplicates collapse, distinct content survives."""
+    import ray.data
+
+    from smartreader_ray.functions import fingerprint_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "The quick brown fox jumps over the dog."},
+        {"doc_id": 2, "text": "  the QUICK  brown fox jumps over the dog. "},
+        {"doc_id": 3, "text": "The quick brown fox jumps over the dog."},
+        {"doc_id": 4, "text": "entirely different content here"},
+    ]
+    out = fingerprint_dedup(ray.data.from_items(docs)).take_all()
+    groups = {r["keep_doc_id"]: r["n_dups"] for r in out}
+    assert groups == {1: 3, 4: 1}
+
+
+def test_bpe_token_stats():
+    import pyarrow as pa
+
+    from smartreader_ray.functions import bpe_token_stats
+
+    texts = [
+        "Hello world",            # ["Hello", " world"] = 2
+        "it's 2024, really!",     # it + 's + " 2024" + "," + " really" + "!" = 6
+        "",                       # 0
+        "one",                    # 1
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = bpe_token_stats(batch)
+    assert out.column("n_bpe_tokens").to_pylist() == [2, 6, 0, 1]
