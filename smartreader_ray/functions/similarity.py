@@ -165,11 +165,24 @@ def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool | None = None,
     if use_lsh is None:
         use_lsh = ds.count() > brute_limit
     if not use_lsh:
-        full = ds.select_columns(["vec_id", "embedding"]).take_all()
-        ids = [r["vec_id"] for r in full]
-        mat = np.asarray([r["embedding"] for r in full], dtype=np.float64)
+        # bounded by brute_limit (auto path): build the broadcast matrix
+        # from Arrow blocks directly — no per-row Python dicts
+        ids_parts, mat_parts = [], []
+        for batch in ds.select_columns(["vec_id", "embedding"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            if batch.num_rows:
+                ids_parts.append(
+                    batch.column("vec_id").to_numpy(zero_copy_only=False)
+                )
+                mat_parts.append(_embeddings_matrix(batch))
+        mat = np.vstack(mat_parts) if mat_parts else np.zeros((0, 1))
+        ids = (
+            np.concatenate(ids_parts).astype(np.int64)
+            if ids_parts else np.zeros(0, dtype=np.int64)
+        )
         matrix_ref = ray.put(mat)
-        ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
+        ids_ref = ray.put(ids)
         return ds.map_batches(
             _NearDupBrute,
             fn_constructor_kwargs=dict(

@@ -151,3 +151,43 @@ def test_text_cache_survives_mutation(doc):
         # and re-inserting restores the original text
         body.insert_before(first, body.first_child)
         assert body.text_content == removed_text + after or body.text_content == before
+
+
+# ---------------------------------------------------------------------------
+# vectorized FNV-1a vs the scalar definition (hypothesis)
+# ---------------------------------------------------------------------------
+@given(st.lists(st.text(max_size=60), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_hash64_property(values):
+    from smartreader_ray.functions.dedup import _hash64
+
+    def scalar(v: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in v.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    got = _hash64(values)
+    assert [int(g) for g in got] == [scalar(v) for v in values]
+
+
+# ---------------------------------------------------------------------------
+# fast tokenizer vs stdlib html.parser on arbitrary markup-ish text
+# ---------------------------------------------------------------------------
+_markup_alphabet = st.sampled_from(
+    list("<>/!&;='\"- abcdeftps#x0123[]?") + ["<p>", "</p>", "<script>",
+    "</script>", "<!--", "-->", "&amp;", "&#65;", "<div class='x'>", "<br/>",
+    "<![CDATA[", "]]>", "<!doctype html>", "<title>", "</title>"]
+)
+markup_texts = st.lists(_markup_alphabet, max_size=40).map("".join)
+
+
+@given(markup_texts)
+@settings(max_examples=300, deadline=None)
+def test_fast_tokenizer_property(text):
+    from tests.test_dom import _events_both
+
+    (se, sx), (fe, fx) = _events_both(text)
+    assert sx == fx
+    if sx is None:
+        assert se == fe
