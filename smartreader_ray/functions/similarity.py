@@ -192,18 +192,16 @@ def embedding_neardup(ds, threshold: float = 0.95, use_lsh: bool | None = None,
             concurrency=(1, 8),
         )
 
-    rng = np.random.RandomState(seed)
     planes = None  # built lazily per worker from the seed (deterministic)
 
     def sign_batch(batch: pa.Table) -> pa.Table:
         nonlocal planes
         mat = _normalize(_embeddings_matrix(batch))
         if planes is None:
-            local_rng = np.random.RandomState(seed)
-            p = local_rng.randn(mat.shape[1], hyperplanes)
-        else:  # pragma: no cover
-            p = planes
-        bits = (mat @ p) > 0
+            # seed-deterministic; cached per worker closure after the
+            # first batch (each task deserializes its own copy)
+            planes = np.random.RandomState(seed).randn(mat.shape[1], hyperplanes)
+        bits = (mat @ planes) > 0
         keys = ["".join("1" if b else "0" for b in row) for row in bits]
         return pa.Table.from_pydict(
             {
