@@ -448,6 +448,23 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-user counts per event_type: per-batch
+    register partials (4 KB/key/block crosses the exchange, never
+    values). Approximate (±1.6 % at b=12) → rows-only; the unit test
+    pins accuracy against exact counts."""
+    import os
+
+    import ray.data
+
+    from smartreader_ray.functions import approx_distinct_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return approx_distinct_by(ds, "event_type", "user_id")
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min inactivity) over the events
     stream — the engine's windowed-aggregate custom operator; one
@@ -601,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_by_type": _q_events_by_type,
         "sessionize": _q_sessionize,
+        "approx_distinct_users": _q_approx_distinct,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "media_meta": _q_media_meta,

@@ -26,6 +26,7 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
+from .sketch import approx_distinct, approx_distinct_by
 from .topk import top_k
 from .windows import sessionize, tumbling_window
 from .textstats import (
@@ -38,6 +39,8 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "approx_distinct",
+    "approx_distinct_by",
     "bpe_token_stats",
     "fingerprint_dedup",
     "sessionize",

@@ -1,0 +1,134 @@
+"""Cardinality sketching: HyperLogLog distinct counts.
+
+The published HLL estimator (Flajolet et al. 2007): hash each value,
+use the top ``b`` bits as a register index, record the position of the
+leftmost 1-bit of the rest; estimate from the harmonic mean of register
+maxima, with the standard small-range (linear counting) and large-range
+corrections. Standard error ≈ 1.04/√m (m = 2^b registers; b=12 → ~1.6 %).
+
+Ray shape — the whole point of a sketch: per-batch partials are ONE row
+of 2^b bytes regardless of batch size, so the exchange ships kilobytes
+for any input size; merging is an elementwise max, which is associative
+and commutative (any combine tree is correct).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _hash64
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3-style finalizer: FNV-1a avalanches its LOW bits well but
+    HLL needs uniform HIGH bits (register index) — one fmix64 pass fixes
+    the short-string bias (without it, estimates sat ~25× low)."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def _registers_for(values: list, b: int) -> np.ndarray:
+    """One HLL register array from raw values (vectorized)."""
+    m = 1 << b
+    regs = np.zeros(m, dtype=np.uint8)
+    if not values:
+        return regs
+    h = _mix64(_hash64([v if isinstance(v, str) else str(v) for v in values]))
+    idx = (h >> np.uint64(64 - b)).astype(np.int64)
+    rest = h << np.uint64(b)  # top 64-b payload bits, left-aligned
+    # rho = leftmost-1 position in the payload (1-based); all-zero → max+1
+    nonzero = rest != 0
+    rho = np.full(len(h), 64 - b + 1, dtype=np.uint8)
+    if nonzero.any():
+        # leading zeros of a uint64 via float64 exponent is unsafe past
+        # 2^53 — use bit-length: lz = 64 - bit_length(rest)
+        r = rest[nonzero]
+        bl = np.zeros(len(r), dtype=np.int64)
+        cur = r.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = cur >= (np.uint64(1) << np.uint64(shift))
+            bl[big] += shift
+            cur[big] >>= np.uint64(shift)
+        bl += 1  # bit_length
+        rho[nonzero] = (64 - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:  # small-range: linear counting
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    if est > (1 << 64) / 30.0:  # large-range correction
+        return -(2.0 ** 64) * np.log(1.0 - est / 2.0 ** 64)
+    return float(est)
+
+
+def approx_distinct(ds, col: str, b: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch register partials
+    (2^b bytes each), elementwise-max merge on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = _registers_for(batch.column(col).to_pylist(), b)
+        return pa.Table.from_pydict(
+            {"regs": pa.array([regs.tobytes()], type=pa.binary())}
+        )
+
+    merged = np.zeros(1 << b, dtype=np.uint8)
+    partials = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+    for batch in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in batch.column("regs").to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return _estimate(merged)
+
+
+def approx_distinct_by(ds, key_col: str, col: str, b: int = 12):
+    """Per-key approximate distinct counts: per-batch (key, registers)
+    partials — one tiny row per (block, key) crosses the exchange, never
+    the values — then a groupby(key) register-max merge + estimate.
+    Returns a Dataset of (key_col, approx_distinct: int64)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_out, regs_out = [], []
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(col).to_pylist()
+        by_key: dict = {}
+        for k, v in zip(keys, vals):
+            by_key.setdefault(k, []).append(v)
+        for k, vs in by_key.items():
+            keys_out.append(k)
+            regs_out.append(_registers_for(vs, b).tobytes())
+        return pa.Table.from_pydict(
+            {
+                key_col: pa.array(keys_out, type=batch.schema.field(key_col).type),
+                "regs": pa.array(regs_out, type=pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << b, dtype=np.uint8)
+        for blob in group.column("regs").to_pylist():
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        return pa.Table.from_pydict(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "approx_distinct": pa.array(
+                    [int(round(_estimate(regs)))], type=pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.select_columns([key_col, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -594,3 +594,25 @@ def test_bpe_token_stats():
     batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
     out = bpe_token_stats(batch)
     assert out.column("n_bpe_tokens").to_pylist() == [2, 6, 0, 1]
+
+
+def test_approx_distinct_hll(ray_session):
+    """HyperLogLog: ~1.6 % standard error at b=12; partials merge
+    associatively; per-key variant tracks exact COUNT(DISTINCT)."""
+    import ray.data
+
+    from smartreader_ray.functions import approx_distinct, approx_distinct_by
+
+    n = 20_000
+    rows = [{"k": "a" if i % 3 else "b", "v": f"user-{i % 7001}"}
+            for i in range(n)]
+    ds = ray.data.from_items(rows).repartition(8)
+    est = approx_distinct(ds, "v", b=12)
+    assert abs(est - 7001) / 7001 < 0.05
+
+    per_key = {r["k"]: r["approx_distinct"]
+               for r in approx_distinct_by(ds, "k", "v", b=12).take_all()}
+    exact_a = len({f"user-{i % 7001}" for i in range(n) if i % 3})
+    exact_b = len({f"user-{i % 7001}" for i in range(n) if not i % 3})
+    assert abs(per_key["a"] - exact_a) / exact_a < 0.05
+    assert abs(per_key["b"] - exact_b) / exact_b < 0.05
