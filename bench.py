@@ -175,7 +175,8 @@ def run_main() -> dict:
         "lineitem_pricing", "top_orders", "orders_by_nation",
         "events_by_type", "language_id", "sessionize", "window_agg",
         "pdf_extract", "ann_ivf_bucketed", "embed_neardup_lsh",
-        "quality_stats", "doc_fingerprint",
+        "quality_stats", "doc_fingerprint", "approx_distinct_users",
+        "fingerprint_dedup",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
