@@ -448,6 +448,14 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-language sample of documents (md5-ranked ids
+    — the oracle replays the exact ranking in SQL)."""
+    from smartreader_ray.functions import stratified_sample
+
+    return stratified_sample(_docs(sf_dir), "lang", 20)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "sessionize": _q_sessionize,
         "approx_distinct_users": _q_approx_distinct,
+        "stratified_sample": _q_stratified_sample,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "media_meta": _q_media_meta,
@@ -757,6 +766,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         "window_agg": """
             SELECT event_type,

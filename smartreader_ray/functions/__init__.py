@@ -26,6 +26,7 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
+from .sampling import stratified_sample
 from .sketch import approx_distinct, approx_distinct_by
 from .topk import top_k
 from .windows import sessionize, tumbling_window
@@ -39,6 +40,7 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "stratified_sample",
     "approx_distinct",
     "approx_distinct_by",
     "bpe_token_stats",

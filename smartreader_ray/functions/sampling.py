@@ -1,0 +1,61 @@
+"""Deterministic sampling for corpus balancing.
+
+Training-data pipelines constantly need "n documents per language /
+domain / bucket" subsets that are (a) uniform-ish, (b) reproducible
+across runs and engines, and (c) cheap at scale. Ranking by a
+content-independent cryptographic hash of the id gives all three: the
+sample is a pure function of the ids, any engine computes the same one
+(md5 is everywhere — the DuckDB oracle replays it exactly), and no RNG
+state needs coordinating across workers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def _md5_hex(values: list) -> list[str]:
+    md5 = hashlib.md5
+    return [
+        md5(str(v).encode()).hexdigest() for v in values
+    ]
+
+
+def stratified_sample(ds, key_col: str, n_per_key: int, id_col: str = "doc_id"):
+    """Deterministic per-key sample: the ``n_per_key`` ids with the
+    smallest ``md5(str(id))`` in each key group (ties broken by id).
+
+    Shape: only (key, id, md5) columns cross the exchange — never
+    payloads; winners come back as a small (key, id) table to semi-join
+    against the corpus (broadcast the id set) when full rows are needed.
+    Equivalent SQL: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= n``.
+    """
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        return pa.Table.from_pydict(
+            {
+                key_col: batch.column(key_col),
+                id_col: batch.column(id_col),
+                "rank_md5": pa.array(_md5_hex(ids), type=pa.string()),
+            }
+        )
+
+    def take_n(group: pa.Table) -> pa.Table:
+        order = sorted(
+            range(group.num_rows),
+            key=lambda i: (
+                group.column("rank_md5")[i].as_py(),
+                group.column(id_col)[i].as_py(),
+            ),
+        )[:n_per_key]
+        taken = group.take(pa.array(order, type=pa.int64()))
+        return taken.select([key_col, id_col])
+
+    pruned = ds.select_columns([key_col, id_col]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return pruned.groupby(key_col).map_groups(take_n, batch_format="pyarrow")

@@ -616,3 +616,32 @@ def test_approx_distinct_hll(ray_session):
     exact_b = len({f"user-{i % 7001}" for i in range(n) if not i % 3})
     assert abs(per_key["a"] - exact_a) / exact_a < 0.05
     assert abs(per_key["b"] - exact_b) / exact_b < 0.05
+
+
+def test_stratified_sample(ray_session):
+    """Deterministic per-key sample: stable across runs and partitioning,
+    correct per-key counts, subset of the input."""
+    import ray.data
+
+    from smartreader_ray.functions import stratified_sample
+
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "de"} for i in range(200)]
+
+    def norm(out):
+        return sorted((r["lang"], r["doc_id"]) for r in out)
+
+    a = norm(stratified_sample(
+        ray.data.from_items(rows), "lang", 10).take_all())
+    b = norm(stratified_sample(
+        ray.data.from_items(rows).repartition(7), "lang", 10).take_all())
+    assert a == b  # partitioning-independent
+    langs = {}
+    for lang, i in a:
+        langs.setdefault(lang, []).append(i)
+        assert (i % 2 == 1) == (lang == "en")
+    assert len(langs["en"]) == 10 and len(langs["de"]) == 10
+
+    # n larger than the group: whole group comes back
+    c = norm(stratified_sample(
+        ray.data.from_items(rows[:6]), "lang", 50).take_all())
+    assert len(c) == 6
