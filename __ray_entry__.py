@@ -377,6 +377,54 @@ def _q_top_orders(sf_dir: str):
     return top.map_batches(strip, batch_format="pyarrow")
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Big-big distributed hash join (orders ⨝ customer, both sides
+    shuffled once) then a partial-combined rollup per market segment —
+    the shuffle-join pattern for when no side fits a broadcast."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(
+        orders, customer, "o_custkey", "c_custkey",
+        ["o_totalprice"], ["c_mktsegment"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["c_mktsegment"])
+            .aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            .rename_columns(["c_mktsegment", "part_total", "part_n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("part_total", alias_name="total_price"),
+            Sum("part_n", alias_name="n_orders"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.column_names.index("total_price")
+        return batch.set_column(
+            i, "total_price", pc.round(batch.column("total_price"), 2)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_orders_by_nation(sf_dir: str):
     """orders ⨝ customer ⨝ nation as two chained broadcast joins (small
     dimension tables ray.put once), then a partial-combined groupby."""
@@ -630,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
+        "orders_by_segment": _q_orders_by_segment,
         "media_meta": _q_media_meta,
         "media_data_uri": _q_media_data_uri,
         "pdf_extract": _q_pdf_extract,
@@ -751,6 +800,13 @@ def oracle_sql() -> dict[str, str]:
                        SUM(l_extendedprice * (1 - l_discount)) AS revenue
                 FROM lineitem GROUP BY l_orderkey
             ) ORDER BY revenue DESC LIMIT 10
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "orders_by_nation": """
             SELECT n_name,

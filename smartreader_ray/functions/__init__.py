@@ -17,7 +17,7 @@ from .dedup import (
     verify_candidate_pairs,
     verify_candidate_pairs_distributed,
 )
-from .join import broadcast_join
+from .join import broadcast_join, hash_join
 from .similarity import (
     ann_ivf,
     ann_ivf_bucketed,
@@ -40,6 +40,7 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "hash_join",
     "stratified_sample",
     "approx_distinct",
     "approx_distinct_by",

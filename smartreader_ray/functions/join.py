@@ -1,11 +1,16 @@
-"""Broadcast (map-side) join: the scale answer for small-side lookups.
+"""Joins: broadcast (map-side) for small sides, hash-shuffle for big-big.
 
-A hash ``ds.join`` shuffles BOTH sides; when one side fits in memory
-(dimension tables, lookup maps), broadcast it once with ``ray.put`` and
-enrich the big side inside ``map_batches`` — zero shuffle, the big side
-streams through exactly once. This is the pattern the reference's
-engine-free design never needed but a corpus pipeline uses constantly
-(doc metadata lookups, cluster assignments, routing tables).
+``broadcast_join``: when one side fits in memory (dimension tables,
+lookup maps), broadcast it once with ``ray.put`` and enrich the big side
+inside ``map_batches`` — zero shuffle, the big side streams through
+exactly once. Always prefer this when it applies.
+
+``hash_join``: when NEITHER side fits on one worker, both sides are
+keyed, payloads packed into per-side struct columns, unioned, and a
+``groupby(key)`` brings matching rows together — one all-to-all of each
+side (the unavoidable cost of a distributed equi-join). Per-key output
+is the cross product; a guard fails loudly on a hot key instead of
+OOMing the group task.
 """
 
 from __future__ import annotations
@@ -52,3 +57,93 @@ def broadcast_join(ds, small, key: str, value_cols: list[str],
             return batch
 
     return ds.map_batches(Enrich, batch_format="pyarrow", concurrency=concurrency)
+
+
+def hash_join(left, right, left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str],
+              max_pairs_per_key: int = 10_000_000):
+    """Distributed inner equi-join of two big Datasets.
+
+    Both sides are pruned to ``key + cols``, packed into one struct
+    column each, tagged, unioned, and grouped by the (stringified) key;
+    each group emits the left×right cross product. Output columns:
+    ``left_cols + right_cols`` (caller must make them disjoint).
+
+    A group whose cross product exceeds ``max_pairs_per_key`` raises —
+    a hot join key at 100 TB should fail loudly (then be salted or
+    broadcast) rather than OOM a reduce task.
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+
+    def pack(key_col, cols, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            payload = pa.StructArray.from_arrays(
+                [batch.column(c).combine_chunks() for c in cols], names=cols
+            )
+            n = batch.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "__key": pc.cast(batch.column(key_col), pa.string()),
+                    "__side": pa.array([side] * n, type=pa.int8()),
+                    "__left": payload if side == 0 else pa.nulls(
+                        n, type=_struct_type(left)
+                    ),
+                    "__right": payload if side == 1 else pa.nulls(
+                        n, type=_struct_type(right)
+                    ),
+                }
+            )
+
+        return fn
+
+    def _struct_type(ds):
+        schema = ds.schema()
+        types = dict(zip(schema.names, schema.types))
+        cols = left_cols if ds is left else right_cols
+        return pa.struct([pa.field(c, types[c]) for c in cols])
+
+    l_packed = left.select_columns([left_key] + left_cols).map_batches(
+        pack(left_key, left_cols, 0), batch_format="pyarrow"
+    )
+    r_packed = right.select_columns([right_key] + right_cols).map_batches(
+        pack(right_key, right_cols, 1), batch_format="pyarrow"
+    )
+
+    left_type = _struct_type(left)
+    right_type = _struct_type(right)
+
+    def emit(group: pa.Table) -> pa.Table:
+        sides = group.column("__side").to_numpy(zero_copy_only=False)
+        l_idx = [i for i, s in enumerate(sides) if s == 0]
+        r_idx = [i for i, s in enumerate(sides) if s == 1]
+        n_pairs = len(l_idx) * len(r_idx)
+        if n_pairs == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=f.type) for f in
+                 list(left_type) + list(right_type)],
+                names=left_cols + right_cols,
+            )
+        if n_pairs > max_pairs_per_key:
+            raise ValueError(
+                f"hash_join: key {group.column('__key')[0].as_py()!r} would "
+                f"emit {n_pairs} pairs (> {max_pairs_per_key}); salt the key "
+                "or broadcast the smaller side"
+            )
+        import numpy as np
+
+        li = np.repeat(np.asarray(l_idx, dtype=np.int64), len(r_idx))
+        ri = np.tile(np.asarray(r_idx, dtype=np.int64), len(l_idx))
+        l_struct = group.column("__left").combine_chunks().take(pa.array(li))
+        r_struct = group.column("__right").combine_chunks().take(pa.array(ri))
+        arrays = [l_struct.field(c) for c in left_cols] + [
+            r_struct.field(c) for c in right_cols
+        ]
+        return pa.Table.from_arrays(arrays, names=left_cols + right_cols)
+
+    return (
+        l_packed.union(r_packed)
+        .groupby("__key")
+        .map_groups(emit, batch_format="pyarrow")
+    )

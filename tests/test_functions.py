@@ -645,3 +645,39 @@ def test_stratified_sample(ray_session):
     c = norm(stratified_sample(
         ray.data.from_items(rows[:6]), "lang", 50).take_all())
     assert len(c) == 6
+
+
+def test_hash_join(ray_session):
+    """Big-big inner equi-join: cross product per key, unmatched keys
+    dropped, hot-key guard and column-collision checks raise."""
+    import ray.data
+
+    from smartreader_ray.functions import hash_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lv": "a"}, {"k": 1, "lv": "b"},
+            {"k": 2, "lv": "c"}, {"k": 9, "lv": "z"},
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"k2": 1, "rv": 10.0}, {"k2": 1, "rv": 20.0},
+            {"k2": 2, "rv": 30.0}, {"k2": 7, "rv": 99.0},
+        ]
+    )
+    out = hash_join(left, right, "k", "k2", ["lv"], ["rv"]).take_all()
+    got = sorted((r["lv"], r["rv"]) for r in out)
+    # key 1: 2×2 cross product; key 2: 1×1; keys 9/7 unmatched → dropped
+    assert got == [("a", 10.0), ("a", 20.0), ("b", 10.0), ("b", 20.0), ("c", 30.0)]
+
+    with pytest.raises(Exception, match="collision"):
+        hash_join(left, right, "k", "k2", ["lv"], ["lv"])
+
+    # hot-key guard: key 1 would emit 4 pairs > cap 2 → the job fails loudly
+    import ray.exceptions
+
+    guarded = hash_join(left, right, "k", "k2", ["lv"], ["rv"],
+                        max_pairs_per_key=2)
+    with pytest.raises(Exception, match="salt the key|RayTaskError|pairs"):
+        guarded.take_all()
