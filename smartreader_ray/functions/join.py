@@ -61,18 +61,25 @@ def broadcast_join(ds, small, key: str, value_cols: list[str],
 
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
-              max_pairs_per_key: int = 10_000_000):
-    """Distributed inner equi-join of two big Datasets.
+              max_pairs_per_key: int = 10_000_000, how: str = "inner"):
+    """Distributed equi-join of two big Datasets.
 
     Both sides are pruned to ``key + cols``, packed into one struct
     column each, tagged, unioned, and grouped by the (stringified) key;
     each group emits the left×right cross product. Output columns:
     ``left_cols + right_cols`` (caller must make them disjoint).
 
+    ``how``: "inner" (default), "left" (unmatched left rows kept with
+    null right columns), or "left_anti" (ONLY unmatched left rows, right
+    columns omitted — the scalable blocklist-subtraction: subtract a
+    dup/exclusion set too big to broadcast).
+
     A group whose cross product exceeds ``max_pairs_per_key`` raises —
     a hot join key at 100 TB should fail loudly (then be salted or
     broadcast) rather than OOM a reduce task.
     """
+    if how not in ("inner", "left", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"output column collision: {sorted(overlap)}")
@@ -114,17 +121,41 @@ def hash_join(left, right, left_key: str, right_key: str,
     left_type = _struct_type(left)
     right_type = _struct_type(right)
 
+    out_names = left_cols if how == "left_anti" else left_cols + right_cols
+    out_types = list(left_type) if how == "left_anti" else (
+        list(left_type) + list(right_type)
+    )
+
+    def _empty() -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.nulls(0, type=f.type) for f in out_types], names=out_names
+        )
+
     def emit(group: pa.Table) -> pa.Table:
         sides = group.column("__side").to_numpy(zero_copy_only=False)
         l_idx = [i for i, s in enumerate(sides) if s == 0]
         r_idx = [i for i, s in enumerate(sides) if s == 1]
-        n_pairs = len(l_idx) * len(r_idx)
-        if n_pairs == 0:
+        if how == "left_anti":
+            if r_idx or not l_idx:
+                return _empty()
+            l_struct = group.column("__left").combine_chunks().take(
+                pa.array(l_idx, type=pa.int64())
+            )
             return pa.Table.from_arrays(
-                [pa.nulls(0, type=f.type) for f in
-                 list(left_type) + list(right_type)],
+                [l_struct.field(c) for c in left_cols], names=left_cols
+            )
+        if how == "left" and l_idx and not r_idx:
+            l_struct = group.column("__left").combine_chunks().take(
+                pa.array(l_idx, type=pa.int64())
+            )
+            return pa.Table.from_arrays(
+                [l_struct.field(c) for c in left_cols]
+                + [pa.nulls(len(l_idx), type=f.type) for f in right_type],
                 names=left_cols + right_cols,
             )
+        n_pairs = len(l_idx) * len(r_idx)
+        if n_pairs == 0:
+            return _empty()
         if n_pairs > max_pairs_per_key:
             raise ValueError(
                 f"hash_join: key {group.column('__key')[0].as_py()!r} would "

@@ -681,3 +681,26 @@ def test_hash_join(ray_session):
                         max_pairs_per_key=2)
     with pytest.raises(Exception, match="salt the key|RayTaskError|pairs"):
         guarded.take_all()
+
+
+def test_hash_join_left_and_anti(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "lv": "a"}, {"k": 2, "lv": "b"}, {"k": 9, "lv": "z"}]
+    )
+    right = ray.data.from_items([{"k2": 1, "rv": 10.0}, {"k2": 7, "rv": 99.0}])
+
+    out = hash_join(left, right, "k", "k2", ["lv"], ["rv"], how="left").take_all()
+    got = sorted(((r["lv"], r["rv"]) for r in out), key=lambda t: t[0])
+    assert got == [("a", 10.0), ("b", None), ("z", None)]
+
+    anti = hash_join(left, right, "k", "k2", ["lv"], ["rv"],
+                     how="left_anti").take_all()
+    assert sorted(r["lv"] for r in anti) == ["b", "z"]
+    assert all(set(r) == {"lv"} for r in anti)
+
+    with pytest.raises(ValueError, match="how"):
+        hash_join(left, right, "k", "k2", ["lv"], ["rv"], how="outer")
