@@ -496,6 +496,15 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _q_training_sample(sf_dir: str):
+    """END-TO-END curation chain: quality filter → fingerprint dedup →
+    hash-join survivors → deterministic per-lang sample — every stage
+    SQL-expressible, so the COMPOSED pipeline gets exact hash equality."""
+    from smartreader_ray.pipelines import build_training_pipeline
+
+    return build_training_pipeline(_docs(sf_dir), min_chars=200, n_per_lang=10)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-language sample of documents (md5-ranked ids
     — the oracle replays the exact ranking in SQL)."""
@@ -676,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "approx_distinct_users": _q_approx_distinct,
         "stratified_sample": _q_stratified_sample,
+        "training_sample": _q_training_sample,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -822,6 +832,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "training_sample": """
+            WITH filt AS (
+                SELECT * FROM documents WHERE length(text) >= 200
+            ), keep AS (
+                SELECT MIN(doc_id) AS doc_id FROM filt
+                GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+            ), surv AS (
+                SELECT f.lang, f.doc_id FROM filt f JOIN keep k USING (doc_id)
+            )
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM surv
+            ) WHERE rn <= 10
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

@@ -176,7 +176,7 @@ def run_main() -> dict:
         "events_by_type", "language_id", "sessionize", "window_agg",
         "pdf_extract", "ann_ivf_bucketed", "embed_neardup_lsh",
         "quality_stats", "doc_fingerprint", "approx_distinct_users",
-        "fingerprint_dedup", "orders_by_segment",
+        "fingerprint_dedup", "orders_by_segment", "training_sample",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -111,10 +111,12 @@ def hash_join(left, right, left_key: str, right_key: str,
         cols = left_cols if ds is left else right_cols
         return pa.struct([pa.field(c, types[c]) for c in cols])
 
-    l_packed = left.select_columns([left_key] + left_cols).map_batches(
+    l_sel = [left_key] + [c for c in left_cols if c != left_key]
+    r_sel = [right_key] + [c for c in right_cols if c != right_key]
+    l_packed = left.select_columns(l_sel).map_batches(
         pack(left_key, left_cols, 0), batch_format="pyarrow"
     )
-    r_packed = right.select_columns([right_key] + right_cols).map_batches(
+    r_packed = right.select_columns(r_sel).map_batches(
         pack(right_key, right_cols, 1), batch_format="pyarrow"
     )
 

@@ -587,3 +587,29 @@ def test_driver_entry_contract(ray_session):
     q = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(q), set(oracles) - set(q)
+
+
+def test_training_pipeline_composition(ray_session):
+    """filter → dedup → join-back → sample, end to end: short docs and
+    duplicate content are excluded before sampling."""
+    import ray.data
+
+    from smartreader_ray.pipelines import build_training_pipeline
+
+    body = "long enough document body text " * 10  # ~310 chars
+    rows = (
+        [{"doc_id": i, "text": f"{body} unique {i}", "lang": "en"}
+         for i in range(20)]
+        + [{"doc_id": 100 + i, "text": body + " duplicate", "lang": "de"}
+           for i in range(5)]                       # 5 exact dups → 1 kept
+        + [{"doc_id": 200, "text": "short", "lang": "en"}]  # filtered out
+    )
+    out = build_training_pipeline(
+        ray.data.from_items(rows), min_chars=200, n_per_lang=10
+    ).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10
+    assert 200 not in by_lang["en"]          # quality-filtered
+    assert by_lang["de"] == {100}            # dups collapsed to min doc_id
