@@ -45,7 +45,6 @@ from .metadata import (
 from .nodeutil import (
     clean_matched_nodes,
     clean_styles,
-    for_each_element,
     get_all_nodes_with_tag,
     get_char_count,
     get_element_ancestors,

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 
-from ..dom import Element, Node, TextNode, collapse_whitespace, query_selector_all
+from ..dom import Element, Node, collapse_whitespace
 from ..dom import node as _dom_node
 from ..dom.node import ELEMENT_NODE, TEXT_NODE, ParentNode
 from . import regexes

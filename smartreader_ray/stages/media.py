@@ -13,7 +13,6 @@ codecs installed.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import pyarrow as pa
 
