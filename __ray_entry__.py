@@ -754,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
                      / length(string_split_regex(trim(text), '\\s+')) AS stopword_ratio_en
             FROM documents
         """,
-        "fingerprint_dedup": """
+        "fingerprint_dedup": r"""
             SELECT MIN(doc_id) AS keep_doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_dups
             FROM documents
@@ -833,7 +833,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
         """,
-        "training_sample": """
+        "training_sample": r"""
             WITH filt AS (
                 SELECT * FROM documents WHERE length(text) >= 200
             ), keep AS (
