@@ -513,6 +513,84 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(_docs(sf_dir), "lang", 20)
 
 
+def _q_pii_redact(sf_dir: str):
+    """Regex PII scrub (emails, IPv4, phone runs) — three chained RE2
+    kernels per batch; the oracle replays the identical patterns through
+    DuckDB's RE2, so redacted text hash-matches exactly."""
+    from smartreader_ray.functions import pii_redact
+
+    return _docs(sf_dir).map_batches(pii_redact, batch_format="pyarrow")
+
+
+def _q_source_cap(sf_dir: str):
+    """Domain balancing: keep the 10 lowest doc_ids per source. Columns
+    pruned to (source, doc_id) BEFORE the groupby — the shuffle moves
+    two thin int/str columns, never document text."""
+    import ray.data
+
+    from smartreader_ray.functions import per_source_cap
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return per_source_cap(ds, cap=10)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Test-set decontamination: eval snippets (doc_id % 50 == 0, first
+    120 chars — driver-small by construction, like real eval sets) are
+    broadcast once; each train doc is flagged by one RE2 alternation
+    match per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from smartreader_ray.functions import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def snip_batch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ids % 50 == 0))
+        return pa.Table.from_pydict(
+            {"snip": pc.utf8_slice_codeunits(f.column("text"), 0, 120)}
+        )
+
+    snips = [
+        r["snip"]
+        for r in docs.map_batches(snip_batch, batch_format="pyarrow").take_all()
+    ]
+    return decontaminate(docs, snips)
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals. The oracle compares the exact
+    integer counts (distinct tokens, top-bigram count); the float
+    fractions ride along for API users but stay out of the hash."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions import repetition_stats
+
+    def ints_only(b: pa.Table) -> pa.Table:
+        return b.select(
+            ["doc_id", "n_tokens", "n_distinct", "top_bigram_count", "n_bigrams"]
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(repetition_stats, batch_format="pyarrow")
+        .map_batches(ints_only, batch_format="pyarrow")
+    )
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing into 1024-token training rows,
+    shard-deterministic (shard = doc_id // 100). Greedy reset logic is
+    not SQL-expressible → rows-only; unit tests pin the packing."""
+    from smartreader_ray.functions import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
@@ -686,6 +764,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct,
         "stratified_sample": _q_stratified_sample,
         "training_sample": _q_training_sample,
+        "pii_redact": _q_pii_redact,
+        "source_cap": _q_source_cap,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "pack_sequences": _q_pack_sequences,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -850,6 +933,57 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM surv
             ) WHERE rn <= 10
+        """,
+        "pii_redact": r"""
+            WITH red AS (
+                SELECT doc_id, text AS orig,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                           '\+?\d[\d \-()]{7,}\d', '<PHONE>', 'g') AS text
+                FROM documents)
+            SELECT doc_id, text, orig <> text AS had_pii FROM red
+        """,
+        "source_cap": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) AS rn
+                FROM documents) WHERE rn <= 10
+        """,
+        "decontaminate": """
+            WITH eval AS (
+                SELECT substr(text, 1, 120) AS snip
+                FROM documents WHERE doc_id % 50 = 0
+            )
+            SELECT d.doc_id,
+                   EXISTS (SELECT 1 FROM eval e
+                           WHERE contains(d.text, e.snip)) AS contaminated
+            FROM documents d
+        """,
+        "repetition_stats": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            uni AS (SELECT doc_id, len(a) AS n, len(list_distinct(a)) AS d
+                    FROM base),
+            bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bigram
+                   FROM base,
+                        UNNEST(generate_series(1, len(a) - 1)) AS t(i)),
+            bgc AS (SELECT doc_id, bigram, COUNT(*) AS c
+                    FROM bg GROUP BY doc_id, bigram),
+            bgm AS (SELECT doc_id, MAX(c) AS mx
+                    FROM bgc GROUP BY doc_id)
+            SELECT u.doc_id,
+                   CAST(u.n AS BIGINT) AS n_tokens,
+                   CAST(u.d AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
+                   CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
+            FROM uni u LEFT JOIN bgm b USING (doc_id)
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

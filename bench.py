@@ -177,6 +177,8 @@ def run_main() -> dict:
         "pdf_extract", "ann_ivf_bucketed", "embed_neardup_lsh",
         "quality_stats", "doc_fingerprint", "approx_distinct_users",
         "fingerprint_dedup", "orders_by_segment", "training_sample",
+        "pii_redact", "source_cap", "decontaminate", "repetition_stats",
+        "pack_sequences",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -17,6 +17,13 @@ from .dedup import (
     verify_candidate_pairs,
     verify_candidate_pairs_distributed,
 )
+from .curation import (
+    decontaminate,
+    pack_sequences,
+    per_source_cap,
+    pii_redact,
+    repetition_stats,
+)
 from .join import broadcast_join, hash_join
 from .similarity import (
     ann_ivf,
@@ -40,6 +47,11 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "decontaminate",
+    "pack_sequences",
+    "per_source_cap",
+    "pii_redact",
+    "repetition_stats",
     "hash_join",
     "stratified_sample",
     "approx_distinct",

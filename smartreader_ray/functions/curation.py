@@ -1,0 +1,289 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+per-source caps, test-set decontamination, repetition (Gopher-style)
+signals, and greedy sequence packing.
+
+These extend the reference's per-document extraction chain (see
+SURVEY.md §2.7) with the wide curation steps a 100 TB pre-training
+pipeline needs. Every operator is batch-vectorized; wide steps shuffle
+only pruned key columns, and small sides are broadcast once via
+``ray.put``, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# RE2-compatible patterns (Arrow's compute layer and DuckDB both run RE2,
+# so the oracle SQL applies the exact same regex engine semantics).
+# Order matters: emails first (their local parts contain digit runs a
+# phone pattern could claim), then dotted IPv4 (dots break the phone
+# class so IP must go before phone only for the replacement-token text),
+# then phone runs.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d \-()]{7,}\d"
+
+_PII_STAGES = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails, IPv4 addresses and phone-number runs.
+
+    Three chained ``pc.replace_substring_regex`` passes — RE2 kernels,
+    no Python per row. Output: doc_id, redacted text, had_pii flag.
+    """
+    text = batch.column(text_col)
+    redacted = text
+    for pattern, token in _PII_STAGES:
+        redacted = pc.replace_substring_regex(redacted, pattern, token)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": redacted,
+            "had_pii": pc.invert(pc.equal(text, redacted)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source cap
+# ---------------------------------------------------------------------------
+def per_source_cap(ds, cap: int = 10, source_col: str = "source",
+                   id_col: str = "doc_id"):
+    """Keep at most ``cap`` docs per source (deterministic: lowest ids).
+
+    The classic domain-balancing step. Only the (source, id) key pair is
+    shuffled — columns are pruned BEFORE the groupby, so at 100 TB the
+    exchange moves two thin columns, never document text. Join the
+    surviving ids back to the corpus with ``broadcast_join`` (small
+    survivor set) or ``hash_join`` when the cap output is itself large.
+    """
+
+    def head_of_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column(id_col))
+        return group.take(order[:cap])
+
+    return (
+        ds.select_columns([source_col, id_col])
+        .groupby(source_col)
+        .map_groups(head_of_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+class _ContaminationFlagger:
+    """Actor-pool stage: compiles the eval-snippet alternation ONCE per
+    actor (RE2 builds a DFA over the alternation — effectively
+    Aho-Corasick multi-pattern matching), then flags each batch with one
+    vectorized ``pc.match_substring_regex`` call.
+    """
+
+    def __init__(self, snippets_ref, text_col: str = "text"):
+        import re as _re
+
+        import ray
+
+        snippets = ray.get(snippets_ref)
+        # escape: snippets are literals, not patterns
+        self.pattern = "|".join(_re.escape(s) for s in snippets if s)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.pattern:
+            flags = pc.match_substring_regex(
+                batch.column(self.text_col), self.pattern
+            )
+        else:
+            flags = pa.array([False] * batch.num_rows, type=pa.bool_())
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id"), "contaminated": flags}
+        )
+
+
+def decontaminate(ds, snippets: Sequence[str], concurrency: int = 4,
+                  text_col: str = "text"):
+    """Flag docs containing any eval-set snippet (substring containment).
+
+    ``snippets`` (the benchmark/eval side) must be driver-small — the
+    standard shape: eval sets are KBs–MBs while the train corpus is TBs.
+    They are ``ray.put`` once and every actor reads the same object; the
+    corpus streams through in one pass, nothing shuffles.
+    """
+    import ray
+
+    snippets_ref = ray.put(list(snippets))
+    return ds.map_batches(
+        _ContaminationFlagger,
+        fn_constructor_kwargs={"snippets_ref": snippets_ref,
+                               "text_col": text_col},
+        # autoscaling pool with min=1: never starves upstream read tasks
+        # on small CPU counts (see stages/extract.py sizing notes)
+        concurrency=(1, concurrency),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition-based quality signals per document:
+
+    - ``dup_word_frac``: 1 − distinct_tokens / total_tokens
+    - ``top_bigram_frac``: share of all word-bigrams taken by the most
+      frequent one
+
+    (the duplicate-line / top-n-gram family of Gopher's quality rules,
+    restated for single-line documents). Token splitting is one Arrow
+    kernel; the per-doc distinct/bigram counts run on numpy arrays of
+    the flattened token list — no per-character Python.
+
+    Alongside the float fractions the exact integer counts
+    (n_tokens, n_distinct, top_bigram_count, n_bigrams) are emitted:
+    the oracle compares those — integers hash identically across
+    engines, floats only per rounding convention.
+    """
+    text = batch.column(text_col)
+    tokens = pc.split_pattern(pc.utf8_trim_whitespace(text), " ")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    # one dictionary-encode over the whole batch's flattened token list:
+    # per-doc work then runs on small int codes, never on strings
+    flat_codes = np.asarray(
+        pc.dictionary_encode(tokens.flatten()).indices, dtype=np.int64
+    )
+    lens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    vocab = int(flat_codes.max()) + 1 if flat_codes.size else 1
+
+    n_rows = len(lens)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    top_count = np.zeros(n_rows, dtype=np.int64)
+    for i in range(n_rows):
+        codes = flat_codes[offsets[i]:offsets[i + 1]]
+        n = len(codes)
+        if n == 0:
+            continue
+        n_distinct[i] = np.unique(codes).size
+        if n >= 2:
+            bigrams = codes[:-1] * vocab + codes[1:]
+            _, counts = np.unique(bigrams, return_counts=True)
+            top_count[i] = counts.max()
+    n_tokens = lens.astype(np.int64)
+    n_bigrams = np.maximum(n_tokens - 1, 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup_frac = np.where(n_tokens > 0, 1.0 - n_distinct / n_tokens, 0.0)
+        top_bg = np.where(n_bigrams > 0, top_count / n_bigrams, 0.0)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "n_distinct": n_distinct,
+            "top_bigram_count": top_count,
+            "n_bigrams": n_bigrams,
+            "dup_word_frac": np.round(dup_frac, 6),
+            "top_bigram_frac": np.round(top_bg, 6),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing
+# ---------------------------------------------------------------------------
+def pack_sequences(ds, max_tokens: int = 1024, text_col: str = "text",
+                   shard_size: int | None = None):
+    """Greedy first-fit packing of documents into training sequences.
+
+    By default each BLOCK packs independently (no global state — the
+    property that makes this embarrassingly parallel at 100 TB;
+    cross-block packing would serialize the whole corpus for a ~1 %
+    fill-rate gain). Within a unit, docs are taken in doc_id order and
+    appended to the open pack while the whitespace-token budget holds;
+    oversized docs get a pack of their own (truncation is the trainer's
+    call, not ours).
+
+    ``shard_size`` switches the packing unit from "whatever block the
+    scheduler produced" to the deterministic shard ``doc_id //
+    shard_size`` via a groupby — output then no longer depends on block
+    layout (reproducible training runs), at the cost of one shuffle of
+    the pruned (doc_id, token-count) pair. Note the shuffle moves two
+    int columns, not text: token counts are computed BEFORE the
+    exchange.
+
+    Output rows: (pack_id = first doc_id in the pack, n_docs, n_tokens,
+    fill_frac). Rows-only oracle (greedy reset logic is not
+    SQL-expressible).
+    """
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch.column(text_col)), r"\s+"
+            )
+        )
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "n_tok": pc.cast(n_tok, pa.int64()),
+        }
+        if shard_size is not None:
+            cols["shard"] = pc.cast(
+                pc.divide(batch.column("doc_id"), shard_size), pa.int64()
+            )
+        return pa.Table.from_pydict(cols)
+
+    def pack_batch(batch: pa.Table) -> pa.Table:
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        pack_ids, pack_docs, pack_toks = [], [], []
+        cur_id, cur_docs, cur_toks = None, 0, 0
+        for j in order:
+            t = int(n_tok[j])
+            if cur_id is not None and cur_toks + t > max_tokens:
+                pack_ids.append(cur_id)
+                pack_docs.append(cur_docs)
+                pack_toks.append(cur_toks)
+                cur_id, cur_docs, cur_toks = None, 0, 0
+            if cur_id is None:
+                cur_id = ids[j]
+            cur_docs += 1
+            cur_toks += t
+        if cur_id is not None:
+            pack_ids.append(cur_id)
+            pack_docs.append(cur_docs)
+            pack_toks.append(cur_toks)
+        return pa.Table.from_pydict(
+            {
+                "pack_id": pa.array(pack_ids,
+                                    type=batch.schema.field("doc_id").type),
+                "n_docs": pa.array(pack_docs, type=pa.int64()),
+                "n_tokens": pa.array(pack_toks, type=pa.int64()),
+                "fill_frac": pa.array(
+                    [round(min(t, max_tokens) / max_tokens, 6)
+                     for t in pack_toks],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    counted = ds.select_columns(["doc_id", text_col]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    if shard_size is None:
+        return counted.map_batches(pack_batch, batch_format="pyarrow")
+    return counted.groupby("shard").map_groups(
+        pack_batch, batch_format="pyarrow"
+    )

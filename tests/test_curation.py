@@ -1,0 +1,163 @@
+"""Curation-operator tests: PII redaction, per-source caps,
+decontamination, repetition signals, sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+
+from smartreader_ray.functions import pii_redact, repetition_stats
+
+
+def test_pii_redact_patterns():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "write to alice.smith+news@ex-ample.co.uk today",
+                "call +1 (415) 555-0133 or 020-7946-0958 now",
+                "host 192.168.1.100 and 10.0.0.1 are up",
+                "nothing sensitive here at all",
+            ],
+        }
+    )
+    out = pii_redact(t)
+    texts = out.column("text").to_pylist()
+    assert texts[0] == "write to <EMAIL> today"
+    assert texts[1] == "call <PHONE> or <PHONE> now"
+    assert texts[2] == "host <IP> and <IP> are up"
+    assert texts[3] == "nothing sensitive here at all"
+    assert out.column("had_pii").to_pylist() == [True, True, True, False]
+
+
+def test_pii_redact_email_wins_over_phone():
+    # digit-heavy email local parts must become <EMAIL>, not <PHONE>
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["reach 123456789@example.com please"],
+        }
+    )
+    assert pii_redact(t).column("text")[0].as_py() == "reach <EMAIL> please"
+
+
+def test_per_source_cap(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import per_source_cap
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 1, 9, 7, 2, 4], type=pa.int64()),
+            "source": ["a", "a", "a", "a", "b", "b", "b"],
+        }
+    )
+    out = per_source_cap(ray.data.from_arrow(t), cap=2).take_all()
+    kept = {(r["source"], r["doc_id"]) for r in out}
+    # lowest ids per source survive, deterministically
+    assert kept == {("a", 1), ("a", 3), ("b", 2), ("b", 4)}
+
+
+def test_decontaminate_flags_containment(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import decontaminate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "prefix the secret eval passage suffix",
+                "entirely clean document",
+                "regex specials .*+ should not fire",
+            ],
+        }
+    )
+    out = decontaminate(
+        ray.data.from_arrow(t), ["the secret eval passage", "x[y]z"]
+    ).take_all()
+    flags = {r["doc_id"]: r["contaminated"] for r in out}
+    assert flags == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_empty_snippets(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import decontaminate
+
+    t = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()), "text": ["anything"]}
+    )
+    out = decontaminate(ray.data.from_arrow(t), []).take_all()
+    assert out[0]["contaminated"] is False
+
+
+def test_repetition_stats_counts():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "a b a b a b",  # 6 tokens, 2 distinct, "a b" bigram x3 of 5
+                "u v w x y",  # all distinct, every bigram unique
+                "solo",  # one token: no bigrams
+            ],
+        }
+    )
+    out = repetition_stats(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_distinct"] == 2
+    assert rows[1]["top_bigram_count"] == 3 and rows[1]["n_bigrams"] == 5
+    assert rows[1]["dup_word_frac"] == np.round(1 - 2 / 6, 6)
+    assert rows[1]["top_bigram_frac"] == 0.6
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_bigram_count"] == 1
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_pack_sequences_greedy(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import pack_sequences
+
+    texts = {
+        1: "w " * 10,  # 10 tokens
+        2: "w " * 10,
+        3: "w " * 10,  # 1+2+3 = 30 > 25 → pack resets before 3
+        4: "w " * 40,  # oversized: its own pack
+        5: "w " * 5,
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": [texts[k].strip() for k in sorted(texts)],
+        }
+    )
+    out = pack_sequences(
+        ray.data.from_arrow(t), max_tokens=25, shard_size=1000
+    ).take_all()
+    packs = {r["pack_id"]: r for r in out}
+    assert packs[1]["n_docs"] == 2 and packs[1]["n_tokens"] == 20
+    assert packs[3]["n_docs"] == 1 and packs[3]["n_tokens"] == 10
+    assert packs[4]["n_docs"] == 1 and packs[4]["n_tokens"] == 40
+    assert packs[4]["fill_frac"] == 1.0  # clamped for oversized docs
+    assert packs[5]["n_docs"] == 1 and packs[5]["n_tokens"] == 5
+
+
+def test_pack_sequences_shard_determinism(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), type=pa.int64()),
+            "text": ["tok " * (i % 7 + 1) for i in range(40)],
+        }
+    )
+    # different block layouts, same sharded packing
+    a = pack_sequences(
+        ray.data.from_arrow(t), max_tokens=16, shard_size=10
+    ).take_all()
+    b = pack_sequences(
+        ray.data.from_arrow(t).repartition(8), max_tokens=16, shard_size=10
+    ).take_all()
+    key = lambda r: r["pack_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
