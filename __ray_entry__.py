@@ -591,6 +591,68 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_asof_purchase(sf_dir: str):
+    """As-of join: each click matched to the user's latest prior (or
+    simultaneous) purchase. One all-to-all of the two pruned sides, then
+    a vectorized searchsorted per user group; the oracle is DuckDB's
+    native ASOF LEFT JOIN. Timestamps cross as epoch-µs int64 so both
+    engines stringify identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions import asof_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(event_type: str, id_name: str, us_name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.equal(b.column("event_type"), event_type))
+            return pa.Table.from_pydict(
+                {
+                    "user_id": f.column("user_id"),
+                    "ts": f.column("ts"),
+                    id_name: f.column("event_id"),
+                    us_name: pc.cast(f.column("ts"), pa.int64()),
+                }
+            )
+
+        return fn
+
+    clicks = ev.map_batches(
+        prep("click", "click_event", "click_us"), batch_format="pyarrow"
+    )
+    purchases = ev.map_batches(
+        prep("purchase", "purchase_event", "purchase_us"),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        on="ts",
+        left_cols=["user_id", "click_event", "click_us"],
+        right_cols=["purchase_event", "purchase_us"],
+    )
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Per-event-type p50/p90/p99 of value via the mergeable equi-depth
+    sketch — only centroid summaries cross the exchange. Approximate →
+    rows-only; unit tests pin accuracy against np.quantile."""
+    import ray.data
+
+    from smartreader_ray.functions import approx_quantile_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return approx_quantile_by(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
@@ -769,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pack_sequences": _q_pack_sequences,
+        "asof_purchase": _q_asof_purchase,
+        "value_quantiles": _q_value_quantiles,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -984,6 +1048,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
                    CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
             FROM uni u LEFT JOIN bgm b USING (doc_id)
+        """,
+        "asof_purchase": """
+            WITH l AS (
+                SELECT event_id AS click_event, user_id, ts
+                FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT event_id AS purchase_event, user_id AS r_uid,
+                       ts AS r_ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT l.user_id, l.click_event, epoch_us(l.ts) AS click_us,
+                   r.purchase_event, epoch_us(r.r_ts) AS purchase_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.r_uid AND l.ts >= r.r_ts
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

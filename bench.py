@@ -178,7 +178,7 @@ def run_main() -> dict:
         "quality_stats", "doc_fingerprint", "approx_distinct_users",
         "fingerprint_dedup", "orders_by_segment", "training_sample",
         "pii_redact", "source_cap", "decontaminate", "repetition_stats",
-        "pack_sequences",
+        "pack_sequences", "asof_purchase", "value_quantiles",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -24,7 +24,7 @@ from .curation import (
     pii_redact,
     repetition_stats,
 )
-from .join import broadcast_join, hash_join
+from .join import asof_join, broadcast_join, hash_join
 from .similarity import (
     ann_ivf,
     ann_ivf_bucketed,
@@ -34,7 +34,7 @@ from .similarity import (
     kmeans_centroids,
 )
 from .sampling import stratified_sample
-from .sketch import approx_distinct, approx_distinct_by
+from .sketch import approx_distinct, approx_distinct_by, approx_quantile_by
 from .topk import top_k
 from .windows import sessionize, tumbling_window
 from .textstats import (
@@ -56,6 +56,8 @@ __all__ = [
     "stratified_sample",
     "approx_distinct",
     "approx_distinct_by",
+    "approx_quantile_by",
+    "asof_join",
     "bpe_token_stats",
     "fingerprint_dedup",
     "sessionize",

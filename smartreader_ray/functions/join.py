@@ -11,6 +11,14 @@ keyed, payloads packed into per-side struct columns, unioned, and a
 side (the unavoidable cost of a distributed equi-join). Per-key output
 is the cross product; a guard fails loudly on a hot key instead of
 OOMing the group task.
+
+``asof_join``: temporal join (each left row matched to the latest right
+row at-or-before it, per key) — the operator Ray Data lacks natively.
+Same union + ``groupby(by)`` partitioning as ``hash_join``; within a
+key the match is one vectorized ``np.searchsorted`` over the sorted
+right timestamps. Partitioning assumption: one ``by`` key's rows fit in
+a group task (same contract as any keyed groupby; salt or pre-bucket a
+pathological key).
 """
 
 from __future__ import annotations
@@ -174,6 +182,107 @@ def hash_join(left, right, left_key: str, right_key: str,
             r_struct.field(c) for c in right_cols
         ]
         return pa.Table.from_arrays(arrays, names=left_cols + right_cols)
+
+    return (
+        l_packed.union(r_packed)
+        .groupby("__key")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
+def asof_join(left, right, by: str, on: str,
+              left_cols: list[str], right_cols: list[str],
+              direction: str = "backward", allow_equal: bool = True):
+    """Distributed as-of join: for every left row, the single right row
+    with the greatest ``on`` ≤ left's ``on`` (direction="backward"; with
+    "forward", the least ``on`` ≥ left's) sharing the same ``by`` key.
+    Left-outer semantics: unmatched left rows keep null right columns.
+
+    ``by`` and ``on`` must exist on both sides (same types) and are
+    internal — the output is exactly ``left_cols + right_cols`` (caller
+    includes copies of by/on in a payload list if wanted, which also
+    sidesteps name collisions). Both sides are pruned to key + payload
+    before the single all-to-all; within each key group the match is one
+    ``np.searchsorted`` over the sorted right side — no per-row Python.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+
+    def _types(ds, cols):
+        schema = ds.schema()
+        m = dict(zip(schema.names, schema.types))
+        return [(c, m[c]) for c in cols]
+
+    l_types = _types(left, left_cols)
+    r_types = _types(right, right_cols)
+
+    def pack(side):
+        mine = left_cols if side == 0 else right_cols
+        theirs_types = r_types if side == 0 else l_types
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "__key": pc.cast(batch.column(by), pa.string()),
+                "__on": batch.column(on),
+                "__side": pa.array([side] * n, type=pa.int8()),
+            }
+            for c in mine:
+                cols[c] = batch.column(c)
+            for c, t in theirs_types:
+                cols[c] = pa.nulls(n, type=t)
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    def prune(ds, cols):
+        keep = [by, on] + [c for c in cols if c not in (by, on)]
+        return ds.select_columns(keep)
+
+    l_packed = prune(left, left_cols).map_batches(
+        pack(0), batch_format="pyarrow"
+    )
+    r_packed = prune(right, right_cols).map_batches(
+        pack(1), batch_format="pyarrow"
+    )
+
+    import numpy as np
+
+    def emit(group: pa.Table) -> pa.Table:
+        sides = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(sides == 0))
+        rt = group.filter(pa.array(sides == 1))
+        if lt.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=t) for _, t in l_types + r_types],
+                names=left_cols + right_cols,
+            )
+        out = {c: lt.column(c) for c in left_cols}
+        if rt.num_rows == 0:
+            for c, t in r_types:
+                out[c] = pa.nulls(lt.num_rows, type=t)
+            return pa.Table.from_pydict(out)
+        order = pc.sort_indices(rt.column("__on"))
+        rt = rt.take(order)
+        r_on = rt.column("__on").to_numpy(zero_copy_only=False)
+        l_on = lt.column("__on").to_numpy(zero_copy_only=False)
+        if direction == "backward":
+            idx = np.searchsorted(
+                r_on, l_on, side="right" if allow_equal else "left"
+            ) - 1
+            valid = idx >= 0
+        else:
+            idx = np.searchsorted(
+                r_on, l_on, side="left" if allow_equal else "right"
+            )
+            valid = idx < len(r_on)
+        take_idx = pa.array(np.where(valid, idx, 0), mask=~valid)
+        for c in right_cols:
+            out[c] = rt.column(c).take(take_idx)
+        return pa.Table.from_pydict(out)
 
     return (
         l_packed.union(r_packed)

@@ -1,4 +1,5 @@
-"""Cardinality sketching: HyperLogLog distinct counts.
+"""Distribution sketching: HyperLogLog distinct counts and mergeable
+equi-depth quantile summaries.
 
 The published HLL estimator (Flajolet et al. 2007): hash each value,
 use the top ``b`` bits as a register index, record the position of the
@@ -125,6 +126,108 @@ def approx_distinct_by(ds, key_col: str, col: str, b: int = 12):
                 "approx_distinct": pa.array(
                     [int(round(_estimate(regs)))], type=pa.int64()
                 ),
+            }
+        )
+
+    partials = ds.select_columns([key_col, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch
+# ---------------------------------------------------------------------------
+def _compress(values: np.ndarray, weights: np.ndarray,
+              k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Equi-depth recompression of a weighted sorted sample to ≤k
+    centroids: split the cumulative weight into k equal-mass slices and
+    keep one weighted mean per slice. Rank error after one pass is
+    ≤ total_weight/k; merging then recompressing adds another 1/k — the
+    GK/t-digest trade in its simplest mergeable form."""
+    if len(values) <= k:
+        return values, weights
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    edges = np.linspace(0, total, k + 1)
+    slot = np.minimum(np.searchsorted(edges, cum, side="left"), k)
+    slot[0] = max(slot[0], 1)
+    out_v = np.zeros(k, dtype=np.float64)
+    out_w = np.zeros(k, dtype=np.float64)
+    np.add.at(out_w, slot - 1, weights)
+    np.add.at(out_v, slot - 1, values * weights)
+    keep = out_w > 0
+    return out_v[keep] / out_w[keep], out_w[keep]
+
+
+def approx_quantile_by(ds, key_col: str, col: str,
+                       qs=(0.5, 0.9, 0.99), k: int = 256):
+    """Per-key approximate quantiles via mergeable equi-depth summaries.
+
+    The curation use case: score thresholds ("keep docs above the p90
+    quality score") computed WITHOUT a global sort. Per batch, each
+    key's values are sorted and compressed to ≤``k`` weighted centroids
+    — so one small row per (block, key) crosses the exchange, never the
+    values — then a ``groupby(key)`` merge re-sorts the centroid union
+    and reads the quantiles off the cumulative weights. Rank error is
+    O(1/k) per pass (k=256 → well under 1 %); exactness is pinned by
+    unit tests against ``np.quantile``, so the query is rows-only.
+
+    Returns a Dataset of (key_col, q: float64, value: float64).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        bounds = np.concatenate(
+            ([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)])
+        )
+        keys_out, v_out, w_out = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            v = np.sort(vals[s:e])
+            cv, cw = _compress(v, np.ones(len(v)), k)
+            keys_out.append(keys[s])
+            v_out.append(cv.tobytes())
+            w_out.append(cw.tobytes())
+        return pa.Table.from_pydict(
+            {
+                key_col: pa.array(keys_out,
+                                  type=batch.schema.field(key_col).type),
+                "cv": pa.array(v_out, type=pa.binary()),
+                "cw": pa.array(w_out, type=pa.binary()),
+            }
+        )
+
+    qs_arr = np.asarray(list(qs), dtype=np.float64)
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64)
+             for b in group.column("cv").to_pylist()]
+        )
+        w = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64)
+             for b in group.column("cw").to_pylist()]
+        )
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        v, w = _compress(v, w, k)
+        cum = np.cumsum(w)
+        targets = qs_arr * cum[-1]
+        idx = np.minimum(np.searchsorted(cum, targets, side="left"),
+                         len(v) - 1)
+        n = len(qs_arr)
+        return pa.Table.from_pydict(
+            {
+                key_col: pa.concat_arrays(
+                    [group.column(key_col).combine_chunks().slice(0, 1)] * n
+                ),
+                "q": qs_arr,
+                "value": v[idx],
             }
         )
 

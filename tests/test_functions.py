@@ -704,3 +704,75 @@ def test_hash_join_left_and_anti(ray_session):
 
     with pytest.raises(ValueError, match="how"):
         hash_join(left, right, "k", "k2", ["lv"], ["rv"], how="outer")
+
+
+def test_asof_join_backward_and_forward(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import asof_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "t": 10, "l": "a"},
+            {"k": 1, "t": 20, "l": "b"},
+            {"k": 1, "t": 5, "l": "c"},   # before any right row
+            {"k": 2, "t": 100, "l": "d"},  # key with no right rows
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"k": 1, "t": 8, "r": "r8"},
+            {"k": 1, "t": 15, "r": "r15"},
+            {"k": 1, "t": 20, "r": "r20"},
+        ]
+    )
+    out = asof_join(left, right, by="k", on="t",
+                    left_cols=["l"], right_cols=["r"]).take_all()
+    got = {r["l"]: r["r"] for r in out}
+    # backward + allow_equal: latest right at-or-before each left
+    assert got == {"a": "r8", "b": "r20", "c": None, "d": None}
+
+    strict = asof_join(left, right, by="k", on="t", allow_equal=False,
+                       left_cols=["l"], right_cols=["r"]).take_all()
+    assert {r["l"]: r["r"] for r in strict}["b"] == "r15"  # 20 excluded
+
+    fwd = asof_join(left, right, by="k", on="t", direction="forward",
+                    left_cols=["l"], right_cols=["r"]).take_all()
+    assert {r["l"]: r["r"] for r in fwd} == {
+        "a": "r15", "b": "r20", "c": "r8", "d": None
+    }
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, by="k", on="t", direction="nearest",
+                  left_cols=["l"], right_cols=["r"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, by="k", on="t",
+                  left_cols=["l"], right_cols=["l"])
+
+
+def test_approx_quantile_accuracy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from smartreader_ray.functions import approx_quantile_by
+
+    rng = np.random.default_rng(7)
+    vals_a = rng.normal(100.0, 15.0, 50_000)
+    vals_b = rng.exponential(10.0, 30_000)
+    items = pa.table(
+        {
+            "key": ["a"] * len(vals_a) + ["b"] * len(vals_b),
+            "v": np.concatenate([vals_a, vals_b]),
+        }
+    )
+    out = approx_quantile_by(
+        ray.data.from_arrow(items).repartition(8), "key", "v",
+        qs=(0.5, 0.9, 0.99),
+    ).take_all()
+    got = {(r["key"], r["q"]): r["value"] for r in out}
+    for key, vals in (("a", vals_a), ("b", vals_b)):
+        spread = np.quantile(vals, 0.99) - np.quantile(vals, 0.01)
+        for q in (0.5, 0.9, 0.99):
+            exact = np.quantile(vals, q)
+            # rank error O(1/k) → value error well under 2 % of spread
+            assert abs(got[(key, q)] - exact) < 0.02 * spread, (key, q)
