@@ -559,7 +559,7 @@ def _q_decontaminate(sf_dir: str):
         r["snip"]
         for r in docs.map_batches(snip_batch, batch_format="pyarrow").take_all()
     ]
-    return decontaminate(docs, snips)
+    return decontaminate(docs, snips).select_columns(["doc_id", "contaminated"])
 
 
 def _q_repetition_stats(sf_dir: str):
@@ -589,6 +589,36 @@ def _q_pack_sequences(sf_dir: str):
     from smartreader_ray.functions import pack_sequences
 
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
+
+
+def _q_curated_corpus(sf_dir: str):
+    """END-TO-END safety curation chain: PII redact → repetition filter
+    → decontaminate → per-source cap, composed streaming (see
+    pipelines/training_data.py). Every stage SQL-expressible → the
+    COMPOSED pipeline gets exact hash equality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.pipelines import build_curation_pipeline
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def snip_batch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ids % 50 == 0))
+        return pa.Table.from_pydict(
+            {"snip": pc.utf8_slice_codeunits(f.column("text"), 0, 120)}
+        )
+
+    snips = [
+        r["snip"]
+        for r in docs.map_batches(snip_batch, batch_format="pyarrow").take_all()
+    ]
+    return build_curation_pipeline(docs, snips)
 
 
 def _q_asof_purchase(sf_dir: str):
@@ -833,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
+        "curated_corpus": _q_curated_corpus,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -1048,6 +1079,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
                    CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
             FROM uni u LEFT JOIN bgm b USING (doc_id)
+        """,
+        "curated_corpus": r"""
+            WITH red AS (
+                SELECT doc_id, source,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                           '\+?\d[\d \-()]{7,}\d', '<PHONE>', 'g') AS text
+                FROM documents),
+            q AS (
+                SELECT doc_id, source, text FROM red
+                WHERE len(list_distinct(string_split(trim(text), ' '))) * 2
+                      >= len(string_split(trim(text), ' '))),
+            eval AS (
+                SELECT substr(text, 1, 120) AS snip
+                FROM documents WHERE doc_id % 50 = 0),
+            clean AS (
+                SELECT doc_id, source FROM q d
+                WHERE NOT EXISTS (SELECT 1 FROM eval e
+                                  WHERE contains(d.text, e.snip)))
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY doc_id) AS rn
+                FROM clean) WHERE rn <= 10
         """,
         "asof_purchase": """
             WITH l AS (

@@ -108,9 +108,9 @@ class _ContaminationFlagger:
             )
         else:
             flags = pa.array([False] * batch.num_rows, type=pa.bool_())
-        return pa.Table.from_pydict(
-            {"doc_id": batch.column("doc_id"), "contaminated": flags}
-        )
+        # passthrough: input columns survive so the flag composes into
+        # larger pipelines (filter + keep source/text downstream)
+        return batch.append_column("contaminated", flags)
 
 
 def decontaminate(ds, snippets: Sequence[str], concurrency: int = 4,

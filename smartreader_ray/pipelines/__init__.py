@@ -1,7 +1,7 @@
 """Pipelines: streaming extraction with skew routing + checkpointed runs."""
 
 from .extract import build_extraction_pipeline, corpus_metrics
-from .training_data import build_training_pipeline
+from .training_data import build_curation_pipeline, build_training_pipeline
 from .checkpoint import (
     CheckpointedExtraction,
     files_fingerprint,
@@ -11,6 +11,7 @@ from .checkpoint import (
 
 __all__ = [
     "build_extraction_pipeline",
+    "build_curation_pipeline",
     "build_training_pipeline",
     "corpus_metrics",
     "CheckpointedExtraction",

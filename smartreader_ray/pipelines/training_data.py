@@ -40,3 +40,47 @@ def build_training_pipeline(docs_ds, min_chars: int = 200, n_per_lang: int = 10)
         ["doc_id", "lang"], ["n_dups"],
     )
     return stratified_sample(survivors, "lang", n_per_lang)
+
+
+def build_curation_pipeline(docs_ds, eval_snippets,
+                            min_distinct_num: int = 1,
+                            min_distinct_den: int = 2,
+                            cap: int = 10):
+    """The safety-side curation chain, composed end to end:
+
+    PII redaction → repetition filter (keep docs with n_distinct/n_tokens
+    ≥ min_distinct_num/min_distinct_den — integer cross-multiplication,
+    no float thresholds) → test-set decontamination (drop docs containing
+    any eval snippet) → per-source cap.
+
+    Streaming shape: redaction + repetition run fused in ONE map_batches
+    (stats are never joined back — they filter in place, so rejected
+    text dies in the batch that scored it); the contamination flag is an
+    actor stage with the snippet DFA built once per actor; only the
+    final (source, doc_id) pair enters the groupby. Every stage is
+    SQL-expressible → end-to-end hash oracle
+    (``__ray_entry__.oracle_sql()["curated_corpus"]``).
+    """
+    from ..functions import (
+        decontaminate,
+        per_source_cap,
+        pii_redact,
+        repetition_stats,
+    )
+
+    def redact_and_filter(batch: pa.Table) -> pa.Table:
+        red = pii_redact(batch)  # doc_id, text(redacted), had_pii
+        red = red.append_column("source", batch.column("source"))
+        rep = repetition_stats(red)
+        n_tokens = rep.column("n_tokens").to_numpy(zero_copy_only=False)
+        n_distinct = rep.column("n_distinct").to_numpy(zero_copy_only=False)
+        keep = n_distinct * min_distinct_den >= n_tokens * min_distinct_num
+        return red.select(["doc_id", "text", "source"]).filter(pa.array(keep))
+
+    curated = docs_ds.map_batches(redact_and_filter, batch_format="pyarrow")
+    flagged = decontaminate(curated, eval_snippets)
+    clean = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b.column("contaminated"))),
+        batch_format="pyarrow",
+    )
+    return per_source_cap(clean, cap=cap)

@@ -161,3 +161,33 @@ def test_pack_sequences_shard_determinism(ray_session):
     ).take_all()
     key = lambda r: r["pack_id"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_curation_pipeline_end_to_end(ray_session):
+    import ray.data
+
+    from smartreader_ray.pipelines import build_curation_pipeline
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",  # clean, distinct
+                "spam spam spam spam spam ham",  # repetitive → dropped
+                "THE EVAL SET PASSAGE appears right here",  # contaminated
+                "mail bob@example.com about the launch plan",  # PII → redacted, kept
+                "one two three four five six seven",
+            ],
+            "source": ["s1", "s1", "s1", "s2", "s2"],
+        }
+    )
+    out = build_curation_pipeline(
+        ray.data.from_arrow(t), ["THE EVAL SET PASSAGE"], cap=10
+    ).take_all()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {1, 4, 5}
+    # cap enforcement
+    capped = build_curation_pipeline(
+        ray.data.from_arrow(t), [], cap=1
+    ).take_all()
+    assert {(r["source"], r["doc_id"]) for r in capped} == {("s1", 1), ("s2", 4)}
