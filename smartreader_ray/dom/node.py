@@ -277,6 +277,38 @@ class ParentNode(Node):
         self._tc_val = val
         return val
 
+    def has_nonws_text(self) -> bool:
+        """True iff ``text_content.strip() != ""`` — without building the
+        string. Early-exits at the first text node containing a
+        non-whitespace char (``d and not d.isspace()`` ⇔ the strip test,
+        since ``str.strip()`` removes exactly the ``isspace`` chars).
+        Uses a still-valid text_content cache when present."""
+        if self._tc_rev == _REV:
+            v = self._tc_val
+            return bool(v) and not v.isspace()
+        stack: list[Node] = []
+        n = self._last
+        while n is not None:
+            stack.append(n)
+            n = n._prev
+        while stack:
+            n = stack.pop()
+            if n.node_type == TEXT_NODE:
+                d = n.data  # type: ignore[attr-defined]
+                if d and not d.isspace():
+                    return True
+            elif type(n) is Element:
+                if n._tc_rev == _REV:
+                    v = n._tc_val
+                    if v and not v.isspace():
+                        return True
+                    continue
+                c = n._last
+                while c is not None:
+                    stack.append(c)
+                    c = c._prev
+        return False
+
     def iter_elements(self) -> Iterator["Element"]:
         """Depth-first pre-order over descendant elements."""
         stack = list(reversed(self.children))

@@ -171,7 +171,10 @@ def is_element_without_content(el: Element) -> bool:
     """NodeUtility.cs:353-359"""
     if el.node_type != ELEMENT_NODE:
         return False
-    if el.text_content.strip() != "":
+    # early-exit subtree scan — equivalent to text_content.strip() != ""
+    # without materializing the string (this predicate runs inside prune
+    # loops whose mutations keep invalidating the text cache)
+    if el.has_nonws_text():
         return False
     children = el.children
     if len(children) == 0:
