@@ -591,6 +591,15 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_dup_passages(sf_dir: str):
+    """Substring-level dedup: 8-token passages shared by ≥2 docs.
+    Within-doc windows dedupe before the exchange; exact text keys so
+    the oracle is byte-exact (hash keys are the 100 TB variant)."""
+    from smartreader_ray.functions import duplicate_passages
+
+    return duplicate_passages(_docs(sf_dir), window=8, min_docs=2)
+
+
 def _q_curated_corpus(sf_dir: str):
     """END-TO-END safety curation chain: PII redact → repetition filter
     → decontaminate → per-source cap, composed streaming (see
@@ -864,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
         "curated_corpus": _q_curated_corpus,
+        "dup_passages": _q_dup_passages,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -1079,6 +1089,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
                    CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
             FROM uni u LEFT JOIN bgm b USING (doc_id)
+        """,
+        "dup_passages": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, array_to_string(a[i:i+7], ' ') AS win
+                FROM base,
+                     UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            )
+            SELECT win, COUNT(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "curated_corpus": r"""
             WITH red AS (

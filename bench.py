@@ -179,7 +179,7 @@ def run_main() -> dict:
         "fingerprint_dedup", "orders_by_segment", "training_sample",
         "pii_redact", "source_cap", "decontaminate", "repetition_stats",
         "pack_sequences", "asof_purchase", "value_quantiles",
-        "curated_corpus",
+        "curated_corpus", "dup_passages",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -7,6 +7,7 @@ small sides with ray.put; vectorize with numpy/pyarrow.compute.
 """
 
 from .dedup import (
+    duplicate_passages,
     exact_dedup,
     fingerprint_dedup,
     minhash_dedup,
@@ -47,6 +48,7 @@ from .textstats import (
 
 __all__ = [
     "exact_dedup",
+    "duplicate_passages",
     "decontaminate",
     "pack_sequences",
     "per_source_cap",

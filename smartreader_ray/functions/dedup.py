@@ -569,3 +569,69 @@ def minhash_dedup(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
     pair_rows = cands.select_columns(["doc_a", "doc_b"]).take_all()
     pair_list = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
     return verify_candidate_pairs(ds, pair_list, ngram=ngram, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplicate passages
+# ---------------------------------------------------------------------------
+def duplicate_passages(ds, window: int = 8, min_docs: int = 2,
+                       text_col: str = "text"):
+    """Passage-level duplication: every ``window``-token span appearing
+    in ≥ ``min_docs`` DISTINCT documents (the substring-dedup family of
+    Lee et al.'s "Deduplicating Training Data" — whole-doc dedup misses
+    shared boilerplate passages inside otherwise-unique pages).
+
+    Per batch each document's windows are deduplicated BEFORE the
+    exchange (one (window, doc_id) pair per distinct window per doc),
+    then one groupby(window) counts distinct doc_ids and keeps the
+    shared ones. The window key crosses the shuffle as text so the
+    DuckDB oracle is byte-exact; at 100 TB swap the key for a 128-bit
+    hash of the window (identical shape, 16-byte keys) and keep a
+    second pass to recover the text of survivors.
+    """
+
+    def emit_windows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        wins, out_ids = [], []
+        for doc_id, t in zip(ids, texts):
+            toks = (t or "").split()
+            if len(toks) < window:
+                continue
+            seen = set()
+            for i in range(len(toks) - window + 1):
+                w = " ".join(toks[i:i + window])
+                if w not in seen:
+                    seen.add(w)
+                    wins.append(w)
+                    out_ids.append(doc_id)
+        return pa.Table.from_pydict(
+            {
+                "win": pa.array(wins, type=pa.string()),
+                "doc_id": pa.array(out_ids, type=id_type),
+            }
+        )
+
+    def count_docs(group: pa.Table) -> pa.Table:
+        n = len(set(group.column("doc_id").to_pylist()))
+        if n < min_docs:
+            return pa.Table.from_pydict(
+                {
+                    "win": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "win": group.column("win").slice(0, 1),
+                "n_docs": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", text_col])
+        .map_batches(emit_windows, batch_format="pyarrow")
+        .groupby("win")
+        .map_groups(count_docs, batch_format="pyarrow")
+    )

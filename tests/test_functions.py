@@ -776,3 +776,37 @@ def test_approx_quantile_accuracy(ray_session):
             exact = np.quantile(vals, q)
             # rank error O(1/k) → value error well under 2 % of spread
             assert abs(got[(key, q)] - exact) < 0.02 * spread, (key, q)
+
+
+def test_duplicate_passages(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import duplicate_passages
+
+    shared = "one two three four"  # the 4-token passage docs 1+2 share
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                f"{shared} alpha beta",
+                f"gamma {shared} delta",
+                "totally unrelated words here now",
+            ],
+        }
+    )
+    out = duplicate_passages(
+        ray.data.from_arrow(t), window=4, min_docs=2
+    ).take_all()
+    got = {r["win"]: r["n_docs"] for r in out}
+    assert got == {shared: 2}
+
+    # within-doc repetition must NOT count as cross-doc duplication
+    rep = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["x y x y x y x y"],
+        }
+    )
+    assert duplicate_passages(
+        ray.data.from_arrow(rep), window=2, min_docs=2
+    ).count() == 0
