@@ -591,6 +591,22 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_weighted_mix(sf_dir: str):
+    """Deterministic weighted corpus mixing (up/down-sample per source):
+    src0 kept fully, src1 at 0.5, src2 at 0.25, the rest at 0.1 — a pure
+    per-row md5 filter, no shuffle, reproducible across engines."""
+    import ray.data
+
+    from smartreader_ray.functions import weighted_mix
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return weighted_mix(
+        ds, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_weight=0.1
+    )
+
+
 def _q_dup_passages(sf_dir: str):
     """Substring-level dedup: 8-token passages shared by ≥2 docs.
     Within-doc windows dedupe before the exchange; exact text keys so
@@ -874,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
+        "weighted_mix": _q_weighted_mix,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -884,7 +901,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from smartreader_ray.functions import mix_threshold_hex as _mt
+
     return {
+        "weighted_mix": f"""
+            SELECT source, doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE source
+                      WHEN 'src0' THEN '{_mt(1.0)}'
+                      WHEN 'src1' THEN '{_mt(0.5)}'
+                      WHEN 'src2' THEN '{_mt(0.25)}'
+                      ELSE '{_mt(0.1)}'
+                  END
+        """,
         "extract_meta": r"""
             SELECT doc_id,
                    'Document ' || CAST(doc_id AS VARCHAR) AS title,

@@ -179,7 +179,7 @@ def run_main() -> dict:
         "fingerprint_dedup", "orders_by_segment", "training_sample",
         "pii_redact", "source_cap", "decontaminate", "repetition_stats",
         "pack_sequences", "asof_purchase", "value_quantiles",
-        "curated_corpus", "dup_passages",
+        "curated_corpus", "dup_passages", "weighted_mix",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -34,7 +34,7 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
-from .sampling import stratified_sample
+from .sampling import mix_threshold_hex, stratified_sample, weighted_mix
 from .sketch import approx_distinct, approx_distinct_by, approx_quantile_by
 from .topk import top_k
 from .windows import sessionize, tumbling_window
@@ -56,6 +56,8 @@ __all__ = [
     "repetition_stats",
     "hash_join",
     "stratified_sample",
+    "weighted_mix",
+    "mix_threshold_hex",
     "approx_distinct",
     "approx_distinct_by",
     "approx_quantile_by",

@@ -59,3 +59,46 @@ def stratified_sample(ds, key_col: str, n_per_key: int, id_col: str = "doc_id"):
         keyed, batch_format="pyarrow"
     )
     return pruned.groupby(key_col).map_groups(take_n, batch_format="pyarrow")
+
+
+def mix_threshold_hex(weight: float) -> str:
+    """8-hex-digit keep-threshold for ``weighted_mix``: a row survives
+    iff ``md5(str(id))[:8] < threshold``. Lowercase-hex string order ==
+    numeric order at fixed width, so the same comparison runs unchanged
+    in SQL. weight ≥ 1 → "g" (> every hex digit: keep all); ≤ 0 → ""
+    (< everything: keep none)."""
+    if weight >= 1.0:
+        return "g"
+    if weight <= 0.0:
+        return ""
+    return format(int(weight * 16 ** 8), "08x")
+
+
+def weighted_mix(ds, weights: dict, default_weight: float = 0.0,
+                 key_col: str = "source", id_col: str = "doc_id"):
+    """Deterministic weighted corpus mixing: independently keep each row
+    with its source's probability, driven by ``md5(str(id))`` as the
+    uniform draw — the standard up/down-sampling step when rebalancing a
+    training mix across sources/domains.
+
+    A pure per-row filter: no shuffle, no RNG state to coordinate,
+    reproducible across engines and partitionings (the DuckDB oracle
+    replays the identical md5 comparison). Expected kept fraction per
+    source is exact to 1/16^8.
+    """
+    thresholds = {k: mix_threshold_hex(w) for k, w in weights.items()}
+    default_t = mix_threshold_hex(default_weight)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        hexes = _md5_hex(ids)
+        mask = pa.array(
+            [h[:8] < thresholds.get(k, default_t)
+             for h, k in zip(hexes, keys)]
+        )
+        return batch.filter(mask)
+
+    return ds.select_columns([key_col, id_col]).map_batches(
+        keep, batch_format="pyarrow"
+    )

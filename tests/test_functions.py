@@ -810,3 +810,35 @@ def test_duplicate_passages(ray_session):
     assert duplicate_passages(
         ray.data.from_arrow(rep), window=2, min_docs=2
     ).count() == 0
+
+
+def test_weighted_mix(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import weighted_mix
+
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "source": ["a" if i % 2 == 0 else "b" for i in range(n)],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = weighted_mix(ds, {"a": 1.0, "b": 0.25}).take_all()
+    a = [r for r in out if r["source"] == "a"]
+    b = [r for r in out if r["source"] == "b"]
+    assert len(a) == n // 2  # weight 1.0 keeps everything
+    assert abs(len(b) / (n // 2) - 0.25) < 0.05  # md5 draw ≈ uniform
+
+    # reproducible across partitionings
+    again = weighted_mix(
+        ds.repartition(7), {"a": 1.0, "b": 0.25}
+    ).take_all()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+
+    # weight 0 drops the source entirely
+    none = weighted_mix(ds, {"a": 0.0}, default_weight=0.0).count()
+    assert none == 0
