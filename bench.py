@@ -303,9 +303,27 @@ def run_control() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship extraction pipeline's ds.stats(): per-operator
+    wall/cpu/udf times, block sizes, and actor-pool utilization — the
+    evidence loop for stage-level tuning ("is wall-time dominated by
+    useful compute?")."""
+    _init_ray(_num_cpus())
+    from smartreader_ray.pipelines import build_extraction_pipeline
+
+    ds, _ = _fixture_corpus_ds(replicas=8)
+    out = build_extraction_pipeline(ds, batch_size=8, include_content=False)
+    _consume(out)
+    print(out.stats())
+
+
 def main() -> None:
     import ray
 
+    if "--stats" in sys.argv:
+        run_stats()
+        ray.shutdown()
+        return
     if "--control" in sys.argv:
         print(json.dumps(run_control()))
         return
