@@ -591,6 +591,58 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental (cross-job) dedup: index the first half of the corpus
+    in the sharded mutable fingerprint index, then stream the second
+    half against it — repeats of indexed content drop, new content
+    passes. Stateful raw-actor stage (first-arrival wins) → rows-only;
+    the survivor COUNT is deterministic, unit tests pin semantics."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.state import DedupIndex
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n = docs.count()
+
+    def first_half(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids < n // 2))
+
+    def second_half(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids >= n // 2))
+
+    def replay_first_half(b: pa.Table) -> pa.Table:
+        # re-keyed copies of wave-1 content: every one must be dropped
+        # (this corpus has no natural full-content cross-half dups, so
+        # the replicas are what PROVES drops: survivors = n/2, not
+        # n/2 + replicas)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ids < n // 2))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    [int(i) + 1_000_000 for i in
+                     f.column("doc_id").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "text": f.column("text"),
+            }
+        )
+
+    index = DedupIndex(num_shards=4)
+    # wave 1: index the existing corpus (consume to completion)
+    index.filter_new(
+        docs.map_batches(first_half, batch_format="pyarrow")
+    ).count()
+    # wave 2: new second-half content passes; replayed wave-1 content drops
+    wave2 = docs.map_batches(second_half, batch_format="pyarrow").union(
+        docs.map_batches(replay_first_half, batch_format="pyarrow")
+    )
+    return index.filter_new(wave2).select_columns(["doc_id"])
+
+
 def _q_weighted_mix(sf_dir: str):
     """Deterministic weighted corpus mixing (up/down-sample per source):
     src0 kept fully, src1 at 0.5, src2 at 0.25, the rest at 0.1 — a pure
@@ -891,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
         "weighted_mix": _q_weighted_mix,
+        "incremental_dedup": _q_incremental_dedup,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,

@@ -1,0 +1,153 @@
+"""Sharded mutable fingerprint index for INCREMENTAL dedup.
+
+Batch dedup (``functions.dedup``) assumes the whole corpus is in the
+job: a groupby brings equal keys together once. Production pipelines
+also need the other shape — dedup a stream of NEW documents against
+everything already accepted (today's crawl vs. the corpus) — which
+requires state that mutates across batches. Ray Data cannot express
+cross-batch mutable state; this is the documented raw-actor exception
+(see package docstring).
+
+Design:
+- The index is hash-sharded over N actors; a fingerprint belongs to
+  exactly one shard (``fp % N``), so membership+insert is atomic per
+  fingerprint without any cross-actor coordination, and shards scale
+  horizontally across nodes.
+- ``check_and_add`` is one message per (batch, shard): the map task
+  sends each shard only its slice of the batch's fingerprints, so
+  traffic per batch is O(batch) split N ways, not O(index).
+- First arrival wins. Exactly one copy of each distinct fingerprint
+  survives globally, whatever the batch/task interleaving — the only
+  per-key serialization point is the owning shard actor.
+- Exact mode holds a Python set (~60 B/entry: fine to ~10^9 entries per
+  shard); ``bloom_bits`` switches a shard to a Bloom filter with
+  constant memory for the 10^12-document regime, trading a documented
+  false-positive rate (FP ⇒ a non-duplicate dropped; never the
+  reverse). The partitioning assumption either way: one shard's index
+  fits one actor's heap — size ``num_shards`` to the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+_BLOOM_HASHES = 4
+
+
+@ray.remote
+class FingerprintShard:
+    """One shard of the index. ``bloom_bits=None`` → exact set;
+    otherwise a fixed-size Bloom filter (``bloom_bits`` must be a power
+    of two)."""
+
+    def __init__(self, bloom_bits: int | None = None):
+        if bloom_bits is None:
+            self._seen: set | None = set()
+            self._bits = None
+        else:
+            if bloom_bits & (bloom_bits - 1):
+                raise ValueError("bloom_bits must be a power of two")
+            self._seen = None
+            self._bits = np.zeros(bloom_bits // 8, dtype=np.uint8)
+            self._mask = np.uint64(bloom_bits - 1)
+
+    def check_and_add(self, fps: list[int]) -> list[bool]:
+        """For each fingerprint, True iff it was ALREADY present; new
+        ones are inserted. Atomic: the actor processes one call at a
+        time, so exactly one caller ever sees False for a given fp."""
+        if self._seen is not None:
+            seen = self._seen
+            out = []
+            for fp in fps:
+                if fp in seen:
+                    out.append(True)
+                else:
+                    seen.add(fp)
+                    out.append(False)
+            return out
+        bits = self._bits
+        out = []
+        h = np.asarray(fps, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            idxs = [
+                ((h * np.uint64(0x9E3779B97F4A7C15 + 2 * k + 1))
+                 >> np.uint64(17)) & self._mask
+                for k in range(_BLOOM_HASHES)
+            ]
+        for j in range(len(fps)):
+            present = True
+            for k in range(_BLOOM_HASHES):
+                pos = int(idxs[k][j])
+                byte, bit = pos >> 3, 1 << (pos & 7)
+                if not bits[byte] & bit:
+                    present = False
+                    bits[byte] |= bit  # insert while checking
+            out.append(present)
+        return out
+
+    def size_bytes(self) -> int:
+        if self._seen is not None:
+            return len(self._seen) * 60  # CPython set-entry estimate
+        return int(self._bits.nbytes)
+
+    def count(self) -> int:
+        """Exact mode: entries held. Bloom mode: -1 (not tracked)."""
+        return len(self._seen) if self._seen is not None else -1
+
+
+class DedupIndex:
+    """Driver-side handle over the shard actors."""
+
+    def __init__(self, num_shards: int = 8, bloom_bits: int | None = None):
+        self.num_shards = num_shards
+        self.shards = [
+            FingerprintShard.remote(bloom_bits) for _ in range(num_shards)
+        ]
+
+    def filter_new(self, ds, text_col: str = "text"):
+        """documents → the subset not seen before (and index them).
+
+        Each batch fingerprints locally (vectorized rolling hash), sends
+        every shard its own fingerprint slice, and drops rows whose
+        fingerprint was already indexed — by this job or any earlier
+        one sharing the index.
+        """
+        from ..functions.textstats import doc_fingerprint
+
+        shards = self.shards
+        n_shards = self.num_shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            fps = doc_fingerprint(batch, text_col=text_col).column(
+                "fingerprint"
+            ).to_numpy(zero_copy_only=False).astype(np.uint64)
+            shard_of = (fps % np.uint64(n_shards)).astype(np.int64)
+            dup = np.zeros(len(fps), dtype=bool)
+            pending = []
+            for s in range(n_shards):
+                idx = np.nonzero(shard_of == s)[0]
+                if len(idx):
+                    pending.append(
+                        (idx,
+                         shards[s].check_and_add.remote(
+                             [int(f) for f in fps[idx]]))
+                    )
+            for idx, fut in pending:
+                dup[idx] = ray.get(fut)
+            return batch.filter(pa.array(~dup))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def stats(self) -> dict:
+        counts = ray.get([s.count.remote() for s in self.shards])
+        sizes = ray.get([s.size_bytes.remote() for s in self.shards])
+        return {
+            "shards": self.num_shards,
+            "entries": sum(counts) if all(c >= 0 for c in counts) else None,
+            "approx_bytes": sum(sizes),
+        }
