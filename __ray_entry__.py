@@ -591,6 +591,15 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (32-token chunks, stride 24) —
+    the embedding-prep flat-map. Pure per-row transform, no shuffle;
+    byte-exact SQL oracle."""
+    from smartreader_ray.functions import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), chunk_tokens=32, stride=24)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental (cross-job) dedup: index the first half of the corpus
     in the sharded mutable fingerprint index, then stream the second
@@ -944,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": _q_dup_passages,
         "weighted_mix": _q_weighted_mix,
         "incremental_dedup": _q_incremental_dedup,
+        "chunk_documents": _q_chunk_documents,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -1171,6 +1181,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
                    CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
             FROM uni u LEFT JOIN bgm b USING (doc_id)
+        """,
+        "chunk_documents": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST((i - 1) / 24 AS BIGINT) AS chunk_id,
+                   array_to_string(a[i:least(i + 31, len(a))], ' ') AS chunk
+            FROM base,
+                 UNNEST(generate_series(1, greatest(len(a), 1), 24)) AS t(i)
         """,
         "dup_passages": """
             WITH base AS (

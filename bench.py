@@ -180,7 +180,7 @@ def run_main() -> dict:
         "pii_redact", "source_cap", "decontaminate", "repetition_stats",
         "pack_sequences", "asof_purchase", "value_quantiles",
         "curated_corpus", "dup_passages", "weighted_mix",
-        "incremental_dedup",
+        "incremental_dedup", "chunk_documents",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -19,6 +19,7 @@ from .dedup import (
     verify_candidate_pairs_distributed,
 )
 from .curation import (
+    chunk_documents,
     decontaminate,
     pack_sequences,
     per_source_cap,
@@ -50,6 +51,7 @@ __all__ = [
     "exact_dedup",
     "duplicate_passages",
     "decontaminate",
+    "chunk_documents",
     "pack_sequences",
     "per_source_cap",
     "pii_redact",

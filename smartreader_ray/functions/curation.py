@@ -287,3 +287,51 @@ def pack_sequences(ds, max_tokens: int = 1024, text_col: str = "text",
     return counted.groupby("shard").map_groups(
         pack_batch, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+def chunk_documents(ds, chunk_tokens: int = 256, stride: int | None = None,
+                    text_col: str = "text"):
+    """Split documents into (overlapping) token-window chunks — the
+    embedding-pipeline prep step (encoders take ~512-token inputs, docs
+    don't). Chunk k covers tokens [k·stride, k·stride + chunk_tokens);
+    ``stride < chunk_tokens`` gives overlap, default stride = no
+    overlap. Every start position ≤ len emits (the final chunk may be
+    short) — a rule simple enough that the SQL oracle replays it
+    byte-exactly.
+
+    Pure per-row flat-map: no shuffle, each input block maps to one
+    output block. Output: (doc_id, chunk_id, chunk).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        out_ids, out_cids, out_chunks = [], [], []
+        for doc_id, t in zip(ids, texts):
+            toks = (t or "").strip().split(" ")
+            n = len(toks)
+            k = 0
+            for start in range(0, max(n, 1), stride):
+                out_ids.append(doc_id)
+                out_cids.append(k)
+                out_chunks.append(" ".join(toks[start:start + chunk_tokens]))
+                k += 1
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, type=id_type),
+                "chunk_id": pa.array(out_cids, type=pa.int64()),
+                "chunk": pa.array(out_chunks, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

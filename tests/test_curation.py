@@ -191,3 +191,30 @@ def test_curation_pipeline_end_to_end(ray_session):
         ray.data.from_arrow(t), [], cap=1
     ).take_all()
     assert {(r["source"], r["doc_id"]) for r in capped} == {("s1", 1), ("s2", 4)}
+
+
+def test_chunk_documents(ray_session):
+    import pytest
+    import ray.data
+
+    from smartreader_ray.functions import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [" ".join(str(i) for i in range(10)), "short"],
+        }
+    )
+    out = chunk_documents(
+        ray.data.from_arrow(t), chunk_tokens=4, stride=3
+    ).take_all()
+    by_key = {(r["doc_id"], r["chunk_id"]): r["chunk"] for r in out}
+    assert by_key[(1, 0)] == "0 1 2 3"
+    assert by_key[(1, 1)] == "3 4 5 6"  # overlap of 1 token
+    assert by_key[(1, 2)] == "6 7 8 9"
+    assert by_key[(1, 3)] == "9"  # short tail chunk
+    assert by_key[(2, 0)] == "short"
+    assert len(by_key) == 5
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=0)
