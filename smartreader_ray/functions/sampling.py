@@ -28,21 +28,43 @@ def stratified_sample(ds, key_col: str, n_per_key: int, id_col: str = "doc_id"):
     smallest ``md5(str(id))`` in each key group (ties broken by id).
 
     Shape: only (key, id, md5) columns cross the exchange — never
-    payloads; winners come back as a small (key, id) table to semi-join
-    against the corpus (broadcast the id set) when full rows are needed.
-    Equivalent SQL: ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
-    md5(CAST(id AS VARCHAR)), id) <= n``.
+    payloads — and each BLOCK pre-truncates to its own ``n_per_key``
+    smallest per key before the exchange (the global winners are each
+    among SOME block's n smallest, so the partial keeps every eventual
+    winner), bounding any key's group at n × blocks rows even when one
+    key covers most of a 100 TB corpus. Winners come back as a small
+    (key, id) table to semi-join against the corpus (broadcast the id
+    set) when full rows are needed. Equivalent SQL: ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY md5(CAST(id AS VARCHAR)), id) <= n``.
     """
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        return pa.Table.from_pydict(
+        t = pa.Table.from_pydict(
             {
                 key_col: batch.column(key_col),
                 id_col: batch.column(id_col),
                 "rank_md5": pa.array(_md5_hex(ids), type=pa.string()),
             }
         )
+        import pyarrow.compute as pc
+
+        # per-block combine: n smallest (md5, id) per key
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"),
+                          ("rank_md5", "ascending"),
+                          (id_col, "ascending")]
+        )
+        t = t.take(order)
+        keys = t.column(key_col).to_pylist()
+        keep, run_key, run = [], object(), 0
+        for i, k in enumerate(keys):
+            if k != run_key:
+                run_key, run = k, 0
+            if run < n_per_key:
+                keep.append(i)
+            run += 1
+        return t.take(pa.array(keep, type=pa.int64()))
 
     def take_n(group: pa.Table) -> pa.Table:
         order = sorted(

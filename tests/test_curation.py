@@ -218,3 +218,23 @@ def test_chunk_documents(ray_session):
 
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(ray.data.from_arrow(t), chunk_tokens=0)
+
+
+def test_per_source_cap_hot_key_partial_combine(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import per_source_cap
+
+    # one hot source spread over many blocks: the per-block partial must
+    # still deliver exactly the cap globally-lowest ids
+    n = 5000
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n - 1, -1, -1)), type=pa.int64()),
+            "source": ["hot"] * n,
+        }
+    )
+    out = per_source_cap(
+        ray.data.from_arrow(t).repartition(32), cap=5
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4]
