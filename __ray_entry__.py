@@ -591,6 +591,33 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_top_orders_by_segment(sf_dir: str):
+    """Per-key top-k: 5 priciest orders per market segment. Broadcast
+    the small customer dim onto orders (zero shuffle), then two-level
+    top-k (per-block partial → keyed reduce sees ≤ k×blocks rows per
+    key). Deterministic o_orderkey tie-break → exact hash oracle."""
+    import ray.data
+
+    from smartreader_ray.functions import broadcast_join, top_k_by
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    enriched = broadcast_join(
+        orders, customer, key="o_custkey", small_key="c_custkey",
+        value_cols=["c_mktsegment"],
+    )
+    return top_k_by(
+        enriched, key_col="c_mktsegment", value_col="o_totalprice",
+        k=5, tie_col="o_orderkey",
+    )
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (32-token chunks, stride 24) —
     the embedding-prep flat-map. Pure per-row transform, no shuffle;
@@ -954,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_mix": _q_weighted_mix,
         "incremental_dedup": _q_incremental_dedup,
         "chunk_documents": _q_chunk_documents,
+        "top_orders_by_segment": _q_top_orders_by_segment,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -1181,6 +1209,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
                    CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
             FROM uni u LEFT JOIN bgm b USING (doc_id)
+        """,
+        "top_orders_by_segment": """
+            SELECT c_mktsegment, o_totalprice, o_orderkey, rank FROM (
+                SELECT c_mktsegment, o_totalprice, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rank <= 5
         """,
         "chunk_documents": """
             WITH base AS (

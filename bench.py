@@ -180,7 +180,7 @@ def run_main() -> dict:
         "pii_redact", "source_cap", "decontaminate", "repetition_stats",
         "pack_sequences", "asof_purchase", "value_quantiles",
         "curated_corpus", "dup_passages", "weighted_mix",
-        "incremental_dedup", "chunk_documents",
+        "incremental_dedup", "chunk_documents", "top_orders_by_segment",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -37,7 +37,7 @@ from .similarity import (
 )
 from .sampling import mix_threshold_hex, stratified_sample, weighted_mix
 from .sketch import approx_distinct, approx_distinct_by, approx_quantile_by
-from .topk import top_k
+from .topk import top_k, top_k_by
 from .windows import sessionize, tumbling_window
 from .textstats import (
     bpe_token_stats,
@@ -83,6 +83,7 @@ __all__ = [
     "verify_candidate_pairs",
     "broadcast_join",
     "top_k",
+    "top_k_by",
     "doc_fingerprint",
     "language_id",
     "quality_stats",

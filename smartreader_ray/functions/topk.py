@@ -36,3 +36,48 @@ def top_k(ds, value_col: str, k: int = 10, descending: bool = True):
     order = "descending" if descending else "ascending"
     reduced = ds.map_batches(_local_top_k(value_col, k, order), batch_format="pyarrow")
     return reduced.sort(value_col, descending=descending).limit(k)
+
+
+def top_k_by(ds, key_col: str, value_col: str, k: int = 10,
+             descending: bool = True, tie_col: str | None = None):
+    """Per-key top ``k``: the k best rows by ``value_col`` within each
+    ``key_col`` group, with deterministic ``tie_col`` tie-breaking
+    (ascending) so results are engine-reproducible.
+
+    Same two-level shape as ``top_k``: each block keeps its own k best
+    per key (every global winner is among some block's local winners),
+    so the keyed exchange carries ≤ k × blocks rows per key — never a
+    hot key's full row set. Output adds a ``rank`` column (1-based).
+    """
+    v_order = "descending" if descending else "ascending"
+    sort_keys = [(key_col, "ascending"), (value_col, v_order)]
+    if tie_col is not None:
+        sort_keys.append((tie_col, "ascending"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=sort_keys)
+        b = batch.take(order)
+        keys = b.column(key_col).to_pylist()
+        keep, run_key, run = [], object(), 0
+        for i, kk in enumerate(keys):
+            if kk != run_key:
+                run_key, run = kk, 0
+            if run < k:
+                keep.append(i)
+            run += 1
+        return b.take(pa.array(keep, type=pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=sort_keys)[:k]
+        g = group.take(order)
+        return g.append_column(
+            "rank", pa.array(range(1, g.num_rows + 1), type=pa.int64())
+        )
+
+    cols = [key_col, value_col] + ([tie_col] if tie_col else [])
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

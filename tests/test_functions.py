@@ -842,3 +842,31 @@ def test_weighted_mix(ray_session):
     # weight 0 drops the source entirely
     none = weighted_mix(ds, {"a": 0.0}, default_weight=0.0).count()
     assert none == 0
+
+
+def test_top_k_by(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import top_k_by
+
+    t = pa.table(
+        {
+            "k": ["a"] * 6 + ["b"] * 3,
+            "v": [5.0, 1.0, 9.0, 9.0, 3.0, 7.0, 2.0, 8.0, 8.0],
+            "id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        }
+    )
+    out = top_k_by(
+        ray.data.from_arrow(t).repartition(4), "k", "v", k=2, tie_col="id"
+    ).take_all()
+    got = {(r["k"], r["rank"]): (r["v"], r["id"]) for r in out}
+    # ties break on ascending id: (9.0, id 3) before (9.0, id 4)
+    assert got == {
+        ("a", 1): (9.0, 3), ("a", 2): (9.0, 4),
+        ("b", 1): (8.0, 8), ("b", 2): (8.0, 9),
+    }
+
+    asc = top_k_by(
+        ray.data.from_arrow(t), "k", "v", k=1, descending=False, tie_col="id"
+    ).take_all()
+    assert {(r["k"], r["v"]) for r in asc} == {("a", 1.0), ("b", 2.0)}
