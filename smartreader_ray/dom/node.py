@@ -111,7 +111,7 @@ class CommentNode(Node):
 
 class ParentNode(Node):
     __slots__ = ("_first", "_last", "_n_children", "_tc_rev", "_tc_val",
-                 "_it_rev", "_it_val")
+                 "_it_rev", "_it_val", "_ld_rev", "_ld_val")
 
     def __init__(self):
         super().__init__()
@@ -121,6 +121,7 @@ class ParentNode(Node):
         self._tc_rev = -1  # text_content cache
         self._tc_val = ""
         self._it_rev = -1  # normalized inner-text cache (nodeutil)
+        self._ld_rev = -1  # link-density cache (nodeutil)
         self._it_val = ""
 
     # -- linked-list plumbing ---------------------------------------------

@@ -238,16 +238,27 @@ def get_char_count(el: Element, ch: str = ",") -> int:
 
 
 def get_link_density(el: Element) -> float:
-    """NodeUtility.cs:473-490"""
+    """NodeUtility.cs:473-490
+
+    Pure function of the subtree → cached per node against the global
+    DOM revision (same validity rule as ``text_content``): scoring and
+    conditional cleaning re-query the same ancestors repeatedly between
+    mutations."""
+    if el._ld_rev == _dom_node._REV:
+        return el._ld_val
     text_length = len(get_inner_text(el))
     if text_length == 0:
-        return 0.0
-    link_length = 0.0
-    for link in el.get_elements_by_tag_name("a"):
-        href = link.get_attribute("href")
-        coefficient = 0.3 if href and regexes.HASH_URL.match(href) else 1.0
-        link_length += len(get_inner_text(link)) * coefficient
-    return link_length / text_length
+        val = 0.0
+    else:
+        link_length = 0.0
+        for link in el.get_elements_by_tag_name("a"):
+            href = link.get_attribute("href")
+            coefficient = 0.3 if href and regexes.HASH_URL.match(href) else 1.0
+            link_length += len(get_inner_text(link)) * coefficient
+        val = link_length / text_length
+    el._ld_rev = _dom_node._REV
+    el._ld_val = val
+    return val
 
 
 # -- style scrub (NodeUtility.cs:442-466) -----------------------------------
