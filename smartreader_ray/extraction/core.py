@@ -160,6 +160,8 @@ class Extractor:
         self.n_candidates = 0
         self.top_candidate_score = 0.0
         self.grab_rounds = 0
+        self._class_weight_memo: dict = {}
+        self._unlikely_memo: dict = {}
 
     def _flag(self, flag: int) -> bool:
         return (self.flags & flag) > 0
@@ -419,19 +421,27 @@ class Extractor:
     def _get_class_weight(self, el: Element) -> int:
         if not self._flag(FLAG_WEIGHT_CLASSES):
             return 0
+        # memoized per (class, id) string pair: a page reuses a handful
+        # of class names across thousands of nodes, and the weight is a
+        # pure function of the two strings (per-parse cache — regex
+        # overrides are per-config, flags per document)
+        key = (el.get_attribute("class"), el.get_attribute("id"))
+        cached = self._class_weight_memo.get(key)
+        if cached is not None:
+            return cached
         weight = 0
-        class_name = el.get_attribute("class")
+        class_name, el_id = key
         if class_name:
             if self.re_negative.search(class_name):
                 weight -= 25
             if self.re_positive.search(class_name):
                 weight += 25
-        el_id = el.get_attribute("id")
         if el_id:
             if self.re_negative.search(el_id):
                 weight -= 25
             if self.re_positive.search(el_id):
                 weight += 25
+        self._class_weight_memo[key] = weight
         return weight
 
     def _initialize_node(self, node: Element) -> None:
@@ -530,9 +540,16 @@ class Extractor:
                 continue
 
             if strip_unlikely:
+                # regex verdict is a pure function of the class/id string;
+                # pages reuse few distinct strings across many nodes
+                verdict = self._unlikely_memo.get(match_string)
+                if verdict is None:
+                    verdict = bool(
+                        self.re_unlikely.search(match_string)
+                    ) and not self.re_maybe.search(match_string)
+                    self._unlikely_memo[match_string] = verdict
                 if (
-                    self.re_unlikely.search(match_string)
-                    and not self.re_maybe.search(match_string)
+                    verdict
                     and not has_ancestor_tag(node, "table")
                     and not has_ancestor_tag(node, "code")
                     and node.tag != "BODY"
