@@ -591,6 +591,66 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_warc_extract(sf_dir: str):
+    """WARC → extraction round trip (the crawl-format ingestion leg):
+    documents are wrapped as pages, written into per-record-gzipped WARC
+    blobs by the deterministic writer, re-read by the from-scratch WARC
+    parser, and run through the real extraction pipeline. The oracle is
+    exact: extracted text_content must round-trip the source text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.sources import wrap_document_html
+    from smartreader_ray.sources.warc import make_warc, warc_pages_batch
+    from smartreader_ray.spanio import html_to_spans
+    from smartreader_ray.stages.extract import SPAN_TYPE
+
+    def to_warc(batch: pa.Table) -> pa.Table:
+        pages = [
+            (str(d), wrap_document_html(d, t or ""))
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pydict(
+            {"bytes": pa.array([make_warc(pages, compress=True)],
+                               type=pa.binary())}
+        )
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(
+                    [html_to_spans(h)
+                     for h in batch.column("html").to_pylist()],
+                    type=SPAN_TYPE,
+                ),
+            ],
+            names=["doc_id", "spans"],
+        )
+
+    spans = (
+        _docs(sf_dir)
+        .map_batches(to_warc, batch_format="pyarrow")
+        .map_batches(warc_pages_batch, batch_format="pyarrow")
+        .map_batches(to_spans, batch_format="pyarrow")
+    )
+    out = build_extraction_pipeline(spans, batch_size=32, concurrency=(1, 8))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "text_content": b.column("text_content"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_top_orders_by_segment(sf_dir: str):
     """Per-key top-k: 5 priciest orders per market segment. Broadcast
     the small customer dim onto orders (zero shuffle), then two-level
@@ -982,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "chunk_documents": _q_chunk_documents,
         "top_orders_by_segment": _q_top_orders_by_segment,
+        "warc_extract": _q_warc_extract,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -1209,6 +1270,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(b.mx, 0) AS BIGINT) AS top_bigram_count,
                    CAST(GREATEST(u.n - 1, 0) AS BIGINT) AS n_bigrams
             FROM uni u LEFT JOIN bgm b USING (doc_id)
+        """,
+        "warc_extract": """
+            SELECT doc_id, text AS text_content FROM documents
         """,
         "top_orders_by_segment": """
             SELECT c_mktsegment, o_totalprice, o_orderkey, rank FROM (
