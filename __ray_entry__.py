@@ -591,6 +591,39 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
 
 
+def _q_quality_gate(sf_dir: str):
+    """Sketch-driven corpus gating: per-language median length from the
+    mergeable quantile sketch (5 tiny rows), broadcast as a plain dict,
+    then one streaming filter pass keeps docs above their language's
+    median — the "threshold at p50/p90 quality" curation step computed
+    WITHOUT a global sort. Approximate thresholds → rows-only."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import approx_quantile_by
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    med = {
+        r["lang"]: r["value"]
+        for r in approx_quantile_by(docs, "lang", "n_chars",
+                                    qs=(0.5,)).take_all()
+    }
+
+    def gate(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        mask = pa.array(
+            [float(v) > med.get(lg, float("inf"))
+             for v, lg in zip(n, langs)]
+        )
+        return b.filter(mask).select(["lang", "doc_id"])
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
 def _q_warc_extract(sf_dir: str):
     """WARC → extraction round trip (the crawl-format ingestion leg):
     documents are wrapped as pages, written into per-record-gzipped WARC
@@ -1043,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "top_orders_by_segment": _q_top_orders_by_segment,
         "warc_extract": _q_warc_extract,
+        "quality_gate": _q_quality_gate,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
