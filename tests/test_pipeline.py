@@ -613,3 +613,29 @@ def test_training_pipeline_composition(ray_session):
     assert len(by_lang["en"]) == 10
     assert 200 not in by_lang["en"]          # quality-filtered
     assert by_lang["de"] == {100}            # dups collapsed to min doc_id
+
+
+def test_oracle_sql_all_parse_in_duckdb():
+    """Every oracle SQL string must at least plan against the real sf0.001
+    views — catches column/name drift between queries() and oracle_sql()
+    before the driver does."""
+    import importlib
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    entrymod = importlib.import_module("__ray_entry__")
+    con = duckdb.connect()
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"oracle {name!r} does not plan: {exc}")
