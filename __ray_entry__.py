@@ -797,6 +797,17 @@ def _q_dup_passages(sf_dir: str):
     return duplicate_passages(_docs(sf_dir), window=8, min_docs=2)
 
 
+def _q_dup_passages_hashed(sf_dir: str):
+    """The 100 TB variant of dup_passages: only (hash64, doc_id) crosses
+    the exchange; survivors' text is recovered in a second streaming
+    pass against the broadcast hash map. Same SQL oracle as the text
+    path — identical output proves the scale path end to end."""
+    from smartreader_ray.functions import duplicate_passages
+
+    return duplicate_passages(_docs(sf_dir), window=8, min_docs=2,
+                              use_hash=True)
+
+
 def _q_curated_corpus(sf_dir: str):
     """END-TO-END safety curation chain: PII redact → repetition filter
     → decontaminate → per-source cap, composed streaming (see
@@ -1071,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
+        "dup_passages_hashed": _q_dup_passages_hashed,
         "weighted_mix": _q_weighted_mix,
         "incremental_dedup": _q_incremental_dedup,
         "chunk_documents": _q_chunk_documents,
@@ -1328,6 +1340,19 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(a[i:least(i + 31, len(a))], ' ') AS chunk
             FROM base,
                  UNNEST(generate_series(1, greatest(len(a), 1), 24)) AS t(i)
+        """,
+        "dup_passages_hashed": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, array_to_string(a[i:i+7], ' ') AS win
+                FROM base,
+                     UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            )
+            SELECT win, COUNT(DISTINCT doc_id) AS n_docs
+            FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "dup_passages": """
             WITH base AS (

@@ -181,7 +181,7 @@ def run_main() -> dict:
         "pack_sequences", "asof_purchase", "value_quantiles",
         "curated_corpus", "dup_passages", "weighted_mix",
         "incremental_dedup", "chunk_documents", "top_orders_by_segment",
-        "warc_extract", "quality_gate",
+        "warc_extract", "quality_gate", "dup_passages_hashed",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -575,7 +575,7 @@ def minhash_dedup(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
 # substring-level duplicate passages
 # ---------------------------------------------------------------------------
 def duplicate_passages(ds, window: int = 8, min_docs: int = 2,
-                       text_col: str = "text"):
+                       text_col: str = "text", use_hash: bool = False):
     """Passage-level duplication: every ``window``-token span appearing
     in ≥ ``min_docs`` DISTINCT documents (the substring-dedup family of
     Lee et al.'s "Deduplicating Training Data" — whole-doc dedup misses
@@ -584,11 +584,17 @@ def duplicate_passages(ds, window: int = 8, min_docs: int = 2,
     Per batch each document's windows are deduplicated BEFORE the
     exchange (one (window, doc_id) pair per distinct window per doc),
     then one groupby(window) counts distinct doc_ids and keeps the
-    shared ones. The window key crosses the shuffle as text so the
-    DuckDB oracle is byte-exact; at 100 TB swap the key for a 128-bit
-    hash of the window (identical shape, 16-byte keys) and keep a
-    second pass to recover the text of survivors.
+    shared ones.
+
+    ``use_hash=False`` shuffles the window TEXT (byte-exact DuckDB
+    oracle). ``use_hash=True`` is the 100 TB path: only (hash64,
+    doc_id) crosses the exchange, the (small) survivor hash→count map
+    broadcasts back, and one second streaming pass recovers the
+    survivors' text — same output modulo 64-bit collisions (none at
+    test scale; both paths run against the same oracle).
     """
+    if use_hash:
+        return _duplicate_passages_hashed(ds, window, min_docs, text_col)
 
     def emit_windows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -634,4 +640,100 @@ def duplicate_passages(ds, window: int = 8, min_docs: int = 2,
         .map_batches(emit_windows, batch_format="pyarrow")
         .groupby("win")
         .map_groups(count_docs, batch_format="pyarrow")
+    )
+
+
+def _duplicate_passages_hashed(ds, window: int, min_docs: int,
+                               text_col: str):
+    """Hash-keyed duplicate_passages (the scale path): pass 1 shuffles
+    only (window_hash64, doc_id), pass 2 recovers survivors' text via a
+    broadcast hash→n_docs map."""
+    import ray
+
+    def doc_windows(doc_id, t):
+        toks = (t or "").split()
+        if len(toks) < window:
+            return []
+        return list({" ".join(toks[i:i + window])
+                     for i in range(len(toks) - window + 1)})
+
+    def emit_hashes(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        out_h: list[int] = []
+        out_ids = []
+        for doc_id, t in zip(ids, texts):
+            wins = doc_windows(doc_id, t)
+            if wins:
+                out_h.extend(
+                    _hash64(wins).astype(np.int64).tolist()
+                )
+                out_ids.extend([doc_id] * len(wins))
+        return pa.Table.from_pydict(
+            {
+                "win_hash": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_ids, type=id_type),
+            }
+        )
+
+    def count_docs(group: pa.Table) -> pa.Table:
+        n = len(set(group.column("doc_id").to_pylist()))
+        if n < min_docs:
+            return pa.Table.from_pydict(
+                {
+                    "win_hash": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "win_hash": group.column("win_hash").slice(0, 1),
+                "n_docs": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    pruned = ds.select_columns(["doc_id", text_col])
+    survivors = (
+        pruned.map_batches(emit_hashes, batch_format="pyarrow")
+        .groupby("win_hash")
+        .map_groups(count_docs, batch_format="pyarrow")
+    )
+    # survivor map is output-sized (shared passages), not corpus-sized;
+    # broadcast once for the recovery pass
+    surv_map = {
+        r["win_hash"]: r["n_docs"] for r in survivors.take_all()
+    }
+    surv_ref = ray.put(surv_map)
+
+    def recover(batch: pa.Table) -> pa.Table:
+        smap = ray.get(surv_ref)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        wins_out, counts = [], []
+        seen = set()
+        for doc_id, t in zip(ids, texts):
+            wins = doc_windows(doc_id, t)
+            if not wins:
+                continue
+            hashes = _hash64(wins).astype(np.int64)
+            for w, h in zip(wins, hashes.tolist()):
+                if h in smap and w not in seen:
+                    seen.add(w)
+                    wins_out.append(w)
+                    counts.append(smap[h])
+        return pa.Table.from_pydict(
+            {
+                "win": pa.array(wins_out, type=pa.string()),
+                "n_docs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        pruned.map_batches(recover, batch_format="pyarrow")
+        .groupby("win")
+        .map_groups(dedupe, batch_format="pyarrow")
     )

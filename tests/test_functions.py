@@ -870,3 +870,29 @@ def test_top_k_by(ray_session):
         ray.data.from_arrow(t), "k", "v", k=1, descending=False, tie_col="id"
     ).take_all()
     assert {(r["k"], r["v"]) for r in asc} == {("a", 1.0), ("b", 2.0)}
+
+
+def test_duplicate_passages_hash_path_matches_text_path(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import duplicate_passages
+
+    docs = []
+    shared_a = "w1 w2 w3 w4"
+    shared_b = "z1 z2 z3 z4"
+    for i in range(6):
+        docs.append({"doc_id": i, "text": f"{shared_a} filler{i} {shared_b}"})
+    docs.append({"doc_id": 99, "text": "totally different words entirely"})
+    ds = ray.data.from_items(docs).repartition(3)
+    text_out = sorted(
+        (r["win"], r["n_docs"])
+        for r in duplicate_passages(ds, window=4, min_docs=2).take_all()
+    )
+    hash_out = sorted(
+        (r["win"], r["n_docs"])
+        for r in duplicate_passages(
+            ds, window=4, min_docs=2, use_hash=True
+        ).take_all()
+    )
+    assert text_out == hash_out
+    assert (shared_a, 6) in text_out and (shared_b, 6) in text_out
