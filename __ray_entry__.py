@@ -797,6 +797,16 @@ def _q_dup_passages(sf_dir: str):
     return duplicate_passages(_docs(sf_dir), window=8, min_docs=2)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Dedup GROUPS: docs linked by any shared 8-token passage, clustered
+    into connected components (cluster_id = min member). Star edges per
+    window keep the edge list linear; the oracle replays the component
+    math with a recursive CTE."""
+    from smartreader_ray.functions import passage_clusters
+
+    return passage_clusters(_docs(sf_dir), window=8)
+
+
 def _q_dup_passages_hashed(sf_dir: str):
     """The 100 TB variant of dup_passages: only (hash64, doc_id) crosses
     the exchange; survivors' text is recovered in a second streaming
@@ -1083,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
         "dup_passages_hashed": _q_dup_passages_hashed,
+        "dup_clusters": _q_dup_clusters,
         "weighted_mix": _q_weighted_mix,
         "incremental_dedup": _q_incremental_dedup,
         "chunk_documents": _q_chunk_documents,
@@ -1340,6 +1351,30 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(a[i:least(i + 31, len(a))], ' ') AS chunk
             FROM base,
                  UNNEST(generate_series(1, greatest(len(a), 1), 24)) AS t(i)
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(a[i:i+7], ' ') AS win
+                FROM base,
+                     UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            ),
+            edges AS (
+                SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+                FROM w x JOIN w y USING (win)
+                WHERE x.doc_id <> y.doc_id
+            ),
+            reach(node, anc) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.node, e.v FROM reach r JOIN edges e ON r.anc = e.u
+            )
+            SELECT node AS doc_id, MIN(anc) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "dup_passages_hashed": """
             WITH base AS (

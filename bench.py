@@ -182,6 +182,7 @@ def run_main() -> dict:
         "curated_corpus", "dup_passages", "weighted_mix",
         "incremental_dedup", "chunk_documents", "top_orders_by_segment",
         "warc_extract", "quality_gate", "dup_passages_hashed",
+        "dup_clusters",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

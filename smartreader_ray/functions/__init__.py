@@ -7,7 +7,9 @@ small sides with ray.put; vectorize with numpy/pyarrow.compute.
 """
 
 from .dedup import (
+    connected_components,
     duplicate_passages,
+    passage_clusters,
     exact_dedup,
     fingerprint_dedup,
     minhash_dedup,
@@ -50,6 +52,8 @@ from .textstats import (
 __all__ = [
     "exact_dedup",
     "duplicate_passages",
+    "connected_components",
+    "passage_clusters",
     "decontaminate",
     "chunk_documents",
     "pack_sequences",

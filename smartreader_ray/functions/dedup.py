@@ -737,3 +737,127 @@ def _duplicate_passages_hashed(ds, window: int, min_docs: int,
         .groupby("win")
         .map_groups(dedupe, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# dup-group clustering (connected components)
+# ---------------------------------------------------------------------------
+def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
+                         max_edges: int = 5_000_000):
+    """Cluster assignment for the undirected graph given as a pair
+    Dataset: every node gets ``cluster_id`` = the smallest node id in
+    its component — the step that turns pairwise dup detection into
+    dedup GROUPS (keep one doc per cluster).
+
+    Edge lists here are OUTPUT-sized (verified dup pairs / shared-window
+    links), not corpus-sized, so a driver union-find behind an asserted
+    bound is the honest tool; past ``max_edges`` the right move is
+    iterative min-label propagation (a groupby per round, O(graph
+    diameter) shuffles), which this guard names rather than silently
+    attempting. Returns a Dataset of (doc_id, cluster_id) for every
+    node that appears in an edge.
+    """
+    import ray.data
+
+    n_edges = pairs.count()
+    if n_edges > max_edges:
+        raise ValueError(
+            f"connected_components: {n_edges} edges exceeds max_edges="
+            f"{max_edges}; use iterative label propagation for graphs "
+            "beyond driver memory"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root union keeps cluster_id = smallest member with no
+            # extra pass
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for batch in pairs.select_columns([col_a, col_b]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for a, b in zip(batch.column(col_a).to_pylist(),
+                        batch.column(col_b).to_pylist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            union(a, b)
+
+    nodes = sorted(parent)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(nodes),
+            "cluster_id": pa.array([find(x) for x in nodes]),
+        }
+    )
+    return ray.data.from_arrow(table)
+
+
+def passage_clusters(ds, window: int = 8, text_col: str = "text",
+                     max_edges: int = 5_000_000):
+    """Documents linked by ANY shared ``window``-token passage, grouped
+    into connected components. Edge construction is star-shaped per
+    window (min doc → every other holder): same components as the
+    clique at O(n) edges per window instead of O(n²)."""
+
+    def emit_windows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        wins, out_ids = [], []
+        for doc_id, t in zip(ids, texts):
+            toks = (t or "").split()
+            if len(toks) < window:
+                continue
+            seen = set()
+            for i in range(len(toks) - window + 1):
+                w = " ".join(toks[i:i + window])
+                if w not in seen:
+                    seen.add(w)
+                    wins.append(w)
+                    out_ids.append(doc_id)
+        return pa.Table.from_pydict(
+            {
+                "win": pa.array(wins, type=pa.string()),
+                "doc_id": pa.array(out_ids, type=id_type),
+            }
+        )
+
+    def star_edges(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        id_type = group.schema.field("doc_id").type
+        if len(ids) < 2:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], type=id_type),
+                    "doc_b": pa.array([], type=id_type),
+                }
+            )
+        hub = ids[0]
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array([hub] * (len(ids) - 1), type=id_type),
+                "doc_b": pa.array(ids[1:], type=id_type),
+            }
+        )
+
+    edges = (
+        ds.select_columns(["doc_id", text_col])
+        .map_batches(emit_windows, batch_format="pyarrow")
+        .groupby("win")
+        .map_groups(star_edges, batch_format="pyarrow")
+    )
+    return connected_components(edges, max_edges=max_edges)

@@ -896,3 +896,43 @@ def test_duplicate_passages_hash_path_matches_text_path(ray_session):
     )
     assert text_out == hash_out
     assert (shared_a, 6) in text_out and (shared_b, 6) in text_out
+
+
+def test_connected_components(ray_session):
+    import pytest
+    import ray.data
+
+    from smartreader_ray.functions import connected_components
+
+    pairs = ray.data.from_items(
+        [{"doc_a": 5, "doc_b": 3}, {"doc_a": 3, "doc_b": 9},
+         {"doc_a": 20, "doc_b": 21}, {"doc_a": 9, "doc_b": 5}]
+    )
+    out = connected_components(pairs).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+    with pytest.raises(ValueError, match="max_edges"):
+        connected_components(pairs, max_edges=2).take_all()
+
+
+def test_passage_clusters(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import passage_clusters
+
+    shared1 = "a b c d"
+    shared2 = "p q r s"
+    docs = [
+        {"doc_id": 1, "text": f"{shared1} x1"},
+        {"doc_id": 2, "text": f"x2 {shared1} and {shared2}"},  # bridges
+        {"doc_id": 3, "text": f"{shared2} x3"},
+        {"doc_id": 7, "text": "nothing in common with others"},
+    ]
+    out = passage_clusters(
+        ray.data.from_items(docs).repartition(2), window=4
+    ).take_all()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    # 1-2 share shared1, 2-3 share shared2 → one component rooted at 1
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert 7 not in got  # isolated docs don't appear
