@@ -8,6 +8,7 @@ small sides with ray.put; vectorize with numpy/pyarrow.compute.
 
 from .dedup import (
     connected_components,
+    label_propagation_components,
     duplicate_passages,
     passage_clusters,
     exact_dedup,
@@ -53,6 +54,7 @@ __all__ = [
     "exact_dedup",
     "duplicate_passages",
     "connected_components",
+    "label_propagation_components",
     "passage_clusters",
     "decontaminate",
     "chunk_documents",

@@ -861,3 +861,103 @@ def passage_clusters(ds, window: int = 8, text_col: str = "text",
         .map_groups(star_edges, batch_format="pyarrow")
     )
     return connected_components(edges, max_edges=max_edges)
+
+
+def label_propagation_components(edges, col_a: str = "doc_a",
+                                 col_b: str = "doc_b",
+                                 max_rounds: int = 50):
+    """Distributed connected components: iterative min-label propagation
+    — the scale path ``connected_components`` names for edge lists past
+    driver memory. Each round every node takes the min of its own label
+    and its neighbors' (one hash join of labels onto the symmetric edge
+    list + one groupby-min), converging in O(graph diameter) rounds;
+    labels only decrease, so an unchanged label sum (numeric ids) is a
+    sound fixpoint test. Per-round state is one (node, label) row per
+    node WITH EDGES — output-sized, never corpus-sized.
+
+    Same contract as ``connected_components``: (doc_id, cluster_id =
+    min member), nodes restricted to edge endpoints.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from .join import hash_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column(col_a).combine_chunks()
+        c = b.column(col_b).combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "src": pa.concat_arrays(
+                    a.chunks + c.chunks if isinstance(a, pa.ChunkedArray)
+                    else [a, c]
+                ),
+                "dst": pa.concat_arrays(
+                    c.chunks + a.chunks if isinstance(c, pa.ChunkedArray)
+                    else [c, a]
+                ),
+            }
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # round 0: label(node) = min(node, neighbors) straight off the edges
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": b.column("src"), "label": b.column("dst")}
+        )
+
+    own = sym_edges.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"node": b.column("src"), "label": b.column("src")}
+        ),
+        batch_format="pyarrow",
+    )
+    labels = (
+        sym_edges.map_batches(init_labels, batch_format="pyarrow")
+        .union(own)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def label_sum(lbl) -> float | None:
+        try:
+            from ray.data.aggregate import Sum
+
+            return lbl.aggregate(Sum("label", alias_name="s"))["s"]
+        except Exception:
+            return None  # non-numeric ids: run to max_rounds
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        # neighbor messages: (dst's src partner, label of dst)
+        msgs = hash_join(
+            sym_edges, labels, "dst", "node", ["src"], ["label"]
+        ).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"node": b.column("src"), "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.map_batches(
+                lambda b: b.select(["node", "label"]),
+                batch_format="pyarrow",
+            )
+            .union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

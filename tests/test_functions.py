@@ -936,3 +936,27 @@ def test_passage_clusters(ray_session):
     # 1-2 share shared1, 2-3 share shared2 → one component rooted at 1
     assert got == {1: 1, 2: 1, 3: 1}
     assert 7 not in got  # isolated docs don't appear
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import (
+        connected_components,
+        label_propagation_components,
+    )
+
+    # small-diameter graph: each Ray round costs several shuffles, so the
+    # test graph converges in ~2 rounds (star + chain link + isolated pair)
+    edges = [
+        {"doc_a": 3, "doc_b": 1}, {"doc_a": 1, "doc_b": 4},
+        {"doc_a": 1, "doc_b": 2}, {"doc_a": 5, "doc_b": 4},
+        {"doc_a": 10, "doc_b": 11},
+    ]
+    ds = ray.data.from_items(edges).repartition(2)
+    uf = {r["doc_id"]: r["cluster_id"]
+          for r in connected_components(ds).take_all()}
+    lp = {r["doc_id"]: r["cluster_id"]
+          for r in label_propagation_components(ds).take_all()}
+    assert uf == lp
+    assert lp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
