@@ -191,3 +191,109 @@ def test_fast_tokenizer_property(text):
     assert sx == fx
     if sx is None:
         assert se == fe
+
+
+# ---------------------------------------------------------------------------
+# curation-operator properties (no Ray needed: batch-level functions)
+# ---------------------------------------------------------------------------
+word = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+docs_texts = st.lists(
+    st.lists(word, min_size=0, max_size=40).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@given(docs_texts)
+@settings(max_examples=150, deadline=None)
+def test_repetition_stats_invariants(texts):
+    import pyarrow as pa
+
+    from smartreader_ray.functions import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    out = repetition_stats(t).to_pylist()
+    for row, text in zip(out, texts):
+        toks = text.split(" ") if text else [""]
+        # n_tokens matches the naive split; distinct ≤ total
+        assert row["n_tokens"] == len(text.strip().split(" ")) if text.strip() else True
+        assert 0 <= row["n_distinct"] <= row["n_tokens"]
+        assert row["n_bigrams"] == max(row["n_tokens"] - 1, 0)
+        assert 0 <= row["top_bigram_count"] <= max(row["n_bigrams"], 0)
+        assert 0.0 <= row["dup_word_frac"] <= 1.0
+        assert 0.0 <= row["top_bigram_frac"] <= 1.0
+
+
+@given(docs_texts, st.integers(min_value=1, max_value=10),
+       st.integers(min_value=1, max_value=10))
+@settings(max_examples=150, deadline=None)
+def test_chunking_covers_every_token_exactly_once_when_disjoint(
+    texts, chunk_tokens, _unused
+):
+    """With stride == chunk_tokens the chunks PARTITION the token list."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions.curation import chunk_documents
+
+    class _FakeDs:
+        def __init__(self, table):
+            self.table = table
+
+        def select_columns(self, cols):
+            return _FakeDs(self.table.select(cols))
+
+        def map_batches(self, fn, **kw):
+            return fn(self.table)
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+        }
+    )
+    out = chunk_documents(_FakeDs(t), chunk_tokens=chunk_tokens).to_pylist()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for i, text in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        toks = (text or "").strip().split(" ")
+        rebuilt = [tok for c in chunks for tok in (c.split(" ") if c else [""])]
+        assert rebuilt == toks
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_warc_parser_never_hangs_on_garbage(data):
+    """Arbitrary bytes either parse, return nothing, or raise cleanly —
+    never hang or emit malformed records."""
+    from smartreader_ray.sources.warc import iter_warc_records
+
+    try:
+        for rec in iter_warc_records(data):
+            assert isinstance(rec["headers"], dict)
+            assert isinstance(rec["block"], bytes)
+    except (ValueError, OSError, EOFError):
+        pass  # rejected cleanly (bad magic / bad gzip / bad length)
+
+
+@given(st.lists(
+    st.tuples(st.text(alphabet="abcxyz:/._-", min_size=1, max_size=20),
+              st.text(min_size=0, max_size=200)),
+    min_size=0, max_size=6,
+), st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_warc_roundtrip_property(pages, compress):
+    from smartreader_ray.sources.warc import iter_warc_records, make_warc
+
+    blob = make_warc(pages, compress=compress)
+    recs = list(iter_warc_records(blob))
+    assert len(recs) == len(pages)
+    for rec, (uri, html) in zip(recs, pages):
+        assert rec["headers"]["warc-target-uri"] == uri
+        _, body = rec["block"].split(b"\r\n\r\n", 1)
+        assert body == html.encode("utf-8")
