@@ -53,8 +53,28 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         ray.init(include_dashboard=False)
 
-    from smartreader_ray.pipelines import CheckpointedExtraction
+    from smartreader_ray.pipelines import (
+        CheckpointedExtraction,
+        files_fingerprint,
+    )
     from smartreader_ray.sources import read_spans
+
+    # hash-mode resumes rely on the constructor fingerprint (run_files
+    # fingerprints its slice listing itself): derive one from the input
+    # path so a resume against a DIFFERENT input fails fast instead of
+    # silently skipping/double-processing partitions
+    input_fp = ""
+    if os.path.isfile(args.input):
+        input_fp = files_fingerprint([args.input])
+    elif os.path.isdir(args.input):
+        import glob as _glob
+
+        listing = sorted(
+            _glob.glob(os.path.join(args.input, "**", "*"), recursive=True)
+        )
+        input_fp = files_fingerprint(
+            [p for p in listing if os.path.isfile(p)]
+        )
 
     job = CheckpointedExtraction(
         args.output,
@@ -62,6 +82,7 @@ def main(argv=None) -> int:
         base_uri=args.base_uri,
         batch_size=args.batch_size,
         time_budget_s=args.time_budget_s,
+        input_fingerprint=input_fp,
     )
     pending = job.pending_partitions()
     print(
