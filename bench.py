@@ -14,6 +14,8 @@ throughputs + scaling efficiency (the sandbox stand-in for the
 north-rule's N vs 4N cluster-size criterion).
 
 ``--single``: internal child mode used by --scaling.
+``--stats``: dump the flagship pipeline's per-operator ``ds.stats()``.
+``--control``: no-Ray process-scaling ceiling of this machine.
 """
 
 from __future__ import annotations
