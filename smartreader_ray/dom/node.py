@@ -122,6 +122,7 @@ class ParentNode(Node):
         self._tc_val = ""
         self._it_rev = -1  # normalized inner-text cache (nodeutil)
         self._ld_rev = -1  # link-density cache (nodeutil)
+        self._ld_val = 0.0
         self._it_val = ""
 
     # -- linked-list plumbing ---------------------------------------------

@@ -574,6 +574,45 @@ def minhash_dedup(ds, num_hashes: int = 128, bands: int = 16, ngram: int = 3,
 # ---------------------------------------------------------------------------
 # substring-level duplicate passages
 # ---------------------------------------------------------------------------
+def _passage_tokens(t: str | None, window: int) -> list[str]:
+    """Single-space tokenizer for passage windows — matches the SQL
+    oracle's ``string_split(trim(text), ' ')`` exactly (keeps empty
+    tokens on runs of spaces; any-whitespace ``.split()`` silently
+    diverges on tabs/double spaces)."""
+    toks = (t or "").strip().split(" ")
+    return toks if len(toks) >= window else []
+
+
+def _window_emitter(window: int, text_col: str):
+    """Batch fn: one (win, doc_id) row per DISTINCT window per doc —
+    within-doc dedup happens here, BEFORE the exchange."""
+
+    def emit_windows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        id_type = batch.schema.field("doc_id").type
+        wins, out_ids = [], []
+        for doc_id, t in zip(ids, texts):
+            toks = _passage_tokens(t, window)
+            if not toks:
+                continue
+            seen = set()
+            for i in range(len(toks) - window + 1):
+                w = " ".join(toks[i:i + window])
+                if w not in seen:
+                    seen.add(w)
+                    wins.append(w)
+                    out_ids.append(doc_id)
+        return pa.Table.from_pydict(
+            {
+                "win": pa.array(wins, type=pa.string()),
+                "doc_id": pa.array(out_ids, type=id_type),
+            }
+        )
+
+    return emit_windows
+
+
 def duplicate_passages(ds, window: int = 8, min_docs: int = 2,
                        text_col: str = "text", use_hash: bool = False):
     """Passage-level duplication: every ``window``-token span appearing
@@ -596,28 +635,7 @@ def duplicate_passages(ds, window: int = 8, min_docs: int = 2,
     if use_hash:
         return _duplicate_passages_hashed(ds, window, min_docs, text_col)
 
-    def emit_windows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        id_type = batch.schema.field("doc_id").type
-        wins, out_ids = [], []
-        for doc_id, t in zip(ids, texts):
-            toks = (t or "").split()
-            if len(toks) < window:
-                continue
-            seen = set()
-            for i in range(len(toks) - window + 1):
-                w = " ".join(toks[i:i + window])
-                if w not in seen:
-                    seen.add(w)
-                    wins.append(w)
-                    out_ids.append(doc_id)
-        return pa.Table.from_pydict(
-            {
-                "win": pa.array(wins, type=pa.string()),
-                "doc_id": pa.array(out_ids, type=id_type),
-            }
-        )
+    emit_windows = _window_emitter(window, text_col)
 
     def count_docs(group: pa.Table) -> pa.Table:
         n = len(set(group.column("doc_id").to_pylist()))
@@ -651,8 +669,8 @@ def _duplicate_passages_hashed(ds, window: int, min_docs: int,
     import ray
 
     def doc_windows(doc_id, t):
-        toks = (t or "").split()
-        if len(toks) < window:
+        toks = _passage_tokens(t, window)
+        if not toks:
             return []
         return list({" ".join(toks[i:i + window])
                      for i in range(len(toks) - window + 1)})
@@ -759,6 +777,10 @@ def connected_components(pairs, col_a: str = "doc_a", col_b: str = "doc_b",
     """
     import ray.data
 
+    # edges are consumed twice (count guard + the union-find scan);
+    # materialize so the upstream pipeline (often a window-groupby
+    # shuffle) executes once, not twice
+    pairs = pairs.materialize()
     n_edges = pairs.count()
     if n_edges > max_edges:
         raise ValueError(
@@ -812,29 +834,16 @@ def passage_clusters(ds, window: int = 8, text_col: str = "text",
     into connected components. Edge construction is star-shaped per
     window (min doc → every other holder): same components as the
     clique at O(n) edges per window instead of O(n²)."""
+    edges = passage_star_edges(ds, window=window, text_col=text_col)
+    return connected_components(edges, max_edges=max_edges)
 
-    def emit_windows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        id_type = batch.schema.field("doc_id").type
-        wins, out_ids = [], []
-        for doc_id, t in zip(ids, texts):
-            toks = (t or "").split()
-            if len(toks) < window:
-                continue
-            seen = set()
-            for i in range(len(toks) - window + 1):
-                w = " ".join(toks[i:i + window])
-                if w not in seen:
-                    seen.add(w)
-                    wins.append(w)
-                    out_ids.append(doc_id)
-        return pa.Table.from_pydict(
-            {
-                "win": pa.array(wins, type=pa.string()),
-                "doc_id": pa.array(out_ids, type=id_type),
-            }
-        )
+
+def passage_star_edges(ds, window: int = 8, text_col: str = "text"):
+    """Edge list for the shared-passage graph: for each distinct
+    ``window``-token span, a star from the min holder doc to every other
+    holder (same components as the clique at O(n) edges per window).
+    Shared by the driver union-find and the distributed label-propagation
+    clustering paths so both are proven on identical inputs."""
 
     def star_edges(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))
@@ -854,13 +863,13 @@ def passage_clusters(ds, window: int = 8, text_col: str = "text",
             }
         )
 
-    edges = (
+    return (
         ds.select_columns(["doc_id", text_col])
-        .map_batches(emit_windows, batch_format="pyarrow")
+        .map_batches(_window_emitter(window, text_col),
+                     batch_format="pyarrow")
         .groupby("win")
         .map_groups(star_edges, batch_format="pyarrow")
     )
-    return connected_components(edges, max_edges=max_edges)
 
 
 def label_propagation_components(edges, col_a: str = "doc_a",

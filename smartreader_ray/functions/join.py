@@ -265,7 +265,17 @@ def asof_join(left, right, by: str, on: str,
             for c, t in r_types:
                 out[c] = pa.nulls(lt.num_rows, type=t)
             return pa.Table.from_pydict(out)
-        order = pc.sort_indices(rt.column("__on"))
+        # sort by __on with the right payload columns as tie-breakers so
+        # duplicate (by, on) right rows resolve reproducibly regardless
+        # of block arrival order. Tie rule: among equal __on, backward
+        # matches pick the LARGEST payload tuple (searchsorted
+        # side="right" lands past the last tied row), forward matches
+        # the smallest.
+        order = pc.sort_indices(
+            rt,
+            sort_keys=[("__on", "ascending")]
+            + [(c, "ascending") for c in right_cols],
+        )
         rt = rt.take(order)
         r_on = rt.column("__on").to_numpy(zero_copy_only=False)
         l_on = lt.column("__on").to_numpy(zero_copy_only=False)
