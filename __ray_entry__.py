@@ -44,7 +44,16 @@ def _extract_articles(sf_dir: str):
     from smartreader_ray.sources import documents_to_spans
 
     spans = documents_to_spans(sf_dir)
-    return build_extraction_pipeline(spans, batch_size=32, concurrency=(1, 8))
+    # autoscaling pool up to cpus-1: min=1 keeps upstream reads alive on
+    # small CPU counts (fixed pools starve the read stage), max tracks
+    # the Ray session so driver queries use the whole allotment
+    # (VERDICT r02 #6 — the old fixed (1, 8) idled 24 of 32 CPUs)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
+    return build_extraction_pipeline(
+        spans, batch_size=32, concurrency=(1, max(2, cpus - 1))
+    )
 
 
 def entry() -> Any:
@@ -226,12 +235,18 @@ def _q_minhash_dedup(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF search run at nprobe == n_clusters: every list probed, so the
+    result is EXACT and shares the brute-force ann_topk oracle — this
+    hash-gates the whole IVF machinery (k-means assign, per-cluster
+    search, merge); recall at nprobe < n_clusters is pinned separately
+    by unit tests (test_similarity.py)."""
     import ray.data
 
     from smartreader_ray.functions import ann_ivf
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    table = ann_ivf(ds, _query_matrix(sf_dir), k=10, n_clusters=16, nprobe=4)
+    table = ann_ivf(ds, _query_matrix(sf_dir), k=10, n_clusters=16,
+                    nprobe=16)
     return table.select(["query_id", "vec_id", "rank"])
 
 
@@ -584,23 +599,34 @@ def _q_repetition_stats(sf_dir: str):
 
 def _q_pack_sequences(sf_dir: str):
     """Greedy sequence packing into 1024-token training rows,
-    shard-deterministic (shard = doc_id // 100). Greedy reset logic is
-    not SQL-expressible → rows-only; unit tests pin the packing."""
+    shard-deterministic (shard = doc_id // 100). The greedy reset is
+    replayed exactly by a recursive-CTE oracle (one recursion step per
+    doc within a shard, depth ≤ shard_size). fill_frac is projected out
+    of the compare: it is a pure function of n_tokens but float
+    rounding conventions differ between Python (banker's) and SQL
+    (half-up) at exact 7th-digit ties (t = 8k, k odd)."""
     from smartreader_ray.functions import pack_sequences
 
-    return pack_sequences(_docs(sf_dir), max_tokens=1024, shard_size=100)
+    return pack_sequences(
+        _docs(sf_dir), max_tokens=1024, shard_size=100
+    ).select_columns(["pack_id", "n_docs", "n_tokens"])
 
 
 def _q_quality_gate(sf_dir: str):
-    """Sketch-driven corpus gating: per-language median length from the
-    mergeable quantile sketch (5 tiny rows), broadcast as a plain dict,
-    then one streaming filter pass keeps docs above their language's
-    median — the "threshold at p50/p90 quality" curation step computed
-    WITHOUT a global sort. Approximate thresholds → rows-only."""
+    """Corpus gating at an EXACT per-language median length: thresholds
+    come from the distributed value-count histogram
+    (``exact_quantile_by`` — only (lang, n_chars, count) rows cross the
+    exchange, never the corpus), broadcast as a plain dict (5 keys),
+    then one streaming vectorized filter pass keeps docs above their
+    language's median — the "threshold at p50 quality" curation step
+    computed WITHOUT a global sort. quantile_disc semantics → exact SQL
+    oracle. (``approx_quantile_by`` remains the sketch path, exercised
+    by value_quantiles.)"""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
-    from smartreader_ray.functions import approx_quantile_by
+    from smartreader_ray.functions import exact_quantile_by
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -608,16 +634,20 @@ def _q_quality_gate(sf_dir: str):
     )
     med = {
         r["lang"]: r["value"]
-        for r in approx_quantile_by(docs, "lang", "n_chars",
-                                    qs=(0.5,)).take_all()
+        for r in exact_quantile_by(docs, "lang", "n_chars",
+                                   qs=(0.5,)).take_all()
     }
+    langs = pa.array(sorted(med), type=pa.string())
+    thresholds = pa.array([med[lg.as_py()] for lg in langs],
+                          type=pa.float64())
 
     def gate(b: pa.Table) -> pa.Table:
-        langs = b.column("lang").to_pylist()
-        n = b.column("n_chars").to_numpy(zero_copy_only=False)
-        mask = pa.array(
-            [float(v) > med.get(lg, float("inf"))
-             for v, lg in zip(n, langs)]
+        # vectorized lang → threshold lookup; unknown langs map to null
+        # and null > x is null → filtered out (matches dict-miss drop)
+        idx = pc.index_in(b.column("lang"), value_set=langs)
+        thr = pc.take(thresholds, idx)
+        mask = pc.greater(
+            pc.cast(b.column("n_chars"), pa.float64()), thr
         )
         return b.filter(mask).select(["lang", "doc_id"])
 
@@ -724,8 +754,10 @@ def _q_incremental_dedup(sf_dir: str):
     """Incremental (cross-job) dedup: index the first half of the corpus
     in the sharded mutable fingerprint index, then stream the second
     half against it — repeats of indexed content drop, new content
-    passes. Stateful raw-actor stage (first-arrival wins) → rows-only;
-    the survivor COUNT is deterministic, unit tests pin semantics."""
+    passes. Stateful raw-actor stage (first-arrival wins); the survivor
+    SET is deterministic on this corpus (all full texts are distinct →
+    exactly the second-half doc_ids survive, every replayed wave-1 copy
+    drops), so it hash-gates against plain SQL."""
     import pyarrow as pa
     import ray.data
 
@@ -805,6 +837,21 @@ def _q_dup_clusters(sf_dir: str):
     from smartreader_ray.functions import passage_clusters
 
     return passage_clusters(_docs(sf_dir), window=8)
+
+
+def _q_dup_clusters_lp(sf_dir: str):
+    """The 100 TB clustering path: the SAME star edges as dup_clusters,
+    but resolved by distributed label propagation (iterative
+    join+groupby-min, no driver union-find, no driver edge
+    materialization) — proven against the identical recursive-CTE
+    oracle so the scale path can't drift from the exact one."""
+    from smartreader_ray.functions import (
+        label_propagation_components,
+        passage_star_edges,
+    )
+
+    edges = passage_star_edges(_docs(sf_dir), window=8)
+    return label_propagation_components(edges)
 
 
 def _q_dup_passages_hashed(sf_dir: str):
@@ -1094,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": _q_dup_passages,
         "dup_passages_hashed": _q_dup_passages_hashed,
         "dup_clusters": _q_dup_clusters,
+        "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
         "incremental_dedup": _q_incremental_dedup,
         "chunk_documents": _q_chunk_documents,
@@ -1299,8 +1347,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": """
             WITH eval AS (
+                -- snip <> '' matches the engine: _ContaminationFlagger
+                -- drops empty snippets, while SQL contains(text, '')
+                -- would flag every row
                 SELECT substr(text, 1, 120) AS snip
-                FROM documents WHERE doc_id % 50 = 0
+                FROM documents WHERE doc_id % 50 = 0 AND text <> ''
             )
             SELECT d.doc_id,
                    EXISTS (SELECT 1 FROM eval e
@@ -1376,6 +1427,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, MIN(anc) AS cluster_id
             FROM reach GROUP BY node
         """,
+        "dup_clusters_lp": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(a[i:i+7], ' ') AS win
+                FROM base,
+                     UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            ),
+            edges AS (
+                SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+                FROM w x JOIN w y USING (win)
+                WHERE x.doc_id <> y.doc_id
+            ),
+            reach(node, anc) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.node, e.v FROM reach r JOIN edges e ON r.anc = e.u
+            )
+            SELECT node AS doc_id, MIN(anc) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rank <= 10
+        """,
+        "incremental_dedup": """
+            -- wave-2 survivors: the corpus has no cross-half
+            -- full-content dups, so exactly the second-half ids pass
+            -- and every replayed (re-keyed) wave-1 copy drops
+            SELECT doc_id FROM documents
+            WHERE doc_id >= (SELECT COUNT(*) // 2 FROM documents)
+        """,
+        "pack_sequences": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id, doc_id // 100 AS shard,
+                       len(string_split_regex(trim(text), '\s+')) AS tok,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id // 100 ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            g AS (
+                SELECT shard, rn, doc_id, tok,
+                       doc_id AS pack_id, tok AS acc
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc_id, d.tok,
+                       CASE WHEN g.acc + d.tok > 1024
+                            THEN d.doc_id ELSE g.pack_id END,
+                       CASE WHEN g.acc + d.tok > 1024
+                            THEN d.tok ELSE g.acc + d.tok END
+                FROM g JOIN d ON d.shard = g.shard AND d.rn = g.rn + 1
+            )
+            SELECT pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS n_tokens
+            FROM g GROUP BY pack_id
+        """,
+        "quality_gate": """
+            WITH med AS (
+                SELECT lang, quantile_disc(n_chars, 0.5) AS m
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang, d.doc_id
+            FROM documents d JOIN med USING (lang)
+            WHERE d.n_chars > med.m
+        """,
         "dup_passages_hashed": """
             WITH base AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS a
@@ -1418,7 +1548,7 @@ def oracle_sql() -> dict[str, str]:
                       >= len(string_split(trim(text), ' '))),
             eval AS (
                 SELECT substr(text, 1, 120) AS snip
-                FROM documents WHERE doc_id % 50 = 0),
+                FROM documents WHERE doc_id % 50 = 0 AND text <> ''),
             clean AS (
                 SELECT doc_id, source FROM q d
                 WHERE NOT EXISTS (SELECT 1 FROM eval e

@@ -402,6 +402,14 @@ class Element(ParentNode):
         return name.lower() in self.attrs
 
     def set_attribute(self, name: str, value: str) -> None:
+        # NOTE: attribute mutations deliberately do NOT bump the
+        # structural _REV counter — the text/inner-text/link-density
+        # caches key on _REV and depend only on tree structure and
+        # text, except link density which also reads <a href>. That is
+        # safe because the extraction core performs all density reads
+        # before any href mutation (_fix_relative_uris runs last);
+        # bumping _REV here would needlessly flush the text caches on
+        # every class/style tweak during cleaning.
         self.attrs[name.lower()] = value
 
     def remove_attribute(self, name: str) -> None:

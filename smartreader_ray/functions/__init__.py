@@ -16,6 +16,7 @@ from .dedup import (
     minhash_dedup,
     minhash_lsh_candidates,
     ngram_jaccard,
+    passage_star_edges,
     simhash_batch,
     simhash_neardup,
     verify_candidate_pairs,
@@ -39,7 +40,12 @@ from .similarity import (
     kmeans_centroids,
 )
 from .sampling import mix_threshold_hex, stratified_sample, weighted_mix
-from .sketch import approx_distinct, approx_distinct_by, approx_quantile_by
+from .sketch import (
+    approx_distinct,
+    approx_distinct_by,
+    approx_quantile_by,
+    exact_quantile_by,
+)
 from .topk import top_k, top_k_by
 from .windows import sessionize, tumbling_window
 from .textstats import (
@@ -56,6 +62,7 @@ __all__ = [
     "connected_components",
     "label_propagation_components",
     "passage_clusters",
+    "passage_star_edges",
     "decontaminate",
     "chunk_documents",
     "pack_sequences",
@@ -69,6 +76,7 @@ __all__ = [
     "approx_distinct",
     "approx_distinct_by",
     "approx_quantile_by",
+    "exact_quantile_by",
     "asof_join",
     "bpe_token_stats",
     "fingerprint_dedup",

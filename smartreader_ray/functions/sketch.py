@@ -235,3 +235,64 @@ def approx_quantile_by(ds, key_col: str, col: str,
         partial, batch_format="pyarrow"
     )
     return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def exact_quantile_by(ds, key_col: str, col: str, qs=(0.5,)):
+    """EXACT per-key discrete quantiles via a distributed value-count
+    histogram — the companion to ``approx_quantile_by`` for columns
+    whose value domain is bounded (lengths, scores, counts: distinct
+    values ≪ rows, the usual curation case).
+
+    Per block each key's values collapse to (key, value, count) rows
+    (one Arrow ``group_by``, no Python loop), so only the histogram
+    crosses the exchange — the exchange size is O(keys × distinct
+    values × blocks), independent of row count. One ``groupby(key)``
+    then merges counts and reads the quantile off the cumulative
+    histogram.
+
+    Quantile convention matches DuckDB/Postgres ``quantile_disc``: the
+    element at sorted 0-indexed position ``floor((n-1)·q)`` — which
+    makes the result SQL-oracle-comparable, unlike the centroid sketch.
+
+    Returns a Dataset of (key_col, q: float64, value: float64).
+    """
+    qs_arr = np.asarray(list(qs), dtype=np.float64)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        hist = batch.select([key_col, col]).group_by(
+            [key_col, col]
+        ).aggregate([([], "count_all")])
+        return hist.rename_columns([key_col, "value", "cnt"])
+
+    def hist_merge(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        w = group.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uv, inv = np.unique(v, return_inverse=True)
+        uw = np.zeros(len(uv), dtype=np.int64)
+        np.add.at(uw, inv, w)
+        cum = np.cumsum(uw)
+        n = int(cum[-1])
+        # smallest value whose cumulative count exceeds floor((n-1)*q)
+        targets = np.floor((n - 1) * qs_arr).astype(np.int64) + 1
+        idx = np.searchsorted(cum, targets, side="left")
+        k = len(qs_arr)
+        return pa.Table.from_pydict(
+            {
+                key_col: pa.concat_arrays(
+                    [group.column(key_col).combine_chunks().slice(0, 1)] * k
+                ),
+                "q": qs_arr,
+                "value": uv[idx],
+            }
+        )
+
+    partials = ds.select_columns([key_col, col]).map_batches(
+        hist_partial, batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(
+        hist_merge, batch_format="pyarrow"
+    )

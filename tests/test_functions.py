@@ -778,6 +778,37 @@ def test_approx_quantile_accuracy(ray_session):
             assert abs(got[(key, q)] - exact) < 0.02 * spread, (key, q)
 
 
+def test_exact_quantile_by_matches_quantile_disc(ray_session):
+    """exact_quantile_by must reproduce quantile_disc semantics
+    (element at sorted index floor((n-1)*q)) exactly, across blocks,
+    for odd and even counts and heavy duplicate values."""
+    import numpy as np
+    import ray.data
+
+    from smartreader_ray.functions import exact_quantile_by
+
+    rng = np.random.default_rng(11)
+    # integer-valued columns with many duplicates, one even-count key
+    vals_a = rng.integers(0, 200, 10_001)   # odd n
+    vals_b = rng.integers(50, 60, 4_000)    # even n, 10 distinct values
+    items = pa.table(
+        {
+            "key": ["a"] * len(vals_a) + ["b"] * len(vals_b),
+            "v": np.concatenate([vals_a, vals_b]).astype(np.int64),
+        }
+    )
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    out = exact_quantile_by(
+        ray.data.from_arrow(items).repartition(7), "key", "v", qs=qs
+    ).take_all()
+    got = {(r["key"], r["q"]): r["value"] for r in out}
+    for key, vals in (("a", vals_a), ("b", vals_b)):
+        s = np.sort(vals)
+        for q in qs:
+            expect = float(s[int(np.floor((len(s) - 1) * q))])
+            assert got[(key, q)] == expect, (key, q)
+
+
 def test_duplicate_passages(ray_session):
     import ray.data
 
