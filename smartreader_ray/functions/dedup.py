@@ -186,28 +186,82 @@ class MinHasher:
         prod = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1).astype(np.uint64)
 
-    def band_keys(self, sig: np.ndarray) -> list[str]:
-        import hashlib
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(B, num_hashes) signatures for a whole batch in one sweep.
 
-        keys = []
-        for band in range(self.bands):
-            chunk = sig[band * self.rows : (band + 1) * self.rows]
-            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            keys.append(f"{band}:{digest}")
-        return keys
+        The per-doc loop costs fixed numpy overhead per ~50-gram doc
+        (VERDICT r02 #7); here all grams hash once, the (a,b) products
+        run once over the batch-GLOBAL unique gram hashes (shared
+        shingles across docs compute once), and per-doc mins come from
+        ``np.minimum.reduceat`` over doc boundaries, gather-chunked so
+        the transient (H, grams) matrix stays ~16 MB regardless of
+        batch size. Bit-identical to ``signature()`` per doc (min over
+        the multiset == min over the set)."""
+        B = len(texts)
+        sig = np.full((B, self.num_hashes), _MAX_HASH, dtype=np.uint64)
+        grams = [_token_ngrams(t or "", self.ngram) for t in texts]
+        lens = np.fromiter((len(g) for g in grams), dtype=np.int64, count=B)
+        if not lens.sum():
+            return sig
+        h_all = _hash64([g for gs in grams for g in gs])
+        uh, inv = np.unique(h_all, return_inverse=True)
+        # (H, U) — each unique gram hashed by every function exactly once
+        prod_u = (self.a[:, None] * uh[None, :] + self.b[:, None]) % _MERSENNE
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        chunk_grams = max(16384, int(lens.max()))
+        i = 0
+        while i < B:
+            j = i + 1
+            while j < B and bounds[j + 1] - bounds[i] <= chunk_grams:
+                j += 1
+            nz = i + np.flatnonzero(lens[i:j])
+            if len(nz):
+                seg = prod_u[:, inv[bounds[i]:bounds[j]]]
+                starts = bounds[nz] - bounds[i]
+                sig[nz] = np.minimum.reduceat(seg, starts, axis=1).T
+            i = j
+        return sig
+
+    def band_keys_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(B, bands) uint64 bucket keys from a signature matrix.
+
+        Replaces 16 per-doc blake2b calls with a vectorized FNV-style
+        fold over the band rows plus a splitmix64 avalanche, with the
+        band index mixed in so buckets never collide across bands
+        (beyond 1/2^64 — any such collision only creates a candidate
+        pair that exact-Jaccard verification rejects). An 8-byte int
+        crosses the exchange instead of a 19-char string."""
+        B = sigs.shape[0]
+        s = sigs.reshape(B, self.bands, self.rows)
+        key = np.full((B, self.bands), _FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows):
+                key = (key ^ s[:, :, r]) * _FNV_PRIME
+            key ^= key >> np.uint64(30)
+            key *= np.uint64(0xBF58476D1CE4E5B9)
+            key ^= key >> np.uint64(27)
+            key *= np.uint64(0x94D049BB133111EB)
+            key ^= key >> np.uint64(31)
+            key ^= (np.arange(self.bands, dtype=np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))[None, :]
+        return key
+
+    def band_keys(self, sig: np.ndarray) -> list[int]:
+        """Per-doc convenience wrapper over ``band_keys_batch``."""
+        return [int(k) for k in self.band_keys_batch(sig[None, :])[0]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """doc → one row per band: (band_key, doc_id). Only keys shuffle."""
-        doc_ids, band_keys = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sig = self.signature(text or "")
-            for key in self.band_keys(sig):
-                doc_ids.append(doc_id)
-                band_keys.append(key)
+        texts = batch.column("text").to_pylist()
+        sigs = self.signatures_batch(texts)
+        keys = self.band_keys_batch(sigs)
+        idx = pa.array(np.repeat(np.arange(len(texts), dtype=np.int64),
+                                 self.bands))
         return pa.Table.from_pydict(
-            {"band_key": band_keys, "doc_id": doc_ids}
+            {
+                "band_key": pa.array(keys.reshape(-1), type=pa.uint64()),
+                "doc_id": pc.take(batch.column("doc_id"), idx),
+            }
         )
 
 

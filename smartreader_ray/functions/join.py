@@ -92,6 +92,13 @@ def hash_join(left, right, left_key: str, right_key: str,
     if overlap:
         raise ValueError(f"output column collision: {sorted(overlap)}")
 
+    # keep the NATIVE key type when both sides agree — an int64 key
+    # ships 8 bytes/row across the all-to-all where its decimal string
+    # ships up to 20; cast to string only to reconcile mismatched types
+    lk_type = dict(zip(left.schema().names, left.schema().types))[left_key]
+    rk_type = dict(zip(right.schema().names, right.schema().types))[right_key]
+    key_type = lk_type if lk_type == rk_type else pa.string()
+
     def pack(key_col, cols, side):
         def fn(batch: pa.Table) -> pa.Table:
             payload = pa.StructArray.from_arrays(
@@ -100,7 +107,7 @@ def hash_join(left, right, left_key: str, right_key: str,
             n = batch.num_rows
             return pa.Table.from_pydict(
                 {
-                    "__key": pc.cast(batch.column(key_col), pa.string()),
+                    "__key": pc.cast(batch.column(key_col), key_type),
                     "__side": pa.array([side] * n, type=pa.int8()),
                     "__left": payload if side == 0 else pa.nulls(
                         n, type=_struct_type(left)
@@ -142,11 +149,13 @@ def hash_join(left, right, left_key: str, right_key: str,
         )
 
     def emit(group: pa.Table) -> pa.Table:
+        import numpy as np
+
         sides = group.column("__side").to_numpy(zero_copy_only=False)
-        l_idx = [i for i, s in enumerate(sides) if s == 0]
-        r_idx = [i for i, s in enumerate(sides) if s == 1]
+        l_idx = np.flatnonzero(sides == 0)
+        r_idx = np.flatnonzero(sides == 1)
         if how == "left_anti":
-            if r_idx or not l_idx:
+            if len(r_idx) or not len(l_idx):
                 return _empty()
             l_struct = group.column("__left").combine_chunks().take(
                 pa.array(l_idx, type=pa.int64())
@@ -154,7 +163,7 @@ def hash_join(left, right, left_key: str, right_key: str,
             return pa.Table.from_arrays(
                 [l_struct.field(c) for c in left_cols], names=left_cols
             )
-        if how == "left" and l_idx and not r_idx:
+        if how == "left" and len(l_idx) and not len(r_idx):
             l_struct = group.column("__left").combine_chunks().take(
                 pa.array(l_idx, type=pa.int64())
             )
@@ -172,10 +181,8 @@ def hash_join(left, right, left_key: str, right_key: str,
                 f"emit {n_pairs} pairs (> {max_pairs_per_key}); salt the key "
                 "or broadcast the smaller side"
             )
-        import numpy as np
-
-        li = np.repeat(np.asarray(l_idx, dtype=np.int64), len(r_idx))
-        ri = np.tile(np.asarray(r_idx, dtype=np.int64), len(l_idx))
+        li = np.repeat(l_idx.astype(np.int64), len(r_idx))
+        ri = np.tile(r_idx.astype(np.int64), len(l_idx))
         l_struct = group.column("__left").combine_chunks().take(pa.array(li))
         r_struct = group.column("__right").combine_chunks().take(pa.array(ri))
         arrays = [l_struct.field(c) for c in left_cols] + [
