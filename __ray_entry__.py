@@ -38,6 +38,15 @@ def _docs(sf_dir: str):
     )
 
 
+def _pool_max(cap: int = 64) -> int:
+    """Autoscaling actor-pool ceiling: track the Ray session's CPUs
+    (VERDICT r02 #6 — pinned (1, 8) pools idled 24 of 32 CPUs)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
+    return max(2, min(cap, cpus - 1))
+
+
 def _extract_articles(sf_dir: str):
     """documents → F1 spans → streaming extraction pipeline."""
     from smartreader_ray.pipelines import build_extraction_pipeline
@@ -47,12 +56,8 @@ def _extract_articles(sf_dir: str):
     # autoscaling pool up to cpus-1: min=1 keeps upstream reads alive on
     # small CPU counts (fixed pools starve the read stage), max tracks
     # the Ray session so driver queries use the whole allotment
-    # (VERDICT r02 #6 — the old fixed (1, 8) idled 24 of 32 CPUs)
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
     return build_extraction_pipeline(
-        spans, batch_size=32, concurrency=(1, max(2, cpus - 1))
+        spans, batch_size=32, concurrency=(1, _pool_max())
     )
 
 
@@ -701,7 +706,7 @@ def _q_warc_extract(sf_dir: str):
         .map_batches(warc_pages_batch, batch_format="pyarrow")
         .map_batches(to_spans, batch_format="pyarrow")
     )
-    out = build_extraction_pipeline(spans, batch_size=32, concurrency=(1, 8))
+    out = build_extraction_pipeline(spans, batch_size=32, concurrency=(1, _pool_max()))
 
     def project(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -1072,7 +1077,7 @@ def _q_pdf_extract(sf_dir: str):
         _docs(sf_dir)
         .map_batches(to_pdf, batch_format="pyarrow")
         .map_batches(PdfTextExtract, batch_format="pyarrow",
-                     concurrency=(1, 8), batch_size=64)
+                     concurrency=(1, _pool_max()), batch_size=64)
         .map_batches(project, batch_format="pyarrow")
     )
 

@@ -62,22 +62,21 @@ def build_extraction_pipeline(
     """spans Dataset → article-rows Dataset (lazy)."""
     if concurrency is None:
         # size the actor pool to the cluster: extraction is pure-CPU python
-        # → 1 actor per CPU. Fixed pool, not (1, n) autoscaling: the
-        # autoscaler ramps far too slowly for a CPU-bound stage and leaves
-        # most of the cluster idle for the first minutes of a run.
+        # → up to 1 actor per CPU, autoscaling from 1. A fixed pool of
+        # min=n would (a) starve the upstream read tasks at low CPU counts
+        # (observed hangs) and (b) warn/idle when the input has fewer
+        # blocks than actors; min=1 keeps reads alive and Ray grows the
+        # pool as batches queue. Callers on a hot path (bench, driver)
+        # pass an explicit pool size.
         try:
             import ray
 
             n_cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:  # pragma: no cover
             n_cpus = 8
-        # n-1 actors, not n: a fixed pool that reserves every cluster CPU
-        # starves the upstream read/map tasks and the pipeline stalls.
-        concurrency = max(2, n_cpus - 1)
-        if split_oversized:
-            # two pools share the cluster; fixed sizes would deadlock
-            # waiting for each other's actors — autoscale each instead
-            concurrency = (1, concurrency)
+        # cap at n-1: a pool that reserves every cluster CPU starves the
+        # producer side and the pipeline stalls.
+        concurrency = (1, max(2, n_cpus - 1))
     # actor_num_cpus slightly < 1 keeps a little extra headroom for the
     # producer side even when callers pass a full-size pool explicitly.
     kwargs = dict(
