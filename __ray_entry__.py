@@ -962,6 +962,104 @@ def _q_value_quantiles(sf_dir: str):
     return approx_quantile_by(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def _q_value_quantiles_exact(sf_dir: str):
+    """EXACT per-lang n_chars quantiles via the distributed value-count
+    histogram (`exact_quantile_by`) — only (key, value, count) rows
+    cross the exchange; quantile convention matches quantile_disc, so
+    this is the oracle-gated companion to the approximate sketch."""
+    import ray.data
+
+    from smartreader_ray.functions import exact_quantile_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    return exact_quantile_by(ds, "lang", "n_chars", qs=(0.25, 0.5, 0.9))
+
+
+def _q_distinct_users_exact(sf_dir: str):
+    """EXACT per-type distinct users: per-block distinct (key, value)
+    partial → one set-union groupby. The oracle-gated companion to the
+    HLL sketch (approx_distinct_users)."""
+    import ray.data
+
+    from smartreader_ray.functions import exact_distinct_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return exact_distinct_by(ds, "event_type", "user_id", out_name="n_users")
+
+
+def _q_events_next_hour(sf_dir: str):
+    """Band/range join (count mode): per event, how many same-user
+    events land strictly within the following hour — the second
+    temporal join operator (alongside asof) Ray Data lacks natively.
+    One user_id-keyed exchange; two vectorized searchsorted probes per
+    group."""
+    import ray.data
+
+    from smartreader_ray.functions import range_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    hour_us = 3600 * 1_000_000
+    return range_join(
+        ds, ds, by="user_id", on="ts", left_cols=["event_id"],
+        right_cols=[], lower=0, upper=hour_us, include_lower=False,
+        mode="count", count_name="n_next_hour",
+    )
+
+
+def _q_sliding_windows(sf_dir: str):
+    """Hopping 5-min windows sliding every 60 s per event_type: the
+    k-fold replication happens inside map_batches and is collapsed by a
+    per-batch Arrow partial combine before the (key, window) exchange."""
+    import ray.data
+
+    from smartreader_ray.functions import sliding_window
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+    return sliding_window(ds, window_s=300.0, slide_s=60.0)
+
+
+def _q_events_pivot(sf_dir: str):
+    """Long→wide pivot: one row per user with per-event-type counts
+    (declared pivot columns — the schema is fixed up front, no
+    inference scan). Narrow (key, value, count) partials cross the
+    exchange; the wide row is assembled per key group."""
+    import ray.data
+
+    from smartreader_ray.functions import pivot_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup: prefix-blocked candidate pairs
+    with integer intersection/union sizes of their distinct bigram
+    sets — the oracle-provable exact companion to the MinHash
+    estimate (same blocking idea, true Jaccard inside each block)."""
+    from smartreader_ray.functions import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        prefix_tokens=8, n=2,
+    )
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
@@ -1142,6 +1240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
+        "value_quantiles_exact": _q_value_quantiles_exact,
+        "distinct_users_exact": _q_distinct_users_exact,
+        "events_next_hour": _q_events_next_hour,
+        "sliding_windows": _q_sliding_windows,
+        "events_pivot": _q_events_pivot,
+        "jaccard_pairs": _q_jaccard_pairs,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
         "dup_passages_hashed": _q_dup_passages_hashed,
@@ -1595,6 +1699,78 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sliding_windows": """
+            -- hopping 300s/60s windows: every event lands in 5 windows,
+            -- window starts are epoch-aligned 60s multiples (the engine's
+            -- floor-division convention, written out here explicitly)
+            SELECT event_type,
+                   make_timestamp(((epoch_us(ts) // 60000000) - k.k)
+                                  * 60000000) AS window_start,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events CROSS JOIN (SELECT unnest(range(5)) AS k) k
+            GROUP BY 1, 2
+        """,
+        "events_next_hour": """
+            SELECT l.event_id,
+                   CAST((SELECT count(*) FROM events r
+                         WHERE r.user_id = l.user_id AND r.ts > l.ts
+                           AND r.ts <= l.ts + INTERVAL 3600 SECOND)
+                        AS BIGINT) AS n_next_hour
+            FROM events l
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "distinct_users_exact": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "value_quantiles_exact": """
+            SELECT lang, CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.9 AS DOUBLE) AS q,
+                   CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS value
+            FROM documents GROUP BY lang
+        """,
+        "jaccard_pairs": """
+            -- distinct-bigram intersection/union sizes for prefix-blocked
+            -- pairs; single-space tokenizer matches the engine exactly
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       array_to_string(w[1:8], ' ') AS pfx,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 1, 0) + 1),
+                           i -> w[i] || ' ' || w[i + 1])) AS g
+                FROM toks
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter,
+                   CAST(len(list_distinct(a.g || b.g)) AS BIGINT) AS n_union
+            FROM grams a JOIN grams b
+              ON a.pfx = b.pfx AND a.doc_id < b.doc_id
         """,
         "sessionize": """
             WITH marks AS (

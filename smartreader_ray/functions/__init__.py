@@ -16,6 +16,7 @@ from .dedup import (
     minhash_dedup,
     minhash_lsh_candidates,
     ngram_jaccard,
+    ngram_jaccard_pairs,
     passage_star_edges,
     simhash_batch,
     simhash_neardup,
@@ -30,7 +31,7 @@ from .curation import (
     pii_redact,
     repetition_stats,
 )
-from .join import asof_join, broadcast_join, hash_join
+from .join import asof_join, broadcast_join, hash_join, range_join
 from .similarity import (
     ann_ivf,
     ann_ivf_bucketed,
@@ -44,10 +45,12 @@ from .sketch import (
     approx_distinct,
     approx_distinct_by,
     approx_quantile_by,
+    exact_distinct_by,
     exact_quantile_by,
 )
+from .reshape import pivot_counts
 from .topk import top_k, top_k_by
-from .windows import sessionize, tumbling_window
+from .windows import sessionize, sliding_window, tumbling_window
 from .textstats import (
     bpe_token_stats,
     doc_fingerprint,
@@ -78,6 +81,11 @@ __all__ = [
     "approx_quantile_by",
     "exact_quantile_by",
     "asof_join",
+    "range_join",
+    "pivot_counts",
+    "ngram_jaccard_pairs",
+    "exact_distinct_by",
+    "sliding_window",
     "bpe_token_stats",
     "fingerprint_dedup",
     "sessionize",

@@ -1024,3 +1024,99 @@ def label_propagation_components(edges, col_a: str = "doc_a",
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (oracle-comparable near-dup)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(ds, prefix_tokens: int = 8, n: int = 2,
+                        text_col: str = "text",
+                        max_docs_per_group: int = 1024):
+    """EXACT n-gram Jaccard over candidate pairs: documents sharing their
+    first ``prefix_tokens`` tokens are grouped, and every in-group pair
+    (doc_a < doc_b) gets its distinct-token-``n``-gram intersection and
+    union sizes — emitted as INTEGERS (``n_inter``, ``n_union``) so the
+    result is bit-comparable to a SQL ``list_intersect``/``list_distinct``
+    oracle (no float division to drift).
+
+    This is the exact companion to the MinHash estimate: the same
+    blocking idea (a cheap equality key bounds the candidate set; here
+    the prefix key, there the LSH band), then the true Jaccard inside
+    each block. Tokenizer is single-space split of the trimmed text —
+    exactly DuckDB's ``string_split(trim(text), ' ')`` (ADVICE r02:
+    ``.split()`` vs ``string_split`` diverges on runs of whitespace).
+
+    Ray shape: one keyed shuffle of (prefix, doc_id, text); per group a
+    set-ops kernel over ≤ ``max_docs_per_group`` docs (loud failure
+    beyond — a degenerate template prefix at corpus scale must be
+    salted or excluded, not silently OOM the group task). Shipping full
+    text through the exchange is inherent to EXACT verification; at
+    100 TB block on minhash first and reserve this for the verify set.
+    """
+
+    def to_prefix(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        pfx = [" ".join((t or "").strip().split(" ")[:prefix_tokens])
+               for t in texts]
+        return pa.Table.from_pydict(
+            {
+                "__pfx": pa.array(pfx, type=pa.string()),
+                "doc_id": batch.column("doc_id"),
+                text_col: batch.column(text_col),
+            }
+        )
+
+    schema = ds.schema()
+    id_type = dict(zip(schema.names, schema.types))["doc_id"]
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        empty = pa.Table.from_pydict(
+            {
+                "doc_a": pa.nulls(0, type=id_type),
+                "doc_b": pa.nulls(0, type=id_type),
+                "n_inter": pa.array([], type=pa.int64()),
+                "n_union": pa.array([], type=pa.int64()),
+            }
+        )
+        if m < 2:
+            return empty
+        if m > max_docs_per_group:
+            raise ValueError(
+                f"ngram_jaccard_pairs: prefix group of {m} docs (> "
+                f"{max_docs_per_group}) — salt or exclude the degenerate "
+                f"prefix {group.column('__pfx')[0].as_py()[:60]!r}"
+            )
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        group = group.take(order)
+        ids = group.column("doc_id").to_pylist()
+        grams = []
+        for t in group.column(text_col).to_pylist():
+            toks = (t or "").strip().split(" ")
+            grams.append(
+                set(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            )
+        doc_a, doc_b, n_inter, n_union = [], [], [], []
+        for i in range(m):
+            gi = grams[i]
+            for j in range(i + 1, m):
+                gj = grams[j]
+                doc_a.append(ids[i])
+                doc_b.append(ids[j])
+                n_inter.append(len(gi & gj))
+                n_union.append(len(gi | gj))
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(doc_a, type=id_type),
+                "doc_b": pa.array(doc_b, type=id_type),
+                "n_inter": pa.array(n_inter, type=pa.int64()),
+                "n_union": pa.array(n_union, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", text_col])
+        .map_batches(to_prefix, batch_format="pyarrow")
+        .groupby("__pfx")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )

@@ -197,6 +197,146 @@ def hash_join(left, right, left_key: str, right_key: str,
     )
 
 
+def range_join(left, right, by: str, on: str,
+               left_cols: list[str], right_cols: list[str],
+               lower, upper, include_lower: bool = True,
+               include_upper: bool = True, mode: str = "pairs",
+               count_name: str = "n_matches",
+               max_pairs_per_key: int = 10_000_000):
+    """Distributed band/interval join: for every left row, the right rows
+    (same ``by`` key) whose ``on`` lies within ``[left.on + lower,
+    left.on + upper]`` (bounds in the column's native units — e.g.
+    MICROseconds for timestamp[us]; pass ``None`` for an open bound;
+    inclusivity per flag). The second temporal-join operator Ray Data
+    lacks natively, alongside :func:`asof_join`.
+
+    ``mode="pairs"`` emits the inner-join pairs (``left_cols +
+    right_cols``); ``mode="count"`` emits one row per LEFT row
+    (left-outer) with the match count as ``count_name`` — the bounded
+    output shape for dense windows (a per-key window count never
+    explodes the way the pair cross-product can).
+
+    Ray shape: identical to ``asof_join`` — both sides pruned and
+    union-shuffled once on ``by``; within a key group the band is two
+    vectorized ``np.searchsorted`` probes against the sorted right
+    timestamps. Partitioning assumption: one key's rows fit in a group
+    task; ``max_pairs_per_key`` fails loudly on a hot key in pairs mode.
+    """
+    import numpy as np
+
+    if mode not in ("pairs", "count"):
+        raise ValueError(f"unsupported mode={mode!r}")
+    overlap = set(left_cols) & set(right_cols)
+    if overlap and mode == "pairs":
+        raise ValueError(f"output column collision: {sorted(overlap)}")
+
+    def _types(ds, cols):
+        m = dict(zip(ds.schema().names, ds.schema().types))
+        return [(c, m[c]) for c in cols]
+
+    l_types = _types(left, left_cols)
+    r_types = _types(right, right_cols) if mode == "pairs" else []
+    r_keep = right_cols if mode == "pairs" else []
+
+    def pack(side):
+        mine = left_cols if side == 0 else r_keep
+        theirs = r_types if side == 0 else l_types
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "__key": pc.cast(batch.column(by), pa.string()),
+                "__on": batch.column(on),
+                "__side": pa.array([side] * n, type=pa.int8()),
+            }
+            for c in mine:
+                cols[c] = batch.column(c)
+            for c, t in theirs:
+                cols[c] = pa.nulls(n, type=t)
+            return pa.Table.from_pydict(cols)
+
+        return fn
+
+    def prune(ds, cols):
+        keep = [by, on] + [c for c in cols if c not in (by, on)]
+        return ds.select_columns(keep)
+
+    l_packed = prune(left, left_cols).map_batches(pack(0), batch_format="pyarrow")
+    r_packed = prune(right, r_keep).map_batches(pack(1), batch_format="pyarrow")
+
+    def _on_i64(col) -> "np.ndarray":
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "M":  # datetime64 → int64 epoch in native unit
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v.astype(np.int64)
+
+    def _empty(names, types):
+        return pa.Table.from_arrays(
+            [pa.nulls(0, type=t) for t in types], names=names
+        )
+
+    count_names = left_cols + [count_name]
+    count_types = [t for _, t in l_types] + [pa.int64()]
+    pair_names = left_cols + right_cols
+    pair_types = [t for _, t in l_types] + [t for _, t in r_types]
+
+    def emit(group: pa.Table) -> pa.Table:
+        sides = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(sides == 0))
+        rt = group.filter(pa.array(sides == 1))
+        if lt.num_rows == 0:
+            return _empty(*((count_names, count_types) if mode == "count"
+                            else (pair_names, pair_types)))
+        if rt.num_rows == 0:
+            if mode == "count":
+                out = {c: lt.column(c) for c in left_cols}
+                out[count_name] = pa.array(
+                    np.zeros(lt.num_rows, dtype=np.int64)
+                )
+                return pa.Table.from_pydict(out)
+            return _empty(pair_names, pair_types)
+        order = pc.sort_indices(rt, sort_keys=[("__on", "ascending")])
+        rt = rt.take(order)
+        r_on = _on_i64(rt.column("__on"))
+        l_on = _on_i64(lt.column("__on"))
+        lo = (np.zeros(len(l_on), dtype=np.int64) if lower is None else
+              np.searchsorted(r_on, l_on + int(lower),
+                              side="left" if include_lower else "right"))
+        hi = (np.full(len(l_on), len(r_on), dtype=np.int64) if upper is None
+              else np.searchsorted(r_on, l_on + int(upper),
+                                   side="right" if include_upper else "left"))
+        counts = np.maximum(hi - lo, 0)
+        if mode == "count":
+            out = {c: lt.column(c) for c in left_cols}
+            out[count_name] = pa.array(counts.astype(np.int64))
+            return pa.Table.from_pydict(out)
+        total = int(counts.sum())
+        if total == 0:
+            return _empty(pair_names, pair_types)
+        if total > max_pairs_per_key:
+            raise ValueError(
+                f"range_join: key {group.column('__key')[0].as_py()!r} would "
+                f"emit {total} pairs (> {max_pairs_per_key}); narrow the band "
+                "or use mode='count'"
+            )
+        li = np.repeat(np.arange(len(l_on), dtype=np.int64), counts)
+        cc = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ri = np.arange(total, dtype=np.int64) - np.repeat(cc, counts) + \
+            np.repeat(lo, counts)
+        lt2 = lt.take(pa.array(li))
+        rt2 = rt.take(pa.array(ri))
+        arrays = [lt2.column(c).combine_chunks() for c in left_cols] + [
+            rt2.column(c).combine_chunks() for c in right_cols
+        ]
+        return pa.Table.from_arrays(arrays, names=pair_names)
+
+    return (
+        l_packed.union(r_packed)
+        .groupby("__key")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
 def asof_join(left, right, by: str, on: str,
               left_cols: list[str], right_cols: list[str],
               direction: str = "backward", allow_equal: bool = True):

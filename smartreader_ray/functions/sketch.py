@@ -250,9 +250,12 @@ def exact_quantile_by(ds, key_col: str, col: str, qs=(0.5,)):
     then merges counts and reads the quantile off the cumulative
     histogram.
 
-    Quantile convention matches DuckDB/Postgres ``quantile_disc``: the
-    element at sorted 0-indexed position ``floor((n-1)·q)`` — which
-    makes the result SQL-oracle-comparable, unlike the centroid sketch.
+    Quantile convention matches DuckDB/Postgres ``quantile_disc`` /
+    ``percentile_disc``: the smallest value whose cumulative fraction
+    is ≥ q (sorted 0-indexed position ``ceil(q·n) - 1``) — which makes
+    the result SQL-oracle-comparable, unlike the centroid sketch.
+    (The two textbook conventions agree at the median for every n but
+    diverge at upper quantiles; verified against DuckDB empirically.)
 
     Returns a Dataset of (key_col, q: float64, value: float64).
     """
@@ -276,8 +279,8 @@ def exact_quantile_by(ds, key_col: str, col: str, qs=(0.5,)):
         np.add.at(uw, inv, w)
         cum = np.cumsum(uw)
         n = int(cum[-1])
-        # smallest value whose cumulative count exceeds floor((n-1)*q)
-        targets = np.floor((n - 1) * qs_arr).astype(np.int64) + 1
+        # smallest value whose cumulative count reaches ceil(n*q)
+        targets = np.maximum(np.ceil(n * qs_arr).astype(np.int64), 1)
         idx = np.searchsorted(cum, targets, side="left")
         k = len(qs_arr)
         return pa.Table.from_pydict(
@@ -295,4 +298,48 @@ def exact_quantile_by(ds, key_col: str, col: str, qs=(0.5,)):
     )
     return partials.groupby(key_col).map_groups(
         hist_merge, batch_format="pyarrow"
+    )
+
+
+def exact_distinct_by(ds, key_col: str, col: str,
+                      out_name: str = "n_distinct"):
+    """EXACT per-key COUNT(DISTINCT col) — the oracle-comparable
+    companion to ``approx_distinct_by`` (HLL) for when the per-key
+    distinct set is small enough to exchange (ids, labels, shard names).
+
+    Per block each key's values collapse to their distinct (key, value)
+    pairs (one Arrow ``group_by``, no counts shipped), so the exchange
+    size is O(keys x distinct values x blocks) — independent of row
+    count; a second ``groupby(key)`` unions the per-block sets and
+    counts. At HLL-scale cardinalities (billions of distinct users)
+    use ``approx_distinct_by`` instead: there the distinct set itself
+    is the data and only a sketch should cross the wire.
+
+    Returns a Dataset of (key_col, out_name: int64).
+    """
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key_col, col])
+            .group_by([key_col, col])
+            .aggregate([])
+        )
+
+    def count_unique(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False)
+        n = len(np.unique(v)) if v.dtype.kind in "biufM" else len(
+            set(group.column(col).to_pylist())
+        )
+        return pa.Table.from_pydict(
+            {
+                key_col: group.column(key_col).combine_chunks().slice(0, 1),
+                out_name: pa.array([n], type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([key_col, col]).map_batches(
+        distinct_partial, batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(
+        count_unique, batch_format="pyarrow"
     )

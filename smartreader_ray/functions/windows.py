@@ -93,6 +93,74 @@ def sessionize(ds, gap_s: float = 1800.0, user_col: str = "user_id",
     return pruned.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
 
 
+def sliding_window(ds, window_s: float = 300.0, slide_s: float = 60.0,
+                   ts_col: str = "ts", key_col: str = "event_type",
+                   value_col: str = "value"):
+    """Sliding (hopping) time-window aggregate per key: windows of
+    ``window_s`` seconds starting every ``slide_s`` seconds; each event
+    lands in ``window_s / slide_s`` overlapping windows. One row per
+    (key, window_start) with ``n_events`` and cent-rounded ``sum_value``.
+
+    ``window_s`` must be an integer multiple of ``slide_s``. Window
+    starts are epoch-aligned multiples of ``slide_s`` (same convention
+    as ``tumbling_window``'s ``floor_temporal``).
+
+    Ray shape: the k-fold replication happens INSIDE ``map_batches``
+    and is immediately collapsed by a per-batch Arrow partial combine,
+    so the exchange ships one row per (block, key, window) — the
+    replication factor never crosses the shuffle.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    slide_us = int(slide_s * 1_000_000)
+    k = int(round(window_s / slide_s))
+    if k * slide_s != window_s or k < 1:
+        raise ValueError("window_s must be a positive integer multiple of slide_s")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        base = ts_us // slide_us * slide_us
+        # (n, k) window starts per event, flattened row-major so the
+        # repeated key/value columns line up with np.repeat(…, k)
+        starts = base[:, None] - (np.arange(k, dtype=np.int64) * slide_us)[None, :]
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        t = pa.Table.from_pydict(
+            {
+                key_col: pc.take(batch.column(key_col), idx),
+                "window_start": pa.array(starts.reshape(-1)).cast(
+                    pa.timestamp("us")
+                ),
+                value_col: pc.take(batch.column(value_col), idx),
+            }
+        )
+        return (
+            t.group_by([key_col, "window_start"])
+            .aggregate([(value_col, "sum"), (value_col, "count")])
+            .rename_columns([key_col, "window_start", "part_sum", "part_n"])
+        )
+
+    agg = (
+        ds.select_columns([key_col, ts_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("part_sum", alias_name="sum_value"),
+            Sum("part_n", alias_name="n_events"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_value")
+        return batch.set_column(
+            i, "sum_value", pc.round(batch.column("sum_value"), 2)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def tumbling_window(ds, window_s: float = 3600.0, ts_col: str = "ts",
                     key_col: str = "event_type", value_col: str = "value"):
     """Fixed (tumbling) time-window aggregate per key: one row per

@@ -779,9 +779,10 @@ def test_approx_quantile_accuracy(ray_session):
 
 
 def test_exact_quantile_by_matches_quantile_disc(ray_session):
-    """exact_quantile_by must reproduce quantile_disc semantics
-    (element at sorted index floor((n-1)*q)) exactly, across blocks,
-    for odd and even counts and heavy duplicate values."""
+    """exact_quantile_by must reproduce quantile_disc/percentile_disc
+    semantics (smallest value with cumulative fraction >= q, i.e. the
+    element at sorted index ceil(q*n)-1) exactly, across blocks, for
+    odd and even counts and heavy duplicate values."""
     import numpy as np
     import ray.data
 
@@ -805,7 +806,7 @@ def test_exact_quantile_by_matches_quantile_disc(ray_session):
     for key, vals in (("a", vals_a), ("b", vals_b)):
         s = np.sort(vals)
         for q in qs:
-            expect = float(s[int(np.floor((len(s) - 1) * q))])
+            expect = float(s[max(int(np.ceil(len(s) * q)) - 1, 0)])
             assert got[(key, q)] == expect, (key, q)
 
 
@@ -991,3 +992,202 @@ def test_label_propagation_matches_union_find(ray_session):
           for r in label_propagation_components(ds).take_all()}
     assert uf == lp
     assert lp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# Round 3: range join, sliding windows, pivot, exact distinct, jaccard pairs
+# ---------------------------------------------------------------------------
+def _events_table():
+    # 2 users; user 1 has a burst at t=0,30,70,200s; user 2 at t=0,500s
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = [0, 30, 70, 200, 0, 500]
+    users = [1, 1, 1, 1, 2, 2]
+    return pa.table(
+        {
+            "event_id": pa.array(range(6), type=pa.int64()),
+            "user_id": pa.array(users, type=pa.int64()),
+            "ts": pa.array([base + np.timedelta64(o, "s") for o in offs],
+                           type=pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+            "event_type": ["a", "b", "a", "b", "a", "b"],
+        }
+    )
+
+
+def test_range_join_count_and_pairs(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import range_join
+
+    ds = ray.data.from_arrow(_events_table())
+    us = 1_000_000
+    # events strictly after me, within 100s
+    counts = {
+        r["event_id"]: r["n_matches"]
+        for r in range_join(
+            ds, ds, by="user_id", on="ts", left_cols=["event_id"],
+            right_cols=[], lower=0, upper=100 * us, include_lower=False,
+            mode="count",
+        ).take_all()
+    }
+    assert counts == {0: 2, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+
+    pairs = range_join(
+        ds, ds, by="user_id", on="ts", left_cols=["event_id"],
+        right_cols=["value"], lower=0, upper=100 * us,
+        include_lower=False, mode="pairs",
+    ).take_all()
+    got = {(r["event_id"], r["value"]) for r in pairs}
+    assert got == {(0, 2.0), (0, 3.0), (1, 3.0)}
+
+    # open lower bound: everything at-or-before within the key
+    before = {
+        r["event_id"]: r["n_matches"]
+        for r in range_join(
+            ds, ds, by="user_id", on="ts", left_cols=["event_id"],
+            right_cols=[], lower=None, upper=0, mode="count",
+        ).take_all()
+    }
+    assert before == {0: 1, 1: 2, 2: 3, 3: 4, 4: 1, 5: 2}
+
+
+def test_range_join_brute_force_equivalence(ray_session):
+    import itertools
+
+    import ray.data
+
+    from smartreader_ray.functions import range_join
+
+    rng = np.random.default_rng(7)
+    n = 300
+    base = np.datetime64("2024-01-01", "us")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, 10, n), type=pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(int(o), "ms")
+                 for o in rng.integers(0, 60_000, n)],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    us = 1_000_000
+    lo, hi = -2 * us, 5 * us
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        r["event_id"]: r["n_matches"]
+        for r in range_join(
+            ds, ds, by="user_id", on="ts", left_cols=["event_id"],
+            right_cols=[], lower=lo, upper=hi, mode="count",
+        ).take_all()
+    }
+    uid = tbl.column("user_id").to_pylist()
+    ts = tbl.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    want = {
+        i: sum(
+            1 for j in range(n)
+            if uid[j] == uid[i] and ts[i] + lo <= ts[j] <= ts[i] + hi
+        )
+        for i in range(n)
+    }
+    assert got == want
+
+
+def test_sliding_window_matches_brute(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import sliding_window
+
+    tbl = _events_table()
+    out = sliding_window(
+        ray.data.from_arrow(tbl), window_s=120, slide_s=60,
+        key_col="event_type",
+    ).take_all()
+    got = {
+        (r["event_type"], str(r["window_start"])): (r["n_events"], r["sum_value"])
+        for r in out
+    }
+    # every event appears in exactly window/slide = 2 windows
+    assert sum(v[0] for v in got.values()) == 2 * tbl.num_rows
+    # a-events in [0,120): u1@0 (1.0), u1@70 (3.0), u2@0 (5.0)
+    assert got[("a", "2024-01-01 00:00:00")] == (3, 9.0)
+    # window starting at -60s catches only t in [-60,60): events at t=0,30
+    assert got[("a", "2023-12-31 23:59:00")] == (2, 6.0)  # a@0 (two users)
+
+
+def test_pivot_counts_and_sums(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import pivot_counts
+
+    ds = ray.data.from_arrow(_events_table())
+    wide = {
+        r["user_id"]: r
+        for r in pivot_counts(
+            ds, "user_id", "event_type", ["a", "b", "zzz"]
+        ).take_all()
+    }
+    assert wide[1]["n_a"] == 2 and wide[1]["n_b"] == 2 and wide[1]["n_zzz"] == 0
+    assert wide[2]["n_a"] == 1 and wide[2]["n_b"] == 1
+
+    sums = {
+        r["user_id"]: r
+        for r in pivot_counts(
+            ds, "user_id", "event_type", ["a", "b"], value_col="value"
+        ).take_all()
+    }
+    assert sums[1]["n_a"] == 4.0 and sums[1]["n_b"] == 6.0
+    assert sums[2]["n_a"] == 5.0 and sums[2]["n_b"] == 6.0
+
+
+def test_exact_distinct_by(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import exact_distinct_by
+
+    ds = ray.data.from_arrow(_events_table())
+    out = {
+        r["event_type"]: r["n_distinct"]
+        for r in exact_distinct_by(ds, "event_type", "user_id").take_all()
+    }
+    assert out == {"a": 2, "b": 2}
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import ngram_jaccard_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                shared + " one two three",
+                shared + " one two four",
+                "totally different prefix here with other words entirely",
+            ],
+        }
+    )
+    out = ngram_jaccard_pairs(
+        ray.data.from_arrow(docs), prefix_tokens=8, n=2
+    ).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # doc1 bigrams: 10, doc2 bigrams: 10, shared: the 8 within/joining the
+    # common 9-token run ("alpha beta".."theta one") plus "one two" = 9
+    assert r["n_inter"] == 9
+    assert r["n_union"] == 11
+    # empty/1-token docs: empty gram sets, zero intersection AND union
+    tiny = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["solo", "solo"],
+        }
+    )
+    out2 = ngram_jaccard_pairs(
+        ray.data.from_arrow(tiny), prefix_tokens=8, n=2
+    ).take_all()
+    assert out2 == [{"doc_a": 1, "doc_b": 2, "n_inter": 0, "n_union": 0}]
