@@ -118,10 +118,16 @@ def bench_extract_fixtures(replicas: int = 48, repeats: int = 2):
         for spans in base.column("spans").to_pylist()
     ) * replicas
     n_docs = base.num_rows * replicas
+    # explicit FIXED pool: the bench owns the session and wants every CPU
+    # working from the first block — the library's autoscaling default
+    # (kind to shared sessions and tiny inputs) ramps too slowly here
+    pool = max(2, _num_cpus() - 1)
     best = None
     for _ in range(repeats):
         t0 = time.time()
-        out = build_extraction_pipeline(ds, batch_size=8, include_content=False)
+        out = build_extraction_pipeline(
+            ds, batch_size=8, include_content=False, concurrency=pool
+        )
         rows = _consume(out)
         dt = time.time() - t0
         assert rows == n_docs, (rows, n_docs)
