@@ -1060,6 +1060,33 @@ def _q_jaccard_pairs(sf_dir: str):
     )
 
 
+def _q_term_doc_freq(sf_dir: str):
+    """Corpus vocabulary statistics — word-count at scale. Per-block
+    (term, df, cf) partials keep the exchange vocabulary-sized; the
+    top-100 uses the select_k partial + tiny global sort."""
+    from smartreader_ray.functions.ngrams import term_doc_freq
+
+    return term_doc_freq(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_bigram_counts(sf_dir: str):
+    """Top-100 corpus bigrams: vectorized successor-pairing over the
+    flattened token array per block, partial counts before the one
+    vocabulary-sized groupby."""
+    from smartreader_ray.functions.ngrams import bigram_counts
+
+    return bigram_counts(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per doc: pass 1 reduces to a vocab-sized DF
+    table (broadcast once via ray.put), pass 2 is a shuffle-free
+    map_batches scoring + per-doc top-k inside the block."""
+    from smartreader_ray.functions.ngrams import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
@@ -1246,6 +1273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": _q_sliding_windows,
         "events_pivot": _q_events_pivot,
         "jaccard_pairs": _q_jaccard_pairs,
+        "term_doc_freq": _q_term_doc_freq,
+        "bigram_counts": _q_bigram_counts,
+        "tfidf_terms": _q_tfidf_terms,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
         "dup_passages_hashed": _q_dup_passages_hashed,
@@ -1771,6 +1801,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(a.g || b.g)) AS BIGINT) AS n_union
             FROM grams a JOIN grams b
               ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        """,
+        "term_doc_freq": """
+            WITH t AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            ), dfq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM t WHERE term <> '' GROUP BY term
+            ), cfq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS cf
+                FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY term
+            )
+            SELECT dfq.term, df, cf
+            FROM dfq JOIN cfq USING (term)
+            ORDER BY df DESC, term LIMIT 100
+        """,
+        "bigram_counts": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS l
+                FROM documents
+            ), bi AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(l) - 1),
+                    i -> list_extract(l, i) || ' ' || list_extract(l, i + 1)
+                )) AS bigram
+                FROM toks
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+            FROM bi
+            WHERE bigram NOT LIKE '% '
+              AND bigram NOT LIKE ' %'
+            GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
+        """,
+        "tfidf_terms": """
+            -- same tokenizer, idf = ln(N/df); score rounded to 6 BEFORE
+            -- ranking so near-ties break identically to the engine
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t WHERE term <> '' GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents
+            ), s AS (
+                SELECT doc_id, tf.term, tf.tf, df.df,
+                       round(tf.tf * ln(nn / df.df), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ), rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                FROM s
+            )
+            SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
         """,
         "sessionize": """
             WITH marks AS (

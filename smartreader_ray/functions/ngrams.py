@@ -1,0 +1,236 @@
+"""Corpus n-gram statistics and TF-IDF — the word-count family at scale.
+
+Counting terms over 100 TB is the canonical shuffle-reduction problem:
+the naive plan (flat_map every token → groupby) ships one row per token
+occurrence (~10^14 rows) through an all-to-all. Every operator here
+pre-aggregates inside ``map_batches`` so the exchange carries one row
+per *distinct* key per block — vocabulary-sized, not corpus-sized.
+
+Tokenization matches the DuckDB oracles exactly: single-space split of
+the trimmed text (``string_split(trim(text), ' ')``), the convention
+fixed by round-2 ADVICE for the passage-dedup family.
+
+TF-IDF is the two-pass broadcast pattern: pass 1 reduces the corpus to
+a vocabulary-sized document-frequency table; the derived IDF map is
+``ray.put`` once and read inside every pass-2 task, which re-tokenizes,
+scores, and takes each doc's top-k terms *within the batch* — a doc's
+terms never leave the block that produced them, so pass 2 is entirely
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .topk import top_k
+
+
+def _tokens_flat(batch: pa.Table, text_col: str):
+    """(flat token array, per-row doc index, per-row token counts).
+
+    Single-space split via the Arrow kernel; empty tokens (from runs of
+    spaces / empty docs) are KEPT to match ``string_split`` semantics,
+    then filtered by callers that need non-empty terms.
+    """
+    text = pc.cast(batch.column(text_col), pa.string())
+    filled = pc.coalesce(text, pa.scalar("", type=pa.string()))
+    toks = pc.split_pattern(pc.utf8_trim_whitespace(filled), " ").combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return flat, row_idx, lens
+
+
+def _partial_term_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-block (term, df, cf) partial: df counts distinct docs
+    containing the term, cf counts total occurrences. One pandas
+    C-level groupby per block; no per-token Python."""
+    flat, row_idx, _ = _tokens_flat(batch, text_col)
+    terms = flat.to_pandas()
+    mask = terms.str.len() > 0
+    df = pd.DataFrame({"term": terms[mask], "row": row_idx[mask.to_numpy()]})
+    g = df.groupby("term", sort=False)
+    cf = g.size()
+    dfreq = g["row"].nunique()
+    return pa.table(
+        {
+            "term": pa.array(cf.index, type=pa.string()),
+            "df": pa.array(dfreq.to_numpy(), type=pa.int64()),
+            "cf": pa.array(cf.to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def term_doc_freq(ds, text_col: str = "text", top_n: int = 100):
+    """Top ``top_n`` vocabulary terms by document frequency.
+
+    map_batches partial (vocab-sized per block) → groupby Sum (the only
+    exchange, ≤ |vocab| × blocks rows) → distributed top-n with
+    deterministic (df desc, term asc) tie order.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = ds.select_columns([text_col]).map_batches(
+        lambda b: _partial_term_counts(b, text_col), batch_format="pyarrow"
+    )
+    totals = partial.groupby("term").aggregate(Sum("df"), Sum("cf"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["term", "df", "cf"])
+
+    totals = totals.map_batches(rename, batch_format="pyarrow")
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows > top_n:
+            idx = pc.select_k_unstable(
+                b, k=top_n,
+                sort_keys=[("df", "descending"), ("term", "ascending")],
+            )
+            b = b.take(idx)
+        return b
+
+    return (
+        totals.map_batches(local, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def _partial_bigram_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-block bigram counts, vectorized: flatten all tokens, pair
+    each with its successor, mask pairs that cross document boundaries,
+    count with one pandas groupby."""
+    flat, row_idx, lens = _tokens_flat(batch, text_col)
+    n = len(flat)
+    if n < 2:
+        return pa.table({"bigram": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    left = flat.slice(0, n - 1).to_pandas()
+    right = flat.slice(1, n - 1).to_pandas()
+    same_doc = row_idx[:-1] == row_idx[1:]
+    nonempty = (left.str.len() > 0).to_numpy() & (right.str.len() > 0).to_numpy()
+    keep = same_doc & nonempty
+    bigrams = left[keep] + " " + right[keep]
+    counts = bigrams.value_counts(sort=False)
+    return pa.table(
+        {
+            "bigram": pa.array(counts.index, type=pa.string()),
+            "cnt": pa.array(counts.to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def bigram_counts(ds, text_col: str = "text", top_n: int = 100):
+    """Top ``top_n`` corpus bigrams (adjacent token pairs within a doc)
+    by count, ties broken by bigram text ascending. Same partial-combine
+    shape as :func:`term_doc_freq`."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.select_columns([text_col]).map_batches(
+        lambda b: _partial_bigram_counts(b, text_col), batch_format="pyarrow"
+    )
+    totals = partial.groupby("bigram").aggregate(Sum("cnt"))
+    totals = totals.map_batches(
+        lambda b: b.rename_columns(["bigram", "cnt"]), batch_format="pyarrow"
+    )
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows > top_n:
+            idx = pc.select_k_unstable(
+                b, k=top_n,
+                sort_keys=[("cnt", "descending"), ("bigram", "ascending")],
+            )
+            b = b.take(idx)
+        return b
+
+    return (
+        totals.map_batches(local, batch_format="pyarrow")
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(top_n)
+    )
+
+
+def _doc_term_tf(batch: pa.Table, doc_col: str, text_col: str) -> pd.DataFrame:
+    """(doc_id, term, tf) for every doc in the batch — each doc is one
+    row, so a doc's terms are always complete within its batch."""
+    flat, row_idx, _ = _tokens_flat(batch, text_col)
+    terms = flat.to_pandas()
+    mask = (terms.str.len() > 0).to_numpy()
+    doc_ids = batch.column(doc_col).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame(
+        {"doc_id": doc_ids[row_idx[mask]], "term": terms[mask].to_numpy()}
+    )
+    tf = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    return tf
+
+
+def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, round_to: int = 6,
+                    broadcast_vocab_max: int = 5_000_000):
+    """Top ``k`` terms per document by TF-IDF (idf = ln(N/df), raw tf).
+
+    Two passes, both scale-safe:
+
+    1. ``term_doc_freq`` reduction → vocabulary-sized (term, df) table.
+       Collected to the driver ONLY because it is vocab-sized (guarded
+       by ``broadcast_vocab_max`` — beyond that a corpus needs the
+       shuffle-join variant, which this raises toward explicitly rather
+       than silently OOMing); the IDF map is ``ray.put`` once.
+    2. A single shuffle-free ``map_batches``: re-tokenize, score
+       ``tf * ln(N / df)``, keep each doc's top-k within the batch.
+
+    Ordering inside a doc is (rounded score desc, term asc) — rounding
+    BEFORE ranking so the engine and the SQL oracle break near-ties
+    identically.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+    partial = ds.select_columns([text_col]).map_batches(
+        lambda b: _partial_term_counts(b, text_col), batch_format="pyarrow"
+    )
+    df_tbl = (
+        partial.groupby("term").aggregate(Sum("df"))
+        .map_batches(lambda b: b.rename_columns(["term", "df"]),
+                     batch_format="pyarrow")
+    )
+    vocab = df_tbl.count()
+    if vocab > broadcast_vocab_max:
+        raise NotImplementedError(
+            f"vocabulary {vocab} exceeds broadcast bound {broadcast_vocab_max}; "
+            "use a hash-shuffle join of (doc,term,tf) against (term,df) instead"
+        )
+    df_pd = df_tbl.to_pandas()
+    df_map_ref = ray.put(
+        dict(zip(df_pd["term"].to_numpy(), df_pd["df"].to_numpy()))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(df_map_ref)
+        tf = _doc_term_tf(batch, doc_col, text_col)
+        dfv = tf["term"].map(df_map).to_numpy(dtype=np.float64)
+        raw = tf["tf"].to_numpy(dtype=np.float64) * np.log(n_docs / dfv)
+        tf["df"] = tf["term"].map(df_map).astype(np.int64)
+        tf["score"] = np.round(raw, round_to)
+        tf = tf.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("doc_id", sort=False).head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy()),
+                "term": pa.array(top["term"].to_numpy(), type=pa.string()),
+                "tf": pa.array(top["tf"].to_numpy(), type=pa.int64()),
+                "df": pa.array(top["df"].to_numpy(), type=pa.int64()),
+                "score": pa.array(top["score"].to_numpy(), type=pa.float64()),
+            }
+        )
+
+    return ds.select_columns([doc_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

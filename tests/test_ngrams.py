@@ -1,0 +1,92 @@
+"""N-gram statistics + TF-IDF operator tests (functions/ngrams.py)."""
+
+import math
+
+import pyarrow as pa
+import pytest
+
+from smartreader_ray.functions.ngrams import (
+    _partial_bigram_counts,
+    _partial_term_counts,
+    bigram_counts,
+    term_doc_freq,
+    tfidf_top_terms,
+)
+
+
+def _tbl():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "a b a c",
+                "b b c",
+                "",  # empty doc must contribute nothing
+            ],
+        }
+    )
+
+
+def test_partial_term_counts_df_vs_cf():
+    out = _partial_term_counts(_tbl(), "text")
+    rows = {r["term"]: r for r in out.to_pylist()}
+    assert rows["a"]["df"] == 1 and rows["a"]["cf"] == 2
+    assert rows["b"]["df"] == 2 and rows["b"]["cf"] == 3
+    assert rows["c"]["df"] == 2 and rows["c"]["cf"] == 2
+    assert "" not in rows
+
+
+def test_partial_bigrams_respect_doc_boundaries():
+    out = _partial_bigram_counts(_tbl(), "text")
+    rows = {r["bigram"]: r["cnt"] for r in out.to_pylist()}
+    # "c" (end of doc 1) never pairs with "b" (start of doc 2)
+    assert "c b" not in rows
+    assert rows == {"a b": 1, "b a": 1, "a c": 1, "b b": 1, "b c": 1}
+
+
+def test_term_doc_freq_order_and_ties(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_tbl())
+    out = term_doc_freq(ds, top_n=2).take_all()
+    # b and c tie on df=2 → term-ascending tie-break
+    assert [(r["term"], r["df"]) for r in out] == [("b", 2), ("c", 2)]
+
+
+def test_bigram_counts_top(ray_session):
+    import ray.data
+
+    out = bigram_counts(ray.data.from_arrow(_tbl()), top_n=3).take_all()
+    # all counts tie at 1 → bigram-ascending order decides
+    assert [(r["bigram"], r["cnt"]) for r in out] == [
+        ("a b", 1), ("a c", 1), ("b a", 1),
+    ]
+
+
+def test_tfidf_scores_exact(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_tbl())
+    out = tfidf_top_terms(ds, k=2).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: a (tf=2, df=1) dominates; c (tf=1, df=2) beats b (idf ties,
+    # term asc picks b... check actual): score(b)=1*ln(3/2)=score(c) →
+    # tie broken by term asc → b ranks before c.
+    top1 = by_doc[1]
+    assert top1[0]["term"] == "a"
+    assert top1[0]["tf"] == 2 and top1[0]["df"] == 1
+    assert top1[0]["score"] == round(2 * math.log(3 / 1), 6)
+    assert top1[1]["term"] == "b"
+    # empty doc emits no rows
+    assert 3 not in by_doc
+
+
+def test_tfidf_vocab_guard(ray_session):
+    import ray.data
+
+    with pytest.raises(NotImplementedError):
+        tfidf_top_terms(
+            ray.data.from_arrow(_tbl()), broadcast_vocab_max=1
+        )
