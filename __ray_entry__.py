@@ -1087,6 +1087,68 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_quality_zscore(sf_dir: str):
+    """Per-language z-score of document length: exact int64 moment
+    triples (n, Σx, Σx²) per key → broadcast → shuffle-free scoring.
+    The moment arithmetic order matches the SQL oracle expression tree
+    exactly, so the doubles are bit-equal."""
+    import ray.data
+
+    from smartreader_ray.functions.standardize import zscore_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return zscore_by(ds, key_col="lang", value_col="n_chars")
+
+
+def _half(sf_dir: str):
+    """(first-half ds, second-half ds, prefix-keyed) document split used
+    by the set-op queries; the 5-token prefix is the content key because
+    the corpus has shared prefixes but no full-content duplicates."""
+    import pyarrow.compute as pc
+
+    def add_prefix(batch):
+        import pyarrow as pa
+
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(batch.column("text")), " "
+        )
+        pfx = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
+        return batch.append_column("pfx", pc.cast(pfx, pa.string()))
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        add_prefix, batch_format="pyarrow"
+    )
+    n = _docs(sf_dir).count()
+    half = n // 2
+    return (
+        ds.filter(expr=f"doc_id < {half}"),
+        ds.filter(expr=f"doc_id >= {half}"),
+    )
+
+
+def _q_docs_except(sf_dir: str):
+    """Content-keyed EXCEPT: second-half docs whose 5-token prefix never
+    occurs in the first half — hashed-key left_anti exchange, one
+    min-doc_id survivor per distinct prefix."""
+    from smartreader_ray.functions.setops import except_by_content
+
+    first, second = _half(sf_dir)
+    return except_by_content(second, first, id_col="doc_id", content_col="pfx")
+
+
+def _q_docs_intersect(sf_dir: str):
+    """Content-keyed INTERSECT: distinct 5-token prefixes present in
+    both halves, as the smallest second-half doc_id per prefix."""
+    from smartreader_ray.functions.setops import intersect_by_content
+
+    first, second = _half(sf_dir)
+    return intersect_by_content(second, first, id_col="doc_id",
+                                content_col="pfx")
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
@@ -1276,6 +1338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
+        "quality_zscore": _q_quality_zscore,
+        "docs_except": _q_docs_except,
+        "docs_intersect": _q_docs_intersect,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
         "dup_passages_hashed": _q_dup_passages_hashed,
@@ -1861,6 +1926,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "quality_zscore": """
+            -- identical expression tree to functions/standardize.py:
+            -- mean = s/n, msq = ss/n, var = msq - mean^2, z = (x-mean)/sqrt(var)
+            WITH agg AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(n_chars) AS BIGINT) AS s,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CASE WHEN (ss / CAST(n AS DOUBLE)
+                              - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) > 0
+                        THEN round(
+                            (d.n_chars - s / CAST(n AS DOUBLE))
+                            / sqrt(ss / CAST(n AS DOUBLE)
+                                   - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))),
+                            6)
+                        ELSE NULL END AS z
+            FROM documents d JOIN agg USING (lang)
+        """,
+        "docs_except": """
+            WITH n AS (SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM documents),
+            pfx AS (
+                SELECT doc_id,
+                       array_to_string(string_split(trim(text), ' ')[1:5], ' ') AS pfx
+                FROM documents
+            ),
+            l AS (SELECT doc_id, pfx FROM pfx, n WHERE doc_id >= h),
+            r AS (SELECT pfx FROM pfx, n WHERE doc_id < h)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM l WHERE pfx NOT IN (SELECT pfx FROM r)
+            GROUP BY pfx
+        """,
+        "docs_intersect": """
+            WITH n AS (SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM documents),
+            pfx AS (
+                SELECT doc_id,
+                       array_to_string(string_split(trim(text), ' ')[1:5], ' ') AS pfx
+                FROM documents
+            ),
+            l AS (SELECT doc_id, pfx FROM pfx, n WHERE doc_id >= h),
+            r AS (SELECT pfx FROM pfx, n WHERE doc_id < h)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM l WHERE pfx IN (SELECT pfx FROM r)
+            GROUP BY pfx
         """,
         "sessionize": """
             WITH marks AS (

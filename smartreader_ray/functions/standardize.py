@@ -1,0 +1,107 @@
+"""Per-key feature standardization over integer-valued columns.
+
+Z-scoring a column per group is the canonical two-phase broadcast
+pattern: phase 1 reduces the corpus to per-key moment triples
+(n, Σx, Σx²) — exact in int64, so the derived mean/std are the same
+IEEE doubles on every engine that evaluates the same expression — and
+phase 2 is a shuffle-free ``map_batches`` against the broadcast moments.
+Nothing row-sized ever crosses an exchange; the only groupby input is
+the key-cardinality-sized partial table.
+
+Exactness bound: int64 moments require ``n_key · max(x)² < 2⁶³``
+(≈9·10¹⁸ — e.g. 10¹² rows of values up to ~3000). Beyond that a
+production variant should shift values per key or merge Welford states;
+the guard below fails loudly instead of overflowing silently.
+
+The per-double arithmetic ORDER is part of the contract: mean = Σx/n,
+msq = Σx²/n, var = msq − mean², z = (x − mean)/√var — the SQL oracle
+(`__ray_entry__.py: quality_zscore`) spells out the identical
+expression tree so both sides produce bit-equal doubles from the exact
+integer moments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _moment_partials(key_col: str, value_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.any(np.abs(v) > 3_000_000_000):
+            raise OverflowError(
+                f"{value_col} values exceed the int64 moment bound; "
+                "shift per key or use a Welford-merge variant"
+            )
+        df = pd.DataFrame(
+            {"k": batch.column(key_col).to_pandas(), "v": v, "v2": v * v}
+        )
+        g = df.groupby("k", sort=False)
+        agg = g.agg(n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"))
+        return pa.table(
+            {
+                key_col: pa.array(agg.index),
+                "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
+                "s": pa.array(agg["s"].to_numpy(), type=pa.int64()),
+                "ss": pa.array(agg["ss"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
+              broadcast_keys_max: int = 1_000_000):
+    """Append ``z`` = per-``key_col`` z-score of ``value_col``.
+
+    Output columns: id columns of ``ds`` are preserved as-is plus ``z``
+    (population std; a single-value or constant key yields null z).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    partial = ds.select_columns([key_col, value_col]).map_batches(
+        _moment_partials(key_col, value_col), batch_format="pyarrow"
+    )
+    totals = (
+        partial.groupby(key_col).aggregate(Sum("n"), Sum("s"), Sum("ss"))
+        .map_batches(
+            lambda b: b.rename_columns([key_col, "n", "s", "ss"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_keys = totals.count()
+    if n_keys > broadcast_keys_max:
+        raise NotImplementedError(
+            f"{n_keys} keys exceed broadcast bound {broadcast_keys_max}; "
+            "use a hash-shuffle join of rows against moments instead"
+        )
+    moments = totals.to_pandas()
+    keys_idx = moments[key_col]
+    stats_ref = ray.put(
+        (
+            dict(zip(keys_idx, moments["n"].astype("int64"))),
+            dict(zip(keys_idx, moments["s"].astype("int64"))),
+            dict(zip(keys_idx, moments["ss"].astype("int64"))),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_map, s_map, ss_map = ray.get(stats_ref)
+        keys = batch.column(key_col).to_pandas()
+        n = keys.map(n_map).to_numpy(dtype=np.float64)
+        s = keys.map(s_map).to_numpy(dtype=np.float64)
+        ss = keys.map(ss_map).to_numpy(dtype=np.float64)
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.round((x - mean) / np.sqrt(var), round_to)
+        z[~(var > 0)] = np.nan  # constant / single-value keys → null z
+        return batch.append_column(
+            "z", pa.array(z, type=pa.float64(), from_pandas=True)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
