@@ -1087,6 +1087,26 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_embed_kmeans(sf_dir: str):
+    """Distributed spherical k-means over the full embedding corpus:
+    deterministic first-k-ids init, per-iteration broadcast centroids +
+    per-(cluster, block) partial sums (the driver only ever combines
+    k×blocks small rows, never vectors). Iterative → no SQL oracle;
+    unit tests pin exact equivalence to a single-process reference."""
+    import os
+
+    import ray.data
+
+    from smartreader_ray.functions.similarity import kmeans_fit
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    assignments, _ = kmeans_fit(ds, k=8, iters=5)
+    return assignments
+
+
 def _q_quality_zscore(sf_dir: str):
     """Per-language z-score of document length: exact int64 moment
     triples (n, Σx, Σx²) per key → broadcast → shuffle-free scoring.
@@ -1339,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
+        "embed_kmeans": _q_embed_kmeans,
         "docs_except": _q_docs_except,
         "docs_intersect": _q_docs_intersect,
         "curated_corpus": _q_curated_corpus,

@@ -515,3 +515,92 @@ def ann_ivf(ds, query_matrix: np.ndarray, k: int = 10, n_clusters: int = 16,
             "rank": pa.array(out_r, type=pa.int64()),
         }
     )
+
+
+def _kmeans_assign_partial(centroids_ref, id_col: str, emb_col: str):
+    """One row per (cluster, block): partial vector sum + count, tagged
+    with the block's min id so the driver can combine partials in a
+    FIXED order — float addition isn't associative, and an order-free
+    combine would make centroids (hence assignments) vary run to run."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        C = ray.get(centroids_ref)
+        X = _normalize(_embeddings_matrix(batch, emb_col))
+        assign = np.argmax(X @ C.T, axis=1)
+        k, d = C.shape
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        tag = int(ids.min()) if len(ids) else 0
+        present = np.flatnonzero(counts)
+        return pa.Table.from_pydict(
+            {
+                "cluster": pa.array(present, type=pa.int64()),
+                "count": pa.array(counts[present], type=pa.int64()),
+                "vsum": pa.array(list(sums[present]), type=pa.list_(pa.float64())),
+                "tag": pa.array([tag] * len(present), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Distributed spherical k-means (Lloyd's) over the FULL corpus.
+
+    Initialization is deterministic — the k vectors with the smallest
+    ids (a sort pushed down to ``limit`` over the id-sorted dataset).
+    Each iteration broadcasts the (k×d) centroid matrix via ``ray.put``
+    and reduces the corpus to per-(cluster, block) partial sums — the
+    only data the driver ever sees is k × num_blocks small rows, never
+    vectors — combined in (cluster, block-tag) sorted order so repeated
+    runs produce bit-identical centroids on a fixed input layout.
+
+    Returns ``(assignments_dataset, centroids)`` where the dataset has
+    (id_col, cluster) and centroids is the final (k, d) float64 matrix.
+    The input is re-scanned once per iteration (+1 for the final
+    assignment): callers looping many iterations over hot data should
+    ``ds = ds.materialize()`` first to pin blocks in the object store.
+    """
+    import ray
+
+    seed_rows = ds.sort(id_col).limit(k).take_all()
+    dim = len(seed_rows[0][emb_col])
+    C = _normalize(np.array(
+        [r[emb_col] for r in seed_rows], dtype=np.float64
+    ).reshape(k, dim))
+
+    thin = ds.select_columns([id_col, emb_col])
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        partials = thin.map_batches(
+            _kmeans_assign_partial(c_ref, id_col, emb_col),
+            batch_format="pyarrow",
+        ).take_all()  # ≤ k × num_blocks rows by construction
+        partials.sort(key=lambda r: (r["cluster"], r["tag"]))
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cluster"]] += r["count"]
+        nonempty = counts > 0
+        C = C.copy()
+        C[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+
+    final_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cf = ray.get(final_ref)
+        X = _normalize(_embeddings_matrix(batch, emb_col))
+        lab = np.argmax(X @ Cf.T, axis=1)
+        return pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(lab, type=pa.int64()),
+            }
+        )
+
+    return thin.map_batches(assign, batch_format="pyarrow"), C
