@@ -1087,6 +1087,57 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _roundtrip_agg(back):
+    """Shared per-lang rollup used by the text-format round trips."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow as pa
+
+    agg = back.groupby("lang").aggregate(Count(), Sum("n_chars"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL connector proof: parquet → ``write_json`` (one file per
+    block, distributed) → ``read_json`` → per-lang rollup. The oracle
+    computes the same rollup straight off parquet, so any loss in the
+    JSONL encode/decode (types, nulls, row drops) breaks the hash."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = os.path.join(tempfile.gettempdir(), "smartreader_jsonl_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_json(out)
+    return _roundtrip_agg(ray.data.read_json(out))
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV connector proof — same shape as the JSONL round trip."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = os.path.join(tempfile.gettempdir(), "smartreader_csv_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    ds.write_csv(out)
+    return _roundtrip_agg(ray.data.read_csv(out))
+
+
 def _q_embed_kmeans(sf_dir: str):
     """Distributed spherical k-means over the full embedding corpus:
     deterministic first-k-ids init, per-iteration broadcast centroids +
@@ -1360,6 +1411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
         "embed_kmeans": _q_embed_kmeans,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
         "docs_intersect": _q_docs_intersect,
         "curated_corpus": _q_curated_corpus,
@@ -1947,6 +2000,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "jsonl_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "csv_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
         """,
         "quality_zscore": """
             -- identical expression tree to functions/standardize.py:
