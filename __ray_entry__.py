@@ -1138,6 +1138,20 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_frequent_terms(sf_dir: str):
+    """Misra–Gries heavy hitters. At capacity ≥ |vocab| the sketch
+    degenerates to exact counts with err=0 (the ann_ivf nprobe trick),
+    so the full MG code path — block compress, sentinel decrement rows,
+    merge, bound attach — runs under the exact SQL oracle; the
+    compression math itself is pinned by unit tests on skewed data."""
+    from smartreader_ray.functions.sketch import frequent_terms
+
+    return frequent_terms(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        capacity=256, k=20,
+    )
+
+
 def _q_embed_kmeans(sf_dir: str):
     """Distributed spherical k-means over the full embedding corpus:
     deterministic first-k-ids init, per-iteration broadcast centroids +
@@ -1411,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
         "embed_kmeans": _q_embed_kmeans,
+        "frequent_terms": _q_frequent_terms,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2000,6 +2015,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "frequent_terms": """
+            -- capacity ≥ |vocab| ⇒ MG is exact with err = 0
+            WITH t AS (
+                SELECT unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS est,
+                   CAST(0 AS BIGINT) AS err
+            FROM t WHERE term <> ''
+            GROUP BY term ORDER BY est DESC, term LIMIT 20
         """,
         "jsonl_roundtrip": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

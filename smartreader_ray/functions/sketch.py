@@ -343,3 +343,104 @@ def exact_distinct_by(ds, key_col: str, col: str,
     return partials.groupby(key_col).map_groups(
         count_unique, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (frequent items)
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, capacity: int):
+    """Compress exact (term, count) pairs to ≤ ``capacity`` survivors by
+    the Misra–Gries decrement: subtract the (capacity+1)-th largest
+    count from everything and drop the non-positive. Every true count in
+    the block is underrepresented by at most the returned decrement."""
+    if len(terms) <= capacity:
+        return terms, counts, 0
+    kth = np.partition(counts, -capacity - 1)[-capacity - 1]
+    kept = counts - kth > 0
+    return terms[kept], (counts - kth)[kept], int(kth)
+
+
+def frequent_terms(ds, text_col: str = "text", capacity: int = 256,
+                   k: int = 20):
+    """Approximate top-``k`` corpus terms via distributed Misra–Gries.
+
+    Why not exact counting: at open-web scale the vocabulary (URLs,
+    hashes, typos) is unbounded, so even the per-block partial table of
+    ``term_doc_freq`` grows with data. MG caps EVERY per-block summary
+    at ``capacity`` rows regardless of block vocabulary.
+
+    Soundness (classic MG; summaries merge by summation — Agarwal et
+    al., "Mergeable Summaries", PODS'12): within each block every true
+    count is underrepresented by at most that block's decrement, so for
+    every term — surviving or dropped — ``est ≤ true ≤ est + Σ_blocks
+    dec_b``. The per-block decrements ride along as one sentinel row
+    per block ("" is never a token), giving the exact-for-this-run
+    global error bound rather than the n/capacity worst case; any term
+    with true frequency > Σ dec_b is guaranteed to appear.
+
+    Output: (term, est, err) — est descending, term-ascending ties.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .ngrams import _tokens_flat
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokens_flat(batch, text_col)
+        s = flat.to_pandas()
+        s = s[s.str.len() > 0]
+        vc = s.value_counts(sort=False)
+        t, c, dec = _mg_compress(
+            vc.index.to_numpy(), vc.to_numpy().astype(np.int64), capacity
+        )
+        terms = np.concatenate([t, [""]])
+        ests = np.concatenate([c, [0]])
+        decs = np.concatenate([np.zeros(len(t), dtype=np.int64), [dec]])
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "est": pa.array(ests, type=pa.int64()),
+                "dec": pa.array(decs, type=pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([text_col])
+        .map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("est"), Sum("dec"))
+        .map_batches(
+            lambda b: b.rename_columns(["term", "est", "dec"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # bounded by construction: ≤ capacity × blocks rows
+    )
+
+    sent = merged.map_batches(
+        lambda b: b.filter(pc.equal(b.column("term"), "")).select(["dec"]),
+        batch_format="pyarrow",
+    ).take_all()
+    total_dec = int(sum(r["dec"] for r in sent))
+
+    def local(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("term"), ""))
+        if b.num_rows > k:
+            idx = pc.select_k_unstable(
+                b, k=k, sort_keys=[("est", "descending"), ("term", "ascending")]
+            )
+            b = b.take(idx)
+        return b
+
+    def with_err(b: pa.Table) -> pa.Table:
+        b = b.select(["term", "est"])
+        return b.append_column(
+            "err", pa.array(np.full(b.num_rows, total_dec, dtype=np.int64))
+        )
+
+    return (
+        merged.map_batches(local, batch_format="pyarrow")
+        .sort(["est", "term"], descending=[True, False])
+        .limit(k)
+        .map_batches(with_err, batch_format="pyarrow")
+    )
