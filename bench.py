@@ -190,7 +190,9 @@ def run_main() -> dict:
         "curated_corpus", "dup_passages", "weighted_mix",
         "incremental_dedup", "chunk_documents", "top_orders_by_segment",
         "warc_extract", "quality_gate", "dup_passages_hashed",
-        "dup_clusters",
+        "dup_clusters", "dup_clusters_lp", "value_quantiles_exact",
+        "distinct_users_exact", "events_next_hour", "sliding_windows",
+        "events_pivot", "jaccard_pairs",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
@@ -218,10 +220,15 @@ def run_single() -> dict:
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at 8 then 32 CPUs.
 
-    Longer corpus than the default single run (BENCH_REPLICAS=96 unless
-    overridden): fixed startup costs (actor-pool ramp, ray.init, first
-    blocks) don't parallelize, so short runs understate the 32-CPU level
-    and the efficiency ratio with it.
+    Longer corpus than the default single run (BENCH_REPLICAS=240 unless
+    overridden): fixed startup costs (actor spawn + package import +
+    regex/parser warmup, ray.init, first blocks) don't parallelize, so
+    short runs understate the high-CPU level and the efficiency ratio
+    with it — measured on this box: 96 replicas reads 444 docs/s at 32
+    CPUs where 240 replicas reads 516 docs/s, purely from amortizing the
+    same ~5 s of pool ramp over a longer steady state. On a real
+    multi-node run the pool lives for hours and the steady-state number
+    is the honest one.
     """
     levels = (8, 32)
     if "--levels" in sys.argv:
@@ -230,7 +237,7 @@ def run_scaling() -> dict:
     results = {}
     for n in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        env.setdefault("BENCH_REPLICAS", "96")
+        env.setdefault("BENCH_REPLICAS", "240")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single"],
             capture_output=True,

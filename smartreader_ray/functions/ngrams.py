@@ -169,18 +169,26 @@ def _doc_term_tf(batch: pa.Table, doc_col: str, text_col: str) -> pd.DataFrame:
 
 def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text",
                     k: int = 3, round_to: int = 6,
-                    broadcast_vocab_max: int = 5_000_000):
+                    broadcast_vocab_max: int = 5_000_000,
+                    strategy: str = "auto"):
     """Top ``k`` terms per document by TF-IDF (idf = ln(N/df), raw tf).
 
-    Two passes, both scale-safe:
+    Pass 1 always reduces the corpus to a vocabulary-sized (term, df)
+    table. Pass 2 picks one of two scale regimes:
 
-    1. ``term_doc_freq`` reduction → vocabulary-sized (term, df) table.
-       Collected to the driver ONLY because it is vocab-sized (guarded
-       by ``broadcast_vocab_max`` — beyond that a corpus needs the
-       shuffle-join variant, which this raises toward explicitly rather
-       than silently OOMing); the IDF map is ``ray.put`` once.
-    2. A single shuffle-free ``map_batches``: re-tokenize, score
-       ``tf * ln(N / df)``, keep each doc's top-k within the batch.
+    - ``broadcast`` (vocab ≤ ``broadcast_vocab_max``): the IDF map is
+      ``ray.put`` once and pass 2 is a single shuffle-free
+      ``map_batches`` — re-tokenize, score, keep each doc's top-k
+      inside its own block.
+    - ``join`` (an unbounded vocabulary — URLs, hashes, typos): the
+      (doc, term, tf) table hash-joins the DF table on ``term`` (only
+      (doc_id, term, tf) triples cross the exchange, never text), then
+      a per-block top-k prune feeds the per-doc groupby. Two shuffles
+      instead of zero — the price of not holding the vocabulary
+      anywhere.
+
+    ``strategy``: "auto" (size-based), "broadcast", or "join". Both
+    paths produce identical rows (equivalence pinned in tests).
 
     Ordering inside a doc is (rounded score desc, term asc) — rounding
     BEFORE ranking so the engine and the SQL oracle break near-ties
@@ -198,12 +206,15 @@ def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text",
         .map_batches(lambda b: b.rename_columns(["term", "df"]),
                      batch_format="pyarrow")
     )
-    vocab = df_tbl.count()
-    if vocab > broadcast_vocab_max:
-        raise NotImplementedError(
-            f"vocabulary {vocab} exceeds broadcast bound {broadcast_vocab_max}; "
-            "use a hash-shuffle join of (doc,term,tf) against (term,df) instead"
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if df_tbl.count() <= broadcast_vocab_max else "join"
         )
+    if strategy == "join":
+        return _tfidf_join_path(ds, df_tbl, n_docs, doc_col, text_col, k,
+                                round_to)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     df_pd = df_tbl.to_pandas()
     df_map_ref = ray.put(
         dict(zip(df_pd["term"].to_numpy(), df_pd["df"].to_numpy()))
@@ -233,4 +244,67 @@ def tfidf_top_terms(ds, doc_col: str = "doc_id", text_col: str = "text",
 
     return ds.select_columns([doc_col, text_col]).map_batches(
         score, batch_format="pyarrow"
+    )
+
+
+def _tfidf_join_path(ds, df_tbl, n_docs: int, doc_col: str, text_col: str,
+                     k: int, round_to: int):
+    """Unbounded-vocabulary TF-IDF: hash-join (doc, term, tf) against
+    (term, df) on the term, score per row, per-block top-k prune, then
+    the per-doc groupby sees ≤ k × blocks rows per document."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    def to_triples(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch, doc_col, text_col)
+        return pa.table(
+            {
+                doc_col: pa.array(tf["doc_id"].to_numpy()),
+                "term": pa.array(tf["term"].to_numpy(), type=pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    triples = ds.select_columns([doc_col, text_col]).map_batches(
+        to_triples, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        triples, df_tbl, left_key="term", right_key="term",
+        left_cols=[doc_col, "term", "tf"], right_cols=["df"], how="inner",
+    )
+
+    sort_keys = [(doc_col, "ascending"), ("score", "descending"),
+                 ("term", "ascending")]
+
+    def score_and_prune(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        batch = batch.append_column(
+            "score",
+            pa.array(np.round(tf * np.log(n_docs / dfv), round_to),
+                     type=pa.float64()),
+        )
+        # local per-doc top-k: global winners are always local winners
+        order = pc.sort_indices(batch, sort_keys=sort_keys)
+        b = batch.take(order)
+        docs = b.column(doc_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(docs), dtype=bool)
+        if len(docs):
+            new_doc = np.concatenate([[True], docs[1:] != docs[:-1]])
+            run = np.arange(len(docs)) - np.maximum.accumulate(
+                np.where(new_doc, np.arange(len(docs)), -1)
+            )
+            keep = run < k
+        return b.filter(pa.array(keep))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=sort_keys)[:k]
+        g = group.take(order)
+        return g.select([doc_col, "term", "tf", "df", "score"])
+
+    return (
+        joined.map_batches(score_and_prune, batch_format="pyarrow")
+        .groupby(doc_col)
+        .map_groups(per_doc, batch_format="pyarrow")
     )

@@ -83,10 +83,38 @@ def test_tfidf_scores_exact(ray_session):
     assert 3 not in by_doc
 
 
-def test_tfidf_vocab_guard(ray_session):
+def test_tfidf_auto_falls_back_to_join(ray_session):
     import ray.data
 
-    with pytest.raises(NotImplementedError):
-        tfidf_top_terms(
-            ray.data.from_arrow(_tbl()), broadcast_vocab_max=1
-        )
+    # vocab bound of 1 forces the join regime; results must be identical
+    # to the broadcast regime
+    a = tfidf_top_terms(
+        ray.data.from_arrow(_tbl()), k=2, broadcast_vocab_max=1
+    ).take_all()
+    b = tfidf_top_terms(
+        ray.data.from_arrow(_tbl()), k=2, strategy="broadcast"
+    ).take_all()
+    key = lambda r: (r["doc_id"], -r["score"], r["term"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_tfidf_join_path_equivalence(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_tbl())
+    b = tfidf_top_terms(ds, k=2, strategy="broadcast").take_all()
+    j = tfidf_top_terms(ds, k=2, strategy="join").take_all()
+    key = lambda r: (r["doc_id"], -r["score"], r["term"])
+    assert sorted(b, key=key) == sorted(j, key=key)
+
+
+def test_tfidf_join_path_equivalence_corpus(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(4)
+    b = tfidf_top_terms(ds, strategy="broadcast").take_all()
+    j = tfidf_top_terms(ds, strategy="join").take_all()
+    key = lambda r: (r["doc_id"], -r["score"], r["term"])
+    assert sorted(b, key=key) == sorted(j, key=key)
