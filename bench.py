@@ -192,7 +192,9 @@ def run_main() -> dict:
         "warc_extract", "quality_gate", "dup_passages_hashed",
         "dup_clusters", "dup_clusters_lp", "value_quantiles_exact",
         "distinct_users_exact", "events_next_hour", "sliding_windows",
-        "events_pivot", "jaccard_pairs",
+        "events_pivot", "jaccard_pairs", "term_doc_freq", "bigram_counts",
+        "tfidf_terms", "quality_zscore", "frequent_terms", "embed_kmeans",
+        "jsonl_roundtrip", "csv_roundtrip", "docs_except", "docs_intersect",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
