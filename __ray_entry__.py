@@ -1138,6 +1138,38 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark/out-of-order audit: events whose event-time lags the
+    per-user arrival-order watermark by > 1 h, with exact integer-µs
+    lateness — the batch replay of streaming allowed-lateness. The
+    synthetic corpus arrives perfectly time-ordered, so arrival order
+    is derived as md5(event_id) — the engine-reproducible determinism
+    trick shared with stratified_sample — which both sides replay."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.windows import late_events
+
+    def add_arrival(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        return batch.append_column(
+            "arrival",
+            pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                type=pa.string(),
+            ),
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    ).map_batches(add_arrival, batch_format="pyarrow")
+    return late_events(ds, tolerance_s=3600.0, order_col="arrival",
+                       id_col="event_id")
+
+
 def _q_frequent_terms(sf_dir: str):
     """Misra–Gries heavy hitters. At capacity ≥ |vocab| the sketch
     degenerates to exact counts with err=0 (the ann_ivf nprobe trick),
@@ -1426,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_zscore": _q_quality_zscore,
         "embed_kmeans": _q_embed_kmeans,
         "frequent_terms": _q_frequent_terms,
+        "late_events": _q_late_events,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2015,6 +2048,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "late_events": """
+            -- arrival order = md5(event_id): deterministic scramble both
+            -- engines replay (the corpus itself arrives time-ordered)
+            WITH w AS (
+                SELECT user_id, event_id, ts,
+                       MAX(ts) OVER (PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS wm
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS lateness_us
+            FROM w
+            WHERE wm IS NOT NULL
+              AND epoch_us(wm) - epoch_us(ts) > CAST(3600000000 AS BIGINT)
         """,
         "frequent_terms": """
             -- capacity ≥ |vocab| ⇒ MG is exact with err = 0

@@ -207,3 +207,69 @@ def tumbling_window(ds, window_s: float = 3600.0, ts_col: str = "ts",
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def late_events(ds, tolerance_s: float = 3600.0, user_col: str = "user_id",
+                ts_col: str = "ts", order_col: str = "event_id",
+                id_col: str | None = None):
+    """Watermark-style out-of-order detection: an event is LATE when its
+    event-time ``ts`` lags the per-user watermark — the maximum
+    event-time among earlier-ARRIVING events (``order_col`` is the
+    arrival order) — by more than ``tolerance_s``. This is the batch
+    replay of streaming allowed-lateness: the rows a windowed stream
+    job would have dropped or side-channeled.
+
+    Output: one row per late event — (user_id, event_id, lateness_us)
+    with lateness as exact integer microseconds (watermark − ts), so
+    the SQL oracle (MAX(ts) OVER ... ROWS ... 1 PRECEDING) matches
+    hash-exactly. First-arriving event of a user is never late.
+
+    ``order_col`` is the arrival order (ties broken by ``id_col``);
+    ``id_col`` (default: ``order_col``) names the column reported back
+    for each late event.
+
+    Ray shape: identical to ``sessionize`` — one pruned shuffle on the
+    user key, then a vectorized sort + exclusive prefix-max per group.
+    """
+    tol_us = int(tolerance_s * 1_000_000)
+    id_col = id_col or order_col
+
+    def per_user(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.Table.from_pydict(
+            {
+                "user_id": pa.array([], group.schema.field(user_col).type),
+                "event_id": pa.array([], group.schema.field(id_col).type),
+                "lateness_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        order = group.column(order_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids, order))
+        ts_us = ts[idx].astype("datetime64[us]").astype(np.int64)
+        # watermark BEFORE each arrival: exclusive running max
+        wm = np.maximum.accumulate(ts_us)[:-1]
+        lateness = wm - ts_us[1:]
+        late = lateness > tol_us
+        if not late.any():
+            return empty
+        sel = idx[1:][late]
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(
+                    [group.column(user_col)[0].as_py()] * int(late.sum()),
+                    type=group.schema.field(user_col).type,
+                ),
+                "event_id": pa.array(
+                    ids[sel], type=group.schema.field(id_col).type
+                ),
+                "lateness_us": pa.array(lateness[late], type=pa.int64()),
+            }
+        )
+
+    cols = list(dict.fromkeys([user_col, ts_col, order_col, id_col]))
+    pruned = ds.select_columns(cols)
+    return pruned.groupby(user_col).map_groups(per_user, batch_format="pyarrow")

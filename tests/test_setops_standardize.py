@@ -112,3 +112,32 @@ def test_zscore_overflow_guard(ray_session):
     )
     with pytest.raises(Exception):  # OverflowError surfaces as RayTaskError
         zscore_by(ray.data.from_arrow(t), "lang", "n_chars").take_all()
+
+
+def test_late_events_watermark(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.windows import late_events
+
+    # arrival order 0..4; event times jump ahead then fall behind
+    t0 = 1_700_000_000_000_000  # µs epoch
+    H = 3_600_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1] * 5 + [2], type=pa.int64()),
+            "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + 10 * H, t0 + 2 * H, t0 + 10 * H - 1, t0 + 11 * H,
+                 t0],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = late_events(
+        ray.data.from_arrow(tbl), tolerance_s=3600.0, order_col="event_id"
+    ).take_all()
+    got = {r["event_id"]: r["lateness_us"] for r in out}
+    # event 2 is 8h behind the watermark (t0+10H); event 3 only 1µs —
+    # within tolerance; events 0,1,4 advance the watermark; user 2 has
+    # a single event (never late)
+    assert got == {2: 8 * H}
