@@ -1138,6 +1138,22 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_range_partition(sf_dir: str):
+    """Explicit repartitioning: per-lang quartile boundaries of doc
+    length (exact histogram reduction, broadcast once) stamp each doc
+    with its range shard — the skew-balanced layout step before a
+    partitioned write."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import range_partition_by_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return range_partition_by_quantiles(ds, "lang", "n_chars")
+
+
 def _q_late_events(sf_dir: str):
     """Watermark/out-of-order audit: events whose event-time lags the
     per-user arrival-order watermark by > 1 h, with exact integer-µs
@@ -1459,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans": _q_embed_kmeans,
         "frequent_terms": _q_frequent_terms,
         "late_events": _q_late_events,
+        "range_partition": _q_range_partition,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2048,6 +2065,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "range_partition": """
+            -- shard = strict-comparator bucket against percentile_disc
+            -- quartiles, matching the engine's exact histogram quantiles
+            WITH b AS (
+                SELECT lang,
+                       percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS b1,
+                       percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS b2,
+                       percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS b3
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST((d.n_chars > b1) :: INT + (d.n_chars > b2) :: INT
+                        + (d.n_chars > b3) :: INT AS BIGINT) AS shard
+            FROM documents d JOIN b USING (lang)
         """,
         "late_events": """
             -- arrival order = md5(event_id): deterministic scramble both

@@ -61,3 +61,49 @@ def pivot_counts(ds, key_col: str, col: str, values: list[str],
     return partials.groupby(key_col).map_groups(
         widen, batch_format="pyarrow"
     )
+
+
+def range_partition_by_quantiles(ds, key_col: str, value_col: str,
+                                 qs=(0.25, 0.5, 0.75)):
+    """Assign each row a range-partition shard within its key group,
+    with boundaries at the EXACT per-key quantiles of ``value_col`` —
+    the explicit-repartitioning primitive: compute balanced boundaries
+    once (a histogram-sized reduction, `sketch.exact_quantile_by`),
+    broadcast them, and stamp shards in a single shuffle-free
+    ``map_batches``. ``shard = Σ (value > boundary_i)`` — the strict
+    comparator an oracle can replay off ``percentile_disc``.
+
+    Downstream, `Dataset.write_parquet(partition_cols=[key, "shard"])`
+    (the `ivf_build_index` layout pattern) turns the stamps into a
+    physically range-partitioned, skew-balanced table.
+
+    Returns ``ds`` + ``shard`` (int64 in [0, len(qs)]).
+    """
+    import numpy as np
+    import ray
+
+    from .sketch import exact_quantile_by
+
+    bounds = exact_quantile_by(ds, key_col, value_col, qs=qs).to_pandas()
+    by_key: dict = {}
+    for k, grp in bounds.groupby(key_col, sort=False):
+        by_key[k] = grp.sort_values("q")["value"].to_numpy()
+    bounds_ref = ray.put(by_key)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        bk = ray.get(bounds_ref)
+        keys = batch.column(key_col).to_pandas()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        shard = np.zeros(len(keys), dtype=np.int64)
+        # one vectorized boundary comparison per key group (keys are the
+        # partition keys — few by construction), no per-row Python
+        for k, idxs in keys.groupby(keys, sort=False).groups.items():
+            ii = np.asarray(idxs, dtype=np.int64)
+            shard[ii] = (vals[ii][:, None] > bk[k][None, :]).sum(axis=1)
+        return batch.append_column("shard", pa.array(shard, type=pa.int64()))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")

@@ -141,3 +141,23 @@ def test_late_events_watermark(ray_session):
     # within tolerance; events 0,1,4 advance the watermark; user 2 has
     # a single event (never late)
     assert got == {2: 8 * H}
+
+
+def test_range_partition_balanced_shards(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.reshape import range_partition_by_quantiles
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "lang": ["en"] * 8,
+            "n_chars": pa.array([1, 2, 3, 4, 5, 6, 7, 8], type=pa.int64()),
+        }
+    )
+    out = range_partition_by_quantiles(
+        ray.data.from_arrow(t), "lang", "n_chars"
+    ).take_all()
+    shards = {r["n_chars"]: r["shard"] for r in out}
+    # percentile_disc quartiles of 1..8 are 2, 4, 6 → strict buckets
+    assert shards == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
