@@ -1362,6 +1362,69 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+def _q_media_pipeline(sf_dir: str):
+    """Multimodal chain: deterministic FIMG image per document (fake
+    codec — real plumbing, stub pixels) → actor-pool resize →
+    byte-histogram feature extraction → 256-dim embedding rows. Binary
+    payloads never reach the driver; rows-only check (codec-stubbed),
+    stages unit-tested in tests/test_media_stages.py."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.media import (
+        ByteHistogramFeatures,
+        ImageResizeStage,
+        fake_image_encode,
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        payloads = [
+            fake_image_encode(
+                64 + (int(i) % 512), 64 + (int(i) % 256),
+                (t or " ").encode()[:4096],
+            )
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in ids], type=pa.string()),
+                "media_ref": pa.array(
+                    [f"img://{i}" for i in ids], type=pa.string()
+                ),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(synth, batch_format="pyarrow")
+    resized = ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=16,
+    )
+    feats = resized.map_batches(
+        ByteHistogramFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=16,
+    )
+
+    def thin(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        emb = batch.column("embedding")
+        dims = [len(e) if e is not None else 0 for e in emb.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "n_dims": pa.array(dims, type=pa.int64()),
+            }
+        )
+
+    return feats.map_batches(thin, batch_format="pyarrow")
+
+
 def _q_pdf_extract(sf_dir: str):
     """North-rule "PDF/layout parse" leg: synthesize a deterministic PDF
     per document (make_simple_pdf over the documents table — no external
@@ -1496,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "media_meta": _q_media_meta,
         "media_data_uri": _q_media_data_uri,
+        "media_pipeline": _q_media_pipeline,
         "pdf_extract": _q_pdf_extract,
     }
 

@@ -220,3 +220,168 @@ def media_spans_table(article_batch: pa.Table) -> pa.Table:
             "offset": pa.array(out_offset, type=pa.int32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / feature-extract stages
+#
+# A documented fake codec ("FIMG"/"FVID" framing, below) stands in for
+# PIL/ffmpeg so every stage's plumbing — schema, actor signature, batch
+# sizing, flat-map expansion — runs and is tested end to end in this
+# container; swap the two `_fake_*` kernels for real decoders on a
+# cluster with codecs. The byte-histogram feature extractor needs no
+# codec at all and is fully real.
+
+FIMG_MAGIC = b"FIMG"
+FVID_MAGIC = b"FVID"
+
+
+def fake_image_encode(width: int, height: int, pixels: bytes) -> bytes:
+    """Sandbox image format: magic + uint16 w/h (big-endian) + pixels."""
+    return (FIMG_MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+            + pixels)
+
+
+def _fake_image_decode(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:4] != FIMG_MAGIC or len(payload) < 8:
+        raise NotImplementedError("not a FIMG payload (real codec required)")
+    w = int.from_bytes(payload[4:6], "big")
+    h = int.from_bytes(payload[6:8], "big")
+    return w, h, payload[8:]
+
+
+def fake_video_encode(frames: list[bytes]) -> bytes:
+    """Sandbox video format: magic + uint16 frame count, then per frame
+    uint32 length + bytes."""
+    out = [FVID_MAGIC, len(frames).to_bytes(2, "big")]
+    for f in frames:
+        out.append(len(f).to_bytes(4, "big"))
+        out.append(f)
+    return b"".join(out)
+
+
+def _fake_video_decode(payload: bytes):
+    if payload[:4] != FVID_MAGIC or len(payload) < 6:
+        raise NotImplementedError("not a FVID payload (real codec required)")
+    n = int.from_bytes(payload[4:6], "big")
+    pos = 6
+    for _ in range(n):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        pos += 4
+        yield payload[pos:pos + ln]
+        pos += ln
+
+
+class ImageResizeStage:
+    """Actor-pool stage: (doc_id, media_ref, payload) → resized payload
+    + before/after dimensions. The "resize" kernel on the fake codec is
+    a deterministic pixel-stride subsample — real enough to verify byte
+    budgets shrink and the output schema holds. Per-item codec failures
+    become error rows (the skew/error philosophy of `ExtractBatch`).
+
+    Batch sizing rule for binary columns: payload_bytes × batch_size ×
+    concurrency must fit the worker heap — callers pass batch_size≈4-16
+    for multi-MB images.
+    """
+
+    def __init__(self, max_dim: int = 256):
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_payload, out_w, out_h, src_w, src_h, errors = [], [], [], [], [], []
+        for p in payloads:
+            try:
+                w, h, px = _fake_image_decode(p or b"")
+                scale = max(w, h) / self.max_dim if max(w, h) > self.max_dim else 1.0
+                nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
+                stride = max(1, int(scale))
+                npx = px[::stride] if stride > 1 else px
+                out_payload.append(fake_image_encode(nw, nh, npx))
+                out_w.append(nw); out_h.append(nh)
+                src_w.append(w); src_h.append(h)
+                errors.append("")
+            except NotImplementedError as exc:
+                out_payload.append(b"")
+                out_w.append(0); out_h.append(0); src_w.append(0); src_h.append(0)
+                errors.append(str(exc))
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, type=pa.string()),
+                pa.array(refs, type=pa.string()),
+                pa.array(out_payload, type=pa.binary()),
+                pa.array(src_w, type=pa.int32()),
+                pa.array(src_h, type=pa.int32()),
+                pa.array(out_w, type=pa.int32()),
+                pa.array(out_h, type=pa.int32()),
+                pa.array(errors, type=pa.string()),
+            ],
+            names=["doc_id", "media_ref", "payload", "src_width", "src_height",
+                   "width", "height", "error"],
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map: one input video row → one output row per
+    sampled frame (every ``every_k``-th). The row-count expansion is the
+    real thing being exercised: a generator-style stage whose output
+    row count differs from its input's, with frame index metadata."""
+
+    def __init__(self, every_k: int = 10):
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_doc, o_ref, o_idx, o_frame, o_err = [], [], [], [], []
+        for d, r, p in zip(doc_ids, refs, payloads):
+            try:
+                for i, frame in enumerate(_fake_video_decode(p or b"")):
+                    if i % self.every_k == 0:
+                        o_doc.append(d); o_ref.append(r)
+                        o_idx.append(i); o_frame.append(frame); o_err.append("")
+            except NotImplementedError as exc:
+                o_doc.append(d); o_ref.append(r)
+                o_idx.append(-1); o_frame.append(b""); o_err.append(str(exc))
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, type=pa.string()),
+                pa.array(o_ref, type=pa.string()),
+                pa.array(o_idx, type=pa.int32()),
+                pa.array(o_frame, type=pa.binary()),
+                pa.array(o_err, type=pa.string()),
+            ],
+            names=["doc_id", "media_ref", "frame_idx", "frame", "error"],
+        )
+
+
+class ByteHistogramFeatures:
+    """Real (no codec needed) feature extraction: normalized 256-bin
+    byte histogram per payload → ``list<float>`` embedding column,
+    directly consumable by `functions/similarity.py` (ann_topk /
+    embedding_neardup). The batched-inference pattern: "model" (here
+    just numpy) set up once per actor, whole batch vectorized per call.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        payloads = batch.column("payload").to_pylist()
+        feats = np.zeros((len(payloads), 256), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            if p:
+                counts = np.bincount(
+                    np.frombuffer(p, dtype=np.uint8), minlength=256
+                )
+                feats[i] = counts / counts.sum()
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column("media_ref"),
+                pa.array(list(feats), type=pa.list_(pa.float32())),
+            ],
+            names=["doc_id", "media_ref", "embedding"],
+        )
