@@ -1138,6 +1138,39 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_length_token_corr(sf_dir: str):
+    """Per-language Pearson corr(n_chars, n_tokens) from exact int64
+    co-moments — the statistical-aggregate pattern: one key-sized
+    exchange, IEEE-order finalization the SQL oracle mirrors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.standardize import corr_by
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(batch.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "n_chars", "text"],
+    ).map_batches(add_tokens, batch_format="pyarrow")
+    return corr_by(ds, key_col="lang", x_col="n_chars", y_col="n_tokens")
+
+
 def _q_range_partition(sf_dir: str):
     """Explicit repartitioning: per-lang quartile boundaries of doc
     length (exact histogram reduction, broadcast once) stamp each doc
@@ -1539,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": _q_frequent_terms,
         "late_events": _q_late_events,
         "range_partition": _q_range_partition,
+        "length_token_corr": _q_length_token_corr,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2129,6 +2163,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "length_token_corr": """
+            -- mirrors corr_by's IEEE order: every exact int64 product is
+            -- cast to DOUBLE before any subtraction
+            WITH t AS (
+                SELECT lang, n_chars,
+                       CAST(length(string_split(trim(text), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), m AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(n_chars) AS BIGINT) AS sx,
+                       CAST(sum(n_tokens) AS BIGINT) AS sy,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+                       CAST(sum(n_tokens * n_tokens) AS BIGINT) AS syy,
+                       CAST(sum(n_chars * n_tokens) AS BIGINT) AS sxy
+                FROM t GROUP BY lang
+            )
+            SELECT lang, n,
+                   CASE WHEN (CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE)) > 0
+                         AND (CAST(n * syy AS DOUBLE) - CAST(sy * sy AS DOUBLE)) > 0
+                        THEN round(
+                            (CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                            / (sqrt(CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy * sy AS DOUBLE))),
+                            6)
+                        ELSE NULL END AS corr
+            FROM m
         """,
         "range_partition": """
             -- shard = strict-comparator bucket against percentile_disc

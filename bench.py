@@ -195,7 +195,7 @@ def run_main() -> dict:
         "events_pivot", "jaccard_pairs", "term_doc_freq", "bigram_counts",
         "tfidf_terms", "quality_zscore", "frequent_terms", "embed_kmeans",
         "jsonl_roundtrip", "csv_roundtrip", "docs_except", "docs_intersect",
-        "late_events", "range_partition", "media_pipeline",
+        "late_events", "range_partition", "media_pipeline", "length_token_corr",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -105,3 +105,81 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _comoment_partials(key_col: str, x_col: str, y_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.any(np.abs(x) > 3_000_000_000) or np.any(np.abs(y) > 3_000_000_000):
+            raise OverflowError(
+                "values exceed the int64 co-moment bound; shift per key first"
+            )
+        df = pd.DataFrame(
+            {
+                "k": batch.column(key_col).to_pandas(),
+                "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+            }
+        )
+        g = df.groupby("k", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+        cols = {key_col: pa.array(g.index)}
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            cols[c] = pa.array(g[c].to_numpy(), type=pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
+def corr_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
+    """Per-key Pearson correlation of two integer columns from EXACT
+    int64 co-moments (n, Σx, Σy, Σx², Σy², Σxy) — one key-cardinality-
+    sized exchange, nothing row-sized. The closed form is evaluated in
+    a fixed double-precision order — each exact int64 product cast to
+    double FIRST, then IEEE subtract/divide — and the SQL oracle must
+    spell the same tree (``CAST(n*sxy AS DOUBLE) - CAST(sx*sy AS
+    DOUBLE)``, not int subtraction then one cast) for bit-equal output.
+
+    Output: (key_col, n, corr) with corr NULL when either variance is 0.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = ds.select_columns([key_col, x_col, y_col]).map_batches(
+        _comoment_partials(key_col, x_col, y_col), batch_format="pyarrow"
+    )
+    totals = (
+        partial.groupby(key_col)
+        .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
+                   Sum("sxy"))
+        .map_batches(
+            lambda b: b.rename_columns(
+                [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.round(num / (np.sqrt(vx) * np.sqrt(vy)), round_to)
+        corr[~((vx > 0) & (vy > 0))] = np.nan
+        return pa.table(
+            {
+                key_col: b.column(key_col),
+                "n": b.column("n"),
+                "corr": pa.array(corr, type=pa.float64(), from_pandas=True),
+            }
+        )
+
+    return totals.map_batches(finalize, batch_format="pyarrow")

@@ -161,3 +161,30 @@ def test_range_partition_balanced_shards(ray_session):
     shards = {r["n_chars"]: r["shard"] for r in out}
     # percentile_disc quartiles of 1..8 are 2, 4, 6 → strict buckets
     assert shards == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+
+def test_corr_by_exact(ray_session):
+    import math
+
+    import ray.data
+
+    from smartreader_ray.functions.standardize import corr_by
+
+    t = pa.table(
+        {
+            "lang": ["en"] * 4 + ["fr"] * 2,
+            "x": pa.array([1, 2, 3, 4, 5, 5], type=pa.int64()),
+            "y": pa.array([2, 4, 6, 9, 1, 7], type=pa.int64()),
+        }
+    )
+    out = {r["lang"]: r for r in corr_by(
+        ray.data.from_arrow(t), "lang", "x", "y").take_all()}
+    # en: near-perfect positive correlation, computed by the closed form
+    n, sx, sy = 4, 10, 21
+    sxx, syy, sxy = 30, 137, 64
+    num = n * sxy - sx * sy
+    ref = num / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert out["en"]["corr"] == round(ref, 6)
+    assert out["en"]["n"] == 4
+    # fr: x is constant → zero variance → null
+    assert out["fr"]["corr"] is None
