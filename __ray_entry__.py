@@ -1138,6 +1138,38 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_customer_orders_full(sf_dir: str):
+    """FULL OUTER hash-join with genuine unmatched rows on BOTH sides
+    (customers below 1000 vs per-customer order counts from 500 up):
+    nulls opposite each unmatched side, native int64 key over the
+    exchange."""
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr="c_custkey < 1000")
+    ords = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        )
+        .filter(expr="o_custkey >= 500")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["o_custkey", "n_orders"]),
+            batch_format="pyarrow",
+        )
+    )
+    return hash_join(
+        cust, ords, left_key="c_custkey", right_key="o_custkey",
+        left_cols=["c_custkey", "c_mktsegment"],
+        right_cols=["o_custkey", "n_orders"], how="full_outer",
+    )
+
+
 def _q_length_token_corr(sf_dir: str):
     """Per-language Pearson corr(n_chars, n_tokens) from exact int64
     co-moments — the statistical-aggregate pattern: one key-sized
@@ -1573,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "range_partition": _q_range_partition,
         "length_token_corr": _q_length_token_corr,
+        "customer_orders_full": _q_customer_orders_full,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2163,6 +2196,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "customer_orders_full": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey < 1000
+            ), o AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders WHERE o_custkey >= 500 GROUP BY o_custkey
+            )
+            SELECT c.c_custkey, c.c_mktsegment, o.o_custkey, o.n_orders
+            FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
         """,
         "length_token_corr": """
             -- mirrors corr_by's IEEE order: every exact int64 product is

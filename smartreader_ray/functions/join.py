@@ -78,15 +78,17 @@ def hash_join(left, right, left_key: str, right_key: str,
     ``left_cols + right_cols`` (caller must make them disjoint).
 
     ``how``: "inner" (default), "left" (unmatched left rows kept with
-    null right columns), or "left_anti" (ONLY unmatched left rows, right
-    columns omitted — the scalable blocklist-subtraction: subtract a
-    dup/exclusion set too big to broadcast).
+    null right columns), "right" (the mirror), "full_outer" (unmatched
+    rows of BOTH sides kept with nulls opposite), or "left_anti" (ONLY
+    unmatched left rows, right columns omitted — the scalable
+    blocklist-subtraction: subtract a dup/exclusion set too big to
+    broadcast).
 
     A group whose cross product exceeds ``max_pairs_per_key`` raises —
     a hot join key at 100 TB should fail loudly (then be salted or
     broadcast) rather than OOM a reduce task.
     """
-    if how not in ("inner", "left", "left_anti"):
+    if how not in ("inner", "left", "right", "full_outer", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
@@ -163,13 +165,22 @@ def hash_join(left, right, left_key: str, right_key: str,
             return pa.Table.from_arrays(
                 [l_struct.field(c) for c in left_cols], names=left_cols
             )
-        if how == "left" and len(l_idx) and not len(r_idx):
+        if how in ("left", "full_outer") and len(l_idx) and not len(r_idx):
             l_struct = group.column("__left").combine_chunks().take(
                 pa.array(l_idx, type=pa.int64())
             )
             return pa.Table.from_arrays(
                 [l_struct.field(c) for c in left_cols]
                 + [pa.nulls(len(l_idx), type=f.type) for f in right_type],
+                names=left_cols + right_cols,
+            )
+        if how in ("right", "full_outer") and len(r_idx) and not len(l_idx):
+            r_struct = group.column("__right").combine_chunks().take(
+                pa.array(r_idx, type=pa.int64())
+            )
+            return pa.Table.from_arrays(
+                [pa.nulls(len(r_idx), type=f.type) for f in left_type]
+                + [r_struct.field(c) for c in right_cols],
                 names=left_cols + right_cols,
             )
         n_pairs = len(l_idx) * len(r_idx)

@@ -188,3 +188,34 @@ def test_corr_by_exact(ray_session):
     assert out["en"]["n"] == 4
     # fr: x is constant → zero variance → null
     assert out["fr"]["corr"] is None
+
+
+def test_hash_join_right_and_full_outer(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2], type=pa.int64()), "lv": ["a", "b"]}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 3], type=pa.int64()), "rv": ["x", "y"]}
+    )
+    kw = dict(left_key="k", right_key="rk",
+              left_cols=["k", "lv"], right_cols=["rk", "rv"])
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    full = sorted(
+        ((r["k"], r["lv"], r["rk"], r["rv"])
+         for r in hash_join(lds, rds, how="full_outer", **kw).take_all()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert full == [(1, "a", None, None), (2, "b", 2, "x"),
+                    (None, None, 3, "y")]
+
+    rj = sorted(
+        ((r["k"], r["lv"], r["rk"], r["rv"])
+         for r in hash_join(lds, rds, how="right", **kw).take_all()),
+        key=lambda t: (t[2] or 0),
+    )
+    assert rj == [(2, "b", 2, "x"), (None, None, 3, "y")]
