@@ -377,10 +377,20 @@ class Element(ParentNode):
 
     node_type = ELEMENT_NODE
 
+    #: (upper, lower) per seen tag name — two str case conversions per
+    #: Element construction are measurable at ~1k elements/doc; the tag
+    #: vocabulary is tiny so the cache is effectively static after warmup
+    _CASE_CACHE: dict = {}
+
     def __init__(self, tag: str, attrs: Optional[dict] = None):
         super().__init__()
-        self.tag = tag.upper()
-        self._lname = self.tag.lower()  # tag is never reassigned post-init
+        case = Element._CASE_CACHE.get(tag)
+        if case is None:
+            u = tag.upper()
+            case = (u, u.lower())
+            if len(Element._CASE_CACHE) < 4096:  # wild HTML has unbounded
+                Element._CASE_CACHE[tag] = case  # tag names; cap the cache
+        self.tag, self._lname = case  # tag never reassigned post-init
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.score: Optional[float] = None  # readability score (off-DOM attr)
         self._ns: Optional[str] = None  # set for svg/math foreign content
