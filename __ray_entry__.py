@@ -1138,6 +1138,53 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_keys_union(sf_dir: str):
+    """Dataset.union coverage: tag-and-union two key sets (customer ∪
+    supplier), one groupby giving per-key row and distinct-source
+    counts — the UNION ALL + GROUP BY reconciliation pattern."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    def tagged(path, col, tag):
+        import pyarrow.compute as pc
+
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(b.column(col), pa.int64()),
+                    "src": pa.array([tag] * b.num_rows, type=pa.int32()),
+                }
+            )
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, path), columns=[col]
+        ).map_batches(fn, batch_format="pyarrow")
+
+    both = tagged("customer.parquet", "c_custkey", 1).union(
+        tagged("supplier.parquet", "s_suppkey", 2)
+    )
+    agg = both.groupby("key").aggregate(Count(), Min("src"), Max("src"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.rename_columns(["key", "n_rows", "mn", "mx"])
+        n_sources = pc.add(
+            pc.cast(pc.not_equal(b.column("mn"), b.column("mx")), pa.int64()),
+            1,
+        )
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "n_rows": pc.cast(b.column("n_rows"), pa.int64()),
+                "n_sources": n_sources,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_customer_orders_full(sf_dir: str):
     """FULL OUTER hash-join with genuine unmatched rows on BOTH sides
     (customers below 1000 vs per-customer order counts from 500 up):
@@ -1606,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition": _q_range_partition,
         "length_token_corr": _q_length_token_corr,
         "customer_orders_full": _q_customer_orders_full,
+        "keys_union": _q_keys_union,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2196,6 +2244,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "keys_union": """
+            WITH u AS (
+                SELECT c_custkey AS key, 1 AS src FROM customer
+                UNION ALL
+                SELECT s_suppkey AS key, 2 AS src FROM supplier
+            )
+            SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+            FROM u GROUP BY key
         """,
         "customer_orders_full": """
             WITH c AS (
