@@ -1,0 +1,108 @@
+"""Partitioning-invariance: every round-3 corpus operator must produce
+IDENTICAL results at 1 block and at many small blocks — the property
+that makes a result trustworthy on a cluster whose block layout the
+user doesn't control."""
+
+import pyarrow as pa
+import pytest
+
+
+def _docs_tbl():
+    rows = []
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    for i in range(24):
+        text = " ".join(words[(i * 3 + j) % len(words)] for j in range(12))
+        rows.append((i, text, ["en", "fr", "de"][i % 3], len(text)))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "n_chars": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _pair(ray, k=6):
+    import ray.data
+
+    tbl = _docs_tbl()
+    return ray.data.from_arrow(tbl), ray.data.from_arrow(tbl).repartition(k)
+
+
+def _rows(ds):
+    return sorted(
+        (tuple(sorted(r.items())) for r in ds.take_all())
+    )
+
+
+def test_term_doc_freq_invariant(ray_session):
+    from smartreader_ray.functions.ngrams import term_doc_freq
+
+    a, b = _pair(ray_session)
+    assert _rows(term_doc_freq(a, top_n=30)) == _rows(term_doc_freq(b, top_n=30))
+
+
+def test_bigram_counts_invariant(ray_session):
+    from smartreader_ray.functions.ngrams import bigram_counts
+
+    a, b = _pair(ray_session)
+    assert _rows(bigram_counts(a, top_n=30)) == _rows(bigram_counts(b, top_n=30))
+
+
+def test_tfidf_invariant_both_regimes(ray_session):
+    from smartreader_ray.functions.ngrams import tfidf_top_terms
+
+    a, b = _pair(ray_session)
+    one = _rows(tfidf_top_terms(a, k=2, strategy="broadcast"))
+    assert one == _rows(tfidf_top_terms(b, k=2, strategy="broadcast"))
+    assert one == _rows(tfidf_top_terms(b, k=2, strategy="join"))
+
+
+def test_zscore_invariant(ray_session):
+    from smartreader_ray.functions.standardize import zscore_by
+
+    a, b = _pair(ray_session)
+    assert _rows(zscore_by(a, "lang", "n_chars")) == _rows(
+        zscore_by(b, "lang", "n_chars")
+    )
+
+
+def test_corr_invariant(ray_session):
+    from smartreader_ray.functions.standardize import corr_by
+
+    a, b = _pair(ray_session)
+    assert _rows(corr_by(a, "lang", "n_chars", "doc_id")) == _rows(
+        corr_by(b, "lang", "n_chars", "doc_id")
+    )
+
+
+def test_setops_invariant(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.setops import (
+        except_by_content,
+        intersect_by_content,
+    )
+
+    tbl = _docs_tbl()
+    left1 = ray.data.from_arrow(tbl)
+    left2 = ray.data.from_arrow(tbl).repartition(5)
+    right = ray.data.from_arrow(tbl.slice(0, 8))
+    assert _rows(except_by_content(left1, right)) == _rows(
+        except_by_content(left2, right)
+    )
+    assert _rows(intersect_by_content(left1, right)) == _rows(
+        intersect_by_content(left2, right)
+    )
+
+
+def test_frequent_terms_exact_regime_invariant(ray_session):
+    from smartreader_ray.functions.sketch import frequent_terms
+
+    a, b = _pair(ray_session)
+    assert _rows(frequent_terms(a, capacity=512, k=10)) == _rows(
+        frequent_terms(b, capacity=512, k=10)
+    )
