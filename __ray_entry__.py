@@ -1138,6 +1138,23 @@ def _q_csv_roundtrip(sf_dir: str):
     return _roundtrip_agg(ray.data.read_csv(out))
 
 
+def _q_zscore_tfidf_chain(sf_dir: str):
+    """Composed end-to-end chain #3: per-lang z-score gate (|rounded z|
+    window) → TF-IDF top term over the surviving corpus, checked
+    against ONE SQL statement."""
+    import ray.data
+
+    from smartreader_ray.pipelines.training_data import (
+        build_zscore_tfidf_pipeline,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    return build_zscore_tfidf_pipeline(ds)
+
+
 def _q_keys_union(sf_dir: str):
     """Dataset.union coverage: tag-and-union two key sets (customer ∪
     supplier), one groupby giving per-key row and distinct-source
@@ -1654,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_token_corr": _q_length_token_corr,
         "customer_orders_full": _q_customer_orders_full,
         "keys_union": _q_keys_union,
+        "zscore_tfidf_chain": _q_zscore_tfidf_chain,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2244,6 +2262,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "zscore_tfidf_chain": """
+            -- one statement = the whole engine chain: z-gate on the
+            -- ROUNDED z, then TF-IDF with survivor-count N/survivor DF
+            WITH agg AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(n_chars) AS BIGINT) AS s,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+                FROM documents GROUP BY lang
+            ), z AS (
+                SELECT d.doc_id, d.text,
+                       CASE WHEN (ss / CAST(n AS DOUBLE)
+                                  - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) > 0
+                            THEN round(
+                                (d.n_chars - s / CAST(n AS DOUBLE))
+                                / sqrt(ss / CAST(n AS DOUBLE)
+                                       - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))),
+                                6)
+                            ELSE NULL END AS zv
+                FROM documents d JOIN agg USING (lang)
+            ), surv AS (
+                SELECT doc_id, text FROM z
+                WHERE zv IS NOT NULL AND zv >= -1.0 AND zv <= 2.0
+            ), t AS (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                FROM surv
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t WHERE term <> '' GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS nv FROM surv
+            ), s2 AS (
+                SELECT doc_id, tf.term, tf.tf, df.df,
+                       round(tf.tf * ln(nv / df.df), 6) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN nn
+            ), rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                FROM s2
+            )
+            SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 1
         """,
         "keys_union": """
             WITH u AS (

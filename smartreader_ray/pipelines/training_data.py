@@ -84,3 +84,34 @@ def build_curation_pipeline(docs_ds, eval_snippets,
         batch_format="pyarrow",
     )
     return per_source_cap(clean, cap=cap)
+
+
+def build_zscore_tfidf_pipeline(docs_ds, z_lo: float = -1.0,
+                                z_hi: float = 2.0, k: int = 1):
+    """Composed chain #3: per-language length z-score gate → TF-IDF top
+    term over the SURVIVING corpus (survivor-count N, survivor-only DF).
+
+    Every stage is a round-3 operator (`standardize.zscore_by`,
+    `ngrams.tfidf_top_terms`), and the whole chain is checked against a
+    single SQL statement (`__ray_entry__.py: zscore_tfidf_chain`) — an
+    end-to-end hash gate like `training_sample` / `curated_corpus`.
+    The z filter operates on the ROUNDED z (round-to-6), so the gate
+    boundary is identical on both sides.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.ngrams import tfidf_top_terms
+    from ..functions.standardize import zscore_by
+
+    scored = zscore_by(docs_ds, key_col="lang", value_col="n_chars")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        z = batch.column("z")
+        keep = pc.and_(
+            pc.and_(pc.is_valid(z), pc.greater_equal(z, z_lo)),
+            pc.less_equal(z, z_hi),
+        )
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    survivors = scored.map_batches(gate, batch_format="pyarrow")
+    return tfidf_top_terms(survivors, k=k)
