@@ -397,10 +397,12 @@ def _q_top_orders(sf_dir: str):
     return top.map_batches(strip, batch_format="pyarrow")
 
 
-def _q_orders_by_segment(sf_dir: str):
+def _q_orders_by_segment(sf_dir: str, salt: int = 1):
     """Big-big distributed hash join (orders ⨝ customer, both sides
     shuffled once) then a partial-combined rollup per market segment —
-    the shuffle-join pattern for when no side fits a broadcast."""
+    the shuffle-join pattern for when no side fits a broadcast.
+    ``salt`` > 1 runs the hot-key-splitting variant against the SAME
+    oracle (identical result proven by hash)."""
     import pyarrow as pa
     import ray.data
     from ray.data.aggregate import Sum
@@ -415,7 +417,7 @@ def _q_orders_by_segment(sf_dir: str):
     )
     joined = hash_join(
         orders, customer, "o_custkey", "c_custkey",
-        ["o_totalprice"], ["c_mktsegment"],
+        ["o_totalprice"], ["c_mktsegment"], salt=salt,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1690,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
+        "orders_by_segment_salted": lambda sf: _q_orders_by_segment(sf, salt=4),
         "media_meta": _q_media_meta,
         "media_data_uri": _q_media_data_uri,
         "media_pipeline": _q_media_pipeline,
@@ -1826,6 +1829,13 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY revenue DESC LIMIT 10
         """,
         "orders_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "orders_by_segment_salted": """
             SELECT c_mktsegment,
                    ROUND(SUM(o_totalprice), 2) AS total_price,
                    CAST(COUNT(*) AS BIGINT) AS n_orders

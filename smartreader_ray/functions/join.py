@@ -69,7 +69,8 @@ def broadcast_join(ds, small, key: str, value_cols: list[str],
 
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
-              max_pairs_per_key: int = 10_000_000, how: str = "inner"):
+              max_pairs_per_key: int = 10_000_000, how: str = "inner",
+              salt: int = 1):
     """Distributed equi-join of two big Datasets.
 
     Both sides are pruned to ``key + cols``, packed into one struct
@@ -87,9 +88,19 @@ def hash_join(left, right, left_key: str, right_key: str,
     A group whose cross product exceeds ``max_pairs_per_key`` raises —
     a hot join key at 100 TB should fail loudly (then be salted or
     broadcast) rather than OOM a reduce task.
+
+    ``salt`` > 1 is the remedy that guard points at: each left row is
+    routed to one of ``salt`` sub-keys and the right side is replicated
+    once per sub-key, splitting a hot key's reduce group ``salt`` ways
+    at the cost of ``salt×`` right-side exchange volume (so salt a join
+    whose RIGHT side is the smaller one). Results are identical to the
+    unsalted join (same-oracle-proven); inner/left only — full_outer /
+    left_anti would double-count replicated unmatched right rows.
     """
     if how not in ("inner", "left", "right", "full_outer", "left_anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if salt > 1 and how not in ("inner", "left"):
+        raise ValueError(f"salt requires how='inner' or 'left', got {how!r}")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"output column collision: {sorted(overlap)}")
@@ -103,13 +114,33 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     def pack(key_col, cols, side):
         def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            if salt > 1 and side == 1:
+                # replicate the right side once per sub-key
+                idx = pa.array(
+                    np.repeat(np.arange(batch.num_rows, dtype=np.int64), salt)
+                )
+                batch = batch.take(idx)
             payload = pa.StructArray.from_arrays(
                 [batch.column(c).combine_chunks() for c in cols], names=cols
             )
             n = batch.num_rows
+            keys = pc.cast(batch.column(key_col), key_type)
+            if salt > 1:
+                if side == 0:
+                    sv = np.arange(n, dtype=np.int64) % salt
+                else:
+                    sv = np.tile(np.arange(salt, dtype=np.int64),
+                                 n // salt if salt else 0)
+                keys = pc.binary_join_element_wise(
+                    pc.cast(keys, pa.string()),
+                    pa.array(sv.astype("U"), type=pa.string()),
+                    "\x1f",
+                )
             return pa.Table.from_pydict(
                 {
-                    "__key": pc.cast(batch.column(key_col), key_type),
+                    "__key": keys,
                     "__side": pa.array([side] * n, type=pa.int8()),
                     "__left": payload if side == 0 else pa.nulls(
                         n, type=_struct_type(left)

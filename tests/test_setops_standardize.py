@@ -219,3 +219,37 @@ def test_hash_join_right_and_full_outer(ray_session):
         key=lambda t: (t[2] or 0),
     )
     assert rj == [(2, "b", 2, "x"), (None, None, 3, "y")]
+
+
+def test_salted_join_equals_unsalted(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 3], type=pa.int64()),
+            "lv": pa.array([10, 11, 12, 13, 20, 30], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 2, 4], type=pa.int64()),
+            "rv": ["one", "two", "four"],
+        }
+    )
+    kw = dict(left_key="k", right_key="rk",
+              left_cols=["k", "lv"], right_cols=["rv"])
+    lds = ray.data.from_arrow(left).repartition(3)
+    rds = ray.data.from_arrow(right)
+
+    def rows(ds):
+        return sorted((r["k"], r["lv"], r["rv"]) for r in ds.take_all())
+
+    for how in ("inner", "left"):
+        plain = rows(hash_join(lds, rds, how=how, **kw))
+        salted = rows(hash_join(lds, rds, how=how, salt=3, **kw))
+        assert plain == salted, how
+
+    with pytest.raises(ValueError):
+        hash_join(lds, rds, how="full_outer", salt=2, **kw)
