@@ -1382,10 +1382,13 @@ def _half(sf_dir: str):
         pfx = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
         return batch.append_column("pfx", pc.cast(pfx, pa.string()))
 
+    import pyarrow.parquet as pq
+
     ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         add_prefix, batch_format="pyarrow"
     )
-    n = _docs(sf_dir).count()
+    # row count straight off parquet metadata — no Ray pass
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     half = n // 2
     return (
         ds.filter(expr=f"doc_id < {half}"),

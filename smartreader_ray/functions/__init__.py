@@ -58,6 +58,13 @@ from .textstats import (
     quality_stats,
     token_stats,
 )
+from .ngrams import bigram_counts, term_doc_freq, tfidf_top_terms
+from .setops import except_by_content, intersect_by_content
+from .sketch import frequent_terms
+from .similarity import kmeans_fit
+from .standardize import corr_by, zscore_by
+from .windows import late_events
+from .reshape import range_partition_by_quantiles
 
 __all__ = [
     "exact_dedup",
@@ -110,4 +117,15 @@ __all__ = [
     "language_id",
     "quality_stats",
     "token_stats",
+    "term_doc_freq",
+    "bigram_counts",
+    "tfidf_top_terms",
+    "except_by_content",
+    "intersect_by_content",
+    "frequent_terms",
+    "kmeans_fit",
+    "zscore_by",
+    "corr_by",
+    "late_events",
+    "range_partition_by_quantiles",
 ]
