@@ -121,26 +121,33 @@ def files_fingerprint(files: Sequence[str]) -> str:
     return h.hexdigest()[:16]
 
 
-class CheckpointedExtraction:
-    """Run extraction partition-by-partition with manifest commits."""
+class CheckpointedTransform:
+    """Generic checkpointed per-partition run of ANY Dataset transform.
+
+    ``transform(ds) -> ds`` is applied to each partition's input slice
+    and the result written to ``out/part-{pid:05d}/``; one fsync'd
+    manifest line commits the partition. Resume, header guards,
+    file-sliced vs hash-sliced modes and the partial-directory cleanup
+    are identical for every pipeline — extraction
+    (:class:`CheckpointedExtraction`) is just this with the extraction
+    pipeline bound as the transform. ``metrics_fn(part_ds) -> dict``
+    (optional) computes the per-partition lineage metrics; integer
+    metrics are summed into the run totals.
+    """
 
     def __init__(
         self,
         out_dir: str,
+        transform: Callable,
         num_partitions: int = 8,
-        config: Optional[ExtractorConfig] = None,
-        base_uri: str = "https://localhost/",
-        batch_size: int = 16,
-        time_budget_s: float = 0.0,
         input_fingerprint: str = "",
+        metrics_fn: Optional[Callable] = None,
     ):
         self.out_dir = out_dir
         self.num_partitions = num_partitions
-        self.config = config
-        self.base_uri = base_uri
-        self.batch_size = batch_size
-        self.time_budget_s = time_budget_s
         self.input_fingerprint = input_fingerprint
+        self._transform = transform
+        self._metrics_fn = metrics_fn
         os.makedirs(out_dir, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -219,7 +226,8 @@ class CheckpointedExtraction:
         each input file exactly once (vs K full scans in hash mode).
 
         ``reader(files) -> Dataset`` defaults to ``ray.data.read_parquet``;
-        it must yield the spans schema (doc_id, spans).
+        it must yield the schema the bound transform expects (for
+        extraction: doc_id, spans).
         """
         files = sorted(input_files)
         if not files:
@@ -240,9 +248,16 @@ class CheckpointedExtraction:
 
         return self._run_waves(make_wave_ds, max_partitions)
 
+    def _empty_metrics(self) -> dict:
+        return {"docs": 0}
+
     def _run_waves(self, make_wave_ds, max_partitions: Optional[int]) -> dict:
+        from collections import defaultdict
+
         ran = 0
-        totals = {"docs": 0, "readable": 0, "completed": 0}
+        totals: dict = defaultdict(int)
+        for k in self._empty_metrics():
+            totals[k] = 0
         for pid in self.pending_partitions():
             if max_partitions is not None and ran >= max_partitions:
                 break
@@ -258,18 +273,15 @@ class CheckpointedExtraction:
                 shutil.rmtree(part_dir)
             ds = make_wave_ds(pid)
             if ds is None:  # more partitions than files: commit empty
-                metrics = {"docs": 0, "readable": 0, "completed": 0,
-                           "chars_kept": 0}
+                metrics = dict(self._empty_metrics())
             else:
-                out = build_extraction_pipeline(
-                    ds,
-                    config=self.config,
-                    base_uri=self.base_uri,
-                    batch_size=self.batch_size,
-                    time_budget_s=self.time_budget_s,
-                )
+                out = self._transform(ds)
                 out.write_parquet(part_dir)
-                metrics = corpus_metrics(_read_part(part_dir))
+                part = _read_part(part_dir)
+                metrics = (
+                    self._metrics_fn(part) if self._metrics_fn is not None
+                    else {"docs": part.count()}
+                )
             _append_manifest(
                 self.out_dir,
                 {
@@ -280,10 +292,10 @@ class CheckpointedExtraction:
                 },
             )
             ran += 1
-            totals["docs"] += metrics["docs"]
-            totals["readable"] += metrics["readable"]
-            totals["completed"] += metrics["completed"]
-        return {"partitions_run": ran, **totals}
+            for k, v in metrics.items():
+                if isinstance(v, (int,)) and not isinstance(v, bool):
+                    totals[k] += v
+        return {"partitions_run": ran, **dict(totals)}
 
     def result_dataset(self):
         """All committed partitions as one Dataset."""
@@ -300,6 +312,46 @@ class CheckpointedExtraction:
             )
         ]
         return ray.data.read_parquet(files) if files else None
+
+
+class CheckpointedExtraction(CheckpointedTransform):
+    """Checkpointed extraction: :class:`CheckpointedTransform` with the
+    extraction pipeline bound as the transform and the corpus rollup as
+    the per-partition metrics."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        num_partitions: int = 8,
+        config: Optional[ExtractorConfig] = None,
+        base_uri: str = "https://localhost/",
+        batch_size: int = 16,
+        time_budget_s: float = 0.0,
+        input_fingerprint: str = "",
+    ):
+        def transform(ds):
+            return build_extraction_pipeline(
+                ds,
+                config=config,
+                base_uri=base_uri,
+                batch_size=batch_size,
+                time_budget_s=time_budget_s,
+            )
+
+        super().__init__(
+            out_dir,
+            transform,
+            num_partitions=num_partitions,
+            input_fingerprint=input_fingerprint,
+            metrics_fn=corpus_metrics,
+        )
+        self.config = config
+        self.base_uri = base_uri
+        self.batch_size = batch_size
+        self.time_budget_s = time_budget_s
+
+    def _empty_metrics(self) -> dict:
+        return {"docs": 0, "readable": 0, "completed": 0, "chars_kept": 0}
 
 
 def _read_part(part_dir: str):

@@ -639,3 +639,55 @@ def test_oracle_sql_all_parse_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as exc:  # pragma: no cover
             raise AssertionError(f"oracle {name!r} does not plan: {exc}")
+
+
+def test_checkpointed_transform_generic_resume(ray_session, tmp_path):
+    """The generic checkpoint base works for a NON-extraction pipeline:
+    a curation-style filter+stat transform, committed per partition,
+    resumed without re-running committed work."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.pipelines import CheckpointedTransform
+
+    def make_input():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([str(i) for i in range(40)],
+                                       type=pa.string()),
+                    "n": pa.array(list(range(40)), type=pa.int64()),
+                }
+            )
+        )
+
+    def transform(ds):
+        def keep_even(b):
+            return b.filter(pc.equal(pc.bit_wise_and(b.column("n"), 1), 0))
+
+        return ds.map_batches(keep_even, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "n2", pc.multiply(b.column("n"), b.column("n"))
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = str(tmp_path / "ckpt")
+    job = CheckpointedTransform(out, transform, num_partitions=4,
+                                input_fingerprint="t1")
+    first = job.run(make_input, max_partitions=2)
+    assert first["partitions_run"] == 2
+    # resume: only the remaining two partitions run
+    second = CheckpointedTransform(out, transform, num_partitions=4,
+                                   input_fingerprint="t1").run(make_input)
+    assert second["partitions_run"] == 2
+    result = job.result_dataset()
+    rows = sorted(r["n"] for r in result.take_all())
+    assert rows == list(range(0, 40, 2))
+    # a different input fingerprint must refuse to resume
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CheckpointedTransform(out, transform, num_partitions=4,
+                              input_fingerprint="OTHER").run(make_input)
