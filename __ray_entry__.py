@@ -1157,6 +1157,21 @@ def _q_zscore_tfidf_chain(sf_dir: str):
     return build_zscore_tfidf_pipeline(ds)
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-flattened source sampling (α=0.5): data-dependent
+    keep rates min(1, 2·n^-0.5) per source, md5-threshold filter; the
+    SQL oracle recomputes identical thresholds from the same counts."""
+    from smartreader_ray.functions.sampling import temperature_mix
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    return temperature_mix(ds, alpha=0.5, c=2.0)
+
+
 def _q_keys_union(sf_dir: str):
     """Dataset.union coverage: tag-and-union two key sets (customer ∪
     supplier), one groupby giving per-key row and distinct-source
@@ -1677,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_full": _q_customer_orders_full,
         "keys_union": _q_keys_union,
         "zscore_tfidf_chain": _q_zscore_tfidf_chain,
+        "temperature_mix": _q_temperature_mix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "docs_except": _q_docs_except,
@@ -2275,6 +2291,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        "temperature_mix": """
+            -- recompute the engine's data-dependent thresholds: libm
+            -- power() both sides, no cross-source sum, lowercase hex
+            WITH cnt AS (
+                SELECT source, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY source
+            ), thr AS (
+                SELECT source,
+                       CASE WHEN least(1.0, 2.0 * power(n, -0.5)) >= 1.0
+                            THEN 'g'
+                            ELSE lower(lpad(to_hex(CAST(trunc(
+                                least(1.0, 2.0 * power(n, -0.5))
+                                * 4294967296.0) AS BIGINT)), 8, '0'))
+                       END AS t
+                FROM cnt
+            )
+            SELECT d.source, d.doc_id
+            FROM documents d JOIN thr USING (source)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < t
         """,
         "zscore_tfidf_chain": """
             -- one statement = the whole engine chain: z-gate on the

@@ -196,7 +196,7 @@ def run_main() -> dict:
         "tfidf_terms", "quality_zscore", "frequent_terms", "embed_kmeans",
         "jsonl_roundtrip", "csv_roundtrip", "docs_except", "docs_intersect",
         "late_events", "range_partition", "media_pipeline", "length_token_corr",
-        "customer_orders_full", "keys_union", "zscore_tfidf_chain",
+        "customer_orders_full", "keys_union", "zscore_tfidf_chain", "temperature_mix",
         "orders_by_segment_salted",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)

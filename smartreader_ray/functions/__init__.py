@@ -40,7 +40,7 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
-from .sampling import mix_threshold_hex, stratified_sample, weighted_mix
+from .sampling import temperature_mix, mix_threshold_hex, stratified_sample, weighted_mix
 from .sketch import (
     approx_distinct,
     approx_distinct_by,

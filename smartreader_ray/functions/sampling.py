@@ -124,3 +124,31 @@ def weighted_mix(ds, weights: dict, default_weight: float = 0.0,
     return ds.select_columns([key_col, id_col]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def temperature_mix(ds, alpha: float = 0.5, c: float = 8.0,
+                    key_col: str = "source", id_col: str = "doc_id"):
+    """Temperature-flattened source sampling: keep each row of source
+    ``s`` with probability ``min(1, c · n_s^(α−1))`` — the standard
+    corpus-rebalancing move (α < 1 flattens the source distribution so
+    giant sources stop dominating the mix; α = 1 keeps everything, the
+    multilingual-balancing trick popularized by XLM-R / mT5 sampling).
+
+    Unlike :func:`weighted_mix` the rates are DATA-DEPENDENT: phase 1
+    is a key-cardinality-sized count per source; the driver derives the
+    per-source keep rate with libm ``pow`` (bit-identical to SQL
+    ``power()``, so a DuckDB oracle recomputes the exact same 8-hex
+    thresholds from the same counts — no normalizing sum across sources
+    is used anywhere, keeping every double computed per-source and
+    order-independent); phase 2 is the shuffle-free md5-threshold
+    filter shared with ``weighted_mix``.
+    """
+    import math
+
+    counts = ds.groupby(key_col).count().to_pandas()
+    weights = {
+        k: min(1.0, c * math.pow(float(n), alpha - 1.0))
+        for k, n in zip(counts[key_col], counts["count()"])
+    }
+    return weighted_mix(ds, weights, default_weight=0.0,
+                        key_col=key_col, id_col=id_col)

@@ -253,3 +253,32 @@ def test_salted_join_equals_unsalted(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(lds, rds, how="full_outer", salt=2, **kw)
+
+
+def test_temperature_mix_flattens_sources(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.sampling import temperature_mix
+
+    big = 400
+    small = 16
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(big + small), type=pa.int64()),
+            "source": ["big"] * big + ["small"] * small,
+        }
+    )
+    out = temperature_mix(
+        ray.data.from_arrow(t), alpha=0.5, c=4.0
+    ).to_pandas()
+    kept = out.groupby("source").size()
+    # small source: rate = min(1, 4/sqrt(16)) = 1 → all kept
+    assert kept["small"] == small
+    # big source: rate = 4/sqrt(400) = 0.2 → ~80 kept (md5-deterministic)
+    frac = kept["big"] / big
+    assert 0.1 < frac < 0.3
+    # deterministic: a second run keeps the identical rows
+    out2 = temperature_mix(
+        ray.data.from_arrow(t), alpha=0.5, c=4.0
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
