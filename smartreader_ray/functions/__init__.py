@@ -81,6 +81,7 @@ __all__ = [
     "repetition_stats",
     "hash_join",
     "stratified_sample",
+    "temperature_mix",
     "weighted_mix",
     "mix_threshold_hex",
     "approx_distinct",
