@@ -249,7 +249,10 @@ def _q_ann_ivf(sf_dir: str):
 
     from smartreader_ray.functions import ann_ivf
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     table = ann_ivf(ds, _query_matrix(sf_dir), k=10, n_clusters=16,
                     nprobe=16)
     return table.select(["query_id", "vec_id", "rank"])
@@ -266,7 +269,10 @@ def _q_ann_ivf_bucketed(sf_dir: str):
 
     from smartreader_ray.functions import ann_ivf_bucketed, ivf_build_index
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     index_dir = os.path.join(
         "/tmp", "smartreader_ivf_" + os.path.basename(os.path.normpath(sf_dir))
     )
@@ -301,7 +307,10 @@ def _q_ann(sf_dir: str):
 
     from smartreader_ray.functions import ann_topk
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     table = ann_topk(ds, _query_matrix(sf_dir), k=10)
     return table.select(["query_id", "vec_id", "rank"])
 
@@ -311,7 +320,10 @@ def _q_embed_neardup(sf_dir: str):
 
     from smartreader_ray.functions import embedding_neardup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     pairs = embedding_neardup(ds, threshold=0.45)
     return pairs.select_columns(["vec_a", "vec_b"])
 
@@ -321,7 +333,10 @@ def _q_embed_neardup_lsh(sf_dir: str):
 
     from smartreader_ray.functions import embedding_neardup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
     # LSH-bucketed scale path: candidates within identical 8-bit
     # hyperplane signatures (recall < 1 by design → rows-only check)
     return embedding_neardup(ds, threshold=0.45, use_lsh=True, hyperplanes=8)
@@ -1458,7 +1473,10 @@ def _q_sessionize(sf_dir: str):
 
     from smartreader_ray.functions import sessionize
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
     return sessionize(ds, gap_s=1800.0)
 
 
@@ -1470,7 +1488,10 @@ def _q_window_agg(sf_dir: str):
 
     from smartreader_ray.functions import tumbling_window
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
     return tumbling_window(ds, window_s=3600.0)
 
 
