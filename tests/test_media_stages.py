@@ -64,7 +64,7 @@ def test_media_stage_pipeline(ray_session):
     out = (
         ds.map_batches(ImageResizeStage, batch_format="pyarrow",
                        concurrency=(1, 2), batch_size=2)
-        .filter(lambda r: r["error"] == "")
+        .filter(expr="error == ''")
         .map_batches(ByteHistogramFeatures, batch_format="pyarrow",
                      concurrency=(1, 2), batch_size=2)
     ).take_all()
