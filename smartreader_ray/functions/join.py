@@ -116,6 +116,10 @@ def hash_join(left, right, left_key: str, right_key: str,
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
 
+            # SQL semantics: a NULL key matches NOTHING (not even another
+            # NULL) — drop null-key rows from the exchange; the modes that
+            # keep unmatched rows re-emit them via the null branches below
+            batch = batch.filter(pc.is_valid(batch.column(key_col)))
             if salt > 1 and side == 1:
                 # replicate the right side once per sub-key
                 idx = pa.array(
@@ -232,11 +236,41 @@ def hash_join(left, right, left_key: str, right_key: str,
         ]
         return pa.Table.from_arrays(arrays, names=left_cols + right_cols)
 
-    return (
+    joined = (
         l_packed.union(r_packed)
         .groupby("__key")
         .map_groups(emit, batch_format="pyarrow")
     )
+
+    # null-key rows never enter the exchange; outer-ish modes keep them
+    # as unmatched rows (nulls opposite), exactly like SQL outer joins
+    if how in ("left", "left_anti", "full_outer"):
+        def l_null_out(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_null(batch.column(left_key)))
+            arrays = [b.column(c) for c in left_cols]
+            if how != "left_anti":
+                arrays += [pa.nulls(b.num_rows, type=f.type)
+                           for f in right_type]
+            return pa.Table.from_arrays(arrays, names=out_names)
+
+        joined = joined.union(
+            left.select_columns(l_sel).map_batches(
+                l_null_out, batch_format="pyarrow"
+            )
+        )
+    if how in ("right", "full_outer"):
+        def r_null_out(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.is_null(batch.column(right_key)))
+            arrays = [pa.nulls(b.num_rows, type=f.type) for f in left_type]
+            arrays += [b.column(c) for c in right_cols]
+            return pa.Table.from_arrays(arrays, names=out_names)
+
+        joined = joined.union(
+            right.select_columns(r_sel).map_batches(
+                r_null_out, batch_format="pyarrow"
+            )
+        )
+    return joined
 
 
 def range_join(left, right, by: str, on: str,

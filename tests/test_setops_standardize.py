@@ -282,3 +282,43 @@ def test_temperature_mix_flattens_sources(ray_session):
         ray.data.from_arrow(t), alpha=0.5, c=4.0
     ).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    """NULL join keys must match NOTHING (SQL semantics): dropped from
+    inner, kept as unmatched rows by the outer-ish modes."""
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2], type=pa.int64()), "lv": ["a", "b", "c"]}
+    )
+    right = pa.table(
+        {"rk": pa.array([None, 2, 3], type=pa.int64()), "rv": ["x", "y", "z"]}
+    )
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    kw = dict(left_key="k", right_key="rk",
+              left_cols=["k", "lv"], right_cols=["rv"])
+
+    def rows(how):
+        return sorted(
+            (tuple(str(v) for v in r.values())
+             for r in hash_join(lds, rds, how=how, **kw).take_all())
+        )
+
+    assert rows("inner") == [("2", "c", "y")]
+    assert rows("left") == [("1", "a", "None"), ("2", "c", "y"),
+                            ("None", "b", "None")]
+    assert rows("right") == [("2", "c", "y"), ("None", "None", "x"),
+                             ("None", "None", "z")]
+    assert rows("full_outer") == [
+        ("1", "a", "None"), ("2", "c", "y"), ("None", "None", "x"),
+        ("None", "None", "z"), ("None", "b", "None"),
+    ]
+    anti = sorted(
+        ((r["k"], r["lv"])
+         for r in hash_join(lds, rds, how="left_anti", **kw).take_all()),
+        key=str,
+    )
+    assert anti == [(1, "a"), (None, "b")]
