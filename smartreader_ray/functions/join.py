@@ -58,8 +58,13 @@ def broadcast_join(ds, small, key: str, value_cols: list[str],
             self.values = {c: t.column(c).combine_chunks() for c in value_cols}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            # null index for unmatched keys → take yields null (left join)
-            idx = pc.index_in(batch.column(key), value_set=self.small_keys)
+            # null index for unmatched keys → take yields null (left join).
+            # SQL semantics: a NULL probe key matches NOTHING — index_in
+            # would match a null build-side key, so mask null probes out.
+            probe = batch.column(key)
+            idx = pc.index_in(probe, value_set=self.small_keys)
+            idx = pc.if_else(pc.is_valid(probe), idx,
+                             pa.scalar(None, type=idx.type))
             for c in value_cols:
                 batch = batch.append_column(c, pc.take(self.values[c], idx))
             return batch

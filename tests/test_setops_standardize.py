@@ -322,3 +322,22 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
         key=str,
     )
     assert anti == [(1, "a"), (None, "b")]
+
+
+def test_broadcast_join_null_probe_matches_nothing(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.join import broadcast_join
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2], type=pa.int64()), "lv": ["a", "b", "c"]}
+    )
+    small = pa.table(
+        {"k": pa.array([2, None], type=pa.int64()), "sv": ["y", "x"]}
+    )
+    out = broadcast_join(
+        ray.data.from_arrow(left), small, "k", ["sv"]
+    ).take_all()
+    got = sorted((str(r["k"]), r["lv"], str(r["sv"])) for r in out)
+    # the NULL probe row must NOT pick up the null build-side key's value
+    assert got == [("1", "a", "None"), ("2", "c", "y"), ("None", "b", "None")]
