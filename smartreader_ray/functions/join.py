@@ -324,6 +324,13 @@ def range_join(left, right, by: str, on: str,
         theirs = r_types if side == 0 else l_types
 
         def fn(batch: pa.Table) -> pa.Table:
+            # SQL semantics: null by/on can never produce a match — keep
+            # them out of the exchange (outer-ish modes re-emit left
+            # nulls unmatched via a bypass branch)
+            batch = batch.filter(
+                pc.and_(pc.is_valid(batch.column(by)),
+                        pc.is_valid(batch.column(on)))
+            )
             n = batch.num_rows
             cols = {
                 "__key": pc.cast(batch.column(by), pa.string()),
@@ -411,10 +418,28 @@ def range_join(left, right, by: str, on: str,
         ]
         return pa.Table.from_arrays(arrays, names=pair_names)
 
-    return (
+    matched = (
         l_packed.union(r_packed)
         .groupby("__key")
         .map_groups(emit, batch_format="pyarrow")
+    )
+    if mode != "count":
+        return matched
+
+    # count mode is left-outer (one row per LEFT row): left rows with a
+    # null by/on never entered the exchange — emit them with count 0
+    def l_null_out(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = batch.filter(
+            pc.or_(pc.is_null(batch.column(by)), pc.is_null(batch.column(on)))
+        )
+        out = {c: b.column(c) for c in left_cols}
+        out[count_name] = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return pa.Table.from_pydict(out)
+
+    return matched.union(
+        prune(left, left_cols).map_batches(l_null_out, batch_format="pyarrow")
     )
 
 
@@ -452,6 +477,13 @@ def asof_join(left, right, by: str, on: str,
         theirs_types = r_types if side == 0 else l_types
 
         def fn(batch: pa.Table) -> pa.Table:
+            # SQL semantics: null by/on can never produce a match — keep
+            # them out of the exchange (outer-ish modes re-emit left
+            # nulls unmatched via a bypass branch)
+            batch = batch.filter(
+                pc.and_(pc.is_valid(batch.column(by)),
+                        pc.is_valid(batch.column(on)))
+            )
             n = batch.num_rows
             cols = {
                 "__key": pc.cast(batch.column(by), pa.string()),
@@ -522,8 +554,23 @@ def asof_join(left, right, by: str, on: str,
             out[c] = rt.column(c).take(take_idx)
         return pa.Table.from_pydict(out)
 
-    return (
+    matched = (
         l_packed.union(r_packed)
         .groupby("__key")
         .map_groups(emit, batch_format="pyarrow")
+    )
+
+    # left-outer: left rows with a null by/on never entered the exchange;
+    # emit them with null right columns, like any unmatched left row
+    def l_null_out(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.or_(pc.is_null(batch.column(by)), pc.is_null(batch.column(on)))
+        )
+        arrays = [b.column(c) for c in left_cols] + [
+            pa.nulls(b.num_rows, type=t) for _, t in r_types
+        ]
+        return pa.Table.from_arrays(arrays, names=left_cols + right_cols)
+
+    return matched.union(
+        prune(left, left_cols).map_batches(l_null_out, batch_format="pyarrow")
     )

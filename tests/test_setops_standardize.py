@@ -341,3 +341,55 @@ def test_broadcast_join_null_probe_matches_nothing(ray_session):
     got = sorted((str(r["k"]), r["lv"], str(r["sv"])) for r in out)
     # the NULL probe row must NOT pick up the null build-side key's value
     assert got == [("1", "a", "None"), ("2", "c", "y"), ("None", "b", "None")]
+
+
+def test_asof_and_range_join_null_semantics(ray_session):
+    """Null by/on rows: never match; left-outer modes keep left rows."""
+    import ray.data
+
+    from smartreader_ray.functions.join import asof_join, range_join
+
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, None], type=pa.int64()),
+            "ts": pa.array([100, 200, 150], type=pa.timestamp("us")),
+            "lv": ["a", "b", "c"],
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([90, None], type=pa.timestamp("us")),
+            "rv": ["x", "y"],
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by="u", on="ts", left_cols=["u", "ts", "lv"], right_cols=["rv"],
+    ).take_all()
+    got = sorted((str(r["u"]), r["lv"], str(r["rv"])) for r in out)
+    # null-ts right row is never a match; null-u left row stays unmatched
+    assert got == [("1", "a", "x"), ("1", "b", "x"), ("None", "c", "None")]
+
+    rleft = pa.table(
+        {
+            "u": pa.array([1, None], type=pa.int64()),
+            "ts": pa.array([100, 150], type=pa.int64()),
+            "lv": ["a", "c"],
+        }
+    )
+    rright = pa.table(
+        {
+            "u": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([95, None], type=pa.int64()),
+            "rv": ["x", "y"],
+        }
+    )
+    cnt = range_join(
+        ray.data.from_arrow(rleft), ray.data.from_arrow(rright),
+        by="u", on="ts", left_cols=["u", "lv"], right_cols=["rv"],
+        lower=-10, upper=0, mode="count",
+    ).take_all()
+    assert sorted((str(r["u"]), r["lv"], r["n_matches"]) for r in cnt) == [
+        ("1", "a", 1), ("None", "c", 0),
+    ]
