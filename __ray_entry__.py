@@ -772,6 +772,49 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), chunk_tokens=32, stride=24)
 
 
+def _q_incremental_neardup(sf_dir: str):
+    """Incremental NEAR-dup: index wave 1 (first half) in the sharded
+    MinHash-LSH band-key index, then stream wave 2 = second half PLUS
+    re-keyed exact copies of wave-1 docs — every copy must be rejected
+    (exact dup ⇒ identical signature ⇒ every band hits). LSH hash
+    family → rows-only; admit/pollution semantics pinned in
+    tests/test_state.py. Returns wave-2 survivors sorted by doc_id."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.state import NearDupIndex
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n = docs.count()
+
+    idx = NearDupIndex(num_shards=4)
+
+    def first_half(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids < n // 2))
+
+    def wave2(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(ids >= n // 2))
+        replay = b.filter(pa.array(ids < n // 2))
+        replay = replay.set_column(
+            0, "doc_id",
+            pa.array(replay.column("doc_id").to_numpy(
+                zero_copy_only=False) + 10_000_000, type=pa.int64()),
+        )
+        return pa.concat_tables([keep, replay])
+
+    # wave 1: index everything (consume the stream)
+    for _ in idx.filter_new(
+        docs.map_batches(first_half, batch_format="pyarrow")
+    ).iter_batches(batch_size=None):
+        pass
+    survivors = idx.filter_new(
+        docs.map_batches(wave2, batch_format="pyarrow")
+    )
+    return survivors.select_columns(["doc_id"]).sort("doc_id")
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental (cross-job) dedup: index the first half of the corpus
     in the sharded mutable fingerprint index, then stream the second
@@ -1725,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_neardup": _q_incremental_neardup,
         "chunk_documents": _q_chunk_documents,
         "top_orders_by_segment": _q_top_orders_by_segment,
         "warc_extract": _q_warc_extract,

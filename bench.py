@@ -188,7 +188,7 @@ def run_main() -> dict:
         "pii_redact", "source_cap", "decontaminate", "repetition_stats",
         "pack_sequences", "asof_purchase", "value_quantiles",
         "curated_corpus", "dup_passages", "weighted_mix",
-        "incremental_dedup", "chunk_documents", "top_orders_by_segment",
+        "incremental_dedup", "incremental_neardup", "chunk_documents", "top_orders_by_segment",
         "warc_extract", "quality_gate", "dup_passages_hashed",
         "dup_clusters", "dup_clusters_lp", "value_quantiles_exact",
         "distinct_users_exact", "events_next_hour", "sliding_windows",

@@ -5,6 +5,6 @@ exchange; raw ``@ray.remote`` actors appear ONLY here, for state that
 must mutate across batches — the incremental dedup index.
 """
 
-from .dedup_index import DedupIndex, FingerprintShard
+from .dedup_index import BandKeyShard, DedupIndex, FingerprintShard, NearDupIndex
 
 __all__ = ["DedupIndex", "FingerprintShard"]

@@ -151,3 +151,112 @@ class DedupIndex:
             "entries": sum(counts) if all(c >= 0 for c in counts) else None,
             "approx_bytes": sum(sizes),
         }
+
+
+@ray.remote
+class BandKeyShard:
+    """One shard of the near-dup index: a set of seen LSH band keys,
+    with SEPARATE check and add calls (the near-dup admit decision
+    needs all of a doc's bands, which live on different shards — see
+    :class:`NearDupIndex` for the resulting consistency contract)."""
+
+    def __init__(self):
+        self._seen: set = set()
+
+    def check(self, keys: list[int]) -> list[bool]:
+        seen = self._seen
+        return [k in seen for k in keys]
+
+    def add(self, keys: list[int]) -> None:
+        self._seen.update(keys)
+
+    def count(self) -> int:
+        return len(self._seen)
+
+    def size_bytes(self) -> int:
+        return len(self._seen) * 60
+
+
+class NearDupIndex:
+    """Incremental NEAR-dup index: MinHash-LSH band keys sharded over
+    actors — the streaming companion to ``minhash_lsh_candidates``
+    exactly as :class:`DedupIndex` is to ``fingerprint_dedup``. A new
+    document is rejected when ANY of its band keys was recorded by a
+    previously accepted document (same bucket ⇒ likely Jaccard ≥ the
+    band threshold); an accepted document records all its band keys.
+
+    Consistency contract (documented, weaker than ``DedupIndex``):
+    check and add are separate rounds because one doc's bands span
+    shards, so two CONCURRENT near-dup batches can, rarely, both admit
+    — the standard streaming-LSH trade. Within one `filter_new` stream
+    the actor serialization makes admits deterministic per batch order;
+    cross-batch, first-checked wins. Exactness (no false drops beyond
+    LSH's own false-positive buckets) is preserved: keys are only added
+    for ACCEPTED documents.
+    """
+
+    def __init__(self, num_shards: int = 8, num_hashes: int = 64,
+                 bands: int = 16, ngram: int = 3, seed: int = 42):
+        self.num_shards = num_shards
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.ngram = ngram
+        self.seed = seed
+        self.shards = [BandKeyShard.remote() for _ in range(num_shards)]
+
+    def filter_new(self, ds, text_col: str = "text"):
+        """documents → the subset whose MinHash bands hit no recorded
+        bucket (and record them). One check round + one add round per
+        (batch, shard)."""
+        from ..functions.dedup import MinHasher
+
+        shards = self.shards
+        n_shards = self.num_shards
+        params = (self.num_hashes, self.bands, self.ngram, self.seed)
+
+        class Filter:
+            def __init__(self):
+                nh, bands, ngram, seed = params
+                self.hasher = MinHasher(num_hashes=nh, bands=bands,
+                                        ngram=ngram, seed=seed)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return batch
+                texts = batch.column(text_col).to_pylist()
+                sigs = self.hasher.signatures_batch(texts)
+                keys = self.hasher.band_keys_batch(sigs)  # (B, bands)
+                flat = keys.reshape(-1).astype(np.uint64)
+                doc_of = np.repeat(np.arange(len(texts), dtype=np.int64),
+                                   keys.shape[1])
+                shard_of = (flat % np.uint64(n_shards)).astype(np.int64)
+                hit = np.zeros(len(flat), dtype=bool)
+                pending = []
+                for s in range(n_shards):
+                    idx = np.nonzero(shard_of == s)[0]
+                    if len(idx):
+                        pending.append(
+                            (idx, shards[s].check.remote(
+                                [int(k) for k in flat[idx]]))
+                        )
+                for idx, fut in pending:
+                    hit[idx] = ray.get(fut)
+                dup_doc = np.zeros(len(texts), dtype=bool)
+                np.logical_or.at(dup_doc, doc_of, hit)
+                accept = ~dup_doc
+                add_mask = accept[doc_of]
+                adds = []
+                for s in range(n_shards):
+                    idx = np.nonzero((shard_of == s) & add_mask)[0]
+                    if len(idx):
+                        adds.append(shards[s].add.remote(
+                            [int(k) for k in flat[idx]]))
+                ray.get(adds)  # barrier: accepted keys visible before return
+                return batch.filter(pa.array(accept))
+
+        return ds.map_batches(Filter, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    def stats(self) -> dict:
+        counts = ray.get([s.count.remote() for s in self.shards])
+        return {"shards": self.num_shards, "band_keys": sum(counts)}

@@ -82,3 +82,58 @@ def test_bloom_bits_validation(ray_session):
     shard = FingerprintShard.remote(bloom_bits=1000)  # not a power of two
     with pytest.raises(Exception, match="power of two"):
         ray.get(shard.check_and_add.remote([1]))
+
+
+def test_neardup_index_two_waves(ray_session):
+    """Wave 2's near-duplicates of wave-1 docs are rejected; genuinely
+    new content passes; accepted docs record their bands."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.state.dedup_index import NearDupIndex
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the wide open field towards the distant river bank "
+            "every single morning before sunrise without fail")
+    near = base.replace("lazy", "sleepy")  # high-Jaccard near-dup
+    other = ("completely different content about database systems and "
+             "distributed query execution with vectorized operators and "
+             "shuffle services plus columnar storage layouts")
+
+    idx = NearDupIndex(num_shards=2)
+    w1 = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()), "text": [base]}
+    ))
+    kept1 = idx.filter_new(w1).take_all()
+    assert [r["doc_id"] for r in kept1] == [1]
+
+    w2 = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([2, 3], type=pa.int64()),
+         "text": [near, other]}
+    ))
+    kept2 = sorted(r["doc_id"] for r in idx.filter_new(w2).take_all())
+    assert kept2 == [3]  # near-dup of wave 1 rejected, new doc kept
+    assert idx.stats()["band_keys"] > 0
+
+
+def test_neardup_index_rejected_doc_does_not_pollute(ray_session):
+    """A REJECTED doc must not record its bands: a later doc similar to
+    the rejected one (but not to any accepted one) is admitted."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.state.dedup_index import NearDupIndex
+
+    a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    idx = NearDupIndex(num_shards=2)
+    idx.filter_new(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()), "text": [a]}
+    ))).take_all()
+    n1 = idx.stats()["band_keys"]
+    # an exact duplicate is rejected and must add nothing
+    kept = idx.filter_new(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([2], type=pa.int64()), "text": [a]}
+    ))).take_all()
+    assert kept == []
+    assert idx.stats()["band_keys"] == n1
