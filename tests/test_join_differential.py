@@ -67,3 +67,53 @@ def test_hash_join_matches_duckdb(ray_session, seed, salt):
         got = _norm(tuple(r.get(c) for c in cols) for r in out)
         exp = _norm(con.sql(SQL[how]).fetchall())
         assert got == exp, (how, seed, salt)
+
+
+EXCEPT_SQL = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM l
+    WHERE text NOT IN (SELECT text FROM r) GROUP BY text
+"""
+INTERSECT_SQL = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM l
+    WHERE text IN (SELECT text FROM r) GROUP BY text
+"""
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_setops_match_duckdb(ray_session, seed):
+    import ray.data
+
+    from smartreader_ray.functions.setops import (
+        except_by_content,
+        intersect_by_content,
+    )
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    def mk(n, start):
+        texts = [" ".join(rng.choice(vocab, size=3)) for _ in range(n)]
+        return pa.table(
+            {
+                "doc_id": pa.array(range(start, start + n), type=pa.int64()),
+                "text": texts,
+            }
+        )
+
+    left = mk(rng.randint(1, 30), 100)
+    right = mk(rng.randint(0, 20), 0)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    lds = ray.data.from_arrow(left)
+    rds = (ray.data.from_arrow(right) if right.num_rows
+           else ray.data.from_arrow(right.schema.empty_table()))
+
+    got_ex = sorted(r["doc_id"] for r in except_by_content(lds, rds).take_all())
+    exp_ex = sorted(r[0] for r in con.sql(EXCEPT_SQL).fetchall())
+    assert got_ex == exp_ex, seed
+
+    got_in = sorted(
+        r["doc_id"] for r in intersect_by_content(lds, rds).take_all()
+    )
+    exp_in = sorted(r[0] for r in con.sql(INTERSECT_SQL).fetchall())
+    assert got_in == exp_in, seed
