@@ -117,3 +117,67 @@ def test_setops_match_duckdb(ray_session, seed):
     )
     exp_in = sorted(r[0] for r in con.sql(INTERSECT_SQL).fetchall())
     assert got_in == exp_in, seed
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_zscore_corr_bit_equal_vs_duckdb(ray_session, seed):
+    """The exact-moment operators must match DuckDB bit-for-bit on
+    arbitrary integer data when SQL spells the same expression tree."""
+    import ray.data
+
+    from smartreader_ray.functions.standardize import corr_by, zscore_by
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(5, 60)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "lang": [f"l{rng.randint(0, 3)}" for _ in range(n)],
+            "x": pa.array(rng.randint(0, 5000, size=n), type=pa.int64()),
+            "y": pa.array(rng.randint(0, 900, size=n), type=pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    got_z = {
+        r["doc_id"]: r["z"]
+        for r in zscore_by(ds, "lang", "x").take_all()
+    }
+    exp_z = dict(con.sql("""
+        WITH agg AS (SELECT lang, CAST(count(*) AS BIGINT) n,
+                            CAST(sum(x) AS BIGINT) s,
+                            CAST(sum(x*x) AS BIGINT) ss
+                     FROM t GROUP BY lang)
+        SELECT doc_id,
+               CASE WHEN (ss/CAST(n AS DOUBLE)
+                          - (s/CAST(n AS DOUBLE))*(s/CAST(n AS DOUBLE))) > 0
+                    THEN round((x - s/CAST(n AS DOUBLE))
+                         / sqrt(ss/CAST(n AS DOUBLE)
+                                - (s/CAST(n AS DOUBLE))*(s/CAST(n AS DOUBLE))), 6)
+                    ELSE NULL END
+        FROM t JOIN agg USING (lang)
+    """).fetchall())
+    assert got_z == exp_z, seed
+
+    got_c = {
+        r["lang"]: r["corr"] for r in corr_by(ds, "lang", "x", "y").take_all()
+    }
+    exp_c = dict(con.sql("""
+        WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) n,
+                          CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                          CAST(sum(x*x) AS BIGINT) sxx,
+                          CAST(sum(y*y) AS BIGINT) syy,
+                          CAST(sum(x*y) AS BIGINT) sxy
+                   FROM t GROUP BY lang)
+        SELECT lang,
+               CASE WHEN (CAST(n*sxx AS DOUBLE) - CAST(sx*sx AS DOUBLE)) > 0
+                     AND (CAST(n*syy AS DOUBLE) - CAST(sy*sy AS DOUBLE)) > 0
+                    THEN round((CAST(n*sxy AS DOUBLE) - CAST(sx*sy AS DOUBLE))
+                         / (sqrt(CAST(n*sxx AS DOUBLE) - CAST(sx*sx AS DOUBLE))
+                            * sqrt(CAST(n*syy AS DOUBLE) - CAST(sy*sy AS DOUBLE))), 6)
+                    ELSE NULL END
+        FROM m
+    """).fetchall())
+    assert got_c == exp_c, seed
