@@ -2547,7 +2547,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN agg USING (lang)
         """,
         "docs_except": """
-            WITH n AS (SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM documents),
+            WITH n AS (SELECT count(*) // 2 AS h FROM documents),
             pfx AS (
                 SELECT doc_id,
                        array_to_string(string_split(trim(text), ' ')[1:5], ' ') AS pfx
@@ -2560,7 +2560,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY pfx
         """,
         "docs_intersect": """
-            WITH n AS (SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM documents),
+            WITH n AS (SELECT count(*) // 2 AS h FROM documents),
             pfx AS (
                 SELECT doc_id,
                        array_to_string(string_split(trim(text), ' ')[1:5], ' ') AS pfx

@@ -356,6 +356,12 @@ def range_join(left, right, by: str, on: str,
         v = col.to_numpy(zero_copy_only=False)
         if v.dtype.kind == "M":  # datetime64 → int64 epoch in native unit
             return v.astype("datetime64[us]").astype(np.int64)
+        if v.dtype.kind not in "iu":
+            # a float `on` would silently truncate toward zero, evaluating
+            # band membership on the wrong values (1.9 vs bound 1.5 → 1)
+            raise TypeError(
+                f"range_join `on` must be integer or timestamp, got {v.dtype}"
+            )
         return v.astype(np.int64)
 
     def _empty(names, types):

@@ -42,6 +42,15 @@ def pivot_counts(ds, key_col: str, col: str, values: list[str],
     val_idx = {v: i for i, v in enumerate(values)}
 
     def widen(group: pa.Table) -> pa.Table:
+        if not agg_int:
+            # float partials must accumulate in a deterministic order —
+            # group-arrival order varies with partitioning, and a total on
+            # a half-cent boundary would flip the rounded cent run-to-run
+            import pyarrow.compute as pc
+
+            group = group.take(pc.sort_indices(
+                group, sort_keys=[("__pv", "ascending"), ("__agg", "ascending")]
+            ))
         pv = group.column("__pv").to_pylist()
         agg = group.column("__agg").to_numpy(zero_copy_only=False)
         acc = np.zeros(len(values), dtype=np.float64)

@@ -11,7 +11,15 @@ the key-cardinality-sized partial table.
 Exactness bound: int64 moments require ``n_key · max(x)² < 2⁶³``
 (≈9·10¹⁸ — e.g. 10¹² rows of values up to ~3000). Beyond that a
 production variant should shift values per key or merge Welford states;
-the guard below fails loudly instead of overflowing silently.
+this module fails loudly instead of overflowing silently, via TWO
+guards: a per-value magnitude check (so each ``v²`` product is exact),
+and a float64 checksum — every int64 partial is accompanied by a
+float64 partial summed through the same exchange, and after the merge
+the int total is compared against the float approximation of the TRUE
+total. An int64 wrap anywhere (inside a block's pandas sum or in the
+Ray ``Sum`` merge) shifts the int total by ±k·2⁶⁴ ≈ 1.8·10¹⁹ while the
+float total tracks the true value to ~10⁻¹⁰ relative, so the mismatch
+is unmissable and raises ``OverflowError`` naming the fix.
 
 The per-double arithmetic ORDER is part of the contract: mean = Σx/n,
 msq = Σx²/n, var = msq − mean², z = (x − mean)/√var — the SQL oracle
@@ -27,6 +35,21 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _check_int_totals(int_totals: "np.ndarray", float_totals: "np.ndarray",
+                      what: str) -> None:
+    """Raise OverflowError if any int64 total disagrees with its float64
+    checksum beyond float-summation error. A wrap shifts the int total
+    by ≥2⁶⁴; float (pairwise) summation error is ≤ ~1e-10 relative, so
+    tol = max(1e6, 1e-6·|float|) separates the two regimes cleanly."""
+    diff = np.abs(int_totals.astype(np.float64) - float_totals)
+    tol = np.maximum(1e6, 1e-6 * np.abs(float_totals))
+    if np.any(diff > tol):
+        raise OverflowError(
+            f"int64 {what} moment total wrapped (n·max(x)² exceeded 2⁶³); "
+            "shift values per key or use a Welford-merge variant"
+        )
+
+
 def _moment_partials(key_col: str, value_col: str):
     def fn(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -35,17 +58,22 @@ def _moment_partials(key_col: str, value_col: str):
                 f"{value_col} values exceed the int64 moment bound; "
                 "shift per key or use a Welford-merge variant"
             )
+        vf = v.astype(np.float64)
         df = pd.DataFrame(
-            {"k": batch.column(key_col).to_pandas(), "v": v, "v2": v * v}
+            {"k": batch.column(key_col).to_pandas(), "v": v, "v2": v * v,
+             "vf": vf, "v2f": vf * vf}
         )
         g = df.groupby("k", sort=False)
-        agg = g.agg(n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"))
+        agg = g.agg(n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"),
+                    s_f=("vf", "sum"), ss_f=("v2f", "sum"))
         return pa.table(
             {
                 key_col: pa.array(agg.index),
                 "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
                 "s": pa.array(agg["s"].to_numpy(), type=pa.int64()),
                 "ss": pa.array(agg["ss"].to_numpy(), type=pa.int64()),
+                "s_f": pa.array(agg["s_f"].to_numpy(), type=pa.float64()),
+                "ss_f": pa.array(agg["ss_f"].to_numpy(), type=pa.float64()),
             }
         )
 
@@ -66,9 +94,10 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
         _moment_partials(key_col, value_col), batch_format="pyarrow"
     )
     totals = (
-        partial.groupby(key_col).aggregate(Sum("n"), Sum("s"), Sum("ss"))
+        partial.groupby(key_col)
+        .aggregate(Sum("n"), Sum("s"), Sum("ss"), Sum("s_f"), Sum("ss_f"))
         .map_batches(
-            lambda b: b.rename_columns([key_col, "n", "s", "ss"]),
+            lambda b: b.rename_columns([key_col, "n", "s", "ss", "s_f", "ss_f"]),
             batch_format="pyarrow",
         )
     )
@@ -79,6 +108,10 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
             "use a hash-shuffle join of rows against moments instead"
         )
     moments = totals.to_pandas()
+    _check_int_totals(moments["s"].to_numpy(dtype=np.int64),
+                      moments["s_f"].to_numpy(dtype=np.float64), "Σx")
+    _check_int_totals(moments["ss"].to_numpy(dtype=np.int64),
+                      moments["ss_f"].to_numpy(dtype=np.float64), "Σx²")
     keys_idx = moments[key_col]
     stats_ref = ray.put(
         (
@@ -115,19 +148,24 @@ def _comoment_partials(key_col: str, x_col: str, y_col: str):
             raise OverflowError(
                 "values exceed the int64 co-moment bound; shift per key first"
             )
+        xf, yf = x.astype(np.float64), y.astype(np.float64)
         df = pd.DataFrame(
             {
                 "k": batch.column(key_col).to_pandas(),
                 "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+                "xxf": xf * xf, "yyf": yf * yf, "xyf": xf * yf,
             }
         )
         g = df.groupby("k", sort=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
             sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+            sxx_f=("xxf", "sum"), syy_f=("yyf", "sum"), sxy_f=("xyf", "sum"),
         )
         cols = {key_col: pa.array(g.index)}
         for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
             cols[c] = pa.array(g[c].to_numpy(), type=pa.int64())
+        for c in ("sxx_f", "syy_f", "sxy_f"):
+            cols[c] = pa.array(g[c].to_numpy(), type=pa.float64())
         return pa.table(cols)
 
     return fn
@@ -152,16 +190,24 @@ def corr_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
     totals = (
         partial.groupby(key_col)
         .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
-                   Sum("sxy"))
+                   Sum("sxy"), Sum("sxx_f"), Sum("syy_f"), Sum("sxy_f"))
         .map_batches(
             lambda b: b.rename_columns(
-                [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"]
+                [key_col, "n", "sx", "sy", "sxx", "syy", "sxy",
+                 "sxx_f", "syy_f", "sxy_f"]
             ),
             batch_format="pyarrow",
         )
     )
 
     def finalize(b: pa.Table) -> pa.Table:
+        # checksum gate: for integer inputs a Σx/Σy wrap forces a Σx²/Σy²
+        # wrap (Σx² ≥ Σ|x| for ints), so the squared/cross sums cover all
+        for c in ("sxx", "syy", "sxy"):
+            _check_int_totals(
+                b.column(c).to_numpy(zero_copy_only=False).astype(np.int64),
+                b.column(c + "_f").to_numpy(zero_copy_only=False), "Σ" + c[1:]
+            )
         n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
         sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
         sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -7,4 +7,4 @@ must mutate across batches — the incremental dedup index.
 
 from .dedup_index import BandKeyShard, DedupIndex, FingerprintShard, NearDupIndex
 
-__all__ = ["DedupIndex", "FingerprintShard"]
+__all__ = ["BandKeyShard", "DedupIndex", "FingerprintShard", "NearDupIndex"]

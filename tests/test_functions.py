@@ -1051,6 +1051,27 @@ def test_range_join_count_and_pairs(ray_session):
     assert before == {0: 1, 1: 2, 2: 3, 3: 4, 4: 1, 5: 2}
 
 
+def test_range_join_rejects_float_on(ray_session):
+    # ADVICE r3: a float `on` column was silently truncated toward zero
+    # (r.on=1.9 vs bound 1.5 compared as 1) — must raise instead.
+    import ray.data
+
+    from smartreader_ray.functions import range_join
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "ts": pa.array([1.9, 1.5], type=pa.float64()),
+            "event_id": pa.array([0, 1], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception) as ei:
+        range_join(ds, ds, by="user_id", on="ts", left_cols=["event_id"],
+                   right_cols=[], lower=0, upper=1, mode="count").take_all()
+    assert "integer or timestamp" in str(ei.value)
+
+
 def test_range_join_brute_force_equivalence(ray_session):
     import itertools
 

@@ -114,6 +114,76 @@ def test_zscore_overflow_guard(ray_session):
         zscore_by(ray.data.from_arrow(t), "lang", "n_chars").take_all()
 
 
+def test_zscore_checksum_catches_sum_wrap(ray_session):
+    # Two rows of 3e9 each pass the per-value guard (|v| ≤ 3e9) but
+    # Σx² = 2·9e18 = 1.8e19 wraps int64 — the float64 checksum that rides
+    # the same exchange must catch it (ADVICE r3: guard was per-value only).
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "lang": ["en", "en"],
+            "n_chars": pa.array([3_000_000_000, 3_000_000_000], type=pa.int64()),
+        }
+    )
+    with pytest.raises(OverflowError):
+        zscore_by(ray.data.from_arrow(t), "lang", "n_chars").take_all()
+
+
+def test_zscore_checksum_catches_moderate_value_wrap(ray_session):
+    # Many rows of a moderate value: 3000 rows of 2e9 → Σx² = 1.2e22 ≫ 2⁶³.
+    # No single value trips the per-value guard; only the checksum can.
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3000), type=pa.int64()),
+            "lang": ["en"] * 3000,
+            "n_chars": pa.array([2_000_000_000] * 3000, type=pa.int64()),
+        }
+    )
+    with pytest.raises(OverflowError):
+        zscore_by(ray.data.from_arrow(t), "lang", "n_chars").take_all()
+
+
+def test_corr_checksum_catches_comoment_wrap(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.standardize import corr_by
+
+    n = 3000
+    t = pa.table(
+        {
+            "lang": ["en"] * n,
+            "x": pa.array([2_000_000_000 - i for i in range(n)], type=pa.int64()),
+            "y": pa.array([2_000_000_000 + i for i in range(n)], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception) as ei:
+        corr_by(ray.data.from_arrow(t), "lang", "x", "y").take_all()
+    assert "wrapped" in str(ei.value) or "OverflowError" in str(ei.value)
+
+
+def test_zscore_checksum_passes_legit_large(ray_session):
+    # Values near (but inside) the exact regime must NOT false-positive:
+    # 10_000 rows of ~1e6 → Σx² = 1e16 < 2⁶³, checksum agrees.
+    import ray.data
+
+    n = 10_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "lang": ["en"] * n,
+            "n_chars": pa.array([1_000_000 + (i % 7) for i in range(n)],
+                                type=pa.int64()),
+        }
+    )
+    out = zscore_by(ray.data.from_arrow(t), "lang", "n_chars").take_all()
+    assert len(out) == n
+    assert all(r["z"] is not None for r in out)
+
+
 def test_late_events_watermark(ray_session):
     import ray.data
 
