@@ -1576,63 +1576,116 @@ def _q_media_meta(sf_dir: str):
 
 
 def _q_media_pipeline(sf_dir: str):
-    """Multimodal chain: deterministic FIMG image per document (fake
-    codec — real plumbing, stub pixels) → actor-pool resize →
-    byte-histogram feature extraction → 256-dim embedding rows. Binary
-    payloads never reach the driver; rows-only check (codec-stubbed),
-    stages unit-tested in tests/test_media_stages.py."""
+    """Multimodal image chain over REAL byte-level decode: one
+    deterministic 24-bit BMP per document (width/height/pixels pure
+    functions of doc_id and n_chars — red channel a column ramp
+    ``(doc_id + x) % 256``, green/blue constants), actor-pool
+    nearest-neighbor resize to max_dim=256 (bmp→bmp re-encode), then
+    exact integer pixel stats. Every number — resized dims, pixel sum /
+    min / max — is replayed by the SQL oracle, including the resize's
+    ``(j·w)//nw`` column index map, so this leg is hash-exact: a decoder
+    or resampler bug of even one pixel flips the hash. Binary payloads
+    never reach the driver."""
+    import numpy as np
     import pyarrow as pa
     import ray.data
 
-    from smartreader_ray.stages.media import (
-        ByteHistogramFeatures,
-        ImageResizeStage,
-        fake_image_encode,
-    )
+    from smartreader_ray.stages.codecs import bmp_encode
+    from smartreader_ray.stages.media import ImageResizeStage, ImageStatsFeatures
 
     def synth(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        payloads = [
-            fake_image_encode(
-                64 + (int(i) % 512), 64 + (int(i) % 256),
-                (t or " ").encode()[:4096],
-            )
-            for i, t in zip(ids, texts)
-        ]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i, nc in zip(ids, n_chars):
+            i, nc = int(i), int(nc)
+            w = 150 + i % 300          # 150..449: both resize paths hit
+            h = 80 + (i * 3) % 200     # 80..279
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = ((i + np.arange(w)) % 256)[None, :]
+            px[:, :, 1] = nc % 256
+            px[:, :, 2] = (i * 7 + 3) % 256
+            payloads.append(bmp_encode(px))
         return pa.table(
             {
-                "doc_id": pa.array([str(i) for i in ids], type=pa.string()),
+                "doc_id": batch.column("doc_id"),
                 "media_ref": pa.array(
-                    [f"img://{i}" for i in ids], type=pa.string()
+                    [f"img://{int(i)}" for i in ids], type=pa.string()
                 ),
                 "payload": pa.array(payloads, type=pa.binary()),
             }
         )
 
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
     ).map_batches(synth, batch_format="pyarrow")
     resized = ds.map_batches(
         ImageResizeStage, batch_format="pyarrow", concurrency=(1, 4),
         batch_size=16,
     )
-    feats = resized.map_batches(
-        ByteHistogramFeatures, batch_format="pyarrow", concurrency=(1, 4),
+    stats = resized.map_batches(
+        ImageStatsFeatures, batch_format="pyarrow", concurrency=(1, 4),
         batch_size=16,
     )
 
     def thin(batch: pa.Table) -> pa.Table:
-        import numpy as np
+        assert batch.num_rows == 0 or all(
+            e == "" for e in batch.column("error").to_pylist()
+        ), "decode errors on synthesized BMPs"
+        return batch.select(
+            ["doc_id", "width", "height", "n_px", "px_sum", "px_min", "px_max"]
+        )
 
-        emb = batch.column("embedding")
-        dims = [len(e) if e is not None else 0 for e in emb.to_pylist()]
+    return stats.map_batches(thin, batch_format="pyarrow")
+
+
+def _q_audio_features(sf_dir: str):
+    """Audio modality leg: one deterministic PCM WAV per document
+    (mono int16 ramp ``((doc_id%7+1)·j) % 2001 − 1000`` over
+    ``50 + doc_id%150`` frames at 8 kHz), decoded for REAL by the
+    stdlib `wave` parser inside an actor-pool stage, reduced to exact
+    integer features (duration, peak, Σs, Σs²). The oracle replays the
+    per-sample ramp with a lateral generate_series — hash-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.codecs import wav_encode
+    from smartreader_ray.stages.media import AudioFeatureStage
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n = 50 + i % 150
+            s = (((i % 7 + 1) * np.arange(n)) % 2001 - 1000).astype(np.int16)
+            payloads.append(wav_encode(s, framerate=8000))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "media_ref": batch.column("media_ref"),
-                "n_dims": pa.array(dims, type=pa.int64()),
+                "media_ref": pa.array(
+                    [f"wav://{int(i)}" for i in ids], type=pa.string()
+                ),
+                "payload": pa.array(payloads, type=pa.binary()),
             }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    feats = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=32,
+    )
+
+    def thin(batch: pa.Table) -> pa.Table:
+        assert batch.num_rows == 0 or all(
+            e == "" for e in batch.column("error").to_pylist()
+        ), "decode errors on synthesized WAVs"
+        return batch.select(
+            ["doc_id", "framerate", "n_channels", "n_frames", "duration_ms",
+             "peak_abs", "sum_samples", "sum_sq"]
         )
 
     return feats.map_batches(thin, batch_format="pyarrow")
@@ -1780,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": _q_media_meta,
         "media_data_uri": _q_media_data_uri,
         "media_pipeline": _q_media_pipeline,
+        "audio_features": _q_audio_features,
         "pdf_extract": _q_pdf_extract,
     }
 
@@ -2591,6 +2645,70 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS t_start, MAX(ts) AS t_end,
                    ROUND(SUM(value), 2) AS total_value
             FROM nums GROUP BY user_id, session_id
+        """,
+        # media_pipeline: replay the BMP synthesis rule (dims + channel
+        # values are pure functions of doc_id/n_chars), the nearest-neighbor
+        # resize's integer index map ((j·w)//nw), and the exact pixel stats.
+        # The red-channel ramp is re-summed per selected column via a lateral
+        # generate_series — one wrong pixel anywhere flips the hash.
+        "media_pipeline": """
+            WITH p AS (
+                SELECT doc_id,
+                       150 + doc_id % 300 AS w,
+                       80 + (doc_id * 3) % 200 AS h,
+                       n_chars % 256 AS g,
+                       (doc_id * 7 + 3) % 256 AS b
+                FROM documents
+            ), e AS (
+                SELECT doc_id, w, h, g, b,
+                       CASE WHEN greatest(w, h) <= 256 THEN w
+                            ELSE greatest(1, (w * 256) // greatest(w, h)) END AS nw,
+                       CASE WHEN greatest(w, h) <= 256 THEN h
+                            ELSE greatest(1, (h * 256) // greatest(w, h)) END AS nh
+                FROM p
+            ), r AS (
+                SELECT e.doc_id,
+                       sum((e.doc_id + (s.j * e.w) // e.nw) % 256) AS rsum,
+                       min((e.doc_id + (s.j * e.w) // e.nw) % 256) AS rmin,
+                       max((e.doc_id + (s.j * e.w) // e.nw) % 256) AS rmax
+                FROM e, unnest(generate_series(0, e.nw - 1)) AS s(j)
+                GROUP BY e.doc_id
+            )
+            SELECT e.doc_id,
+                   CAST(e.nw AS BIGINT) AS width,
+                   CAST(e.nh AS BIGINT) AS height,
+                   CAST(e.nw * e.nh * 3 AS BIGINT) AS n_px,
+                   CAST(e.nh * r.rsum + e.nw * e.nh * (e.g + e.b) AS BIGINT)
+                       AS px_sum,
+                   CAST(least(r.rmin, e.g, e.b) AS BIGINT) AS px_min,
+                   CAST(greatest(r.rmax, e.g, e.b) AS BIGINT) AS px_max
+            FROM e JOIN r USING (doc_id)
+        """,
+        # audio_features: replay the per-sample int16 ramp with a lateral
+        # generate_series and aggregate the exact integer features the WAV
+        # decode stage must reproduce after a real RIFF round trip.
+        "audio_features": """
+            WITH p AS (
+                SELECT doc_id, 50 + doc_id % 150 AS nf, doc_id % 7 + 1 AS k
+                FROM documents
+            ), s AS (
+                SELECT p.doc_id,
+                       max(abs((p.k * t.j) % 2001 - 1000)) AS peak_abs,
+                       sum((p.k * t.j) % 2001 - 1000) AS sum_samples,
+                       sum(((p.k * t.j) % 2001 - 1000)
+                           * ((p.k * t.j) % 2001 - 1000)) AS sum_sq
+                FROM p, unnest(generate_series(0, p.nf - 1)) AS t(j)
+                GROUP BY p.doc_id
+            )
+            SELECT p.doc_id,
+                   CAST(8000 AS BIGINT) AS framerate,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(p.nf AS BIGINT) AS n_frames,
+                   CAST(p.nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(s.peak_abs AS BIGINT) AS peak_abs,
+                   CAST(s.sum_samples AS BIGINT) AS sum_samples,
+                   CAST(s.sum_sq AS BIGINT) AS sum_sq
+            FROM p JOIN s USING (doc_id)
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

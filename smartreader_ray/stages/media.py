@@ -1,13 +1,15 @@
 """Multimodal span processing: decode / feature-extract stages.
 
 Media payloads are opaque ``binary`` columns + typed metadata; decode
-stages are actor pools so codec state loads once per worker. The actual
-decoders (PIL/ffmpeg) are NOT in this container — the decode kernel is
-stubbed behind ``MediaDecodeStub`` (deterministic fake: stable
-pseudo-metadata from the payload hash), while the Ray-side plumbing
-(schema, batch sizing, actor signature, output layout) is real and
-tested. Swap ``_decode_stub`` for a real kernel on a cluster with
-codecs installed.
+stages are actor pools so codec state loads once per worker. Image
+(BMP/PPM/PGM) and audio (PCM WAV) decoding is REAL — pure-stdlib
+parsers in ``stages/codecs.py`` — so the resize / stats / audio-feature
+stages exercise genuine byte-level decode end to end. PIL/ffmpeg
+formats (JPEG/MP4/…) are NOT in this container: ``MediaDecodeStub``
+remains the deterministic stand-in for payload-less metadata probes,
+and the FVID container stands in for video demux (its frames are real
+BMPs). Swap the decoders for PIL/ffmpeg kernels on a cluster that has
+them — every stage signature already matches.
 """
 
 from __future__ import annotations
@@ -207,7 +209,7 @@ def media_spans_table(article_batch: pa.Table) -> pa.Table:
         article_batch.column("spans").to_pylist(),
     ):
         for span in spans or []:
-            if span["kind"] in ("image", "video", "embed") and span["media_ref"]:
+            if span["kind"] in ("image", "video", "audio", "embed") and span["media_ref"]:
                 out_doc.append(doc_id)
                 out_ref.append(span["media_ref"])
                 out_kind.append(span["kind"])
@@ -225,34 +227,21 @@ def media_spans_table(article_batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # resize / frame-sample / feature-extract stages
 #
-# A documented fake codec ("FIMG"/"FVID" framing, below) stands in for
-# PIL/ffmpeg so every stage's plumbing — schema, actor signature, batch
-# sizing, flat-map expansion — runs and is tested end to end in this
-# container; swap the two `_fake_*` kernels for real decoders on a
-# cluster with codecs. The byte-histogram feature extractor needs no
-# codec at all and is fully real.
+# Image decode is REAL: 24-bit BMP and binary PPM/PGM, parsed from
+# bytes with the struct module (`stages/codecs.py`) — no PIL needed.
+# Audio decode is REAL: PCM WAV via stdlib `wave`. Only the *video
+# container* remains bespoke (no ffmpeg in this container): FVID is a
+# trivial length-prefixed frame concatenation standing in for demux,
+# but the frames inside it are real BMPs that downstream stages decode
+# for real. The byte-histogram feature extractor needs no codec at all.
 
-FIMG_MAGIC = b"FIMG"
 FVID_MAGIC = b"FVID"
 
 
-def fake_image_encode(width: int, height: int, pixels: bytes) -> bytes:
-    """Sandbox image format: magic + uint16 w/h (big-endian) + pixels."""
-    return (FIMG_MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big")
-            + pixels)
-
-
-def _fake_image_decode(payload: bytes) -> tuple[int, int, bytes]:
-    if payload[:4] != FIMG_MAGIC or len(payload) < 8:
-        raise NotImplementedError("not a FIMG payload (real codec required)")
-    w = int.from_bytes(payload[4:6], "big")
-    h = int.from_bytes(payload[6:8], "big")
-    return w, h, payload[8:]
-
-
-def fake_video_encode(frames: list[bytes]) -> bytes:
-    """Sandbox video format: magic + uint16 frame count, then per frame
-    uint32 length + bytes."""
+def fvid_encode(frames: list[bytes]) -> bytes:
+    """Trivial video container (demux stand-in — no ffmpeg in this
+    environment): magic + uint16 frame count, then per frame uint32
+    length + bytes. Frames themselves are real encoded images (BMP)."""
     out = [FVID_MAGIC, len(frames).to_bytes(2, "big")]
     for f in frames:
         out.append(len(f).to_bytes(4, "big"))
@@ -260,9 +249,11 @@ def fake_video_encode(frames: list[bytes]) -> bytes:
     return b"".join(out)
 
 
-def _fake_video_decode(payload: bytes):
+def fvid_decode(payload: bytes):
+    from .codecs import MediaDecodeError
+
     if payload[:4] != FVID_MAGIC or len(payload) < 6:
-        raise NotImplementedError("not a FVID payload (real codec required)")
+        raise MediaDecodeError("not an FVID container")
     n = int.from_bytes(payload[4:6], "big")
     pos = 6
     for _ in range(n):
@@ -272,12 +263,35 @@ def _fake_video_decode(payload: bytes):
         pos += ln
 
 
+# backward-compatible aliases (pre-round-4 names)
+fake_video_encode = fvid_encode
+
+
+def _resize_nearest(px, max_dim: int):
+    """Deterministic nearest-neighbor downscale preserving aspect ratio:
+    new dims by integer floor division, source indices ``(i·src)//dst``
+    — pure integer math an oracle can replay. No-op if already within
+    ``max_dim``."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    mx = max(w, h)
+    if mx <= max_dim:
+        return px, w, h
+    nw = max(1, (w * max_dim) // mx)
+    nh = max(1, (h * max_dim) // mx)
+    rows = (np.arange(nh) * h) // nh
+    cols = (np.arange(nw) * w) // nw
+    return px[rows][:, cols], nw, nh
+
+
 class ImageResizeStage:
     """Actor-pool stage: (doc_id, media_ref, payload) → resized payload
-    + before/after dimensions. The "resize" kernel on the fake codec is
-    a deterministic pixel-stride subsample — real enough to verify byte
-    budgets shrink and the output schema holds. Per-item codec failures
-    become error rows (the skew/error philosophy of `ExtractBatch`).
+    + before/after dimensions. REAL decode (BMP/PPM/PGM via
+    `stages/codecs.py`), deterministic nearest-neighbor resample,
+    re-encode in the source format. Per-item failures become ``error``
+    rows, never task failures (the skew/error philosophy of
+    `ExtractBatch`).
 
     Batch sizing rule for binary columns: payload_bytes × batch_size ×
     concurrency must fit the worker heap — callers pass batch_size≈4-16
@@ -288,62 +302,151 @@ class ImageResizeStage:
         self.max_dim = max_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        refs = batch.column("media_ref").to_pylist()
+        from .codecs import MediaDecodeError, decode_image, encode_image
+
         payloads = batch.column("payload").to_pylist()
         out_payload, out_w, out_h, src_w, src_h, errors = [], [], [], [], [], []
         for p in payloads:
             try:
-                w, h, px = _fake_image_decode(p or b"")
-                scale = max(w, h) / self.max_dim if max(w, h) > self.max_dim else 1.0
-                nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
-                stride = max(1, int(scale))
-                npx = px[::stride] if stride > 1 else px
-                out_payload.append(fake_image_encode(nw, nh, npx))
+                fmt, px = decode_image(p or b"")
+                h, w = px.shape[:2]
+                npx, nw, nh = _resize_nearest(px, self.max_dim)
+                out_payload.append(encode_image(fmt, npx))
                 out_w.append(nw); out_h.append(nh)
                 src_w.append(w); src_h.append(h)
                 errors.append("")
-            except NotImplementedError as exc:
+            except MediaDecodeError as exc:
                 out_payload.append(b"")
                 out_w.append(0); out_h.append(0); src_w.append(0); src_h.append(0)
                 errors.append(str(exc))
-        return pa.Table.from_arrays(
-            [
-                pa.array(doc_ids, type=pa.string()),
-                pa.array(refs, type=pa.string()),
-                pa.array(out_payload, type=pa.binary()),
-                pa.array(src_w, type=pa.int32()),
-                pa.array(src_h, type=pa.int32()),
-                pa.array(out_w, type=pa.int32()),
-                pa.array(out_h, type=pa.int32()),
-                pa.array(errors, type=pa.string()),
-            ],
-            names=["doc_id", "media_ref", "payload", "src_width", "src_height",
-                   "width", "height", "error"],
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "payload": pa.array(out_payload, type=pa.binary()),
+                "src_width": pa.array(src_w, type=pa.int32()),
+                "src_height": pa.array(src_h, type=pa.int32()),
+                "width": pa.array(out_w, type=pa.int32()),
+                "height": pa.array(out_h, type=pa.int32()),
+                "error": pa.array(errors, type=pa.string()),
+            }
         )
+
+
+class ImageStatsFeatures:
+    """Actor-pool stage: decode each image payload (real BMP/PPM/PGM)
+    and emit EXACT integer pixel statistics — (width, height, n_px,
+    px_sum, px_min, px_max). Integer-exact by construction, so a SQL
+    oracle can replay them from whatever deterministic rule synthesized
+    the pixels — the hash-exact gate for the multimodal leg."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import MediaDecodeError, decode_image
+
+        payloads = batch.column("payload").to_pylist()
+        w_l, h_l, n_l, sum_l, min_l, max_l, err_l = [], [], [], [], [], [], []
+        for p in payloads:
+            try:
+                _, px = decode_image(p or b"")
+                h, w = px.shape[:2]
+                flat = px.reshape(-1).astype(np.int64)
+                w_l.append(w); h_l.append(h); n_l.append(flat.size)
+                sum_l.append(int(flat.sum()))
+                min_l.append(int(flat.min())); max_l.append(int(flat.max()))
+                err_l.append("")
+            except MediaDecodeError as exc:
+                w_l.append(0); h_l.append(0); n_l.append(0)
+                sum_l.append(0); min_l.append(0); max_l.append(0)
+                err_l.append(str(exc))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "width": pa.array(w_l, type=pa.int64()),
+                "height": pa.array(h_l, type=pa.int64()),
+                "n_px": pa.array(n_l, type=pa.int64()),
+                "px_sum": pa.array(sum_l, type=pa.int64()),
+                "px_min": pa.array(min_l, type=pa.int64()),
+                "px_max": pa.array(max_l, type=pa.int64()),
+                "error": pa.array(err_l, type=pa.string()),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage over (doc_id, media_ref, payload) WAV rows →
+    exact integer audio features: framerate, n_channels, n_frames,
+    duration_ms (floor), peak_abs, sum_samples, sum_sq — all int64, so
+    the oracle can replay them exactly from the synthesis rule. Decode
+    is stdlib `wave` (real RIFF parsing); malformed payloads become
+    error rows. sum_sq is exact: |s| ≤ 2¹⁵ so n·2³⁰ stays inside int64
+    for any realistic clip length (< 2³³ samples)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import MediaDecodeError, wav_decode
+
+        payloads = batch.column("payload").to_pylist()
+        cols = {k: [] for k in ("framerate", "n_channels", "n_frames",
+                                "duration_ms", "peak_abs", "sum_samples",
+                                "sum_sq")}
+        errs = []
+        for p in payloads:
+            try:
+                framerate, n_ch, samples = wav_decode(p or b"")
+                s = samples.astype(np.int64)
+                n_frames = len(s) // max(1, n_ch)
+                cols["framerate"].append(framerate)
+                cols["n_channels"].append(n_ch)
+                cols["n_frames"].append(n_frames)
+                cols["duration_ms"].append(n_frames * 1000 // framerate
+                                           if framerate else 0)
+                cols["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                cols["sum_samples"].append(int(s.sum()))
+                cols["sum_sq"].append(int((s * s).sum()))
+                errs.append("")
+            except MediaDecodeError as exc:
+                for k in cols:
+                    cols[k].append(0)
+                errs.append(str(exc))
+        out = {
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+        }
+        for k, v in cols.items():
+            out[k] = pa.array(v, type=pa.int64())
+        out["error"] = pa.array(errs, type=pa.string())
+        return pa.Table.from_pydict(out)
 
 
 class FrameSampleStage:
     """Actor-pool flat-map: one input video row → one output row per
     sampled frame (every ``every_k``-th). The row-count expansion is the
     real thing being exercised: a generator-style stage whose output
-    row count differs from its input's, with frame index metadata."""
+    row count differs from its input's, with frame index metadata.
+    Container demux is FVID (no ffmpeg here); the frames it carries are
+    real encoded images for downstream `ImageStatsFeatures`."""
 
     def __init__(self, every_k: int = 10):
         self.every_k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import MediaDecodeError
+
         doc_ids = batch.column("doc_id").to_pylist()
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column("payload").to_pylist()
         o_doc, o_ref, o_idx, o_frame, o_err = [], [], [], [], []
         for d, r, p in zip(doc_ids, refs, payloads):
             try:
-                for i, frame in enumerate(_fake_video_decode(p or b"")):
+                for i, frame in enumerate(fvid_decode(p or b"")):
                     if i % self.every_k == 0:
                         o_doc.append(d); o_ref.append(r)
                         o_idx.append(i); o_frame.append(frame); o_err.append("")
-            except NotImplementedError as exc:
+            except MediaDecodeError as exc:
                 o_doc.append(d); o_ref.append(r)
                 o_idx.append(-1); o_frame.append(b""); o_err.append(str(exc))
         return pa.Table.from_arrays(
