@@ -928,19 +928,43 @@ def passage_star_edges(ds, window: int = 8, text_col: str = "text"):
 
 def label_propagation_components(edges, col_a: str = "doc_a",
                                  col_b: str = "doc_b",
-                                 max_rounds: int = 50):
+                                 max_rounds: int = 50,
+                                 broadcast_labels_max: int = 2_000_000):
     """Distributed connected components: iterative min-label propagation
     — the scale path ``connected_components`` names for edge lists past
     driver memory. Each round every node takes the min of its own label
-    and its neighbors' (one hash join of labels onto the symmetric edge
-    list + one groupby-min), converging in O(graph diameter) rounds;
-    labels only decrease, so an unchanged label sum (numeric ids) is a
-    sound fixpoint test. Per-round state is one (node, label) row per
-    node WITH EDGES — output-sized, never corpus-sized.
+    and its neighbors' labels, converging in O(graph diameter) rounds;
+    labels only decrease, so an unchanged label state is a sound
+    fixpoint test. Per-round state is one (node, label) row per node
+    WITH EDGES — output-sized, never corpus-sized.
+
+    Two regimes for shipping labels to the edge list (the tfidf
+    dual-regime pattern):
+
+    - **broadcast** (≤ ``broadcast_labels_max`` nodes): the label table
+      is ``ray.put`` once per round and each edge block resolves
+      neighbor labels map-side with a dict lookup + per-block
+      pre-combine — ONE keyed exchange per round instead of the three a
+      shuffle join costs. The driver additionally path-compresses the
+      bounded dict between rounds (label ← label(label) to fixpoint),
+      which subsumes pointer jumping: chains collapse in O(1) Ray
+      rounds instead of O(log d). Fixpoint = dict unchanged (measured
+      r4: 16.4 s → ~8 s at sf0.1; the join machinery on tiny per-round
+      state was the cost, not round count — this graph converges in one
+      round).
+    - **distributed** (beyond the bound): per-round ``hash_join`` of
+      labels onto the symmetric edge list + groupby-min, label-sum
+      fixpoint — nothing driver-sized anywhere.
+
+    The symmetric edge list is repartitioned to match its actual size
+    (``~500k`` edge rows per block) so fixpoint rounds don't pay
+    orchestration for hundreds of near-empty partitions inherited from
+    the upstream shuffle.
 
     Same contract as ``connected_components``: (doc_id, cluster_id =
     min member), nodes restricted to edge endpoints.
     """
+    import ray
     import ray.data
     from ray.data.aggregate import Min
 
@@ -963,60 +987,131 @@ def label_propagation_components(edges, col_a: str = "doc_a",
         )
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edge_rows = sym_edges.count()
+    sym_edges = sym_edges.repartition(
+        max(2, -(-n_edge_rows // 500_000))
+    ).materialize()
 
-    # round 0: label(node) = min(node, neighbors) straight off the edges
-    def init_labels(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
+    # round 0: label(node) = min(node, neighbors) straight off the edges,
+    # with per-block pre-combine so the exchange input is node-, not
+    # edge-sized
+    def init_partial(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
             {"node": b.column("src"), "label": b.column("dst")}
         )
-
-    own = sym_edges.map_batches(
-        lambda b: pa.Table.from_pydict(
+        own = pa.Table.from_pydict(
             {"node": b.column("src"), "label": b.column("src")}
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        g = pa.concat_tables([t, own]).group_by("node").aggregate(
+            [("label", "min")]
+        )
+        return pa.Table.from_pydict(
+            {"node": g.column("node"), "label": g.column("label_min")}
+        )
+
     labels = (
-        sym_edges.map_batches(init_labels, batch_format="pyarrow")
-        .union(own)
+        sym_edges.map_batches(init_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    n_nodes = labels.count()
 
-    def label_sum(lbl) -> float | None:
-        try:
-            from ray.data.aggregate import Sum
+    def compress(d: dict) -> dict:
+        # driver-side path compression on the bounded dict — subsumes
+        # pointer jumping (chains collapse fully between Ray rounds)
+        for k in d:
+            r = d[k]
+            while d.get(r, r) != r:
+                r = d[r]
+            x = k
+            while d.get(x, x) != r:
+                d[x], x = r, d[x]
+        return d
 
-            return lbl.aggregate(Sum("label", alias_name="s"))["s"]
-        except Exception:
-            return None  # non-numeric ids: run to max_rounds
-
-    prev_sum = label_sum(labels)
-    for _ in range(max_rounds):
-        # neighbor messages: (dst's src partner, label of dst)
-        msgs = hash_join(
-            sym_edges, labels, "dst", "node", ["src"], ["label"]
-        ).map_batches(
-            lambda b: pa.Table.from_pydict(
-                {"node": b.column("src"), "label": b.column("label")}
-            ),
-            batch_format="pyarrow",
+    if n_nodes <= broadcast_labels_max:
+        lbl = compress(
+            {n: l
+             for b in labels.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)
+             for n, l in zip(b.column("node").to_pylist(),
+                             b.column("label").to_pylist())}
         )
-        labels = (
-            labels.map_batches(
-                lambda b: b.select(["node", "label"]),
+        for _ in range(max_rounds):
+            lbl_ref = ray.put(lbl)
+
+            def relabel(b: pa.Table) -> pa.Table:
+                import pandas as pd
+
+                m = ray.get(lbl_ref)
+                src = b.column("src").to_pandas()
+                dst = b.column("dst").to_pandas()
+                # every dst is an edge endpoint and thus a key of m
+                lab = dst.map(m)
+                g = pd.DataFrame({"node": src, "label": lab}).groupby(
+                    "node", sort=False
+                )["label"].min()
+                return pa.table(
+                    {"node": pa.array(g.index), "label": pa.array(g.to_numpy())}
+                )
+
+            partial = sym_edges.map_batches(
+                relabel, batch_format="pyarrow"
+            ).groupby("node").aggregate(Min("label", alias_name="label"))
+            new = dict(lbl)
+            for b in partial.iter_batches(batch_format="pyarrow",
+                                          batch_size=None):
+                for n, l in zip(b.column("node").to_pylist(),
+                                b.column("label").to_pylist()):
+                    if l < new[n]:
+                        new[n] = l
+            new = compress(new)
+            if new == lbl:
+                break
+            lbl = new
+        nodes = sorted(lbl)
+        labels = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array(nodes),
+                    "label": pa.array([lbl[n] for n in nodes]),
+                }
+            )
+        )
+    else:
+        def label_sum(l) -> float | None:
+            try:
+                from ray.data.aggregate import Sum
+
+                return l.aggregate(Sum("label", alias_name="s"))["s"]
+            except Exception:
+                return None  # non-numeric ids: run to max_rounds
+
+        prev_sum = label_sum(labels)
+        for _ in range(max_rounds):
+            # neighbor messages: (dst's src partner, label of dst)
+            msgs = hash_join(
+                sym_edges, labels, "dst", "node", ["src"], ["label"]
+            ).map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {"node": b.column("src"), "label": b.column("label")}
+                ),
                 batch_format="pyarrow",
             )
-            .union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        cur = label_sum(labels)
-        if cur is not None and cur == prev_sum:
-            break
-        prev_sum = cur
+            labels = (
+                labels.map_batches(
+                    lambda b: b.select(["node", "label"]),
+                    batch_format="pyarrow",
+                )
+                .union(msgs)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+                .materialize()
+            )
+            cur = label_sum(labels)
+            if cur is not None and cur == prev_sum:
+                break
+            prev_sum = cur
 
     return labels.map_batches(
         lambda b: pa.Table.from_pydict(

@@ -992,6 +992,31 @@ def test_label_propagation_matches_union_find(ray_session):
           for r in label_propagation_components(ds).take_all()}
     assert uf == lp
     assert lp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    # force the fully-distributed regime (shuffle join + label-sum
+    # fixpoint) — must agree with both other paths
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in label_propagation_components(
+                ds, broadcast_labels_max=0).take_all()}
+    assert dist == lp
+
+
+def test_label_propagation_deep_chain(ray_session):
+    # a 40-node path graph: diameter >> 1 exercises the driver-side path
+    # compression (broadcast regime) and multi-round convergence
+    import ray.data
+
+    from smartreader_ray.functions import (
+        connected_components,
+        label_propagation_components,
+    )
+
+    edges = [{"doc_a": i, "doc_b": i + 1} for i in range(40)]
+    ds = ray.data.from_items(edges).repartition(3)
+    uf = {r["doc_id"]: r["cluster_id"]
+          for r in connected_components(ds).take_all()}
+    lp = {r["doc_id"]: r["cluster_id"]
+          for r in label_propagation_components(ds).take_all()}
+    assert uf == lp and set(lp.values()) == {0}
 
 
 # ---------------------------------------------------------------------------
