@@ -898,6 +898,17 @@ def _q_dup_passages(sf_dir: str):
     return duplicate_passages(_docs(sf_dir), window=8, min_docs=2)
 
 
+def _q_substring_lcs(sf_dir: str):
+    """Suffix-array-class substring dedup: the EXACT longest shared
+    token run per doc pair (k-mer anchors + diagonal gaps-and-islands,
+    `functions/dedup.py: longest_common_runs`). Only 8-byte hashed
+    window keys + two ints cross the first exchange; the oracle replays
+    the diagonal islands off a window-text self-join."""
+    from smartreader_ray.functions import longest_common_runs
+
+    return longest_common_runs(_docs(sf_dir), window=8)
+
+
 def _q_dup_clusters(sf_dir: str):
     """Dedup GROUPS: docs linked by any shared 8-token passage, clustered
     into connected components (cluster_id = min member). Star edges per
@@ -1824,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_intersect": _q_docs_intersect,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
+        "substring_lcs": _q_substring_lcs,
         "dup_passages_hashed": _q_dup_passages_hashed,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_lp": _q_dup_clusters_lp,
@@ -2227,6 +2239,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT win, COUNT(DISTINCT doc_id) AS n_docs
             FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # substring_lcs: a shared token run of length L >= 8 appears as
+        # exactly L-7 consecutive 8-token window matches on one
+        # (pos_a - pos_b) diagonal; gaps-and-islands over the window-text
+        # self-join reconstructs the exact max run — the same diagonal
+        # math the engine runs off hashed window keys.
+        "substring_lcs": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, i AS pos, array_to_string(a[i:i+7], ' ') AS win
+                FROM base,
+                     UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            ),
+            m AS (
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       x.pos AS pa, y.pos AS pb
+                FROM w x JOIN w y
+                  ON x.win = y.win AND x.doc_id < y.doc_id
+            ),
+            isles AS (
+                SELECT doc_a, doc_b, pa - pb AS diag,
+                       pa - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, pa - pb
+                           ORDER BY pa) AS isle
+                FROM m
+            ),
+            runs AS (
+                SELECT doc_a, doc_b, COUNT(*) AS m
+                FROM isles GROUP BY doc_a, doc_b, diag, isle
+            )
+            SELECT doc_a, doc_b, CAST(MAX(m) + 7 AS BIGINT) AS lcs_tokens
+            FROM runs GROUP BY doc_a, doc_b
         """,
         "curated_corpus": r"""
             WITH red AS (

@@ -10,6 +10,7 @@ from .dedup import (
     connected_components,
     label_propagation_components,
     duplicate_passages,
+    longest_common_runs,
     passage_clusters,
     exact_dedup,
     fingerprint_dedup,
@@ -69,6 +70,7 @@ from .reshape import range_partition_by_quantiles
 __all__ = [
     "exact_dedup",
     "duplicate_passages",
+    "longest_common_runs",
     "connected_components",
     "label_propagation_components",
     "passage_clusters",

@@ -1215,3 +1215,154 @@ def ngram_jaccard_pairs(ds, prefix_tokens: int = 8, n: int = 2,
         .groupby("__pfx")
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest-common-run substring dedup (suffix-array-class detection)
+# ---------------------------------------------------------------------------
+def longest_common_runs(ds, window: int = 8, text_col: str = "text",
+                        min_run_tokens: int | None = None,
+                        max_rows_per_window: int = 4096):
+    """EXACT longest shared token run per document pair — the
+    training-data requirement (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") that fixed-window passage dedup
+    only approximates: two docs sharing a 500-token boilerplate block
+    should report ONE run of 500, not 493 anonymous windows.
+
+    Method (the distributed equivalent of a suffix-array scan): any
+    shared token run of length L ≥ ``window`` appears as exactly
+    ``L − window + 1`` consecutive matches of ``window``-token k-mers on
+    one (pos_a − pos_b) diagonal — so k-mer anchors + per-pair diagonal
+    run detection reconstruct the exact maximum run length without ever
+    materializing suffixes:
+
+    1. Emit **positioned** k-mers: (win_hash64, doc_id, pos) — one row
+       per position (no within-doc dedup: positions carry the run
+       structure). Only 8-byte hashed keys + two ints cross the
+       exchange, the ``dup_passages_hashed`` scale discipline.
+    2. ``groupby(win_hash)`` → per shared k-mer, every cross-doc match
+       (doc_a < doc_b, pos_a, pos_b). A window held by many docs/
+       positions is quadratic by nature; ``max_rows_per_window`` fails
+       loudly on degenerate boilerplate (salt/exclude it) rather than
+       OOM a reduce task — same contract as ``ngram_jaccard_pairs``.
+    3. ``groupby(doc_a, doc_b)`` → vectorized gaps-and-islands over the
+       (diag, pos) matches: the longest island of consecutive positions
+       on one diagonal has m windows → ``lcs_tokens = m + window − 1``.
+
+    Exchange sizes: stage-1 rows = total token count (corpus-sized but
+    thin: 24 bytes/row); stage-2/3 rows = match-sized (output-bounded
+    for non-degenerate corpora). The SQL oracle replays the same
+    diagonal islands off a window-text self-join, so the operator is
+    hash-exact end to end.
+
+    Returns (doc_a, doc_b, lcs_tokens ≥ window), optionally filtered to
+    ``lcs_tokens ≥ min_run_tokens``.
+    """
+    schema = ds.schema()
+    id_type = dict(zip(schema.names, schema.types))["doc_id"]
+
+    def emit_positions(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_h, out_ids, out_pos = [], [], []
+        for doc_id, t in zip(ids, texts):
+            toks = _passage_tokens(t, window)
+            if not toks:
+                continue
+            wins = [" ".join(toks[i:i + window])
+                    for i in range(len(toks) - window + 1)]
+            out_h.extend(_hash64(wins).astype(np.int64).tolist())
+            out_ids.extend([doc_id] * len(wins))
+            out_pos.extend(range(len(wins)))
+        return pa.Table.from_pydict(
+            {
+                "win_hash": pa.array(out_h, type=pa.int64()),
+                "doc_id": pa.array(out_ids, type=id_type),
+                "pos": pa.array(out_pos, type=pa.int64()),
+            }
+        )
+
+    def emit_matches(group: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "doc_a": pa.nulls(0, type=id_type),
+                "doc_b": pa.nulls(0, type=id_type),
+                "diag": pa.array([], type=pa.int64()),
+                "pos_a": pa.array([], type=pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        if n > max_rows_per_window:
+            raise ValueError(
+                f"longest_common_runs: k-mer group of {n} rows (> "
+                f"{max_rows_per_window}) — a degenerate boilerplate "
+                "window at corpus scale must be salted or excluded, "
+                "not silently cross-producted"
+            )
+        ids = group.column("doc_id").to_pylist()
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        by_doc: dict = {}
+        for i, d in enumerate(ids):
+            by_doc.setdefault(d, []).append(pos[i])
+        docs = sorted(by_doc)
+        if len(docs) < 2:
+            return empty
+        o_a, o_b, o_diag, o_pa = [], [], [], []
+        for i in range(len(docs) - 1):
+            pa_arr = np.asarray(by_doc[docs[i]], dtype=np.int64)
+            for j in range(i + 1, len(docs)):
+                pb_arr = np.asarray(by_doc[docs[j]], dtype=np.int64)
+                # all (pos_a, pos_b) combos for this pair, vectorized
+                paf = np.repeat(pa_arr, len(pb_arr))
+                pbf = np.tile(pb_arr, len(pa_arr))
+                o_a.extend([docs[i]] * len(paf))
+                o_b.extend([docs[j]] * len(paf))
+                o_diag.extend((paf - pbf).tolist())
+                o_pa.extend(paf.tolist())
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(o_a, type=id_type),
+                "doc_b": pa.array(o_b, type=id_type),
+                "diag": pa.array(o_diag, type=pa.int64()),
+                "pos_a": pa.array(o_pa, type=pa.int64()),
+            }
+        )
+
+    def max_run(group: pa.Table) -> pa.Table:
+        diag = group.column("diag").to_numpy(zero_copy_only=False)
+        pos = group.column("pos_a").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, diag))
+        d, p = diag[order], pos[order]
+        # island boundaries: new diagonal OR non-consecutive position
+        brk = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
+        island = np.cumsum(brk)
+        m = int(np.bincount(island).max())
+        lcs = m + window - 1
+        if min_run_tokens is not None and lcs < min_run_tokens:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.nulls(0, type=id_type),
+                    "doc_b": pa.nulls(0, type=id_type),
+                    "lcs_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_a": group.column("doc_a").slice(0, 1),
+                "doc_b": group.column("doc_b").slice(0, 1),
+                "lcs_tokens": pa.array([lcs], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", text_col])
+        .map_batches(emit_positions, batch_format="pyarrow")
+        .groupby("win_hash")
+        .map_groups(emit_matches, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(max_run, batch_format="pyarrow")
+    )

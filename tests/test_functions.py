@@ -1237,3 +1237,85 @@ def test_ngram_jaccard_pairs_exact(ray_session):
         ray.data.from_arrow(tiny), prefix_tokens=8, n=2
     ).take_all()
     assert out2 == [{"doc_a": 1, "doc_b": 2, "n_inter": 0, "n_union": 0}]
+
+
+# ---------------------------------------------------------------------------
+# Round 4: longest-common-run substring dedup
+# ---------------------------------------------------------------------------
+def _lcs_tokens_brute(a: list, b: list) -> int:
+    """Classic O(n·m) longest-common-substring DP over token lists."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def test_longest_common_runs_planted(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import longest_common_runs
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # 20-token shared block
+    docs = [
+        {"doc_id": 1, "text": f"u1 u2 u3 {boiler} v1 v2"},
+        {"doc_id": 2, "text": f"w1 {boiler} w2 w3 w4 w5"},
+        {"doc_id": 3, "text": " ".join(f"x{i}" for i in range(30))},
+        # exactly one shared 8-window with doc 1 (first 8 boiler tokens)
+        {"doc_id": 4, "text": "y1 y2 " + " ".join(f"b{i}" for i in range(8)) + " z9"},
+    ]
+    out = {(r["doc_a"], r["doc_b"]): r["lcs_tokens"]
+           for r in longest_common_runs(
+               ray.data.from_items(docs).repartition(2), window=8
+           ).take_all()}
+    assert out[(1, 2)] == 20
+    assert out[(1, 4)] == 8
+    assert out[(2, 4)] == 8
+    assert not any(3 in k for k in out)
+
+
+def test_longest_common_runs_matches_brute_force(ray_session):
+    import random
+
+    import ray.data
+
+    from smartreader_ray.functions import longest_common_runs
+
+    rng = random.Random(4242)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab → frequent collisions
+    toks = {d: [rng.choice(vocab) for _ in range(rng.randint(8, 60))]
+            for d in range(10)}
+    docs = [{"doc_id": d, "text": " ".join(ts)} for d, ts in toks.items()]
+    W = 4
+    got = {(r["doc_a"], r["doc_b"]): r["lcs_tokens"]
+           for r in longest_common_runs(
+               ray.data.from_items(docs).repartition(3), window=W
+           ).take_all()}
+    for a in range(10):
+        for b in range(a + 1, 10):
+            expect = _lcs_tokens_brute(toks[a], toks[b])
+            if expect >= W:
+                assert got[(a, b)] == expect, (a, b)
+            else:
+                assert (a, b) not in got, (a, b)
+
+
+def test_longest_common_runs_min_run_filter_and_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from smartreader_ray.functions import longest_common_runs
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = [{"doc_id": i, "text": f"s{i} {boiler} e{i}"} for i in range(6)]
+    ds = ray.data.from_items(docs)
+    out = longest_common_runs(ds, window=8, min_run_tokens=12).take_all()
+    assert len(out) == 15 and all(r["lcs_tokens"] == 12 for r in out)
+    with pytest.raises(Exception) as ei:
+        longest_common_runs(ds, window=8, max_rows_per_window=3).take_all()
+    assert "degenerate" in str(ei.value)
