@@ -603,6 +603,34 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, snips).select_columns(["doc_id", "contaminated"])
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style model-based quality scoring: a token-bigram LM with
+    add-one smoothing is trained DISTRIBUTED on a fixed held-in slice
+    (doc_id % 10 == 0 AND doc_id < 25000 — bounded like the decontam
+    eval set), broadcast once, and every doc scored map-side
+    (`functions/lm.py`). The hash gate compares the exact integer
+    sufficient statistics (Σ bigram counts, Σ prefix counts, OOV
+    transitions) the SQL oracle replays from the same slice; the float
+    log2-perplexity is a closed form of those counts and is
+    differential-tested in tests/test_lm.py."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions import lm_score, train_bigram_lm
+
+    docs = _docs(sf_dir)
+
+    def held_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 10 == 0) & (ids < 25_000)))
+
+    model = train_bigram_lm(
+        docs.map_batches(held_filter, batch_format="pyarrow")
+    )
+    return lm_score(docs, model).select_columns(
+        ["doc_id", "n_trans", "sum_bigram_c", "sum_prefix_c", "n_oov"]
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals. The oracle compares the exact
     integer counts (distinct tokens, top-bigram count); the float
@@ -1807,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _q_source_cap,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "lm_perplexity": _q_lm_perplexity,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -2239,6 +2268,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT win, COUNT(DISTINCT doc_id) AS n_docs
             FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # lm_perplexity: replay the bigram LM's training counts off the
+        # same held-in slice and re-derive each doc's integer sufficient
+        # statistics; docs with < 2 tokens drop out of both sides.
+        "lm_perplexity": """
+            WITH held AS (
+                SELECT string_split(trim(text), ' ') AS a
+                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
+            ),
+            tr_h AS (
+                SELECT a[i] AS w1, a[i+1] AS w2
+                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c FROM tr_h GROUP BY w1, w2),
+            c1 AS (SELECT w1, COUNT(*) AS c FROM tr_h GROUP BY w1),
+            alld AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            j AS (
+                SELECT tr.doc_id,
+                       COALESCE(c2.c, 0) AS cc2,
+                       COALESCE(c1.c, 0) AS cc1
+                FROM tr
+                LEFT JOIN c2 ON tr.w1 = c2.w1 AND tr.w2 = c2.w2
+                LEFT JOIN c1 ON tr.w1 = c1.w1
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans,
+                   CAST(SUM(cc2) AS BIGINT) AS sum_bigram_c,
+                   CAST(SUM(cc1) AS BIGINT) AS sum_prefix_c,
+                   CAST(SUM(CASE WHEN cc2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov
+            FROM j GROUP BY doc_id
         """,
         # substring_lcs: a shared token run of length L >= 8 appears as
         # exactly L-7 consecutive 8-token window matches on one

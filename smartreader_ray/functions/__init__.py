@@ -6,6 +6,7 @@ rules: pre-aggregate inside map_batches before any groupby; broadcast
 small sides with ray.put; vectorize with numpy/pyarrow.compute.
 """
 
+from .lm import lm_score, train_bigram_lm
 from .dedup import (
     connected_components,
     label_propagation_components,
@@ -71,6 +72,8 @@ __all__ = [
     "exact_dedup",
     "duplicate_passages",
     "longest_common_runs",
+    "lm_score",
+    "train_bigram_lm",
     "connected_components",
     "label_propagation_components",
     "passage_clusters",

@@ -1,0 +1,88 @@
+"""CCNet-style bigram-LM perplexity scoring (functions/lm.py)."""
+
+import pyarrow as pa
+import pytest
+
+from smartreader_ray.functions.lm import (
+    lm_perplexity_reference,
+    lm_score,
+    train_bigram_lm,
+)
+
+
+def _corpus():
+    held = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "the cat ran to the dog",
+    ]
+    probes = [
+        "the cat sat on the rug",     # fluent: all bigrams seen
+        "rug mat dog zzz qqq www",    # gibberish: mostly OOV
+        "x",                          # single token: no transitions
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(held)]
+    rows += [{"doc_id": 100 + i, "text": t} for i, t in enumerate(probes)]
+    return held, probes, rows
+
+
+def test_train_counts_exact(ray_session):
+    import ray.data
+
+    held, _, rows = _corpus()
+    ds = ray.data.from_items(rows[:3]).repartition(2)
+    m = train_bigram_lm(ds)
+    assert m["c2"][("the", "cat")] == 2
+    assert m["c2"][("sat", "on")] == 2
+    assert m["c1"]["the"] == 6  # 'the' opens 6 transitions across held
+    assert m["V"] == len(m["c1"]) + 1
+
+
+def test_lm_score_matches_scalar_reference(ray_session):
+    import ray.data
+
+    held, probes, rows = _corpus()
+    ds = ray.data.from_items(rows).repartition(3)
+    model = train_bigram_lm(
+        ds.filter(expr="doc_id < 100")
+    )
+    out = {r["doc_id"]: r for r in lm_score(ds, model).take_all()}
+    for i, probe in enumerate(probes):
+        ref = lm_perplexity_reference(held, probe)
+        if ref is None:
+            assert 100 + i not in out  # no transitions → omitted
+        else:
+            # numpy pairwise vs sequential sum differ at most in the last
+            # ulp before rounding
+            assert out[100 + i]["log2_ppl"] == pytest.approx(ref, abs=1e-5)
+    # fluent probe scores strictly better than gibberish
+    assert out[100]["log2_ppl"] < out[101]["log2_ppl"]
+    # integer sufficient statistics: exact
+    assert out[101]["n_oov"] == 5
+    assert out[100]["n_trans"] == 5 and out[100]["n_oov"] == 0
+
+
+def test_lm_score_partitioning_invariance(ray_session):
+    import ray.data
+
+    _, _, rows = _corpus()
+    model = train_bigram_lm(
+        ray.data.from_items(rows[:3])
+    )
+
+    def run(parts):
+        ds = ray.data.from_items(rows).repartition(parts)
+        return sorted(
+            (tuple(sorted(r.items())) for r in lm_score(ds, model).take_all())
+        )
+
+    assert run(1) == run(4)
+
+
+def test_train_vocab_bound(ray_session):
+    import ray.data
+
+    _, _, rows = _corpus()
+    with pytest.raises(Exception) as ei:
+        train_bigram_lm(ray.data.from_items(rows[:3]), max_vocab_entries=2)
+    assert "shard the LM" in str(ei.value)
