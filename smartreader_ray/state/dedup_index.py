@@ -97,12 +97,34 @@ class FingerprintShard:
         """Exact mode: entries held. Bloom mode: -1 (not tracked)."""
         return len(self._seen) if self._seen is not None else -1
 
+    def dump(self):
+        """Snapshot this shard's state for persistence: exact mode →
+        sorted int list; Bloom mode → the raw bit array bytes."""
+        if self._seen is not None:
+            return ("exact", sorted(self._seen))
+        return ("bloom", self._bits.tobytes())
+
+    def restore(self, payload) -> None:
+        kind, data = payload
+        if kind == "exact":
+            if self._seen is None:
+                raise ValueError("cannot restore exact snapshot into Bloom shard")
+            self._seen.update(data)
+        else:
+            if self._bits is None:
+                raise ValueError("cannot restore Bloom snapshot into exact shard")
+            bits = np.frombuffer(data, dtype=np.uint8)
+            if bits.shape != self._bits.shape:
+                raise ValueError("Bloom snapshot size mismatch")
+            self._bits |= bits
+
 
 class DedupIndex:
     """Driver-side handle over the shard actors."""
 
     def __init__(self, num_shards: int = 8, bloom_bits: int | None = None):
         self.num_shards = num_shards
+        self.bloom_bits = bloom_bits
         self.shards = [
             FingerprintShard.remote(bloom_bits) for _ in range(num_shards)
         ]
@@ -152,6 +174,24 @@ class DedupIndex:
             "approx_bytes": sum(sizes),
         }
 
+    def save(self, path: str) -> None:
+        """Persist the index as one parquet per shard + meta.json — the
+        cross-JOB durability leg: actors die with the Ray session, the
+        snapshot doesn't. All shards dump in parallel."""
+        _save_shards(path, self.shards,
+                     {"kind": "DedupIndex", "num_shards": self.num_shards,
+                      "bloom_bits": self.bloom_bits})
+
+    @classmethod
+    def load(cls, path: str) -> "DedupIndex":
+        """Rebuild an index from :meth:`save` output (shard count and
+        mode come from the snapshot)."""
+        meta = _load_meta(path, "DedupIndex")
+        idx = cls(num_shards=meta["num_shards"],
+                  bloom_bits=meta.get("bloom_bits"))
+        _restore_shards(path, idx.shards)
+        return idx
+
 
 @ray.remote
 class BandKeyShard:
@@ -175,6 +215,13 @@ class BandKeyShard:
 
     def size_bytes(self) -> int:
         return len(self._seen) * 60
+
+    def dump(self):
+        return ("exact", sorted(self._seen))
+
+    def restore(self, payload) -> None:
+        _, data = payload
+        self._seen.update(data)
 
 
 class NearDupIndex:
@@ -260,3 +307,81 @@ class NearDupIndex:
     def stats(self) -> dict:
         counts = ray.get([s.count.remote() for s in self.shards])
         return {"shards": self.num_shards, "band_keys": sum(counts)}
+
+    def save(self, path: str) -> None:
+        """Persist band-key shards + the LSH family parameters (a
+        snapshot is only valid against the SAME hash family — load
+        re-creates it from meta and refuses a mismatch)."""
+        _save_shards(
+            path, self.shards,
+            {
+                "kind": "NearDupIndex", "num_shards": self.num_shards,
+                "num_hashes": self.num_hashes, "bands": self.bands,
+                "ngram": self.ngram, "seed": self.seed,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "NearDupIndex":
+        meta = _load_meta(path, "NearDupIndex")
+        idx = cls(num_shards=meta["num_shards"],
+                  num_hashes=meta["num_hashes"], bands=meta["bands"],
+                  ngram=meta["ngram"], seed=meta["seed"])
+        _restore_shards(path, idx.shards)
+        return idx
+
+
+# ---------------------------------------------------------------------------
+# snapshot persistence helpers
+# ---------------------------------------------------------------------------
+def _save_shards(path: str, shards, meta: dict) -> None:
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    dumps = ray.get([s.dump.remote() for s in shards])
+    for i, (kind, data) in enumerate(dumps):
+        if kind == "exact":
+            t = pa.table({"key": pa.array(data, type=pa.uint64())})
+        else:  # bloom bit array as a single binary row
+            t = pa.table({"bits": pa.array([data], type=pa.binary())})
+        pq.write_table(t, os.path.join(path, f"shard_{i:04d}.parquet"))
+    meta = dict(meta)
+    meta["shard_kinds"] = [k for k, _ in dumps]
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _load_meta(path: str, expect_kind: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != expect_kind:
+        raise ValueError(
+            f"snapshot at {path} is a {meta.get('kind')}, not {expect_kind}"
+        )
+    return meta
+
+
+def _restore_shards(path: str, shards) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    futs = []
+    for i, shard in enumerate(shards):
+        t = pq.read_table(os.path.join(path, f"shard_{i:04d}.parquet"))
+        if "key" in t.column_names:
+            payload = ("exact", t.column("key").to_pylist())
+        else:
+            payload = ("bloom", t.column("bits")[0].as_py())
+        futs.append(shard.restore.remote(payload))
+    ray.get(futs)
