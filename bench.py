@@ -154,18 +154,59 @@ def bench_extract_documents(sf_dir: str):
     return dt, {"docs": rows, "docs_per_s": round(rows / dt, 2)}
 
 
-def bench_query(fn, sf_dir: str):
+def bench_query(fn, sf_dir: str, repeats: int | None = None,
+                repeat_cutoff_s: float = 3.0):
+    """Per-query median-of-``repeats`` (default $BENCH_REPEATS or 3).
+
+    Adaptive: if the first run exceeds ``repeat_cutoff_s`` the query is
+    reported from that single run — the handful of heavy queries would
+    otherwise triple total bench wall-clock for little extra signal,
+    while the many fast queries (where scheduler jitter is a large
+    relative error) get the full median."""
+    import statistics
+
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    times = []
+    for i in range(max(1, repeats)):
+        t0 = time.time()
+        result = fn(sf_dir)
+        if hasattr(result, "iter_batches"):
+            _consume(result)
+        times.append(time.time() - t0)
+        if i == 0 and times[0] > repeat_cutoff_s:
+            break
+    return statistics.median(times)
+
+
+def run_sentinel() -> dict:
+    """Contention sentinel: a fixed single-core, no-Ray probe (extract
+    the 142 golden fixtures once in-process). Its docs/s depends only on
+    this machine's momentary CPU/memory-bandwidth headroom — recorded at
+    bench start AND end so a contended window is visible in the bench
+    artifact itself instead of masquerading as a pipeline regression
+    (round 3: a machine-wide ~25% slowdown mid-run was only diagnosed
+    after the fact; see BASELINE.md)."""
+    from smartreader_ray.extraction import Extractor
+    from smartreader_ray.sources import fixture_spans_table
+    from smartreader_ray.spanio import assemble_html
+
+    t = fixture_spans_table()
+    docs = [assemble_html(s) for s in t.column("spans").to_pylist()]
+    ex = Extractor()
+    ex.parse("https://localhost/", docs[0])  # warm parser/regexes
     t0 = time.time()
-    result = fn(sf_dir)
-    if hasattr(result, "iter_batches"):
-        _consume(result)
+    for d in docs:
+        ex.parse("https://localhost/", d)
     dt = time.time() - t0
-    return dt
+    return {"docs": len(docs), "sec": round(dt, 3),
+            "docs_per_s": round(len(docs) / dt, 2)}
 
 
 def run_main() -> dict:
     sf_dir = _sf_dir()
     num_cpus = _num_cpus()
+    sentinel_before = run_sentinel()
     _init_ray(num_cpus)
 
     import __ray_entry__ as entrymod
@@ -198,9 +239,11 @@ def run_main() -> dict:
         "late_events", "range_partition", "media_pipeline", "length_token_corr",
         "customer_orders_full", "keys_union", "zscore_tfidf_chain", "temperature_mix",
         "orders_by_segment_salted",
+        "substring_lcs", "lm_perplexity", "audio_features",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
+    sentinel_after = run_sentinel()
     total = round(sum(queries.values()), 3)
     return {
         "metric": "documents/sec extraction throughput on the interleaved-span corpus",
@@ -210,6 +253,10 @@ def run_main() -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "throughput": {"fixture_corpus": fix_stats, "documents": doc_stats},
+        # single-core no-Ray probes bracketing the run: compare against
+        # the uncontended reference in BASELINE.md before reading any
+        # per-query delta as a regression
+        "sentinel": {"before": sentinel_before, "after": sentinel_after},
     }
 
 
@@ -239,6 +286,7 @@ def run_scaling() -> dict:
     if "--levels" in sys.argv:
         a, b = sys.argv[sys.argv.index("--levels") + 1].split(",")
         levels = (int(a), int(b))
+    sentinel = run_sentinel()  # contention probe before the two children
     results = {}
     for n in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
@@ -267,6 +315,7 @@ def run_scaling() -> dict:
         f"sec_{hi}": results[hi]["sec"],
         "docs": results[lo]["docs"],
         "efficiency": efficiency,
+        "sentinel": sentinel,
     }
 
 

@@ -59,20 +59,23 @@ def _moment_partials(key_col: str, value_col: str):
                 "shift per key or use a Welford-merge variant"
             )
         vf = v.astype(np.float64)
+        # one float checksum column suffices: for integer inputs
+        # Σx² ≥ Σ|x|, so a Σx wrap forces a Σx² wrap — checking ss
+        # covers s too (ss partials are non-negative, so wraps can
+        # never cancel at the merge either)
         df = pd.DataFrame(
             {"k": batch.column(key_col).to_pandas(), "v": v, "v2": v * v,
-             "vf": vf, "v2f": vf * vf}
+             "v2f": vf * vf}
         )
         g = df.groupby("k", sort=False)
         agg = g.agg(n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"),
-                    s_f=("vf", "sum"), ss_f=("v2f", "sum"))
+                    ss_f=("v2f", "sum"))
         return pa.table(
             {
                 key_col: pa.array(agg.index),
                 "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
                 "s": pa.array(agg["s"].to_numpy(), type=pa.int64()),
                 "ss": pa.array(agg["ss"].to_numpy(), type=pa.int64()),
-                "s_f": pa.array(agg["s_f"].to_numpy(), type=pa.float64()),
                 "ss_f": pa.array(agg["ss_f"].to_numpy(), type=pa.float64()),
             }
         )
@@ -95,9 +98,9 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
     )
     totals = (
         partial.groupby(key_col)
-        .aggregate(Sum("n"), Sum("s"), Sum("ss"), Sum("s_f"), Sum("ss_f"))
+        .aggregate(Sum("n"), Sum("s"), Sum("ss"), Sum("ss_f"))
         .map_batches(
-            lambda b: b.rename_columns([key_col, "n", "s", "ss", "s_f", "ss_f"]),
+            lambda b: b.rename_columns([key_col, "n", "s", "ss", "ss_f"]),
             batch_format="pyarrow",
         )
     )
@@ -108,8 +111,6 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
             "use a hash-shuffle join of rows against moments instead"
         )
     moments = totals.to_pandas()
-    _check_int_totals(moments["s"].to_numpy(dtype=np.int64),
-                      moments["s_f"].to_numpy(dtype=np.float64), "Σx")
     _check_int_totals(moments["ss"].to_numpy(dtype=np.int64),
                       moments["ss_f"].to_numpy(dtype=np.float64), "Σx²")
     keys_idx = moments[key_col]
