@@ -200,6 +200,23 @@ class ImageDataUriInliner:
         )
 
 
+def select_article_images(refs_and_sizes, min_size: int = 75_000,
+                          featured: str = "") -> tuple[list, str]:
+    """`Article.GetImagesAsync` parity (Article.cs:171-220): keep images
+    whose probed byte size is STRICTLY greater than ``min_size``, in
+    document order; if no FeaturedImage was set by metadata, the first
+    qualifying image becomes it. The network HEAD probe is out of scope
+    in this sandbox — callers supply (ref, size) pairs from whatever
+    probe they have (real HEAD on a cluster, the deterministic
+    ``_payload_stub`` here).
+
+    Returns (kept [(ref, size), ...], featured_image)."""
+    kept = [(r, s) for r, s in refs_and_sizes if r and s > min_size]
+    if not featured and kept:
+        featured = kept[0][0]
+    return kept, featured
+
+
 def media_spans_table(article_batch: pa.Table) -> pa.Table:
     """Explode extracted article rows into one row per media span —
     the hand-off from extraction output to media-processing stages."""

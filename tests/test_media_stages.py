@@ -200,3 +200,18 @@ def test_media_stage_pipeline(ray_session):
     ).take_all()
     assert len(out) == 1 and out[0]["media_ref"] == "a.bmp"
     assert out[0]["n_px"] == 256 * 128 * 3  # class default max_dim=256
+
+
+def test_select_article_images_rule():
+    from smartreader_ray.stages.media import select_article_images
+
+    pairs = [("a", 75_000), ("b", 75_001), ("c", 200_000), ("", 999_999)]
+    kept, featured = select_article_images(pairs)
+    # strictly greater than min_size (Article.cs:200 `size > minSize`),
+    # empty src skipped, document order preserved, first keeper featured
+    assert kept == [("b", 75_001), ("c", 200_000)]
+    assert featured == "b"
+    # metadata-set featured image wins over the fallback
+    _, still = select_article_images(pairs, featured="meta.png")
+    assert still == "meta.png"
+    assert select_article_images([("a", 10)]) == ([], "")
