@@ -631,6 +631,32 @@ def _q_lm_perplexity(sf_dir: str):
     )
 
 
+def _q_lm_perplexity_by_lang(sf_dir: str):
+    """The actual CCNet shape: one bigram LM per LANGUAGE, trained on
+    the same fixed held-in slice keyed by lang (one distributed count
+    pass over (lang, w1, w2)), each doc scored against its own
+    language's model (`functions/lm.py: train_bigram_lm_by /
+    lm_score_by`). Hash gate on the per-lang integer sufficient
+    statistics; same degeneration pattern as `lm_perplexity`."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions.lm import lm_score_by, train_bigram_lm_by
+
+    docs = _docs(sf_dir)
+
+    def held_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 10 == 0) & (ids < 25_000)))
+
+    models = train_bigram_lm_by(
+        docs.map_batches(held_filter, batch_format="pyarrow")
+    )
+    return lm_score_by(docs, models).select_columns(
+        ["doc_id", "lang", "n_trans", "sum_bigram_c", "sum_prefix_c",
+         "n_oov"]
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals. The oracle compares the exact
     integer counts (distinct tokens, top-bigram count); the float
@@ -1875,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "lm_perplexity": _q_lm_perplexity,
+        "lm_perplexity_by_lang": _q_lm_perplexity_by_lang,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -2346,6 +2373,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cc2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_oov
             FROM j GROUP BY doc_id
+        """,
+        # lm_perplexity_by_lang: the per-language variant — counts keyed
+        # by (lang, w1, w2); a doc's transitions join only its own
+        # language's counts.
+        "lm_perplexity_by_lang": """
+            WITH held AS (
+                SELECT lang, string_split(trim(text), ' ') AS a
+                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
+            ),
+            tr_h AS (
+                SELECT lang, a[i] AS w1, a[i+1] AS w2
+                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            c2 AS (SELECT lang, w1, w2, COUNT(*) AS c
+                   FROM tr_h GROUP BY lang, w1, w2),
+            c1 AS (SELECT lang, w1, COUNT(*) AS c FROM tr_h GROUP BY lang, w1),
+            alld AS (
+                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            j AS (
+                SELECT tr.doc_id, tr.lang,
+                       COALESCE(c2.c, 0) AS cc2,
+                       COALESCE(c1.c, 0) AS cc1
+                FROM tr
+                LEFT JOIN c2 ON tr.lang = c2.lang AND tr.w1 = c2.w1
+                            AND tr.w2 = c2.w2
+                LEFT JOIN c1 ON tr.lang = c1.lang AND tr.w1 = c1.w1
+            )
+            SELECT doc_id, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans,
+                   CAST(SUM(cc2) AS BIGINT) AS sum_bigram_c,
+                   CAST(SUM(cc1) AS BIGINT) AS sum_prefix_c,
+                   CAST(SUM(CASE WHEN cc2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov
+            FROM j GROUP BY doc_id, lang
         """,
         # substring_lcs: a shared token run of length L >= 8 appears as
         # exactly L-7 consecutive 8-token window matches on one

@@ -174,6 +174,139 @@ def lm_score(ds, model: dict, text_col: str = "text",
     )
 
 
+def train_bigram_lm_by(ds, key_col: str = "lang", text_col: str = "text",
+                       max_vocab_entries: int = 5_000_000) -> dict:
+    """Per-key (per-LANGUAGE — the actual CCNet shape: one KenLM per
+    language) bigram LM training: one distributed count pass keyed by
+    (key, w1, w2), then per-key models built driver-side behind the same
+    vocab bound as :func:`train_bigram_lm`.
+
+    Returns ``{key: model}`` where each model has the
+    :func:`train_bigram_lm` shape. A key absent from ``ds`` simply has
+    no entry; scorers must define the empty-model convention (see
+    :func:`lm_score_by`: V=1, every transition OOV)."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        ks, w1s, w2s = [], [], []
+        for k, t in zip(batch.column(key_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = _tokens(t)
+            if len(toks) < 2:
+                continue
+            ks.extend([k] * (len(toks) - 1))
+            w1s.extend(toks[:-1])
+            w2s.extend(toks[1:])
+        t = pa.table({"k": pa.array(ks, type=pa.string()),
+                      "w1": pa.array(w1s, type=pa.string()),
+                      "w2": pa.array(w2s, type=pa.string())})
+        g = t.group_by(["k", "w1", "w2"]).aggregate([([], "count_all")])
+        return pa.Table.from_pydict(
+            {"k": g.column("k"), "w1": g.column("w1"),
+             "w2": g.column("w2"), "n": g.column("count_all")}
+        )
+
+    totals = (
+        ds.select_columns([key_col, text_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["k", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    c2_by: dict = {}
+    n_entries = 0
+    for b in totals.iter_batches(batch_format="pyarrow", batch_size=None):
+        for k, w1, w2, n in zip(b.column("k").to_pylist(),
+                                b.column("w1").to_pylist(),
+                                b.column("w2").to_pylist(),
+                                b.column("n").to_pylist()):
+            c2_by.setdefault(k, {})[(w1, w2)] = int(n)
+            n_entries += 1
+            if n_entries > max_vocab_entries:
+                raise ValueError(
+                    f"per-key bigram vocabulary exceeds {max_vocab_entries} "
+                    "entries; shard the LM by (key, prefix) hash instead"
+                )
+    models: dict = {}
+    for k, c2 in c2_by.items():
+        c1: dict = {}
+        for (w1, _), n in c2.items():
+            c1[w1] = c1.get(w1, 0) + n
+        models[k] = {"c2": c2, "c1": c1, "V": len(c1) + 1}
+    return models
+
+
+class _LMScorerBy:
+    """Per-key scorer: resolves the broadcast {key: model} map once per
+    worker; a row whose key has no model scores against the empty model
+    (V=1, every transition OOV) — the same convention the SQL oracle
+    replays with COALESCEs."""
+
+    def __init__(self, models_ref):
+        import ray
+
+        self.models = ray.get(models_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = {"c2": {}, "c1": {}, "V": 1}
+        ids, ks, n_tr, s_big, s_pfx, n_oov, ppl = [], [], [], [], [], [], []
+        for doc_id, k, t in zip(batch.column("doc_id").to_pylist(),
+                                batch.column(batch.column_names[1]).to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            if len(toks) < 2:
+                continue
+            m = self.models.get(k, empty)
+            c2, c1, V = m["c2"], m["c1"], m["V"]
+            cc2 = np.fromiter(
+                (c2.get((a, b), 0) for a, b in zip(toks[:-1], toks[1:])),
+                dtype=np.int64, count=len(toks) - 1,
+            )
+            cc1 = np.fromiter(
+                (c1.get(a, 0) for a in toks[:-1]),
+                dtype=np.int64, count=len(toks) - 1,
+            )
+            ids.append(doc_id)
+            ks.append(k)
+            n_tr.append(len(cc2))
+            s_big.append(int(cc2.sum()))
+            s_pfx.append(int(cc1.sum()))
+            n_oov.append(int((cc2 == 0).sum()))
+            logp = np.log2((cc2 + 1).astype(np.float64)
+                           / (cc1 + V).astype(np.float64))
+            ppl.append(round(float(-logp.sum() / len(logp)), 6))
+        id_type = batch.schema.field("doc_id").type
+        key_name = batch.column_names[1]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=id_type),
+                key_name: pa.array(ks, type=pa.string()),
+                "n_trans": pa.array(n_tr, type=pa.int64()),
+                "sum_bigram_c": pa.array(s_big, type=pa.int64()),
+                "sum_prefix_c": pa.array(s_pfx, type=pa.int64()),
+                "n_oov": pa.array(n_oov, type=pa.int64()),
+                "log2_ppl": pa.array(ppl, type=pa.float64()),
+            }
+        )
+
+
+def lm_score_by(ds, models: dict, key_col: str = "lang",
+                text_col: str = "text", concurrency=(1, 4),
+                batch_size: int = 64):
+    """Score every doc against ITS key's model (see
+    :func:`train_bigram_lm_by`). Output adds ``key_col``; docs with
+    < 2 tokens are omitted."""
+    import ray
+
+    models_ref = ray.put(models)
+    return ds.select_columns(["doc_id", key_col, text_col]).map_batches(
+        _LMScorerBy,
+        fn_constructor_args=(models_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 def lm_perplexity_reference(held_texts: list[str], text: str) -> float | None:
     """Scalar reference implementation (tests only): train on
     ``held_texts``, return the add-one-smoothed bigram log2-perplexity

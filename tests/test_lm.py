@@ -86,3 +86,32 @@ def test_train_vocab_bound(ray_session):
     with pytest.raises(Exception) as ei:
         train_bigram_lm(ray.data.from_items(rows[:3]), max_vocab_entries=2)
     assert "shard the LM" in str(ei.value)
+
+
+def test_per_lang_models_isolated(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.lm import lm_score_by, train_bigram_lm_by
+
+    rows = [
+        {"doc_id": 0, "lang": "en", "text": "the cat sat on the mat"},
+        {"doc_id": 1, "lang": "en", "text": "the dog sat on the rug"},
+        {"doc_id": 2, "lang": "de", "text": "der Hund und die Katze"},
+        # probe: English bigrams scored against the GERMAN model are OOV
+        {"doc_id": 3, "lang": "de", "text": "the cat sat on the mat"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    models = train_bigram_lm_by(ds.filter(expr="doc_id < 3"))
+    assert set(models) == {"en", "de"}
+    assert models["en"]["c2"][("sat", "on")] == 2
+    assert ("der", "Hund") in models["de"]["c2"]
+    out = {r["doc_id"]: r for r in lm_score_by(ds, models).take_all()}
+    assert out[0]["n_oov"] == 0            # en doc vs en model
+    assert out[3]["n_oov"] == 5            # en text vs de model: all OOV
+    assert out[3]["sum_bigram_c"] == 0
+    # a key with no model scores against the empty model (all OOV)
+    stray = ray.data.from_items(
+        [{"doc_id": 9, "lang": "fr", "text": "le chat noir dort"}]
+    )
+    r = lm_score_by(stray, models).take_all()[0]
+    assert r["n_oov"] == 3 and r["sum_prefix_c"] == 0
