@@ -657,6 +657,48 @@ def _q_lm_perplexity_by_lang(sf_dir: str):
     )
 
 
+def _q_lm_gate_chain(sf_dir: str):
+    """Composed chain #4 (round 4): per-language LM scoring → OOV-rate
+    quality gate (keep docs with ≤ 25 % out-of-model transitions — the
+    CCNet keep-the-head move) → per-language corpus rollup. Three
+    streaming stages, ONE SQL statement as oracle — the composition is
+    what's being proven, not the pieces."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from smartreader_ray.functions.lm import lm_score_by, train_bigram_lm_by
+
+    docs = _docs(sf_dir)
+
+    def held_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 10 == 0) & (ids < 25_000)))
+
+    models = train_bigram_lm_by(
+        docs.map_batches(held_filter, batch_format="pyarrow")
+    )
+    scored = lm_score_by(docs, models)
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.multiply(b.column("n_oov"), pa.scalar(4, type=pa.int64())),
+            b.column("n_trans"),
+        )
+        return b.filter(keep).select(["lang", "n_trans", "n_oov"])
+
+    return (
+        scored.map_batches(gate, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_trans", alias_name="total_trans"),
+            Sum("n_oov", alias_name="total_oov"),
+        )
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals. The oracle compares the exact
     integer counts (distinct tokens, top-bigram count); the float
@@ -1902,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "lm_perplexity": _q_lm_perplexity,
         "lm_perplexity_by_lang": _q_lm_perplexity_by_lang,
+        "lm_gate_chain": _q_lm_gate_chain,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -2413,6 +2456,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cc2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_oov
             FROM j GROUP BY doc_id, lang
+        """,
+        # lm_gate_chain: composed chain #4 — the per-lang LM stats, the
+        # OOV-rate gate (4*n_oov <= n_trans), and the per-lang rollup in
+        # one statement.
+        "lm_gate_chain": """
+            WITH held AS (
+                SELECT lang, string_split(trim(text), ' ') AS a
+                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
+            ),
+            tr_h AS (
+                SELECT lang, a[i] AS w1, a[i+1] AS w2
+                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            c2 AS (SELECT lang, w1, w2, COUNT(*) AS c
+                   FROM tr_h GROUP BY lang, w1, w2),
+            alld AS (
+                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            stats AS (
+                SELECT tr.doc_id, tr.lang,
+                       COUNT(*) AS n_trans,
+                       SUM(CASE WHEN COALESCE(c2.c, 0) = 0 THEN 1 ELSE 0 END)
+                           AS n_oov
+                FROM tr
+                LEFT JOIN c2 ON tr.lang = c2.lang AND tr.w1 = c2.w1
+                            AND tr.w2 = c2.w2
+                GROUP BY tr.doc_id, tr.lang
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_trans) AS BIGINT) AS total_trans,
+                   CAST(SUM(n_oov) AS BIGINT) AS total_oov
+            FROM stats WHERE 4 * n_oov <= n_trans
+            GROUP BY lang
         """,
         # substring_lcs: a shared token run of length L >= 8 appears as
         # exactly L-7 consecutive 8-token window matches on one

@@ -240,6 +240,7 @@ def run_main() -> dict:
         "customer_orders_full", "keys_union", "zscore_tfidf_chain", "temperature_mix",
         "orders_by_segment_salted",
         "substring_lcs", "lm_perplexity", "audio_features",
+        "featured_image", "lm_perplexity_by_lang", "lm_gate_chain",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
