@@ -1754,6 +1754,61 @@ def _q_media_pipeline(sf_dir: str):
     return stats.map_batches(thin, batch_format="pyarrow")
 
 
+def _q_audio_spectral(sf_dir: str):
+    """Real DSP leg: per doc a pure int16 sine tone is planted at a
+    BIN-ALIGNED frequency (bin k = 8 + doc_id % 50 of a 256-sample
+    frame, i.e. k whole periods per frame) and the
+    `AudioSpectralFeatures` stage must recover exactly that bin as the
+    argmax of its Hann-windowed mean FFT spectrum. The oracle replays
+    the plant parameters (k and the frame count formula), so a defect
+    anywhere in WAV encode → RIFF decode → framing → window → FFT →
+    argmax flips the hash — without the oracle computing any FFT."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.codecs import wav_encode
+    from smartreader_ray.stages.media import AudioSpectralFeatures
+
+    FRAME, HOP, FS = 256, 128, 8000
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n = 1024 + (i % 7) * HOP   # whole-hop lengths
+            k = 8 + i % 50             # planted frequency bin
+            t = np.arange(n)
+            s = (8000.0 * np.sin(2.0 * np.pi * k * t / FRAME)).astype(np.int16)
+            payloads.append(wav_encode(s, framerate=FS))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": pa.array(
+                    [f"tone://{int(i)}" for i in ids], type=pa.string()
+                ),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    feats = ds.map_batches(
+        AudioSpectralFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        batch_size=32,
+    )
+
+    def thin(batch: pa.Table) -> pa.Table:
+        assert batch.num_rows == 0 or all(
+            e == "" for e in batch.column("error").to_pylist()
+        ), "spectral errors on synthesized tones"
+        return batch.select(["doc_id", "n_frames", "dominant_bin"])
+
+    return feats.map_batches(thin, batch_format="pyarrow")
+
+
 def _q_featured_image(sf_dir: str):
     """`Article.GetImagesAsync` fallback rule (Article.cs:171-220): keep
     images with probed size STRICTLY > 75 KB in document order; first
@@ -1993,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": _q_media_pipeline,
         "audio_features": _q_audio_features,
         "featured_image": _q_featured_image,
+        "audio_spectral": _q_audio_spectral,
         "pdf_extract": _q_pdf_extract,
     }
 
@@ -3020,6 +3076,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.sum_samples AS BIGINT) AS sum_samples,
                    CAST(s.sum_sq AS BIGINT) AS sum_sq
             FROM p JOIN s USING (doc_id)
+        """,
+        # audio_spectral: the tone is planted bin-aligned, so the oracle
+        # replays the plant (bin k, frame-count formula) — no SQL FFT.
+        "audio_spectral": """
+            SELECT doc_id,
+                   CAST(1 + (1024 + (doc_id % 7) * 128 - 256) // 128
+                        AS BIGINT) AS n_frames,
+                   CAST(8 + doc_id % 50 AS BIGINT) AS dominant_bin
+            FROM documents
         """,
         # featured_image: replay the deterministic sha256 HEAD-probe stub
         # (size = 1000 + first-4-bytes-of-sha256 % 200000) and the

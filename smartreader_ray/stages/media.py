@@ -439,6 +439,87 @@ class AudioFeatureStage:
         return pa.Table.from_pydict(out)
 
 
+class AudioSpectralFeatures:
+    """Actor-pool stage: real spectral analysis of WAV payloads with
+    numpy's FFT — (doc_id, media_ref, payload) → per-clip features:
+
+    - ``n_frames``: sliding analysis frames (``frame_size`` samples,
+      ``hop`` apart) — int, pure function of clip length;
+    - ``dominant_bin``: argmax of the mean Hann-windowed magnitude
+      spectrum over all frames — for a bin-aligned pure tone this is
+      exactly the planted frequency bin, which makes the whole
+      encode → RIFF decode → frame → window → FFT → argmax chain
+      oracle-checkable without the oracle recomputing an FFT;
+    - ``embedding``: ``n_bands`` log-compressed band energies of the
+      mean spectrum (``list<float>``), directly consumable by the
+      similarity operators (ann_topk / embedding_neardup) — the audio
+      analogue of ``ByteHistogramFeatures``.
+
+    Stereo clips are analyzed on channel 0 (deterministic). Clips
+    shorter than one frame and malformed payloads become error rows.
+    """
+
+    def __init__(self, frame_size: int = 256, hop: int = 128,
+                 n_bands: int = 16):
+        self.frame_size = frame_size
+        self.hop = hop
+        self.n_bands = n_bands
+        import numpy as np
+
+        self._window = np.hanning(frame_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import MediaDecodeError, wav_decode
+
+        n_fr_l, dom_l, emb_l, err_l = [], [], [], []
+        n_bins = self.frame_size // 2 + 1
+        edges = np.linspace(0, n_bins, self.n_bands + 1).astype(int)
+        for p in batch.column("payload").to_pylist():
+            try:
+                _, n_ch, samples = wav_decode(p or b"")
+                s = samples.astype(np.float64)
+                if n_ch > 1:
+                    s = s[::n_ch]  # channel 0
+                if len(s) < self.frame_size:
+                    raise MediaDecodeError(
+                        f"clip shorter than one analysis frame "
+                        f"({len(s)} < {self.frame_size} samples)"
+                    )
+                n_frames = 1 + (len(s) - self.frame_size) // self.hop
+                idx = (np.arange(self.frame_size)[None, :]
+                       + self.hop * np.arange(n_frames)[:, None])
+                frames = s[idx] * self._window[None, :]
+                spec = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                bands = np.array([
+                    np.log10(1.0 + (spec[a:b] ** 2).sum())
+                    for a, b in zip(edges[:-1], edges[1:])
+                ], dtype=np.float32)
+                n_fr_l.append(n_frames)
+                dom_l.append(int(spec.argmax()))
+                emb_l.append(bands)
+                err_l.append("")
+            except MediaDecodeError as exc:
+                n_fr_l.append(0)
+                dom_l.append(-1)
+                emb_l.append(np.zeros(self.n_bands, dtype=np.float32))
+                err_l.append(str(exc))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "n_frames": pa.array(n_fr_l, type=pa.int64()),
+                "dominant_bin": pa.array(dom_l, type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, e)) for e in emb_l],
+                    type=pa.list_(pa.float32()),
+                ),
+                "error": pa.array(err_l, type=pa.string()),
+            }
+        )
+
+
 class FrameSampleStage:
     """Actor-pool flat-map: one input video row → one output row per
     sampled frame (every ``every_k``-th). The row-count expansion is the

@@ -215,3 +215,55 @@ def test_select_article_images_rule():
     _, still = select_article_images(pairs, featured="meta.png")
     assert still == "meta.png"
     assert select_article_images([("a", 10)]) == ([], "")
+
+
+def test_audio_spectral_recovers_planted_tone():
+    from smartreader_ray.stages.media import AudioSpectralFeatures
+
+    frame, hop = 256, 128
+    t = np.arange(1024 + 3 * hop)
+    tone = (8000.0 * np.sin(2 * np.pi * 20 * t / frame)).astype(np.int16)
+    silence = np.zeros(1024, dtype=np.int16)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "media_ref": ["tone", "silence", "junk", "short"],
+            "payload": pa.array(
+                [wav_encode(tone, 8000), wav_encode(silence, 8000),
+                 b"nope", wav_encode(np.zeros(10, dtype=np.int16), 8000)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    rows = {r["media_ref"]: r
+            for r in AudioSpectralFeatures(frame, hop)(batch).to_pylist()}
+    ok = rows["tone"]
+    assert ok["dominant_bin"] == 20  # bin-aligned tone recovered exactly
+    assert ok["n_frames"] == 1 + (len(tone) - frame) // hop
+    assert len(ok["embedding"]) == 16
+    # the tone's energy concentrates in its band: bin 20 of 129 -> band 2
+    emb = np.array(ok["embedding"])
+    assert emb.argmax() == 2
+    assert rows["silence"]["dominant_bin"] == 0  # flat spectrum, argmax=0
+    assert rows["junk"]["error"] and rows["junk"]["dominant_bin"] == -1
+    assert "shorter than one analysis frame" in rows["short"]["error"]
+
+
+def test_audio_spectral_stereo_channel0():
+    from smartreader_ray.stages.media import AudioSpectralFeatures
+
+    frame = 256
+    t = np.arange(1024)
+    left = (8000.0 * np.sin(2 * np.pi * 12 * t / frame)).astype(np.int16)
+    right = (8000.0 * np.sin(2 * np.pi * 40 * t / frame)).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "media_ref": ["st"],
+            "payload": pa.array([wav_encode(inter, 8000, n_channels=2)],
+                                type=pa.binary()),
+        }
+    )
+    r = AudioSpectralFeatures(frame, 128)(batch).to_pylist()[0]
+    assert r["dominant_bin"] == 12  # channel 0, not the mix
