@@ -1809,6 +1809,80 @@ def _q_audio_spectral(sf_dir: str):
     return feats.map_batches(thin, batch_format="pyarrow")
 
 
+def _q_audio_ann(sf_dir: str):
+    """Audio similarity end to end: planted tones → REAL spectral
+    embeddings (`AudioSpectralFeatures`) → exact cosine top-k
+    (`ann_topk`). All clips share one length and phase, so docs with the
+    same planted band (14 distinct, band-separated bins) have
+    bit-identical PCM → bit-identical embeddings → exact sim ties broken
+    by vec_id, while cross-band cosines stay well below 1 — the top-10
+    per query is exactly the query's band group ordered by id, which the
+    oracle replays with one ROW_NUMBER. Proves the audio modality feeds
+    the similarity operators for real."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import ann_topk
+    from smartreader_ray.stages.codecs import wav_encode
+    from smartreader_ray.stages.media import AudioSpectralFeatures
+
+    FRAME, N = 256, 1024
+
+    def tone_payloads(ids) -> list:
+        t = np.arange(N)
+        out = []
+        for i in ids:
+            k = 4 + (int(i) % 14) * 8  # one bin per spectral band
+            s = (8000.0 * np.sin(2.0 * np.pi * k * t / FRAME)).astype(np.int16)
+            out.append(wav_encode(s, framerate=8000))
+        return out
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": pa.array([f"tone://{i}" for i in ids],
+                                      type=pa.string()),
+                "payload": pa.array(tone_payloads(ids), type=pa.binary()),
+            }
+        )
+
+    def to_vecs(batch: pa.Table) -> pa.Table:
+        assert batch.num_rows == 0 or all(
+            e == "" for e in batch.column("error").to_pylist())
+        return pa.table(
+            {
+                "vec_id": batch.column("doc_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(AudioSpectralFeatures, batch_format="pyarrow",
+                     concurrency=(1, 4), batch_size=32)
+        .map_batches(to_vecs, batch_format="pyarrow")
+    )
+    # query matrix: docs 0..4, embeddings computed in-process by the SAME
+    # stage code (same numpy → same bits as the workers)
+    qbatch = pa.table(
+        {
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "media_ref": pa.array([f"tone://{i}" for i in range(5)],
+                                  type=pa.string()),
+            "payload": pa.array(tone_payloads(range(5)), type=pa.binary()),
+        }
+    )
+    qemb = AudioSpectralFeatures()(qbatch).column("embedding").to_pylist()
+    table = ann_topk(ds, np.asarray(qemb, dtype=np.float64), k=10)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
 def _q_featured_image(sf_dir: str):
     """`Article.GetImagesAsync` fallback rule (Article.cs:171-220): keep
     images with probed size STRICTLY > 75 KB in document order; first
@@ -2049,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "featured_image": _q_featured_image,
         "audio_spectral": _q_audio_spectral,
+        "audio_ann": _q_audio_ann,
         "pdf_extract": _q_pdf_extract,
     }
 
@@ -3085,6 +3160,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_frames,
                    CAST(8 + doc_id % 50 AS BIGINT) AS dominant_bin
             FROM documents
+        """,
+        # audio_ann: same-band tones have bit-identical embeddings (exact
+        # sim ties -> vec_id order); cross-band cosines < 1, so top-10 =
+        # the query's band group ordered by id.
+        "audio_ann": """
+            WITH q AS (
+                SELECT doc_id AS query_id, doc_id % 14 AS grp
+                FROM documents WHERE doc_id < 5
+            ),
+            ranked AS (
+                SELECT q.query_id, d.doc_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id ORDER BY d.doc_id
+                       ) AS rank
+                FROM q JOIN documents d ON d.doc_id % 14 = q.grp
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
         """,
         # featured_image: replay the deterministic sha256 HEAD-probe stub
         # (size = 1000 + first-4-bytes-of-sha256 % 200000) and the
