@@ -1735,12 +1735,12 @@ def _q_media_pipeline(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
     ).map_batches(synth, batch_format="pyarrow")
     resized = ds.map_batches(
-        ImageResizeStage, batch_format="pyarrow", concurrency=(1, 4),
-        batch_size=16,
+        ImageResizeStage, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=16,
     )
     stats = resized.map_batches(
-        ImageStatsFeatures, batch_format="pyarrow", concurrency=(1, 4),
-        batch_size=16,
+        ImageStatsFeatures, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=16,
     )
 
     def thin(batch: pa.Table) -> pa.Table:
@@ -1796,8 +1796,8 @@ def _q_audio_spectral(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).map_batches(synth, batch_format="pyarrow")
     feats = ds.map_batches(
-        AudioSpectralFeatures, batch_format="pyarrow", concurrency=(1, 4),
-        batch_size=32,
+        AudioSpectralFeatures, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=32,
     )
 
     def thin(batch: pa.Table) -> pa.Table:
@@ -1865,7 +1865,7 @@ def _q_audio_ann(sf_dir: str):
         )
         .map_batches(synth, batch_format="pyarrow")
         .map_batches(AudioSpectralFeatures, batch_format="pyarrow",
-                     concurrency=(1, 4), batch_size=32)
+                     concurrency=(1, _pool_max()), batch_size=32)
         .map_batches(to_vecs, batch_format="pyarrow")
     )
     # query matrix: docs 0..4, embeddings computed in-process by the SAME
@@ -1958,8 +1958,8 @@ def _q_audio_features(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).map_batches(synth, batch_format="pyarrow")
     feats = ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", concurrency=(1, 4),
-        batch_size=32,
+        AudioFeatureStage, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=32,
     )
 
     def thin(batch: pa.Table) -> pa.Table:
