@@ -1883,6 +1883,48 @@ def _q_audio_ann(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def _q_url_dedup(sf_dir: str):
+    """URL-level dedup of a crawl frontier: messy synthesized URLs per
+    doc (case noise, explicit default ports, fragments) → RFC 3986
+    syntax-based normalization (`extraction/urialg.py:normalize_url`) →
+    groupby canonical URL with Min/Count pre-combine — the dedup shape
+    of `exact_dedup`, keyed by URL instead of content. The oracle
+    replays the plant: every variant of (doc_id % 50, doc_id % 7)
+    normalizes to the same canonical form."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Min
+
+    from smartreader_ray.extraction.urialg import normalize_url
+
+    def synth_and_norm(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            i = int(i)
+            host = f"Example{i % 50}.COM" if i % 3 else f"example{i % 50}.com"
+            port = ":80" if i % 2 else ""
+            frag = f"#sec{i % 3}" if i % 2 else ""
+            urls.append(f"HTTP://{host}{port}/Path{i % 7}/{frag}")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url_norm": pa.array([normalize_url(u) for u in urls],
+                                     type=pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(synth_and_norm, batch_format="pyarrow")
+        .groupby("url_norm")
+        .aggregate(
+            Min("doc_id", alias_name="keep_doc_id"),
+            Count(alias_name="n_dups"),
+        )
+    )
+
+
 def _q_featured_image(sf_dir: str):
     """`Article.GetImagesAsync` fallback rule (Article.cs:171-220): keep
     images with probed size STRICTLY > 75 KB in document order; first
@@ -2124,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "featured_image": _q_featured_image,
         "audio_spectral": _q_audio_spectral,
         "audio_ann": _q_audio_ann,
+        "url_dedup": _q_url_dedup,
         "pdf_extract": _q_pdf_extract,
     }
 
@@ -3160,6 +3203,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_frames,
                    CAST(8 + doc_id % 50 AS BIGINT) AS dominant_bin
             FROM documents
+        """,
+        # url_dedup: every messy variant normalizes to the planted
+        # canonical form 'http://example<g>.com/Path<p>/'.
+        "url_dedup": """
+            WITH norm AS (
+                SELECT doc_id,
+                       'http://example' || CAST(doc_id % 50 AS VARCHAR)
+                           || '.com/Path' || CAST(doc_id % 7 AS VARCHAR)
+                           || '/' AS url_norm
+                FROM documents
+            )
+            SELECT url_norm,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM norm GROUP BY url_norm
         """,
         # audio_ann: same-band tones have bit-identical embeddings (exact
         # sim ties -> vec_id order); cross-band cosines < 1, so top-10 =

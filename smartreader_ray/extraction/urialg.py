@@ -97,3 +97,41 @@ def is_well_formed_absolute(uri: str) -> bool:
         return False
     # .NET rejects strings with illegal chars such as spaces, <, >, "
     return not any(c in candidate for c in ' <>"{}|^`\\')
+
+
+def normalize_url(url: str) -> str:
+    """RFC 3986 §6 syntax-based normalization (the SQL-replayable
+    subset) — the canonical key for URL-level dedup of crawl frontiers:
+
+    - scheme and host lowercased (case-insensitive per §3.1/§3.2.2)
+    - fragment dropped (never sent to the server)
+    - default port removed (http:80 / https:443 / ftp:21)
+    - empty path → "/"
+    - query preserved verbatim (reordering params changes semantics)
+    - userinfo preserved verbatim
+
+    Unparseable or non-absolute input normalizes to itself stripped —
+    a dedup key must be total, never raise mid-pipeline."""
+    try:
+        parts = urlsplit((url or "").strip())
+    except ValueError:
+        return (url or "").strip()
+    if not parts.scheme or not parts.netloc:
+        return (url or "").strip()
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    userinfo = ""
+    if "@" in netloc:
+        userinfo, netloc = netloc.rsplit("@", 1)
+        userinfo += "@"
+    host, port = netloc, ""
+    if ":" in netloc:
+        host, port = netloc.rsplit(":", 1)
+    host = host.lower()
+    if port and port.isdigit() and int(port) != _DEFAULT_PORTS.get(scheme):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    out = f"{scheme}://{userinfo}{host}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    return out

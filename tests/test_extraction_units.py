@@ -485,3 +485,19 @@ def test_logger_delegate_call_sites():
     # no logger → no crash, debug off → zero overhead path
     a = parse_article("https://localhost/", doc, ExtractorConfig())
     assert a.completed
+
+
+def test_normalize_url_rfc3986_subset():
+    from smartreader_ray.extraction.urialg import normalize_url as n
+
+    assert n("HTTP://Example.COM:80/Path/#frag") == "http://example.com/Path/"
+    assert n("https://Example.com:443/a?b=1#x") == "https://example.com/a?b=1"
+    assert n("https://example.com:8443/a") == "https://example.com:8443/a"
+    assert n("http://example.com") == "http://example.com/"
+    # userinfo and query are preserved verbatim (semantics-bearing)
+    assert n("HTTP://User:Pw@Host.COM/p") == "http://User:Pw@host.com/p"
+    assert n("http://h.com/p?b=2&a=1") == "http://h.com/p?b=2&a=1"
+    # total function: junk and empties normalize to themselves stripped
+    assert n("not a url") == "not a url"
+    assert n("  http://A.com/x  ") == "http://a.com/x"
+    assert n("") == "" and n(None) == ""
