@@ -1457,6 +1457,41 @@ def _q_length_token_corr(sf_dir: str):
     return corr_by(ds, key_col="lang", x_col="n_chars", y_col="n_tokens")
 
 
+def _q_length_trend(sf_dir: str):
+    """Per-language OLS fit n_tokens ~ n_chars (slope/intercept/R²) from
+    the same exact int64 co-moments as `length_token_corr` — a model FIT
+    distributed via sufficient statistics
+    (`functions/standardize.py: linreg_by`), bit-equal to the SQL
+    closed form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.standardize import linreg_by
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(batch.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "n_chars", "text"],
+    ).map_batches(add_tokens, batch_format="pyarrow")
+    return linreg_by(ds, key_col="lang", x_col="n_chars", y_col="n_tokens")
+
+
 def _q_range_partition(sf_dir: str):
     """Explicit repartitioning: per-lang quartile boundaries of doc
     length (exact histogram reduction, broadcast once) stamp each doc
@@ -2134,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "range_partition": _q_range_partition,
         "length_token_corr": _q_length_token_corr,
+        "length_trend": _q_length_trend,
         "customer_orders_full": _q_customer_orders_full,
         "keys_union": _q_keys_union,
         "zscore_tfidf_chain": _q_zscore_tfidf_chain,
@@ -3010,6 +3046,45 @@ def oracle_sql() -> dict[str, str]:
                             6)
                         ELSE NULL END AS corr
             FROM m
+        """,
+        # length_trend: the OLS closed form in the engine's exact IEEE
+        # order — each int64 product cast to DOUBLE before subtracting;
+        # intercept uses the UNROUNDED slope; r2 = corr·corr.
+        "length_trend": """
+            WITH t AS (
+                SELECT lang, n_chars,
+                       CAST(length(string_split(trim(text), ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), m AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(n_chars) AS BIGINT) AS sx,
+                       CAST(sum(n_tokens) AS BIGINT) AS sy,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+                       CAST(sum(n_tokens * n_tokens) AS BIGINT) AS syy,
+                       CAST(sum(n_chars * n_tokens) AS BIGINT) AS sxy
+                FROM t GROUP BY lang
+            ), d AS (
+                SELECT lang, n,
+                       CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE) AS num,
+                       CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE) AS vx,
+                       CAST(n * syy AS DOUBLE) - CAST(sy * sy AS DOUBLE) AS vy,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(n AS DOUBLE) AS nd
+                FROM m
+            )
+            SELECT lang, n,
+                   CASE WHEN vx > 0 THEN round(num / vx, 6) END AS slope,
+                   CASE WHEN vx > 0
+                        THEN round((syd - (num / vx) * sxd) / nd, 6)
+                   END AS intercept,
+                   CASE WHEN vx > 0 AND vy > 0
+                        THEN round((num / (sqrt(vx) * sqrt(vy)))
+                                   * (num / (sqrt(vx) * sqrt(vy))), 6)
+                   END AS r2
+            FROM d
         """,
         "range_partition": """
             -- shard = strict-comparator bucket against percentile_disc

@@ -172,23 +172,15 @@ def _comoment_partials(key_col: str, x_col: str, y_col: str):
     return fn
 
 
-def corr_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
-    """Per-key Pearson correlation of two integer columns from EXACT
-    int64 co-moments (n, Σx, Σy, Σx², Σy², Σxy) — one key-cardinality-
-    sized exchange, nothing row-sized. The closed form is evaluated in
-    a fixed double-precision order — each exact int64 product cast to
-    double FIRST, then IEEE subtract/divide — and the SQL oracle must
-    spell the same tree (``CAST(n*sxy AS DOUBLE) - CAST(sx*sy AS
-    DOUBLE)``, not int subtraction then one cast) for bit-equal output.
-
-    Output: (key_col, n, corr) with corr NULL when either variance is 0.
-    """
+def _comoment_totals(ds, key_col: str, x_col: str, y_col: str):
+    """Shared reduction for :func:`corr_by` / :func:`linreg_by`: exact
+    int64 co-moment totals per key (+ float64 overflow checksums)."""
     from ray.data.aggregate import Sum
 
     partial = ds.select_columns([key_col, x_col, y_col]).map_batches(
         _comoment_partials(key_col, x_col, y_col), batch_format="pyarrow"
     )
-    totals = (
+    return (
         partial.groupby(key_col)
         .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
                    Sum("sxy"), Sum("sxx_f"), Sum("syy_f"), Sum("sxy_f"))
@@ -200,6 +192,79 @@ def corr_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
             batch_format="pyarrow",
         )
     )
+
+
+def linreg_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
+    """Per-key ordinary least squares ``y = intercept + slope·x`` from
+    the SAME exact int64 co-moments as :func:`corr_by` (one
+    key-cardinality-sized exchange, overflow-checksummed). Closed form
+    evaluated in a fixed double-precision order — each exact integer
+    product cast to double FIRST — so the SQL oracle spelling the same
+    tree is bit-equal:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r2        = corr²  (NULL when x is constant)
+
+    The trend-fitting primitive for corpus dashboards (tokens-vs-time,
+    quality-vs-length) — a model FIT distributed via sufficient
+    statistics, the same pattern as the bigram LM's integer counts.
+    """
+    import numpy as np
+
+    totals = _comoment_totals(ds, key_col, x_col, y_col)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        for c in ("sxx", "syy", "sxy"):
+            _check_int_totals(
+                b.column(c).to_numpy(zero_copy_only=False).astype(np.int64),
+                b.column(c + "_f").to_numpy(zero_copy_only=False), "Σ" + c[1:]
+            )
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / vx
+            intercept = (sy - slope * sx) / n
+            r2 = (num / (np.sqrt(vx) * np.sqrt(vy))) ** 2
+        bad = ~(vx > 0)
+        slope[bad] = np.nan
+        intercept[bad] = np.nan
+        r2[bad | ~(vy > 0)] = np.nan
+        return pa.table(
+            {
+                key_col: b.column(key_col),
+                "n": b.column("n"),
+                "slope": pa.array(np.round(slope, round_to),
+                                  type=pa.float64(), from_pandas=True),
+                "intercept": pa.array(np.round(intercept, round_to),
+                                      type=pa.float64(), from_pandas=True),
+                "r2": pa.array(np.round(r2, round_to),
+                               type=pa.float64(), from_pandas=True),
+            }
+        )
+
+    return totals.map_batches(finalize, batch_format="pyarrow")
+
+
+def corr_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
+    """Per-key Pearson correlation of two integer columns from EXACT
+    int64 co-moments (n, Σx, Σy, Σx², Σy², Σxy) — one key-cardinality-
+    sized exchange, nothing row-sized. The closed form is evaluated in
+    a fixed double-precision order — each exact int64 product cast to
+    double FIRST, then IEEE subtract/divide — and the SQL oracle must
+    spell the same tree (``CAST(n*sxy AS DOUBLE) - CAST(sx*sy AS
+    DOUBLE)``, not int subtraction then one cast) for bit-equal output.
+
+    Output: (key_col, n, corr) with corr NULL when either variance is 0.
+    """
+    totals = _comoment_totals(ds, key_col, x_col, y_col)
 
     def finalize(b: pa.Table) -> pa.Table:
         # checksum gate: for integer inputs a Σx/Σy wrap forces a Σx²/Σy²

@@ -463,3 +463,32 @@ def test_asof_and_range_join_null_semantics(ray_session):
     assert sorted((str(r["u"]), r["lv"], r["n_matches"]) for r in cnt) == [
         ("1", "a", 1), ("None", "c", 0),
     ]
+
+
+def test_linreg_by_matches_numpy_polyfit(ray_session):
+    import numpy as np
+    import ray.data
+
+    from smartreader_ray.functions.standardize import linreg_by
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for lang, (a, b) in {"en": (3, 2), "de": (-5, 7)}.items():
+        x = rng.randint(0, 1000, 60)
+        noise = rng.randint(-20, 21, 60)
+        for xi, ni in zip(x, noise):
+            rows.append({"lang": lang, "x": int(xi), "y": int(a + b * xi + ni)})
+    rows.append({"lang": "xx", "x": 5, "y": 9})  # single point: null fit
+    rows.append({"lang": "cc", "x": 4, "y": 1})  # constant x: null fit
+    rows.append({"lang": "cc", "x": 4, "y": 8})
+    ds = ray.data.from_items(rows).repartition(3)
+    got = {r["lang"]: r for r in linreg_by(ds, "lang", "x", "y").take_all()}
+    for lang in ("en", "de"):
+        xs = np.array([r["x"] for r in rows if r["lang"] == lang], dtype=float)
+        ys = np.array([r["y"] for r in rows if r["lang"] == lang], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[lang]["slope"] == pytest.approx(slope, abs=1e-4)
+        assert got[lang]["intercept"] == pytest.approx(intercept, abs=1e-3)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got[lang]["r2"] == pytest.approx(r * r, abs=1e-6)
+    assert got["xx"]["slope"] is None and got["cc"]["slope"] is None
