@@ -2115,6 +2115,90 @@ def _q_media_data_uri(sf_dir: str):
     ).map_batches(project, batch_format="pyarrow")
 
 
+def _q_supplier_pagerank(sf_dir: str):
+    """Integer power-iteration PageRank over the supplier hand-off
+    graph (edges = consecutive lineitems within an order, DISTINCT,
+    self-loops dropped): the canonical *iterative* shuffle workload,
+    complementing label propagation's min-fixpoint family. All-integer
+    arithmetic (`functions/graph.py`: floor-div contributions, int64
+    inflow sums, `BASE + (85·inflow)//100` damping) makes five rounds
+    bit-reproducible and SQL-replayable by unrolled CTEs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.graph import consecutive_edges, pagerank
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    edges = consecutive_edges(
+        li, "l_orderkey", "l_linenumber", "l_suppkey", seq_stride=1000
+    )
+    nodes = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    ).map_batches(
+        lambda b: pa.table({"v": pc.cast(b.column("s_suppkey"),
+                                         pa.int64())}),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(edges, nodes, node_col="v", iterations=5)
+    return pr.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("v"),
+                "rank": b.column("rank"),
+                "outdeg": b.column("outdeg"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["rank", "s_suppkey"], descending=[True, False])
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE replay of `functions/graph.py: pagerank` — one CTE
+    per round, identical integer arithmetic (DuckDB `//` floors like
+    Python on the non-negative ranks; SUM(BIGINT) cast back down)."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""r{i} AS (
+            SELECT n.v,
+                   CAST(150000000000
+                        + (85 * COALESCE(s.infl, 0)) // 100 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS v,
+                       CAST(SUM(p.r // od.outdeg) AS BIGINT) AS infl
+                FROM e JOIN r{i - 1} p ON p.v = e.src
+                       JOIN od ON od.v = e.src
+                GROUP BY e.dst
+            ) s ON s.v = n.v
+        )""")
+    return f"""
+        WITH li AS (
+            SELECT l_orderkey * 1000 + l_linenumber AS k, l_suppkey
+            FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM li a JOIN li b ON b.k = a.k + 1
+            WHERE a.l_suppkey <> b.l_suppkey
+        ), nodes AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier
+        ), od AS (
+            SELECT src AS v, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY src
+        ), r0 AS (
+            SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+        ), {', '.join(rounds)}
+        SELECT n.v AS s_suppkey, rr.r AS "rank",
+               COALESCE(od.outdeg, 0) AS outdeg
+        FROM nodes n
+        JOIN r{iterations} rr ON rr.v = n.v
+        LEFT JOIN od ON od.v = n.v
+        ORDER BY "rank" DESC, s_suppkey
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -2204,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_ann": _q_audio_ann,
         "url_dedup": _q_url_dedup,
         "pdf_extract": _q_pdf_extract,
+        "supplier_pagerank": _q_supplier_pagerank,
     }
 
 
@@ -3340,6 +3425,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(k.total, 0) AS BIGINT) AS img_bytes
             FROM documents d LEFT JOIN keep k USING (doc_id)
         """,
+        # supplier_pagerank: unrolled-CTE replay of the all-integer power
+        # iteration — identical floor-div/damping arithmetic per round.
+        "supplier_pagerank": _pagerank_oracle_sql(5),
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,
         # media_meta: not SQL-expressible (readability heuristics / hash

@@ -64,6 +64,7 @@ from .ngrams import bigram_counts, term_doc_freq, tfidf_top_terms
 from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
+from .graph import consecutive_edges, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
 from .windows import late_events
 from .reshape import range_partition_by_quantiles
@@ -133,6 +134,8 @@ __all__ = [
     "zscore_by",
     "corr_by",
     "linreg_by",
+    "consecutive_edges",
+    "pagerank",
     "late_events",
     "range_partition_by_quantiles",
 ]

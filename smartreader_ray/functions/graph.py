@@ -1,0 +1,314 @@
+"""Graph operators: derived edge lists + integer-exact PageRank.
+
+The reference engine has no graph stage; this module is corpus
+infrastructure in the same class as the dedup clustering in
+`functions/dedup.py` — link-graph ranking is the canonical web-corpus
+curation signal (quality weighting / crawl prioritisation), and power
+iteration is the canonical *iterative* shuffle workload, complementing
+label propagation (`dedup.py: label_propagation_components`) which
+exercises the min-fixpoint family.
+
+Everything here is ALL-INTEGER so the result is bit-reproducible and
+SQL-replayable (the repo's proven hash-gate pattern): ranks live at a
+fixed scale (``SCALE = 10**12``), per-edge contributions are floor
+divisions, inflow is an int64 sum (order-independent), and the damping
+update is ``BASE + (85 * inflow) // 100``. Truncation leaks a little
+rank mass per round — that is part of the *defined* computation, not an
+approximation to hide: an oracle unrolling the same rounds in SQL
+matches hash-exactly.
+
+Overflow headroom: every rank is bounded by ``BASE + 0.85 · N · SCALE``
+(total mass never grows), so with the default scale the math stays in
+int64 up to ~10^6 nodes; `pagerank` checks the bound and asks the
+caller to lower ``scale`` past it (fail loudly, never wrap — the
+`standardize.py` contract).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+
+__all__ = ["consecutive_edges", "pagerank", "SCALE"]
+
+
+def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
+                      seq_stride: int = 1000):
+    """Directed DISTINCT edges between nodes at consecutive sequence
+    positions within a group: for every pair of rows in the same
+    ``group_col`` whose ``seq_col`` values are ``s`` and ``s+1``, emit
+    ``(src=node[s], dst=node[s+1])``, dropping self-loops. Duplicate
+    ``(group, seq)`` rows (legal in the input) produce the cross
+    product of their nodes, exactly like the equivalent SQL self-join —
+    DISTINCT then canonicalises.
+
+    Implementation: one composite int64 key ``group * seq_stride + seq``
+    per side (the right side keyed at ``seq - 1``), then the repo's
+    `hash_join` — one all-to-all on an 8-byte key instead of a sort.
+    Raises if any ``seq_col`` value falls outside ``[0, seq_stride)``
+    (a colliding composite key would silently merge groups).
+    """
+    from .join import hash_join
+
+    def keyed(shift: int, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            g = pc.cast(batch.column(group_col), pa.int64())
+            s = pc.cast(batch.column(seq_col), pa.int64())
+            bad = pc.any(
+                pc.or_(pc.less(s, 0), pc.greater_equal(s, seq_stride))
+            ).as_py()
+            if bad:
+                raise ValueError(
+                    f"{seq_col} outside [0, {seq_stride}): composite key "
+                    "would collide — raise seq_stride"
+                )
+            k = pc.add(pc.multiply(g, seq_stride), pc.add(s, shift))
+            return pa.table({"k": k, out: batch.column(node_col)})
+        return fn
+
+    left = ds.map_batches(keyed(0, "src"), batch_format="pyarrow")
+    # right side keyed at seq-1 so (left.k == right.k) ⇔ consecutive
+    right = ds.map_batches(keyed(-1, "dst"), batch_format="pyarrow")
+    pairs = hash_join(left, right, "k", "k", ["src"], ["dst"])
+    dedup = (
+        pairs.map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b.column("src"), b.column("dst"))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .count()
+    )
+    return dedup.select_columns(["src", "dst"])
+
+
+def _check_headroom(n_nodes: int, scale: int):
+    # rank ≤ BASE + 0.85 · n · scale must stay well inside int64, and
+    # the oracle-side 85 · inflow intermediate (inflow ≤ n · scale)
+    # must too — bound the larger of the two
+    if 85 * n_nodes * scale >= 2**62:
+        raise OverflowError(
+            f"pagerank int64 headroom exceeded: n_nodes={n_nodes} at "
+            f"scale={scale}; lower scale (needs 85·n·scale < 2^62)"
+        )
+
+
+def pagerank(edges, nodes, node_col: str = "v", iterations: int = 5,
+             scale: int = SCALE, broadcast_nodes_max: int = 2_000_000):
+    """Integer power-iteration PageRank over a DISTINCT directed edge
+    list. Returns a Dataset ``(node_col, rank: int64, outdeg: int64)``
+    covering every node in ``nodes`` (dangling and isolated nodes
+    included; dangling mass is dropped by definition, see module doc).
+
+    Per round, for every node ``v``::
+
+        inflow(v) = Σ_{u→v} rank(u) // outdeg(u)        (int64 sum)
+        rank'(v)  = (15·scale)//100 + (85 · inflow(v)) // 100
+
+    Two regimes, the `label_propagation_components` pattern:
+
+    - **broadcast** (≤ ``broadcast_nodes_max`` nodes): the contribution
+      dict ``{u: rank(u)//outdeg(u)}`` is ``ray.put`` once per round;
+      each edge block resolves it map-side and pre-combines to
+      node-sized partials, so a round costs ONE keyed exchange
+      (groupby-sum) over node-sized data. Rank state lives on the
+      driver — bounded by the regime check.
+    - **distributed** (beyond the bound): rank state stays a Dataset;
+      each round is `hash_join` (edges ⋈ state on src) → groupby-sum →
+      left `hash_join` back onto the node table. Nothing driver-sized.
+
+    The edge list is materialized once and repartitioned to its actual
+    size so fixpoint rounds don't pay per-block orchestration for empty
+    partitions (measured lesson from `label_propagation_components`).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    base = (15 * scale) // 100
+
+    node_ids = nodes.select_columns([node_col])
+    n_nodes = node_ids.count()
+    _check_headroom(max(n_nodes, 1), scale)
+
+    edges = edges.materialize()
+    n_edge_rows = edges.count()
+    edges = edges.repartition(
+        max(2, -(-n_edge_rows // 500_000))
+    ).materialize()
+
+    od_ds = edges.groupby("src").count()
+
+    def _result(rank_of: dict, outdeg_of: dict):
+        vs = sorted(rank_of)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array(vs, type=pa.int64()),
+                    "rank": pa.array([rank_of[v] for v in vs],
+                                     type=pa.int64()),
+                    "outdeg": pa.array([outdeg_of.get(v, 0) for v in vs],
+                                       type=pa.int64()),
+                }
+            )
+        )
+
+    if n_nodes <= broadcast_nodes_max:
+        outdeg = {
+            v: c
+            for b in od_ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+            for v, c in zip(b.column("src").to_pylist(),
+                            b.column("count()").to_pylist())
+        }
+        rank = {
+            v: scale
+            for b in node_ids.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+            for v in b.column(node_col).to_pylist()
+        }
+        for _ in range(iterations):
+            contrib = {
+                u: rank[u] // d for u, d in outdeg.items() if u in rank
+            }
+            ref = ray.put(contrib)
+
+            def partial(b: pa.Table, _ref=ref) -> pa.Table:
+                import pandas as pd
+
+                m = ray.get(_ref)
+                src = b.column("src").to_pandas()
+                dst = b.column("dst").to_pandas()
+                c = src.map(m)
+                # drop unmapped sources BEFORE casting: a NaN would force
+                # float64 and silently round int64 partial sums > 2^53
+                keep = c.notna()
+                g = (
+                    pd.DataFrame(
+                        {"v": dst[keep],
+                         "c": c[keep].astype("int64")}
+                    )
+                    .groupby("v", sort=False)["c"]
+                    .sum()
+                )
+                return pa.table(
+                    {
+                        "v": pa.array(g.index.to_numpy(), type=pa.int64()),
+                        "infl": pa.array(g.to_numpy(), type=pa.int64()),
+                    }
+                )
+
+            inflow = {
+                v: s
+                for b in edges.map_batches(partial, batch_format="pyarrow")
+                .groupby("v")
+                .aggregate(Sum("infl", alias_name="infl"))
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+                for v, s in zip(b.column("v").to_pylist(),
+                                b.column("infl").to_pylist())
+            }
+            rank = {
+                v: base + (DAMP_NUM * inflow.get(v, 0)) // DAMP_DEN
+                for v in rank
+            }
+        return _result(rank, outdeg)
+
+    # ---- distributed regime: rank state never leaves the cluster ----
+    od_named = od_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "od_v": pc.cast(b.column("src"), pa.int64()),
+                "outdeg": pc.cast(b.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    node_od = hash_join(
+        node_ids, od_named, node_col, "od_v", [node_col], ["outdeg"],
+        how="left",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                node_col: pc.cast(b.column(node_col), pa.int64()),
+                "outdeg": pc.coalesce(
+                    pc.cast(b.column("outdeg"), pa.int64()),
+                    pa.scalar(0, type=pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    state = node_od.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array([scale] * b.num_rows, type=pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        def _contrib(b: pa.Table) -> pa.Table:
+            # arrow divide raises on 0 divisors even under if_else (both
+            # branches evaluate) — substitute 1 first, mask after
+            od = b.column("outdeg")
+            pos = pc.greater(od, 0)
+            safe = pc.if_else(pos, od, pa.scalar(1, type=pa.int64()))
+            return pa.table(
+                {
+                    "sv": b.column(node_col),
+                    "contrib": pc.if_else(
+                        pos,
+                        pc.divide(b.column("rank"), safe),
+                        pa.scalar(0, type=pa.int64()),
+                    ),
+                }
+            )
+
+        src_state = state.map_batches(_contrib, batch_format="pyarrow")
+        infl = (
+            hash_join(edges, src_state, "src", "sv", ["dst"], ["contrib"])
+            .groupby("dst")
+            .aggregate(Sum("contrib", alias_name="infl"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "iv": pc.cast(b.column("dst"), pa.int64()),
+                        "infl": pc.cast(b.column("infl"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        state = hash_join(
+            node_od, infl, node_col, "iv", [node_col, "outdeg"], ["infl"],
+            how="left",
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    node_col: b.column(node_col),
+                    "outdeg": b.column("outdeg"),
+                    "rank": pc.add(
+                        pa.scalar(base, type=pa.int64()),
+                        pc.divide(
+                            pc.multiply(
+                                pa.scalar(DAMP_NUM, type=pa.int64()),
+                                pc.coalesce(
+                                    pc.cast(b.column("infl"), pa.int64()),
+                                    pa.scalar(0, type=pa.int64()),
+                                ),
+                            ),
+                            pa.scalar(DAMP_DEN, type=pa.int64()),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return state.select_columns([node_col, "rank", "outdeg"])

@@ -1,0 +1,132 @@
+"""Graph operators: consecutive_edges derivation + integer PageRank.
+
+The regime-equality test is the load-bearing one: the distributed path
+(hash_join + groupby-sum rounds) must produce bit-identical ranks to
+the broadcast path, because the oracle replays one arithmetic and the
+engine picks its regime by node count.
+"""
+
+import pyarrow as pa
+import pytest
+
+from smartreader_ray.functions.graph import (SCALE, consecutive_edges,
+                                             pagerank)
+
+
+def _edges_table():
+    # group 1: nodes 10 -> 20 -> 10 (cycle); group 2: duplicate seq rows
+    # (legal) giving a cross product; one self-loop to drop
+    return pa.table(
+        {
+            "g": [1, 1, 1, 2, 2, 2, 2, 3, 3],
+            "s": [1, 2, 3, 1, 1, 2, 2, 1, 2],
+            "n": [10, 20, 10, 30, 40, 50, 30, 60, 60],
+        }
+    )
+
+
+def _pagerank_reference(edges, nodes, iterations):
+    """Plain-dict replay of the defined integer arithmetic."""
+    from collections import Counter
+
+    base = (15 * SCALE) // 100
+    outdeg = Counter(s for s, _ in edges)
+    rank = {v: SCALE for v in nodes}
+    for _ in range(iterations):
+        infl = Counter()
+        for s, d in edges:
+            if s in rank:
+                infl[d] += rank[s] // outdeg[s]
+        rank = {v: base + (85 * infl.get(v, 0)) // 100 for v in rank}
+    return rank
+
+
+def _collect_pairs(ds):
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    return set(zip(t.column("src").to_pylist(), t.column("dst").to_pylist()))
+
+
+def test_consecutive_edges_tiny(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_edges_table())
+    pairs = _collect_pairs(consecutive_edges(ds, "g", "s", "n",
+                                             seq_stride=10))
+    # group 1: (10,20), (20,10); group 2 cross product of {30,40}x{50,30}
+    # minus the 30->30 self-loop; group 3: 60->60 dropped entirely
+    assert pairs == {(10, 20), (20, 10), (30, 50), (40, 50), (40, 30)}
+
+
+def test_consecutive_edges_stride_guard(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_edges_table())
+    with pytest.raises(Exception, match="seq_stride"):
+        _collect_pairs(consecutive_edges(ds, "g", "s", "n", seq_stride=2))
+
+
+@pytest.mark.parametrize("broadcast_max", [2_000_000, 0])
+def test_pagerank_matches_reference(ray_session, broadcast_max):
+    import random
+
+    import ray.data
+
+    rng = random.Random(7)
+    nodes = list(range(1, 31))
+    edges = sorted(
+        {(rng.randrange(1, 31), rng.randrange(1, 31)) for _ in range(120)
+         if True}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    # a source outside the node table contributes nothing after round 0
+    edges.append((99, 1))
+
+    edges_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], type=pa.int64()),
+                "dst": pa.array([d for _, d in edges], type=pa.int64()),
+            }
+        )
+    )
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(nodes, type=pa.int64())})
+    )
+    out = pa.concat_tables(
+        list(
+            pagerank(edges_ds, nodes_ds, node_col="v", iterations=4,
+                     broadcast_nodes_max=broadcast_max)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    got = dict(zip(out.column("v").to_pylist(),
+                   out.column("rank").to_pylist()))
+    # reference restricts contributing sources to the node table the
+    # same way both engine regimes do
+    ref_edges = [(s, d) for s, d in edges]
+    want = _pagerank_reference(ref_edges, nodes, 4)
+    assert got == want
+    assert set(out.column("v").to_pylist()) == set(nodes)
+    # outdeg column: node 99 absent, in-table sources counted
+    od = dict(zip(out.column("v").to_pylist(),
+                  out.column("outdeg").to_pylist()))
+    from collections import Counter
+
+    want_od = Counter(s for s, _ in edges)
+    assert all(od[v] == want_od.get(v, 0) for v in nodes)
+
+
+def test_pagerank_headroom_guard(ray_session):
+    import ray.data
+
+    edges_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([1], type=pa.int64()),
+                  "dst": pa.array([2], type=pa.int64())})
+    )
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"v": pa.array([1, 2], type=pa.int64())})
+    )
+    with pytest.raises(OverflowError, match="headroom"):
+        pagerank(edges_ds, nodes_ds, node_col="v", scale=2**61)
