@@ -2156,6 +2156,23 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_cooccurrence(sf_dir: str):
+    """Windowed token co-occurrence (window=3, top-50 unordered pairs
+    with both marginals) — the word2vec/PMI preprocessing pass as exact
+    integer sufficient statistics
+    (`functions/ngrams.py: cooccurrence_window`). Pair exchange is
+    distinct-pair-per-block; marginals ride the TF-IDF broadcast."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import cooccurrence_window
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return cooccurrence_window(ds, text_col="text", window=3,
+                               top_k_pairs=50)
+
+
 def _pagerank_oracle_sql(iterations: int = 5) -> str:
     """Unrolled-CTE replay of `functions/graph.py: pagerank` — one CTE
     per round, identical integer arithmetic (DuckDB `//` floors like
@@ -2289,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "pdf_extract": _q_pdf_extract,
         "supplier_pagerank": _q_supplier_pagerank,
+        "cooccurrence": _q_cooccurrence,
     }
 
 
@@ -3428,6 +3446,43 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # cooccurrence: one UNION ALL branch per window shift; LEAST /
+        # GREATEST canonicalize like the engine's numpy swap (binary
+        # collation = ASCII). Ties at the cut rank break by (a, b) in
+        # both, so LIMIT 50 is deterministic.
+        "cooccurrence": """
+            WITH base AS (
+                SELECT string_split(trim(text), ' ') AS a FROM documents
+            ), raw AS (
+                SELECT a[i] AS x, a[i + 1] AS y
+                FROM base, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+                UNION ALL
+                SELECT a[i], a[i + 2]
+                FROM base, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+                UNION ALL
+                SELECT a[i], a[i + 3]
+                FROM base, UNNEST(generate_series(1, len(a) - 3)) AS t(i)
+            ), canon AS (
+                SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw
+            ), pcnt AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+                FROM canon GROUP BY a, b
+            ), marg AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT a[i] AS tok
+                      FROM base,
+                           UNNEST(generate_series(1, len(a))) AS t(i))
+                GROUP BY tok
+            ), top AS (
+                SELECT * FROM pcnt ORDER BY pair_count DESC, a, b LIMIT 50
+            )
+            SELECT top.a, top.b, top.pair_count,
+                   ma.c AS count_a, mb.c AS count_b
+            FROM top
+            JOIN marg ma ON ma.tok = top.a
+            JOIN marg mb ON mb.tok = top.b
+            ORDER BY pair_count DESC, a, b
+        """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,
         # media_meta: not SQL-expressible (readability heuristics / hash

@@ -60,7 +60,8 @@ from .textstats import (
     quality_stats,
     token_stats,
 )
-from .ngrams import bigram_counts, term_doc_freq, tfidf_top_terms
+from .ngrams import (bigram_counts, cooccurrence_window, term_doc_freq,
+                     tfidf_top_terms)
 from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
@@ -136,6 +137,7 @@ __all__ = [
     "linreg_by",
     "consecutive_edges",
     "pagerank",
+    "cooccurrence_window",
     "late_events",
     "range_partition_by_quantiles",
 ]

@@ -308,3 +308,117 @@ def _tfidf_join_path(ds, df_tbl, n_docs: int, doc_col: str, text_col: str,
         .groupby(doc_col)
         .map_groups(per_doc, batch_format="pyarrow")
     )
+
+
+def _partial_cooc(batch: pa.Table, text_col: str, window: int) -> pa.Table:
+    """Per-block canonical-pair partial: every unordered token pair
+    within ``window`` positions in the same doc, pre-combined to one
+    row per distinct pair per block (the module's exchange contract).
+    Empty tokens are KEPT — `string_split` semantics, like the oracle."""
+    flat, row_idx, _ = _tokens_flat(batch, text_col)
+    toks = flat.to_numpy(zero_copy_only=False)
+    frames = []
+    for d in range(1, window + 1):
+        if len(toks) <= d:
+            break
+        same = row_idx[:-d] == row_idx[d:]
+        x, y = toks[:-d][same], toks[d:][same]
+        swap = x > y  # canonical order: lexicographic (binary, ASCII)
+        frames.append(
+            pd.DataFrame({"a": np.where(swap, y, x),
+                          "b": np.where(swap, x, y)})
+        )
+    if not frames:
+        return pa.table(
+            {"a": pa.array([], type=pa.string()),
+             "b": pa.array([], type=pa.string()),
+             "pair_count": pa.array([], type=pa.int64())}
+        )
+    g = (
+        pd.concat(frames)
+        .groupby(["a", "b"], sort=False)
+        .size()
+        .reset_index(name="pair_count")
+    )
+    return pa.table(
+        {
+            "a": pa.array(g["a"].to_numpy(), type=pa.string()),
+            "b": pa.array(g["b"].to_numpy(), type=pa.string()),
+            "pair_count": pa.array(g["pair_count"].to_numpy(),
+                                   type=pa.int64()),
+        }
+    )
+
+
+def cooccurrence_window(ds, text_col: str = "text", window: int = 3,
+                        top_k_pairs: int = 50):
+    """Windowed token co-occurrence — the word2vec/PMI preprocessing
+    pass: count every unordered token pair within ``window`` positions
+    of the same document, return the global top ``top_k_pairs`` with
+    both marginal token counts attached (the exact integer sufficient
+    statistics PMI/NPMI derive from — kept integral so the result is
+    hash-reproducible; the float PMI is one deterministic log away).
+
+    Shape at scale: the pair exchange carries one row per DISTINCT pair
+    per block (per-block pandas pre-combine), never per occurrence; the
+    marginal table is vocabulary-sized and rides the TF-IDF broadcast
+    pattern (``ray.put`` once, attached to the 50-row top-k map-side —
+    no join shuffle for a lookup two orders smaller than a block).
+    Ties at the cut rank break deterministically by (a, b).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        ds.map_batches(
+            lambda b: _partial_cooc(b, text_col, window),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .aggregate(Sum("pair_count", alias_name="pair_count"))
+    )
+    top = pairs.sort(
+        ["pair_count", "a", "b"], descending=[True, False, False]
+    ).limit(top_k_pairs)
+
+    def marg_partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokens_flat(batch, text_col)
+        s = flat.to_pandas()
+        c = s.groupby(s, sort=False).size()
+        return pa.table(
+            {
+                "tok": pa.array(c.index.to_numpy(), type=pa.string()),
+                "c": pa.array(c.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    marg = (
+        ds.map_batches(marg_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    marg_ref = ray.put(
+        {
+            t: c
+            for b in marg.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)
+            for t, c in zip(b.column("tok").to_pylist(),
+                            b.column("c").to_pylist())
+        }
+    )
+
+    def attach(b: pa.Table, _ref=marg_ref) -> pa.Table:
+        m = ray.get(_ref)
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        return pa.table(
+            {
+                "a": b.column("a"),
+                "b": b.column("b"),
+                "pair_count": pc.cast(b.column("pair_count"), pa.int64()),
+                "count_a": pa.array([m[t] for t in a], type=pa.int64()),
+                "count_b": pa.array([m[t] for t in bb], type=pa.int64()),
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")

@@ -118,3 +118,74 @@ def test_tfidf_join_path_equivalence_corpus(ray_session):
     j = tfidf_top_terms(ds, strategy="join").take_all()
     key = lambda r: (r["doc_id"], -r["score"], r["term"])
     assert sorted(b, key=key) == sorted(j, key=key)
+
+
+def test_partial_cooc_window_and_boundaries():
+    from smartreader_ray.functions.ngrams import _partial_cooc
+
+    t = pa.table({"text": ["a b c d", "x y"]})
+    out = _partial_cooc(t, "text", 2)
+    got = {
+        (a, b): c
+        for a, b, c in zip(out.column("a").to_pylist(),
+                           out.column("b").to_pylist(),
+                           out.column("pair_count").to_pylist())
+    }
+    # doc 1 shift-1: (a,b),(b,c),(c,d); shift-2: (a,c),(b,d);
+    # doc 2 shift-1: (x,y); no cross-doc pair (d,x)/(c,x)
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+                   ("a", "c"): 1, ("b", "d"): 1, ("x", "y"): 1}
+
+
+def test_cooccurrence_differential_duckdb(ray_session):
+    import random
+
+    import duckdb
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import cooccurrence_window
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 12)))
+             for _ in range(60)]
+    t = pa.table({"text": texts})
+
+    got = pa.concat_tables(
+        list(
+            cooccurrence_window(ray.data.from_arrow(t).repartition(7),
+                                window=3, top_k_pairs=10)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+        WITH base AS (
+            SELECT string_split(trim(text), ' ') AS a FROM documents
+        ), raw AS (
+            SELECT a[i] AS x, a[i+1] AS y
+            FROM base, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            UNION ALL SELECT a[i], a[i+2]
+            FROM base, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+            UNION ALL SELECT a[i], a[i+3]
+            FROM base, UNNEST(generate_series(1, len(a) - 3)) AS t(i)
+        ), canon AS (SELECT LEAST(x,y) AS a, GREATEST(x,y) AS b FROM raw),
+        pcnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+                 FROM canon GROUP BY a, b),
+        marg AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT a[i] AS tok FROM base,
+                       UNNEST(generate_series(1, len(a))) AS t(i))
+                 GROUP BY tok),
+        top AS (SELECT * FROM pcnt ORDER BY pair_count DESC, a, b LIMIT 10)
+        SELECT top.a, top.b, top.pair_count, ma.c AS count_a,
+               mb.c AS count_b
+        FROM top JOIN marg ma ON ma.tok = top.a
+        JOIN marg mb ON mb.tok = top.b
+        ORDER BY pair_count DESC, a, b
+    """).arrow()
+    assert got.num_rows == want.num_rows == 10
+    for col in ("a", "b", "pair_count", "count_a", "count_b"):
+        assert got.column(col).to_pylist() == \
+            want.column(col).to_pylist(), col
