@@ -2156,6 +2156,44 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_pagerank_weighted_parts(sf_dir: str):
+    """Composed chain #5: supplier PageRank (iterative integer power
+    iteration) → node-sized rank table broadcast onto lineitem →
+    Σ rank·qty per part, top 20
+    (`functions/graph.py: rank_weighted_rollup`). Demonstrates graph
+    state feeding a fact-table rollup without a shuffle join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.graph import (consecutive_edges,
+                                                 pagerank,
+                                                 rank_weighted_rollup)
+
+    li_cols = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    edges = consecutive_edges(
+        li_cols, "l_orderkey", "l_linenumber", "l_suppkey", seq_stride=1000
+    )
+    nodes = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    ).map_batches(
+        lambda b: pa.table({"v": pc.cast(b.column("s_suppkey"),
+                                         pa.int64())}),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(edges, nodes, node_col="v", iterations=5)
+    fact = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+    )
+    return rank_weighted_rollup(fact, pr, fact_key="l_suppkey",
+                                group_col="l_partkey",
+                                qty_col="l_quantity", top_k=20)
+
+
 def _q_cooccurrence(sf_dir: str):
     """Windowed token co-occurrence (window=3, top-50 unordered pairs
     with both marginals) — the word2vec/PMI preprocessing pass as exact
@@ -2173,10 +2211,11 @@ def _q_cooccurrence(sf_dir: str):
                                top_k_pairs=50)
 
 
-def _pagerank_oracle_sql(iterations: int = 5) -> str:
-    """Unrolled-CTE replay of `functions/graph.py: pagerank` — one CTE
-    per round, identical integer arithmetic (DuckDB `//` floors like
-    Python on the non-negative ranks; SUM(BIGINT) cast back down)."""
+def _pagerank_with_clause(iterations: int = 5) -> str:
+    """Shared unrolled-CTE replay of `functions/graph.py: pagerank` —
+    one CTE per round, identical integer arithmetic (DuckDB `//` floors
+    like Python on the non-negative ranks; SUM(BIGINT) cast back down).
+    Final ranks land in CTE ``r{iterations}``."""
     rounds = []
     for i in range(1, iterations + 1):
         rounds.append(f"""r{i} AS (
@@ -2206,13 +2245,31 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             FROM e GROUP BY src
         ), r0 AS (
             SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes
-        ), {', '.join(rounds)}
+        ), {', '.join(rounds)}"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    return f"""{_pagerank_with_clause(iterations)}
         SELECT n.v AS s_suppkey, rr.r AS "rank",
                COALESCE(od.outdeg, 0) AS outdeg
         FROM nodes n
         JOIN r{iterations} rr ON rr.v = n.v
         LEFT JOIN od ON od.v = n.v
         ORDER BY "rank" DESC, s_suppkey
+    """
+
+
+def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
+    """Chain oracle: final ranks joined back through lineitem —
+    Σ rank · qty per part, top 20 (deterministic tiebreak)."""
+    return f"""{_pagerank_with_clause(iterations)}
+        SELECT l.l_partkey,
+               CAST(SUM(rr.r * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS weighted_demand
+        FROM lineitem l JOIN r{iterations} rr ON rr.v = l.l_suppkey
+        GROUP BY l.l_partkey
+        ORDER BY weighted_demand DESC, l_partkey
+        LIMIT 20
     """
 
 
@@ -2307,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "supplier_pagerank": _q_supplier_pagerank,
         "cooccurrence": _q_cooccurrence,
+        "pagerank_weighted_parts": _q_pagerank_weighted_parts,
     }
 
 
@@ -3446,6 +3504,9 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # pagerank_weighted_parts: same CTE chain, ranks joined back
+        # through lineitem — Σ rank·qty per part (all-int), top 20.
+        "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
         # cooccurrence: one UNION ALL branch per window shift; LEAST /
         # GREATEST canonicalize like the engine's numpy swap (binary
         # collation = ASCII). Ties at the cut rank break by (a, b) in

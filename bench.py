@@ -242,7 +242,7 @@ def run_main() -> dict:
         "substring_lcs", "lm_perplexity", "audio_features",
         "featured_image", "lm_perplexity_by_lang", "lm_gate_chain",
         "audio_spectral", "audio_ann", "url_dedup", "length_trend",
-        "supplier_pagerank", "cooccurrence",
+        "supplier_pagerank", "cooccurrence", "pagerank_weighted_parts",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
-__all__ = ["consecutive_edges", "pagerank", "SCALE"]
+__all__ = ["consecutive_edges", "pagerank", "rank_weighted_rollup",
+           "SCALE"]
 
 
 def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
@@ -312,3 +313,68 @@ def pagerank(edges, nodes, node_col: str = "v", iterations: int = 5,
         ).materialize()
 
     return state.select_columns([node_col, "rank", "outdeg"])
+
+
+def rank_weighted_rollup(fact, ranks, fact_key: str, group_col: str,
+                         qty_col: str, node_col: str = "v",
+                         top_k: int = 20):
+    """Composed-chain step: roll a node-sized rank table up through a
+    fact table — ``Σ rank(fact_key) · qty`` per ``group_col``, top-k.
+    The rank side is node-sized by construction (one row per graph
+    node), so it ships as ONE broadcast (`ray.put`) read map-side by
+    every fact block — the small-side-lookup pattern, never a shuffle
+    join; the only exchange is the group-sized rollup, pre-combined
+    per block.
+
+    All-integer: ``qty_col`` must hold integral values (checked — the
+    safe Arrow cast raises on a lossy float) and products accumulate in
+    int64; with the default rank scale this holds to ~10^5 qty·rows per
+    group per 10^12-rank node (fail-loudly contract, no silent wrap).
+    Ties at the cut break by ``group_col``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    rank_map = {
+        v: r
+        for b in ranks.iter_batches(batch_format="pyarrow",
+                                    batch_size=None)
+        for v, r in zip(b.column(node_col).to_pylist(),
+                        b.column("rank").to_pylist())
+    }
+    ref = ray.put(rank_map)
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(_ref)
+        key = b.column(fact_key).to_pandas()
+        # safe cast: raises on non-integral quantities instead of
+        # silently rounding differently than the SQL side
+        qty = pc.cast(b.column(qty_col), pa.int64()).to_pandas()
+        r = key.map(m)
+        keep = r.notna()
+        g = (
+            pd.DataFrame(
+                {
+                    "g": b.column(group_col).to_pandas()[keep],
+                    "w": r[keep].astype("int64") * qty[keep],
+                }
+            )
+            .groupby("g", sort=False)["w"]
+            .sum()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(g.index.to_numpy(), type=pa.int64()),
+                "weighted_demand": pa.array(g.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return (
+        fact.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("weighted_demand", alias_name="weighted_demand"))
+        .sort(["weighted_demand", group_col], descending=[True, False])
+        .limit(top_k)
+    )

@@ -130,3 +130,68 @@ def test_pagerank_headroom_guard(ray_session):
     )
     with pytest.raises(OverflowError, match="headroom"):
         pagerank(edges_ds, nodes_ds, node_col="v", scale=2**61)
+
+
+def test_rank_weighted_rollup(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.graph import rank_weighted_rollup
+
+    ranks = ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([1, 2], type=pa.int64()),
+                "rank": pa.array([100, 10], type=pa.int64()),
+                "outdeg": pa.array([1, 1], type=pa.int64()),
+            }
+        )
+    )
+    fact = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+                "grp": pa.array([7, 8, 7, 7], type=pa.int64()),
+                # float-but-integral quantities, like l_quantity
+                "q": pa.array([2.0, 3.0, 5.0, 9.0], type=pa.float64()),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        list(
+            rank_weighted_rollup(fact, ranks, fact_key="k",
+                                 group_col="grp", qty_col="q", top_k=10)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    got = dict(zip(out.column("grp").to_pylist(),
+                   out.column("weighted_demand").to_pylist()))
+    # grp 7: 100*2 + 10*5 (k=3 has no rank -> dropped); grp 8: 100*3
+    assert got == {7: 250, 8: 300}
+    # ordering: weighted desc, then grp
+    assert out.column("grp").to_pylist() == [8, 7]
+
+
+def test_rank_weighted_rollup_rejects_lossy_qty(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from smartreader_ray.functions.graph import rank_weighted_rollup
+
+    ranks = ray.data.from_arrow(
+        pa.table({"v": pa.array([1], type=pa.int64()),
+                  "rank": pa.array([5], type=pa.int64()),
+                  "outdeg": pa.array([0], type=pa.int64())})
+    )
+    fact = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], type=pa.int64()),
+                  "grp": pa.array([1], type=pa.int64()),
+                  "q": pa.array([1.5], type=pa.float64())})
+    )
+    with _pytest.raises(Exception):
+        pa.concat_tables(
+            list(
+                rank_weighted_rollup(fact, ranks, fact_key="k",
+                                     group_col="grp", qty_col="q")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
