@@ -2156,6 +2156,21 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_norm_dedup(sf_dir: str):
+    """CCNet-style normalization (lowercase / strip punctuation /
+    collapse whitespace, Arrow RE2 = DuckDB RE2) then exact dedup on the
+    normalized text (`functions/curation.py: normalized_dedup`)."""
+    import ray.data
+
+    from smartreader_ray.functions.curation import normalized_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return normalized_dedup(ds)
+
+
 def _q_pagerank_weighted_parts(sf_dir: str):
     """Composed chain #5: supplier PageRank (iterative integer power
     iteration) → node-sized rank table broadcast onto lineitem →
@@ -2365,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": _q_supplier_pagerank,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
+        "norm_dedup": _q_norm_dedup,
     }
 
 
@@ -3507,6 +3523,20 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # norm_dedup: the same RE2 normalization chain, grouped.
+        "norm_dedup": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9\s]+', '', 'g'),
+                            '\s+', ' ', 'g')) AS text_norm
+                FROM documents
+            )
+            SELECT text_norm,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM norm GROUP BY text_norm
+        """,
         # cooccurrence: one UNION ALL branch per window shift; LEAST /
         # GREATEST canonicalize like the engine's numpy swap (binary
         # collation = ASCII). Ties at the cut rank break by (a, b) in

@@ -28,6 +28,8 @@ from .dedup import (
 from .curation import (
     chunk_documents,
     decontaminate,
+    normalize_text_batch,
+    normalized_dedup,
     pack_sequences,
     per_source_cap,
     pii_redact,
@@ -85,6 +87,8 @@ __all__ = [
     "pack_sequences",
     "per_source_cap",
     "pii_redact",
+    "normalize_text_batch",
+    "normalized_dedup",
     "repetition_stats",
     "hash_join",
     "stratified_sample",

@@ -359,3 +359,48 @@ def chunk_documents(ds, chunk_tokens: int = 256, stride: int | None = None,
     return ds.select_columns(["doc_id", text_col]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "text_norm") -> pa.Table:
+    """CCNet-style text normalization: lowercase → strip everything but
+    ``[a-z0-9]`` and whitespace → collapse whitespace runs to one space
+    → trim. The canonical pre-dedup normalization (case/punctuation
+    variants of the same page collapse to one key).
+
+    Arrow RE2 kernels end to end — the same regex engine DuckDB uses,
+    so the oracle's ``regexp_replace(..., 'g')`` replays byte-exactly.
+    """
+    import pyarrow.compute as pc
+
+    t = pc.coalesce(pc.cast(batch.column(text_col), pa.string()),
+                    pa.scalar("", type=pa.string()))
+    low = pc.utf8_lower(t)
+    nopunct = pc.replace_substring_regex(low, r"[^a-z0-9\s]+", "")
+    collapsed = pc.replace_substring_regex(nopunct, r"\s+", " ")
+    return batch.append_column(out_col, pc.utf8_trim_whitespace(collapsed))
+
+
+def normalized_dedup(ds, doc_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup on the NORMALIZED text (`normalize_text_batch`):
+    representative (min doc_id) + group size per distinct normalized
+    content — the `url_dedup` contract applied to page text.
+
+    The exchange here keys on the normalized string itself so the
+    result is oracle-exact; the 100 TB path is `fingerprint_dedup`
+    (hash the normalized text to 64 bits and group on that — identical
+    output modulo ~n²/2⁶⁵ collisions, exchange rows shrink from
+    page-sized to 16 bytes). Only (text_norm, doc_id) ships — the raw
+    text column is pruned before the groupby, and Min/Count pre-combine
+    per block.
+    """
+    from ray.data.aggregate import Count, Min
+
+    keyed = ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col),
+        batch_format="pyarrow",
+    ).select_columns(["text_norm", doc_col])
+    return keyed.groupby("text_norm").aggregate(
+        Min(doc_col, alias_name="keep_doc_id"),
+        Count(alias_name="n_dups"),
+    )

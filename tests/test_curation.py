@@ -238,3 +238,41 @@ def test_per_source_cap_hot_key_partial_combine(ray_session):
         ray.data.from_arrow(t).repartition(32), cap=5
     ).take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_normalize_text_batch_semantics():
+    import pyarrow as pa
+
+    from smartreader_ray.functions.curation import normalize_text_batch
+
+    t = pa.table({"text": ["Hello, World!  foo\tbar", "  A.B;C  ", "",
+                           None, "ALL CAPS 42!"]})
+    got = normalize_text_batch(t).column("text_norm").to_pylist()
+    assert got == ["hello world foo bar", "abc", "", "", "all caps 42"]
+
+
+def test_normalized_dedup_groups_case_punct_variants(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.curation import normalized_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["The Cat.", "the cat", "THE   CAT!!!", "a dog"],
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            normalized_dedup(ray.data.from_arrow(t).repartition(3))
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    got = {
+        k: (d, n)
+        for k, d, n in zip(out.column("text_norm").to_pylist(),
+                           out.column("keep_doc_id").to_pylist(),
+                           out.column("n_dups").to_pylist())
+    }
+    assert got == {"the cat": (1, 3), "a dog": (4, 1)}
