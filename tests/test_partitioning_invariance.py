@@ -106,3 +106,42 @@ def test_frequent_terms_exact_regime_invariant(ray_session):
     assert _rows(frequent_terms(a, capacity=512, k=10)) == _rows(
         frequent_terms(b, capacity=512, k=10)
     )
+
+
+def test_cooccurrence_invariant(ray_session):
+    from smartreader_ray.functions.ngrams import cooccurrence_window
+
+    a, b = _pair(ray_session)
+    assert _rows(cooccurrence_window(a, window=3, top_k_pairs=15)) == \
+        _rows(cooccurrence_window(b, window=3, top_k_pairs=15))
+
+
+def test_normalized_dedup_invariant(ray_session):
+    from smartreader_ray.functions.curation import normalized_dedup
+
+    a, b = _pair(ray_session)
+    assert _rows(normalized_dedup(a)) == _rows(normalized_dedup(b))
+
+
+def test_pagerank_invariant_across_edge_partitioning(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.graph import pagerank
+
+    edges = pa.table(
+        {
+            "src": pa.array([i % 7 for i in range(40)], type=pa.int64()),
+            "dst": pa.array([(i * 3) % 7 for i in range(40)],
+                            type=pa.int64()),
+        }
+    )
+    nodes = pa.table({"v": pa.array(list(range(7)), type=pa.int64())})
+    one = _rows(
+        pagerank(ray.data.from_arrow(edges), ray.data.from_arrow(nodes),
+                 node_col="v", iterations=3)
+    )
+    many = _rows(
+        pagerank(ray.data.from_arrow(edges).repartition(9),
+                 ray.data.from_arrow(nodes), node_col="v", iterations=3)
+    )
+    assert one == many
