@@ -2156,6 +2156,22 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered funnel view→click→purchase: per user, earliest step-k
+    timestamp strictly after the step-(k-1) frontier
+    (`functions/windows.py: funnel`) — one keyed reduction per step,
+    frontier table on the dual broadcast/hash_join regime."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import funnel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel(ds, steps=("view", "click", "purchase"))
+
+
 def _q_norm_dedup(sf_dir: str):
     """CCNet-style normalization (lowercase / strip punctuation /
     collapse whitespace, Arrow RE2 = DuckDB RE2) then exact dedup on the
@@ -2381,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
+        "funnel": _q_funnel,
     }
 
 
@@ -3523,6 +3540,29 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # funnel: chain of join-filter-groupby-min CTEs, strict > on ts
+        # (the corpus has no (user_id, ts) ties).
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t_click
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t_purchase
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+            ORDER BY s1.user_id
+        """,
         # norm_dedup: the same RE2 normalization chain, grouped.
         "norm_dedup": r"""
             WITH norm AS (

@@ -69,7 +69,7 @@ from .sketch import frequent_terms
 from .similarity import kmeans_fit
 from .graph import consecutive_edges, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
-from .windows import late_events
+from .windows import funnel, late_events
 from .reshape import range_partition_by_quantiles
 
 __all__ = [
@@ -89,6 +89,7 @@ __all__ = [
     "pii_redact",
     "normalize_text_batch",
     "normalized_dedup",
+    "funnel",
     "repetition_stats",
     "hash_join",
     "stratified_sample",

@@ -273,3 +273,134 @@ def late_events(ds, tolerance_s: float = 3600.0, user_col: str = "user_id",
     cols = list(dict.fromkeys([user_col, ts_col, order_col, id_col]))
     pruned = ds.select_columns(cols)
     return pruned.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def funnel(ds, steps=("view", "click", "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           broadcast_users_max: int = 2_000_000):
+    """Ordered-funnel analysis: per user, the earliest timestamp of each
+    step STRICTLY AFTER the previous step's earliest qualifying
+    timestamp (t₁ = min ts of step 1; tₖ = min ts of step k with
+    ts > tₖ₋₁). Returns one row per user who completed step 1:
+    ``(user_col, t_<step1>, t_<step2>, …)``, later stages null where
+    the user never converted. The SQL equivalent is a chain of
+    join-filter-groupby-min CTEs — replayed exactly (timestamps are
+    compared, never arithmetically combined, so no float concerns).
+
+    One pass per step, each a single keyed reduction over only that
+    step's rows (type filter is pushed into the batch scan). The
+    per-user frontier table between passes rides the repo's dual
+    regime:
+
+    - **broadcast** (≤ ``broadcast_users_max`` users at the frontier):
+      `ray.put` the {user: tₖ₋₁} dict once per pass; each block filters
+      map-side and pre-combines to user-sized partials — one exchange
+      per step.
+    - **distributed**: `hash_join` the frontier onto the step's rows,
+      filter, groupby-min — nothing driver-sized.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    from .join import hash_join
+
+    def step_rows(step):
+        return ds.map_batches(
+            lambda b, _s=step: pa.table(
+                {
+                    "u": b.column(user_col),
+                    "t": b.column(ts_col),
+                }
+            ).filter(pc.equal(b.column(type_col), _s)),
+            batch_format="pyarrow",
+        )
+
+    frontier = (
+        step_rows(steps[0]).groupby("u").aggregate(Min("t", alias_name="t"))
+    ).materialize()
+    stage_tables = [frontier]
+
+    for step in steps[1:]:
+        n_front = frontier.count()
+        rows = step_rows(step)
+        if n_front <= broadcast_users_max:
+            prev = {
+                u: t
+                for b in frontier.iter_batches(batch_format="pyarrow",
+                                               batch_size=None)
+                for u, t in zip(b.column("u").to_pylist(),
+                                b.column("t").to_pylist())
+            }
+            ref = ray.put(prev)
+
+            def qualify(b: pa.Table, _ref=ref) -> pa.Table:
+                import pandas as pd
+
+                m = ray.get(_ref)
+                u = b.column("u").to_pandas()
+                t = b.column("t").to_pandas()
+                prev_t = u.map(m)
+                keep = prev_t.notna() & (t > prev_t)
+                g = (
+                    pd.DataFrame({"u": u[keep], "t": t[keep]})
+                    .groupby("u", sort=False)["t"]
+                    .min()
+                )
+                return pa.table(
+                    {
+                        "u": pa.array(g.index.to_numpy()),
+                        "t": pa.array(g.to_numpy(),
+                                      type=b.column("t").type),
+                    }
+                )
+
+            frontier = (
+                rows.map_batches(qualify, batch_format="pyarrow")
+                .groupby("u")
+                .aggregate(Min("t", alias_name="t"))
+            ).materialize()
+        else:
+            prev_named = frontier.map_batches(
+                lambda b: pa.table({"pu": b.column("u"),
+                                    "pt": b.column("t")}),
+                batch_format="pyarrow",
+            )
+            joined = hash_join(rows, prev_named, "u", "pu",
+                               ["u", "t"], ["pt"])
+            frontier = (
+                joined.map_batches(
+                    lambda b: b.filter(
+                        pc.greater(b.column("t"), b.column("pt"))
+                    ).select(["u", "t"]),
+                    batch_format="pyarrow",
+                )
+                .groupby("u")
+                .aggregate(Min("t", alias_name="t"))
+            ).materialize()
+        stage_tables.append(frontier)
+
+    # assemble: left-join later stages onto stage-1 users. Every later
+    # frontier is a subset of stage 1's users, and each is user-sized;
+    # chain hash_join lefts (no driver materialization).
+    out = stage_tables[0].map_batches(
+        lambda b, _n=f"t_{steps[0]}": pa.table(
+            {user_col: b.column("u"), _n: b.column("t")}
+        ),
+        batch_format="pyarrow",
+    )
+    cols = [user_col, f"t_{steps[0]}"]
+    for step, tbl in zip(steps[1:], stage_tables[1:]):
+        named = tbl.map_batches(
+            lambda b, _n=f"t_{step}": pa.table(
+                {"ju": b.column("u"), _n: b.column("t")}
+            ),
+            batch_format="pyarrow",
+        )
+        # copy: hash_join captures the column list in a LAZY closure, so
+        # mutating it after the call would leak next-stage columns in
+        out = hash_join(out, named, user_col, "ju",
+                        list(cols), [f"t_{step}"], how="left")
+        cols.append(f"t_{step}")
+    return out.sort(user_col)

@@ -1319,3 +1319,58 @@ def test_longest_common_runs_min_run_filter_and_guard(ray_session):
     with pytest.raises(Exception) as ei:
         longest_common_runs(ds, window=8, max_rows_per_window=3).take_all()
     assert "degenerate" in str(ei.value)
+
+
+def test_funnel_regimes_agree_and_match_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.windows import funnel
+
+    import random
+    rng = random.Random(3)
+    n = 400
+    base = 1_700_000_000_000_000  # us epoch
+    rows = {
+        "user_id": pa.array([rng.randrange(12) for _ in range(n)],
+                            type=pa.int64()),
+        "ts": pa.array([base + i * 1_000_000 for i in range(n)],
+                       type=pa.timestamp("us")),
+        "event_type": [rng.choice(["view", "click", "purchase", "other"])
+                       for _ in range(n)],
+    }
+    t = pa.table(rows)
+
+    def run(bmax):
+        ds = ray.data.from_arrow(t).repartition(5)
+        out = funnel(ds, steps=("view", "click", "purchase"),
+                     broadcast_users_max=bmax)
+        return pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow",
+                                  batch_size=None))
+        ).sort_by("user_id")
+
+    broad, dist = run(10**6), run(0)
+    assert broad.equals(dist.cast(broad.schema))
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+                    WHERE event_type='view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+               JOIN s1 ON s1.user_id=e.user_id
+               WHERE e.event_type='click' AND e.ts > s1.t_view
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+               JOIN s2 ON s2.user_id=e.user_id
+               WHERE e.event_type='purchase' AND e.ts > s2.t_click
+               GROUP BY e.user_id)
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+        FROM s1 LEFT JOIN s2 ON s2.user_id=s1.user_id
+        LEFT JOIN s3 ON s3.user_id=s1.user_id ORDER BY s1.user_id
+    """).arrow()
+    assert broad.num_rows == want.num_rows
+    for c in ("user_id", "t_view", "t_click", "t_purchase"):
+        assert broad.column(c).to_pylist() == want.column(c).to_pylist(), c
