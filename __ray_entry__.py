@@ -2156,6 +2156,20 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of events.value over [0, 500) in 50 bins
+    (`functions/reshape.py: fixed_width_histogram`): per-block bincount
+    partials, nbins-bounded exchange, bit-identical float bin math."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import fixed_width_histogram
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    return fixed_width_histogram(ds, "value", lo=0.0, hi=500.0, nbins=50)
+
+
 def _q_funnel(sf_dir: str):
     """Ordered funnel view→click→purchase: per user, earliest step-k
     timestamp strictly after the step-(k-1) frontier
@@ -2398,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
         "funnel": _q_funnel,
+        "value_histogram": _q_value_histogram,
     }
 
 
@@ -3540,6 +3555,17 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # value_histogram: identical clamp/floor bin math; only observed
+        # bins; bin_lo = bin * 10.0 is exact in float64.
+        "value_histogram": """
+            SELECT bin, CAST(bin AS DOUBLE) * 10.0 AS bin_lo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0)
+                             AS BIGINT), 0), 49) AS bin
+                FROM events WHERE value IS NOT NULL
+            ) GROUP BY bin ORDER BY bin
+        """,
         # funnel: chain of join-filter-groupby-min CTEs, strict > on ts
         # (the corpus has no (user_id, ts) ties).
         "funnel": """

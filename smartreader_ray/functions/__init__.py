@@ -70,7 +70,7 @@ from .similarity import kmeans_fit
 from .graph import consecutive_edges, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
 from .windows import funnel, late_events
-from .reshape import range_partition_by_quantiles
+from .reshape import fixed_width_histogram, range_partition_by_quantiles
 
 __all__ = [
     "exact_dedup",
@@ -90,6 +90,7 @@ __all__ = [
     "normalize_text_batch",
     "normalized_dedup",
     "funnel",
+    "fixed_width_histogram",
     "repetition_stats",
     "hash_join",
     "stratified_sample",

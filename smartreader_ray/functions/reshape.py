@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def pivot_counts(ds, key_col: str, col: str, values: list[str],
@@ -116,3 +117,58 @@ def range_partition_by_quantiles(ds, key_col: str, value_col: str,
         return batch.append_column("shard", pa.array(shard, type=pa.int64()))
 
     return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def fixed_width_histogram(ds, value_col: str, lo: float, hi: float,
+                          nbins: int):
+    """Data-profiling histogram with FIXED bin edges: bin =
+    ``clamp(floor((v - lo) / w), 0, nbins-1)`` with ``w = (hi-lo)/nbins``
+    — one float divide + floor per value, bit-identical in SQL, so the
+    result is hash-exact (unlike a quantile-based histogram, whose edges
+    are data-dependent floats). Nulls are dropped. Returns one row per
+    OBSERVED bin: ``(bin, bin_lo, n)``, ordered by bin.
+
+    Scale shape: per-block ``np.bincount`` partials (nbins-sized, not
+    row-sized) ride one groupby-sum; the exchange is bounded by
+    nbins × blocks regardless of corpus size.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    w = (hi - lo) / nbins
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            "float64"
+        )
+        v = v[~np.isnan(v)]
+        idx = np.clip(np.floor((v - lo) / w).astype("int64"), 0,
+                      nbins - 1)
+        counts = np.bincount(idx, minlength=nbins)
+        seen = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(seen, type=pa.int64()),
+                "n": pa.array(counts[seen], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "bin": b.column("bin"),
+                "bin_lo": pc.add(
+                    pa.scalar(lo, type=pa.float64()),
+                    pc.multiply(pc.cast(b.column("bin"), pa.float64()),
+                                pa.scalar(w, type=pa.float64())),
+                ),
+                "n": pc.cast(b.column("n"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("bin")

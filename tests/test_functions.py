@@ -1374,3 +1374,29 @@ def test_funnel_regimes_agree_and_match_duckdb(ray_session):
     assert broad.num_rows == want.num_rows
     for c in ("user_id", "t_view", "t_click", "t_purchase"):
         assert broad.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_fixed_width_histogram_clamps_and_sums(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.reshape import fixed_width_histogram
+
+    t = pa.table(
+        {"value": pa.array([-5.0, 0.0, 9.99, 10.0, 499.9, 520.0, None],
+                           type=pa.float64())}
+    )
+    out = pa.concat_tables(
+        list(
+            fixed_width_histogram(ray.data.from_arrow(t).repartition(3),
+                                  "value", 0.0, 500.0, 50)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    got = dict(zip(out.column("bin").to_pylist(),
+                   out.column("n").to_pylist()))
+    # -5 clamps into bin 0; 520 clamps into bin 49; null dropped
+    assert got == {0: 3, 1: 1, 49: 2}
+    lo = dict(zip(out.column("bin").to_pylist(),
+                  out.column("bin_lo").to_pylist()))
+    assert lo == {0: 0.0, 1: 10.0, 49: 490.0}
