@@ -2156,6 +2156,39 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_bpe_pairs(sf_dir: str):
+    """First BPE iteration's raw material: adjacent character pairs
+    inside words, weighted by word frequency, top-20
+    (`functions/bpe.py: bpe_pair_counts`) — the hash-exact companion to
+    the rows-only `bpe_merges` trainer. One corpus pass (word histogram
+    pre-combined per block), pair work runs on vocab-sized data."""
+    import ray.data
+
+    from smartreader_ray.functions.bpe import bpe_pair_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bpe_pair_counts(ds, top_k=20)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (`functions/bpe.py: bpe_train`):
+    distributed word histogram → driver merge loop over the bounded
+    histogram (the sentencepiece/HF trainer shape — the histogram is a
+    sufficient statistic, differential-proven in tests/test_bpe.py).
+    Greedy merges aren't SQL-replayable → rows-only; `bpe_pairs` is the
+    hash-exact companion on the same reduction."""
+    import ray.data
+
+    from smartreader_ray.functions.bpe import bpe_train
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bpe_train(ds, num_merges=12)
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width histogram of events.value over [0, 500) in 50 bins
     (`functions/reshape.py: fixed_width_histogram`): per-block bincount
@@ -2413,6 +2446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_dedup": _q_norm_dedup,
         "funnel": _q_funnel,
         "value_histogram": _q_value_histogram,
+        "bpe_pairs": _q_bpe_pairs,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -3555,6 +3590,26 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # bpe_pairs: word histogram -> in-word adjacent char pairs via
+        # substring arithmetic; bpe_merges (greedy trainer) is rows-only.
+        "bpe_pairs": """
+            WITH toks AS (
+                SELECT a[i] AS w
+                FROM (SELECT string_split(trim(text), ' ') AS a
+                      FROM documents),
+                     UNNEST(generate_series(1, len(a))) AS t(i)
+            ), words AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
+                WHERE length(w) > 0 GROUP BY w
+            ), pairs AS (
+                SELECT substring(w, i, 1) AS l,
+                       substring(w, i + 1, 1) AS r, c
+                FROM words,
+                     UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+            )
+            SELECT l, r, CAST(SUM(c) AS BIGINT) AS n FROM pairs
+            GROUP BY l, r ORDER BY n DESC, l, r LIMIT 20
+        """,
         # value_histogram: identical clamp/floor bin math; only observed
         # bins; bin_lo = bin * 10.0 is exact in float64.
         "value_histogram": """

@@ -243,7 +243,7 @@ def run_main() -> dict:
         "featured_image", "lm_perplexity_by_lang", "lm_gate_chain",
         "audio_spectral", "audio_ann", "url_dedup", "length_trend",
         "supplier_pagerank", "cooccurrence", "pagerank_weighted_parts",
-        "norm_dedup", "funnel", "value_histogram",
+        "norm_dedup", "funnel", "value_histogram", "bpe_pairs",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -67,6 +67,7 @@ from .ngrams import (bigram_counts, cooccurrence_window, term_doc_freq,
 from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
+from .bpe import bpe_pair_counts, bpe_train, word_histogram
 from .graph import consecutive_edges, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
 from .windows import funnel, late_events
@@ -91,6 +92,9 @@ __all__ = [
     "normalized_dedup",
     "funnel",
     "fixed_width_histogram",
+    "bpe_pair_counts",
+    "bpe_train",
+    "word_histogram",
     "repetition_stats",
     "hash_join",
     "stratified_sample",
