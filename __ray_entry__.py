@@ -2156,6 +2156,23 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_running_totals(sf_dir: str):
+    """Per-user running totals over time — the SQL
+    SUM() OVER (PARTITION BY … ORDER BY …) family
+    (`functions/windows.py: cumulative_by`). Integer cents via
+    floor(v·100+0.5) (identical IEEE ops both sides) keep the running
+    sum arithmetic-exact."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import cumulative_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return cumulative_by(ds)
+
+
 def _q_bpe_pairs(sf_dir: str):
     """First BPE iteration's raw material: adjacent character pairs
     inside words, weighted by word frequency, top-20
@@ -2448,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
+        "running_totals": _q_running_totals,
     }
 
 
@@ -3590,6 +3608,25 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # running_totals: window-function replay; no (user_id, ts) ties
+        # in the corpus so the frame is deterministic.
+        "running_totals": """
+            WITH c AS (
+                SELECT user_id, ts,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           AS amount_cents
+                FROM events
+            )
+            SELECT user_id, ts, amount_cents,
+                   CAST(SUM(amount_cents) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS running_cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS BIGINT) AS running_n
+            FROM c ORDER BY user_id, ts
+        """,
         # bpe_pairs: word histogram -> in-word adjacent char pairs via
         # substring arithmetic; bpe_merges (greedy trainer) is rows-only.
         "bpe_pairs": """

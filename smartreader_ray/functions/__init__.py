@@ -70,7 +70,7 @@ from .similarity import kmeans_fit
 from .bpe import bpe_pair_counts, bpe_train, word_histogram
 from .graph import consecutive_edges, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
-from .windows import funnel, late_events
+from .windows import cumulative_by, funnel, late_events
 from .reshape import fixed_width_histogram, range_partition_by_quantiles
 
 __all__ = [
@@ -91,6 +91,7 @@ __all__ = [
     "normalize_text_batch",
     "normalized_dedup",
     "funnel",
+    "cumulative_by",
     "fixed_width_histogram",
     "bpe_pair_counts",
     "bpe_train",

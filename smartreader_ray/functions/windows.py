@@ -404,3 +404,56 @@ def funnel(ds, steps=("view", "click", "purchase"),
                         list(cols), [f"t_{step}"], how="left")
         cols.append(f"t_{step}")
     return out.sort(user_col)
+
+
+def cumulative_by(ds, key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value"):
+    """Per-key running aggregates ordered by time — the SQL
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ts)`` family. Emits one
+    row per input row: ``(key, ts, amount_cents, running_cents,
+    running_n)``, globally ordered by (key, ts).
+
+    Exactness: the float value is converted to integer cents with
+    ``floor(v·100 + 0.5)`` — the SAME IEEE ops the oracle runs — and
+    the running sum accumulates in int64, so the result is order- and
+    arithmetic-exact (a float running sum would depend on the engine's
+    internal summation tree).
+
+    Scale shape: `groupby(key).map_groups` — rows of a key must
+    co-locate for ANY engine computing a keyed running total, so the
+    keyed exchange is the floor cost; within a group the kernel is one
+    numpy sort + cumsum. A pathologically hot key concentrates its rows
+    in one task (same caveat/remedy as `sessionize`: split such keys
+    upstream or bound them with a per-key cap).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def per_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending")]
+        )
+        g = g.take(order)
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(
+            "float64"
+        )
+        cents = np.floor(v * 100.0 + 0.5).astype("int64")
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                ts_col: g.column(ts_col),
+                "amount_cents": pa.array(cents, type=pa.int64()),
+                "running_cents": pa.array(np.cumsum(cents),
+                                          type=pa.int64()),
+                "running_n": pa.array(
+                    np.arange(1, len(cents) + 1, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.groupby(key_col)
+        .map_groups(per_group, batch_format="pyarrow")
+        .sort([key_col, ts_col])
+    )

@@ -1400,3 +1400,34 @@ def test_fixed_width_histogram_clamps_and_sums(ray_session):
     lo = dict(zip(out.column("bin").to_pylist(),
                   out.column("bin_lo").to_pylist()))
     assert lo == {0: 0.0, 1: 10.0, 49: 490.0}
+
+
+def test_cumulative_by_running_sums(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.windows import cumulative_by
+
+    base = 1_700_000_000_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([2, 1, 1, 2, 1], type=pa.int64()),
+            "ts": pa.array([base + 5, base + 3, base + 1, base + 2,
+                            base + 4], type=pa.timestamp("us")),
+            "value": pa.array([1.25, 0.1, 2.0, 0.05, 10.0],
+                              type=pa.float64()),
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            cumulative_by(ray.data.from_arrow(t).repartition(3))
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    # user 1 by ts: 2.0 (200), 0.1 (10), 10.0 (1000); user 2: 0.05, 1.25
+    assert out.column("user_id").to_pylist() == [1, 1, 1, 2, 2]
+    assert out.column("amount_cents").to_pylist() == [200, 10, 1000, 5,
+                                                      125]
+    assert out.column("running_cents").to_pylist() == [200, 210, 1210,
+                                                       5, 130]
+    assert out.column("running_n").to_pylist() == [1, 2, 3, 1, 2]
