@@ -37,7 +37,8 @@ __all__ = ["consecutive_edges", "pagerank", "rank_weighted_rollup",
 
 
 def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
-                      seq_stride: int = 1000):
+                      seq_stride: int = 1000,
+                      local_rows_max: int = 20_000_000):
     """Directed DISTINCT edges between nodes at consecutive sequence
     positions within a group: for every pair of rows in the same
     ``group_col`` whose ``seq_col`` values are ``s`` and ``s+1``, emit
@@ -46,11 +47,21 @@ def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
     product of their nodes, exactly like the equivalent SQL self-join —
     DISTINCT then canonicalises.
 
-    Implementation: one composite int64 key ``group * seq_stride + seq``
-    per side (the right side keyed at ``seq - 1``), then the repo's
-    `hash_join` — one all-to-all on an 8-byte key instead of a sort.
-    Raises if any ``seq_col`` value falls outside ``[0, seq_stride)``
-    (a colliding composite key would silently merge groups).
+    Keyed on one composite int64 ``group * seq_stride + seq`` per side
+    (the right side keyed at ``seq - 1``); raises if any ``seq_col``
+    value falls outside ``[0, seq_stride)`` (a colliding composite key
+    would silently merge groups). Two regimes:
+
+    - **local** (input rows ≤ ``local_rows_max`` and integer nodes):
+      pull (key, node) once, one numpy argsort + searchsorted range
+      expansion + ``np.unique`` — the repo's `hash_join` costs one
+      Python ``emit`` per distinct key, pathological when keys are
+      near-unique per row (measured: the sf0.1 supplier graph's edge
+      derivation dominated `supplier_pagerank` at 45 s; this path cuts
+      the query to ~6 s).
+    - **distributed** (beyond the bound): `hash_join` + per-block
+      distinct pre-combine + global groupby — one all-to-all on an
+      8-byte key, nothing driver-sized.
     """
     from .join import hash_join
 
@@ -71,16 +82,67 @@ def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
         return fn
 
     left = ds.map_batches(keyed(0, "src"), batch_format="pyarrow")
+
+    n_rows = ds.count()
+    node_type = dict(zip(ds.schema().names, ds.schema().types))[node_col]
+    if n_rows <= local_rows_max and pa.types.is_integer(node_type):
+        import numpy as np
+        import ray.data
+
+        k_parts, n_parts = [], []
+        for b in left.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+            k_parts.append(b.column("k").to_numpy(zero_copy_only=False))
+            n_parts.append(b.column("src").to_numpy(
+                zero_copy_only=False))
+        if not k_parts:
+            return ray.data.from_arrow(
+                pa.table({"src": pa.array([], type=pa.int64()),
+                          "dst": pa.array([], type=pa.int64())})
+            )
+        k = np.concatenate(k_parts)
+        nv = np.concatenate(n_parts).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        ks, ns = k[order], nv[order]
+        lo = np.searchsorted(ks, ks + 1, side="left")
+        hi = np.searchsorted(ks, ks + 1, side="right")
+        cnt = hi - lo
+        m = cnt > 0
+        counts = cnt[m]
+        total = int(counts.sum())
+        # vectorized range expansion: dst row index for every pair
+        offs = np.repeat(lo[m], counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        src = np.repeat(ns[m], counts)
+        dst = ns[offs + within]
+        keep = src != dst
+        pairs_arr = np.unique(
+            np.stack([src[keep], dst[keep]], axis=1), axis=0
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(pairs_arr[:, 0], type=pa.int64()),
+                    "dst": pa.array(pairs_arr[:, 1], type=pa.int64()),
+                }
+            )
+        )
+
     # right side keyed at seq-1 so (left.k == right.k) ⇔ consecutive
     right = ds.map_batches(keyed(-1, "dst"), batch_format="pyarrow")
     pairs = hash_join(left, right, "k", "k", ["src"], ["dst"])
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        # pre-combine: per-block distinct before the global exchange —
+        # repeated pairs (hot supplier hand-offs) collapse map-side
+        b = b.filter(pc.not_equal(b.column("src"), b.column("dst")))
+        g = b.group_by(["src", "dst"]).aggregate([])
+        return g.select(["src", "dst"])
+
     dedup = (
-        pairs.map_batches(
-            lambda b: b.filter(
-                pc.not_equal(b.column("src"), b.column("dst"))
-            ),
-            batch_format="pyarrow",
-        )
+        pairs.map_batches(block_distinct, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .count()
     )
@@ -99,7 +161,8 @@ def _check_headroom(n_nodes: int, scale: int):
 
 
 def pagerank(edges, nodes, node_col: str = "v", iterations: int = 5,
-             scale: int = SCALE, broadcast_nodes_max: int = 2_000_000):
+             scale: int = SCALE, broadcast_nodes_max: int = 2_000_000,
+             local_edges_max: int = 5_000_000):
     """Integer power-iteration PageRank over a DISTINCT directed edge
     list. Returns a Dataset ``(node_col, rank: int64, outdeg: int64)``
     covering every node in ``nodes`` (dangling and isolated nodes
@@ -110,17 +173,24 @@ def pagerank(edges, nodes, node_col: str = "v", iterations: int = 5,
         inflow(v) = Σ_{u→v} rank(u) // outdeg(u)        (int64 sum)
         rank'(v)  = (15·scale)//100 + (85 · inflow(v)) // 100
 
-    Two regimes, the `label_propagation_components` pattern:
+    Three regimes, the `label_propagation_components` pattern plus its
+    measured lesson (per-round Ray orchestration ~2 s dwarfs tiny-state
+    rounds — `dup_clusters_lp`'s dual-regime fix):
 
-    - **broadcast** (≤ ``broadcast_nodes_max`` nodes): the contribution
-      dict ``{u: rank(u)//outdeg(u)}`` is ``ray.put`` once per round;
-      each edge block resolves it map-side and pre-combines to
-      node-sized partials, so a round costs ONE keyed exchange
-      (groupby-sum) over node-sized data. Rank state lives on the
-      driver — bounded by the regime check.
-    - **distributed** (beyond the bound): rank state stays a Dataset;
-      each round is `hash_join` (edges ⋈ state on src) → groupby-sum →
-      left `hash_join` back onto the node table. Nothing driver-sized.
+    - **local** (nodes ≤ ``broadcast_nodes_max`` AND edge rows ≤
+      ``local_edges_max``): pull the (src, dst) code arrays once and
+      run every round as a vectorized ``np.add.at`` over int64 —
+      zero per-round Ray executions (measured: 45 s → ~11 s for the
+      supplier graph at sf0.1, all of it in edge derivation).
+    - **broadcast** (≤ ``broadcast_nodes_max`` nodes, edges beyond the
+      local bound): the contribution dict ``{u: rank(u)//outdeg(u)}``
+      is ``ray.put`` once per round; each edge block resolves it
+      map-side and pre-combines to node-sized partials, so a round
+      costs ONE keyed exchange (groupby-sum) over node-sized data.
+    - **distributed** (beyond the node bound): rank state stays a
+      Dataset; each round is `hash_join` (edges ⋈ state on src) →
+      groupby-sum → left `hash_join` back onto the node table. Nothing
+      driver-sized.
 
     The edge list is materialized once and repartitioned to its actual
     size so fixpoint rounds don't pay per-block orchestration for empty
@@ -158,6 +228,47 @@ def pagerank(edges, nodes, node_col: str = "v", iterations: int = 5,
                                        type=pa.int64()),
                 }
             )
+        )
+
+    if n_nodes <= broadcast_nodes_max and n_edge_rows <= local_edges_max:
+        import numpy as np
+        import pandas as pd
+
+        node_vals = [
+            v
+            for b in node_ids.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+            for v in b.column(node_col).to_pylist()
+        ]
+        idx = pd.Index(node_vals)
+        src_parts, dst_parts = [], []
+        for b in edges.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            src_parts.append(b.column("src").to_numpy(
+                zero_copy_only=False))
+            dst_parts.append(b.column("dst").to_numpy(
+                zero_copy_only=False))
+        n = len(node_vals)
+        rank_arr = np.full(n, scale, dtype=np.int64)
+        outdeg_arr = np.zeros(n, dtype=np.int64)
+        if src_parts:
+            code_src = idx.get_indexer(np.concatenate(src_parts))
+            code_dst = idx.get_indexer(np.concatenate(dst_parts))
+            # divisor counts ALL outgoing edges (mass to non-node dsts
+            # leaks — same semantics as the other regimes / the oracle)
+            np.add.at(outdeg_arr, code_src[code_src >= 0], 1)
+            both = (code_src >= 0) & (code_dst >= 0)
+            cs, cd = code_src[both], code_dst[both]
+        else:
+            cs = cd = np.array([], dtype=np.int64)
+        for _ in range(iterations):
+            infl = np.zeros(n, dtype=np.int64)
+            if len(cs):
+                np.add.at(infl, cd, rank_arr[cs] // outdeg_arr[cs])
+            rank_arr = base + (DAMP_NUM * infl) // DAMP_DEN
+        return _result(
+            dict(zip(node_vals, rank_arr.tolist())),
+            dict(zip(node_vals, outdeg_arr.tolist())),
         )
 
     if n_nodes <= broadcast_nodes_max:

@@ -48,12 +48,15 @@ def _collect_pairs(ds):
     return set(zip(t.column("src").to_pylist(), t.column("dst").to_pylist()))
 
 
-def test_consecutive_edges_tiny(ray_session):
+@pytest.mark.parametrize("local_max", [20_000_000, 0])
+def test_consecutive_edges_tiny(ray_session, local_max):
     import ray.data
 
     ds = ray.data.from_arrow(_edges_table())
-    pairs = _collect_pairs(consecutive_edges(ds, "g", "s", "n",
-                                             seq_stride=10))
+    pairs = _collect_pairs(
+        consecutive_edges(ds, "g", "s", "n", seq_stride=10,
+                          local_rows_max=local_max)
+    )
     # group 1: (10,20), (20,10); group 2 cross product of {30,40}x{50,30}
     # minus the 30->30 self-loop; group 3: 60->60 dropped entirely
     assert pairs == {(10, 20), (20, 10), (30, 50), (40, 50), (40, 30)}
@@ -67,8 +70,12 @@ def test_consecutive_edges_stride_guard(ray_session):
         _collect_pairs(consecutive_edges(ds, "g", "s", "n", seq_stride=2))
 
 
-@pytest.mark.parametrize("broadcast_max", [2_000_000, 0])
-def test_pagerank_matches_reference(ray_session, broadcast_max):
+@pytest.mark.parametrize("broadcast_max,local_max", [
+    (2_000_000, 5_000_000),   # local regime (driver numpy rounds)
+    (2_000_000, 0),           # broadcast regime (per-round exchange)
+    (0, 0),                   # distributed regime (hash_join rounds)
+])
+def test_pagerank_matches_reference(ray_session, broadcast_max, local_max):
     import random
 
     import ray.data
@@ -97,7 +104,8 @@ def test_pagerank_matches_reference(ray_session, broadcast_max):
     out = pa.concat_tables(
         list(
             pagerank(edges_ds, nodes_ds, node_col="v", iterations=4,
-                     broadcast_nodes_max=broadcast_max)
+                     broadcast_nodes_max=broadcast_max,
+                     local_edges_max=local_max)
             .iter_batches(batch_format="pyarrow", batch_size=None)
         )
     )
