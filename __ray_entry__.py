@@ -2156,6 +2156,22 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_props_extract(sf_dir: str):
+    """Semi-structured ETL: extract the integer `k` field from the JSON
+    `props` column via RE2 (Arrow == DuckDB engine) and aggregate per
+    event_type (`functions/reshape.py: json_field_agg`)."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import json_field_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+    return json_field_agg(ds, json_col="props", key="k",
+                          group_col="event_type")
+
+
 def _q_running_totals(sf_dir: str):
     """Per-user running totals over time — the SQL
     SUM() OVER (PARTITION BY … ORDER BY …) family
@@ -2466,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
         "running_totals": _q_running_totals,
+        "props_extract": _q_props_extract,
     }
 
 
@@ -3608,6 +3625,21 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # props_extract: same RE2 pattern, group addressed by number.
+        "props_extract": r"""
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                            AS BIGINT) AS v
+                FROM events
+                WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
         # running_totals: window-function replay; no (user_id, ts) ties
         # in the corpus so the frame is deterministic.
         "running_totals": """

@@ -71,7 +71,8 @@ from .bpe import bpe_pair_counts, bpe_train, word_histogram
 from .graph import consecutive_edges, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
 from .windows import cumulative_by, funnel, late_events
-from .reshape import fixed_width_histogram, range_partition_by_quantiles
+from .reshape import (fixed_width_histogram, json_field_agg,
+                      range_partition_by_quantiles)
 
 __all__ = [
     "exact_dedup",
@@ -93,6 +94,7 @@ __all__ = [
     "funnel",
     "cumulative_by",
     "fixed_width_histogram",
+    "json_field_agg",
     "bpe_pair_counts",
     "bpe_train",
     "word_histogram",

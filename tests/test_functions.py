@@ -1431,3 +1431,35 @@ def test_cumulative_by_running_sums(ray_session):
     assert out.column("running_cents").to_pylist() == [200, 210, 1210,
                                                        5, 130]
     assert out.column("running_n").to_pylist() == [1, 2, 3, 1, 2]
+
+
+def test_json_field_agg_drops_nonmatching(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.reshape import json_field_agg
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "b", "b", "a"],
+            "props": ['{"k": 3}', '{"k": 10}', '{"x": 1}', '{"k": 7}',
+                      None],
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            json_field_agg(ray.data.from_arrow(t).repartition(3),
+                           "props", "k", "g")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    rows = {
+        g: (n, s, lo, hi)
+        for g, n, s, lo, hi in zip(out.column("g").to_pylist(),
+                                   out.column("n").to_pylist(),
+                                   out.column("sum_v").to_pylist(),
+                                   out.column("min_v").to_pylist(),
+                                   out.column("max_v").to_pylist())
+    }
+    # '{"x": 1}' and the null row contribute nothing
+    assert rows == {"a": (2, 13, 3, 10), "b": (1, 7, 7, 7)}
