@@ -2156,6 +2156,22 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-event-type winsorization at exact [p05, p95]
+    (`functions/curation.py: winsorize_stats`): histogram-sized quantile
+    reduction → broadcast bounds → one shuffle-free clip pass; integer
+    cents keep the clipped sum hash-exact."""
+    import ray.data
+
+    from smartreader_ray.functions.curation import winsorize_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return winsorize_stats(ds, "event_type", "value")
+
+
 def _q_props_extract(sf_dir: str):
     """Semi-structured ETL: extract the integer `k` field from the JSON
     `props` column via RE2 (Arrow == DuckDB engine) and aggregate per
@@ -2483,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "running_totals": _q_running_totals,
         "props_extract": _q_props_extract,
+        "winsorize": _q_winsorize,
     }
 
 
@@ -3625,6 +3642,29 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # winsorize: percentile_disc bounds, LEAST/GREATEST clip, cents.
+        "winsorize": """
+            WITH b AS (
+                SELECT event_type,
+                       percentile_disc(0.05) WITHIN GROUP
+                           (ORDER BY value) AS lo,
+                       percentile_disc(0.95) WITHIN GROUP
+                           (ORDER BY value) AS hi
+                FROM events GROUP BY event_type
+            ), c AS (
+                SELECT e.event_type,
+                       LEAST(GREATEST(e.value, b.lo), b.hi) AS w,
+                       CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS is_lo,
+                       CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS is_hi
+                FROM events e JOIN b USING (event_type)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(is_lo) AS BIGINT) AS n_clipped_lo,
+                   CAST(SUM(is_hi) AS BIGINT) AS n_clipped_hi,
+                   CAST(SUM(CAST(FLOOR(w * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM c GROUP BY event_type ORDER BY event_type
+        """,
         # props_extract: same RE2 pattern, group addressed by number.
         "props_extract": r"""
             WITH x AS (

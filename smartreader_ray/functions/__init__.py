@@ -34,6 +34,7 @@ from .curation import (
     per_source_cap,
     pii_redact,
     repetition_stats,
+    winsorize_stats,
 )
 from .join import asof_join, broadcast_join, hash_join, range_join
 from .similarity import (
@@ -95,6 +96,7 @@ __all__ = [
     "cumulative_by",
     "fixed_width_histogram",
     "json_field_agg",
+    "winsorize_stats",
     "bpe_pair_counts",
     "bpe_train",
     "word_histogram",

@@ -404,3 +404,83 @@ def normalized_dedup(ds, doc_col: str = "doc_id", text_col: str = "text"):
         Min(doc_col, alias_name="keep_doc_id"),
         Count(alias_name="n_dups"),
     )
+
+
+def winsorize_stats(ds, key_col: str, value_col: str,
+                    q_lo: float = 0.05, q_hi: float = 0.95):
+    """Per-key winsorization (outlier clipping) at EXACT discrete
+    quantiles: clip each value into ``[p_lo, p_hi]`` of its key group
+    and report per key ``n / n_clipped_lo / n_clipped_hi / sum_cents``
+    of the clipped values. The standard robust-statistics curation step
+    (cap pathological lengths/scores before mixing decisions).
+
+    Exactness: bounds come from `sketch.exact_quantile_by` (the
+    ``percentile_disc`` convention, SQL-comparable), clipping only ever
+    RETURNS an existing value, and the clipped sum rides integer cents
+    (``floor(v·100 + 0.5)``, identical IEEE ops to the oracle) — so the
+    whole result is hash-exact.
+
+    Shape: one histogram-sized quantile reduction, bounds broadcast
+    once, then a single shuffle-free clip pass with per-block
+    pre-combine into the final group-sized exchange.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .sketch import exact_quantile_by
+
+    b = exact_quantile_by(ds, key_col, value_col,
+                          qs=(q_lo, q_hi)).to_pandas()
+    by_key = {}
+    for k, grp in b.groupby(key_col, sort=False):
+        g = grp.sort_values("q")["value"].to_numpy()
+        by_key[k] = (float(g[0]), float(g[-1]))
+    ref = ray.put(by_key)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        bk = ray.get(ref)
+        keys = batch.column(key_col).to_pandas()
+        vals = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lo = keys.map(lambda k: bk[k][0]).to_numpy()
+        hi = keys.map(lambda k: bk[k][1]).to_numpy()
+        clip_lo = vals < lo
+        clip_hi = vals > hi
+        w = np.minimum(np.maximum(vals, lo), hi)
+        cents = np.floor(w * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "k": keys,
+                "one": np.ones(len(vals), dtype=np.int64),
+                "c_lo": clip_lo.astype(np.int64),
+                "c_hi": clip_hi.astype(np.int64),
+                "cents": cents,
+            }
+        ).groupby("k", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                key_col: pa.array(df["k"].to_numpy()),
+                "n": pa.array(df["one"].to_numpy(), type=pa.int64()),
+                "n_clipped_lo": pa.array(df["c_lo"].to_numpy(),
+                                         type=pa.int64()),
+                "n_clipped_hi": pa.array(df["c_hi"].to_numpy(),
+                                         type=pa.int64()),
+                "sum_cents": pa.array(df["cents"].to_numpy(),
+                                      type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_clipped_lo", alias_name="n_clipped_lo"),
+            Sum("n_clipped_hi", alias_name="n_clipped_hi"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+        .sort(key_col)
+    )

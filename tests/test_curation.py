@@ -276,3 +276,39 @@ def test_normalized_dedup_groups_case_punct_variants(ray_session):
                            out.column("n_dups").to_pylist())
     }
     assert got == {"the cat": (1, 3), "a dog": (4, 1)}
+
+
+def test_winsorize_stats_clips_at_exact_quantiles(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.curation import winsorize_stats
+
+    # key "a": values 1..10; percentile_disc(0.05)=ceil(0.5)-1 -> 1.0,
+    # p95 = ceil(9.5)-1 = idx 9 -> 10.0 => nothing clips. Tighter check
+    # with q=(0.25, 0.75): lo=3 (idx 2), hi=8 (idx 7)
+    t = pa.table(
+        {
+            "k": ["a"] * 10 + ["b"] * 2,
+            "v": [float(x) for x in range(1, 11)] + [5.0, 7.0],
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            winsorize_stats(ray.data.from_arrow(t).repartition(3),
+                            "k", "v", q_lo=0.25, q_hi=0.75)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    rows = {
+        k: (n, lo, hi, s)
+        for k, n, lo, hi, s in zip(out.column("k").to_pylist(),
+                                   out.column("n").to_pylist(),
+                                   out.column("n_clipped_lo").to_pylist(),
+                                   out.column("n_clipped_hi").to_pylist(),
+                                   out.column("sum_cents").to_pylist())
+    }
+    # a: clip 1,2 -> 3 and 9,10 -> 8: sum = 3+3+3+4+5+6+7+8+8+8 = 55
+    assert rows["a"] == (10, 2, 2, 5500)
+    # b: lo=5 (idx ceil(.5)-1 = 0), hi=7 -> nothing clips
+    assert rows["b"] == (2, 0, 0, 1200)
