@@ -2156,6 +2156,69 @@ def _q_supplier_pagerank(sf_dir: str):
     ).sort(["rank", "s_suppkey"], descending=[True, False])
 
 
+def _q_norm_curation(sf_dir: str):
+    """Composed chain #6: CCNet normalization → normalized exact dedup
+    (min-doc_id winners) → survivor hash_join back onto the corpus →
+    length gate (n_chars ≥ 100) → per-(lang, source) rollup. One SQL
+    chain replays the whole pipeline; the survivor join is the
+    distributed `hash_join` (winners can be corpus-sized when nothing
+    deduplicates — never a broadcast assumption)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.curation import normalized_dedup
+    from smartreader_ray.functions.join import hash_join
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    winners = normalized_dedup(docs).map_batches(
+        lambda b: pa.table({"w": b.column("keep_doc_id")}),
+        batch_format="pyarrow",
+    )
+    kept = hash_join(
+        docs.select_columns(["doc_id", "lang", "source", "n_chars"]),
+        winners, "doc_id", "w",
+        ["doc_id", "lang", "source", "n_chars"], ["w"],
+    )
+
+    def gate_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(
+            pc.cast(b.column("n_chars"), pa.int64()),
+            pa.scalar(100, type=pa.int64()),
+        ))
+        g = b.select(["lang", "source", "n_chars"]).group_by(
+            ["lang", "source"]
+        ).aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "source", "n", "sum_chars"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        kept.map_batches(gate_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "source": b.column("source"),
+                    "n": pc.cast(b.column("n"), pa.int64()),
+                    "sum_chars": pc.cast(b.column("sum_chars"),
+                                         pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["lang", "source"])
+    )
+
+
 def _q_winsorize(sf_dir: str):
     """Per-event-type winsorization at exact [p05, p95]
     (`functions/curation.py: winsorize_stats`): histogram-sized quantile
@@ -2500,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "props_extract": _q_props_extract,
         "winsorize": _q_winsorize,
+        "norm_curation": _q_norm_curation,
     }
 
 
@@ -3642,6 +3706,25 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # norm_curation: the whole chain in one SQL pipeline.
+        "norm_curation": r"""
+            WITH norm AS (
+                SELECT doc_id, lang, source, n_chars,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9\s]+', '', 'g'),
+                            '\s+', ' ', 'g')) AS text_norm
+                FROM documents
+            ), winners AS (
+                SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY text_norm
+            ), kept AS (
+                SELECT n.lang, n.source, n.n_chars
+                FROM norm n JOIN winners w USING (doc_id)
+                WHERE n.n_chars >= 100
+            )
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM kept GROUP BY lang, source ORDER BY lang, source
+        """,
         # winsorize: percentile_disc bounds, LEAST/GREATEST clip, cents.
         "winsorize": """
             WITH b AS (

@@ -244,7 +244,7 @@ def run_main() -> dict:
         "audio_spectral", "audio_ann", "url_dedup", "length_trend",
         "supplier_pagerank", "cooccurrence", "pagerank_weighted_parts",
         "norm_dedup", "funnel", "value_histogram", "bpe_pairs",
-        "running_totals", "props_extract", "winsorize",
+        "running_totals", "props_extract", "winsorize", "norm_curation",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
