@@ -2438,6 +2438,92 @@ def _pagerank_with_clause(iterations: int = 5) -> str:
         ), {', '.join(rounds)}"""
 
 
+def _q_supplier_hits(sf_dir: str):
+    """Integer HITS (hubs & authorities) over the same supplier
+    hand-off graph (`functions/graph.py: hits`) — the opposite exchange
+    direction from PageRank each half-round; overflow-safe rescale
+    ``x // ceil(max/scale)`` keeps both sides in int64."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.graph import consecutive_edges, hits
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    edges = consecutive_edges(
+        li, "l_orderkey", "l_linenumber", "l_suppkey", seq_stride=1000
+    )
+    nodes = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    ).map_batches(
+        lambda b: pa.table({"v": pc.cast(b.column("s_suppkey"),
+                                         pa.int64())}),
+        batch_format="pyarrow",
+    )
+    out = hits(edges, nodes, node_col="v", iterations=4)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("v"),
+                "hub": b.column("hub"),
+                "authority": b.column("authority"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("s_suppkey")
+
+
+def _hits_oracle_sql(iterations: int = 4, scale: int = 10**12) -> str:
+    """Unrolled replay of `functions/graph.py: hits` — per round an
+    authority half (sum hub over in-edges, rescale by ceil(max/scale))
+    then a hub half (sum authority over out-edges, same rescale)."""
+    parts = []
+    for i in range(1, iterations + 1):
+        parts.append(f"""a{i}_raw AS MATERIALIZED (
+            SELECT n.v, CAST(COALESCE(s.x, 0) AS BIGINT) AS x
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS v, CAST(SUM(p.s) AS BIGINT) AS x
+                FROM e JOIN h{i - 1} p ON p.v = e.src GROUP BY e.dst
+            ) s ON s.v = n.v
+        ), a{i} AS MATERIALIZED (
+            SELECT v, x // (((SELECT GREATEST(MAX(x), 1) FROM a{i}_raw)
+                             + {scale - 1}) // {scale}) AS s
+            FROM a{i}_raw
+        ), h{i}_raw AS MATERIALIZED (
+            SELECT n.v, CAST(COALESCE(s.x, 0) AS BIGINT) AS x
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS v, CAST(SUM(p.s) AS BIGINT) AS x
+                FROM e JOIN a{i} p ON p.v = e.dst GROUP BY e.src
+            ) s ON s.v = n.v
+        ), h{i} AS MATERIALIZED (
+            SELECT v, x // (((SELECT GREATEST(MAX(x), 1) FROM h{i}_raw)
+                             + {scale - 1}) // {scale}) AS s
+            FROM h{i}_raw
+        )""")
+    return f"""
+        WITH li AS (
+            SELECT l_orderkey * 1000 + l_linenumber AS k, l_suppkey
+            FROM lineitem
+        ), e AS MATERIALIZED (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM li a JOIN li b ON b.k = a.k + 1
+            WHERE a.l_suppkey <> b.l_suppkey
+        ), nodes AS MATERIALIZED (
+            SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier
+        ), h0 AS MATERIALIZED (
+            SELECT v, CAST({scale} AS BIGINT) AS s FROM nodes
+        ), {', '.join(parts)}
+        SELECT n.v AS s_suppkey, hh.s AS hub, aa.s AS authority
+        FROM nodes n
+        JOIN h{iterations} hh ON hh.v = n.v
+        JOIN a{iterations} aa ON aa.v = n.v
+        ORDER BY s_suppkey
+    """
+
+
 def _pagerank_oracle_sql(iterations: int = 5) -> str:
     return f"""{_pagerank_with_clause(iterations)}
         SELECT n.v AS s_suppkey, rr.r AS "rank",
@@ -2564,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _q_props_extract,
         "winsorize": _q_winsorize,
         "norm_curation": _q_norm_curation,
+        "supplier_hits": _q_supplier_hits,
     }
 
 
@@ -3706,6 +3793,8 @@ def oracle_sql() -> dict[str, str]:
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
+        # supplier_hits: unrolled half-round CTEs, same integer rescale.
+        "supplier_hits": _hits_oracle_sql(4),
         # norm_curation: the whole chain in one SQL pipeline.
         "norm_curation": r"""
             WITH norm AS (

@@ -33,7 +33,7 @@ SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
 __all__ = ["consecutive_edges", "pagerank", "rank_weighted_rollup",
-           "SCALE"]
+           "hits", "SCALE"]
 
 
 def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
@@ -489,3 +489,172 @@ def rank_weighted_rollup(fact, ranks, fact_key: str, group_col: str,
         .sort(["weighted_demand", group_col], descending=[True, False])
         .limit(top_k)
     )
+
+
+def hits(edges, nodes, node_col: str = "v", iterations: int = 4,
+         scale: int = SCALE, local_edges_max: int = 5_000_000,
+         local_nodes_max: int = 2_000_000):
+    """Integer HITS (hubs & authorities) over a DISTINCT directed edge
+    list — the second classic link-analysis iteration, exercising the
+    OPPOSITE exchange direction from PageRank each half-round. Returns
+    ``(node_col, hub, authority)`` over every node in ``nodes``.
+
+    Per round (classic update order, authorities first)::
+
+        a_raw(v) = Σ_{u→v} h(u);  a = a_raw // ceil(max(a_raw, 1)/scale)
+        h_raw(v) = Σ_{v→w} a(w);  h = h_raw // ceil(max(h_raw, 1)/scale)
+
+    The rescale divides by ``ceil(max/scale)`` instead of multiplying by
+    ``scale/max`` so every intermediate stays in int64 (sums are bounded
+    by n·scale — guarded) and the oracle replays it with plain BIGINT
+    arithmetic, no int128. Two regimes: **local** (driver numpy
+    ``np.add.at`` rounds when nodes and edges fit the bounds) and
+    **distributed** (per half-round `hash_join` of the score table onto
+    the edge list + groupby-sum + scalar max — the `pagerank`
+    distributed shape; the max is a scalar aggregate, never
+    driver-sized state).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from .join import hash_join
+
+    node_ids = nodes.select_columns([node_col])
+    n_nodes = node_ids.count()
+    _check_headroom(max(n_nodes, 1), scale)
+
+    edges = edges.materialize()
+    n_edge_rows = edges.count()
+
+    if n_nodes <= local_nodes_max and n_edge_rows <= local_edges_max:
+        node_vals = [
+            v
+            for b in node_ids.iter_batches(batch_format="pyarrow",
+                                           batch_size=None)
+            for v in b.column(node_col).to_pylist()
+        ]
+        idx = pd.Index(node_vals)
+        s_parts, d_parts = [], []
+        for b in edges.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            s_parts.append(b.column("src").to_numpy(
+                zero_copy_only=False))
+            d_parts.append(b.column("dst").to_numpy(
+                zero_copy_only=False))
+        n = len(node_vals)
+        if s_parts:
+            cs = idx.get_indexer(np.concatenate(s_parts))
+            cd = idx.get_indexer(np.concatenate(d_parts))
+            both = (cs >= 0) & (cd >= 0)
+            cs, cd = cs[both], cd[both]
+        else:
+            cs = cd = np.array([], dtype=np.int64)
+        h = np.full(n, scale, dtype=np.int64)
+        a = np.full(n, scale, dtype=np.int64)
+        for _ in range(iterations):
+            a_raw = np.zeros(n, dtype=np.int64)
+            if len(cs):
+                np.add.at(a_raw, cd, h[cs])
+            da = (max(int(a_raw.max(initial=0)), 1) + scale - 1) // scale
+            a = a_raw // da
+            h_raw = np.zeros(n, dtype=np.int64)
+            if len(cs):
+                np.add.at(h_raw, cs, a[cd])
+            dh = (max(int(h_raw.max(initial=0)), 1) + scale - 1) // scale
+            h = h_raw // dh
+        vs = sorted(range(n), key=lambda i: node_vals[i])
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([node_vals[i] for i in vs],
+                                       type=pa.int64()),
+                    "hub": pa.array([int(h[i]) for i in vs],
+                                    type=pa.int64()),
+                    "authority": pa.array([int(a[i]) for i in vs],
+                                          type=pa.int64()),
+                }
+            )
+        )
+
+    # ---- distributed regime ----
+    def _init(name):
+        return node_ids.map_batches(
+            lambda b: pa.table(
+                {
+                    node_col: pc.cast(b.column(node_col), pa.int64()),
+                    name: pa.array([scale] * b.num_rows,
+                                   type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def _half_round(score_ds, score_name, from_col, to_col, out_name):
+        """sum score over edges grouped by `to_col`, rescale to scale."""
+        named = score_ds.map_batches(
+            lambda b: pa.table({"jv": b.column(node_col),
+                                "s": b.column(score_name)}),
+            batch_format="pyarrow",
+        )
+        raw = (
+            hash_join(edges, named, from_col, "jv", [to_col], ["s"])
+            .groupby(to_col)
+            .aggregate(Sum("s", alias_name="raw"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "rv": pc.cast(b.column(to_col), pa.int64()),
+                        "raw": pc.cast(b.column("raw"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        mx = raw.aggregate(Max("raw"))["max(raw)"] if raw.count() else 0
+        d = (max(int(mx or 0), 1) + scale - 1) // scale
+        return hash_join(
+            node_ids.map_batches(
+                lambda b: pa.table(
+                    {node_col: pc.cast(b.column(node_col), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            raw, node_col, "rv", [node_col], ["raw"], how="left",
+        ).map_batches(
+            lambda b, _d=d: pa.table(
+                {
+                    node_col: b.column(node_col),
+                    out_name: pc.divide(
+                        pc.coalesce(pc.cast(b.column("raw"), pa.int64()),
+                                    pa.scalar(0, type=pa.int64())),
+                        pa.scalar(_d, type=pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    h_ds = _init("hub")
+    a_ds = _init("authority")
+    for _ in range(iterations):
+        a_ds = _half_round(h_ds, "hub", "src", "dst", "authority")
+        h_ds = _half_round(a_ds, "authority", "dst", "src", "hub")
+
+    joined = hash_join(
+        h_ds.map_batches(
+            lambda b: pa.table({node_col: b.column(node_col),
+                                "hub": b.column("hub")}),
+            batch_format="pyarrow",
+        ),
+        a_ds.map_batches(
+            lambda b: pa.table({"av": b.column(node_col),
+                                "authority": b.column("authority")}),
+            batch_format="pyarrow",
+        ),
+        node_col, "av", [node_col, "hub"], ["authority"],
+    )
+    return joined.sort(node_col)

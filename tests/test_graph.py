@@ -203,3 +203,58 @@ def test_rank_weighted_rollup_rejects_lossy_qty(ray_session):
                 .iter_batches(batch_format="pyarrow", batch_size=None)
             )
         )
+
+
+def _hits_reference(edges, nodes, iterations):
+    h = {v: SCALE for v in nodes}
+    a = {v: SCALE for v in nodes}
+    edges = [(s, d) for s, d in edges if s in h and d in h]
+    for _ in range(iterations):
+        a_raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            a_raw[d] += h[s]
+        da = (max(max(a_raw.values(), default=0), 1) + SCALE - 1) // SCALE
+        a = {v: x // da for v, x in a_raw.items()}
+        h_raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            h_raw[s] += a[d]
+        dh = (max(max(h_raw.values(), default=0), 1) + SCALE - 1) // SCALE
+        h = {v: x // dh for v, x in h_raw.items()}
+    return h, a
+
+
+@pytest.mark.parametrize("local_max", [5_000_000, 0])
+def test_hits_matches_reference(ray_session, local_max):
+    import random
+
+    import ray.data
+
+    from smartreader_ray.functions.graph import hits
+
+    rng = random.Random(13)
+    nodes = list(range(1, 21))
+    edges = sorted({(rng.randrange(1, 21), rng.randrange(1, 21))
+                    for _ in range(70)})
+    edges = [(s, d) for s, d in edges if s != d]
+    edges_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([s for s, _ in edges], type=pa.int64()),
+                  "dst": pa.array([d for _, d in edges],
+                                  type=pa.int64())})
+    )
+    nodes_ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(nodes, type=pa.int64())})
+    )
+    out = pa.concat_tables(
+        list(
+            hits(edges_ds, nodes_ds, node_col="v", iterations=3,
+                 local_edges_max=local_max, local_nodes_max=local_max)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    got_h = dict(zip(out.column("v").to_pylist(),
+                     out.column("hub").to_pylist()))
+    got_a = dict(zip(out.column("v").to_pylist(),
+                     out.column("authority").to_pylist()))
+    want_h, want_a = _hits_reference(edges, nodes, 3)
+    assert got_h == want_h
+    assert got_a == want_a
