@@ -2438,6 +2438,78 @@ def _pagerank_with_clause(iterations: int = 5) -> str:
         ), {', '.join(rounds)}"""
 
 
+def _q_robots_gate(sf_dir: str):
+    """Crawl-politeness gate: deterministic per-host robots.txt bodies
+    run through the real RFC 9309 parser
+    (`functions/robots.py: parse_robots_txt`), then every synthesized
+    URL is gated by longest-prefix / allow-wins-ties precedence
+    (`robots_gate`, host-sized rules broadcast once). Per-host
+    allow-rate rollup; the oracle replays the decision with LIKE +
+    ROW_NUMBER."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.robots import (parse_robots_txt,
+                                                  robots_gate)
+
+    rules_by_host = {
+        f"example{h}.com": parse_robots_txt(
+            f"User-agent: *\nDisallow: /Path{h % 7}\n"
+            f"Allow: /Path{h % 7}/page3\n"
+        )
+        for h in range(50)
+    }
+
+    def make_urls_pd(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        host = ["example%d.com" % (x % 50) for x in d]
+        path = ["/Path%d/page%d" % (x % 7, x % 11) for x in d]
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "host": pa.array(host, type=pa.string()),
+                "path": pa.array(path, type=pa.string()),
+            }
+        )
+
+    urls = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(make_urls_pd, batch_format="pyarrow")
+    gated = robots_gate(urls, rules_by_host)
+
+    def rollup_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "host": b.column("host").to_pandas(),
+                "one": 1,
+                "ok": b.column("allowed").to_pandas().astype("int64"),
+            }
+        ).groupby("host", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "host": pa.array(df["host"].to_numpy(),
+                                 type=pa.string()),
+                "n": pa.array(df["one"].to_numpy(), type=pa.int64()),
+                "n_allowed": pa.array(df["ok"].to_numpy(),
+                                      type=pa.int64()),
+            }
+        )
+
+    return (
+        gated.map_batches(rollup_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_allowed", alias_name="n_allowed"),
+        )
+        .sort("host")
+    )
+
+
 def _q_supplier_hits(sf_dir: str):
     """Integer HITS (hubs & authorities) over the same supplier
     hand-off graph (`functions/graph.py: hits`) — the opposite exchange
@@ -2651,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "norm_curation": _q_norm_curation,
         "supplier_hits": _q_supplier_hits,
+        "robots_gate": _q_robots_gate,
     }
 
 
@@ -3795,6 +3868,44 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),
         # supplier_hits: unrolled half-round CTEs, same integer rescale.
         "supplier_hits": _hits_oracle_sql(4),
+        # robots_gate: longest-prefix / allow-wins precedence via LIKE +
+        # ROW_NUMBER over the same deterministic per-host rule recipe.
+        "robots_gate": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'example' || CAST(doc_id % 50 AS VARCHAR)
+                           || '.com' AS host,
+                       '/Path' || CAST(doc_id % 7 AS VARCHAR)
+                           || '/page' || CAST(doc_id % 11 AS VARCHAR)
+                           AS path
+                FROM documents
+            ), rules AS (
+                SELECT 'example' || CAST(h AS VARCHAR) || '.com' AS host,
+                       FALSE AS allow,
+                       '/Path' || CAST(h % 7 AS VARCHAR) AS prefix
+                FROM UNNEST(generate_series(0, 49)) t(h)
+                UNION ALL
+                SELECT 'example' || CAST(h AS VARCHAR) || '.com', TRUE,
+                       '/Path' || CAST(h % 7 AS VARCHAR) || '/page3'
+                FROM UNNEST(generate_series(0, 49)) t(h)
+            ), m AS (
+                SELECT u.doc_id, r.allow,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY u.doc_id
+                           ORDER BY length(r.prefix) DESC, r.allow DESC
+                       ) AS rn
+                FROM urls u JOIN rules r
+                  ON r.host = u.host AND u.path LIKE r.prefix || '%'
+            ), dec AS (
+                SELECT u.host, COALESCE(m.allow, TRUE) AS allowed
+                FROM urls u LEFT JOIN (SELECT doc_id, allow FROM m
+                                       WHERE rn = 1) m USING (doc_id)
+            )
+            SELECT host, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_allowed
+            FROM dec GROUP BY host ORDER BY host
+        """,
         # norm_curation: the whole chain in one SQL pipeline.
         "norm_curation": r"""
             WITH norm AS (

@@ -245,7 +245,7 @@ def run_main() -> dict:
         "supplier_pagerank", "cooccurrence", "pagerank_weighted_parts",
         "norm_dedup", "funnel", "value_histogram", "bpe_pairs",
         "running_totals", "props_extract", "winsorize", "norm_curation",
-        "supplier_hits",
+        "supplier_hits", "robots_gate",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -74,6 +74,7 @@ from .standardize import corr_by, linreg_by, zscore_by
 from .windows import cumulative_by, funnel, late_events
 from .reshape import (fixed_width_histogram, json_field_agg,
                       range_partition_by_quantiles)
+from .robots import parse_robots_txt, robots_gate
 
 __all__ = [
     "exact_dedup",
@@ -97,6 +98,8 @@ __all__ = [
     "fixed_width_histogram",
     "json_field_agg",
     "winsorize_stats",
+    "parse_robots_txt",
+    "robots_gate",
     "bpe_pair_counts",
     "bpe_train",
     "word_histogram",

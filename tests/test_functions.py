@@ -1463,3 +1463,65 @@ def test_json_field_agg_drops_nonmatching(ray_session):
     }
     # '{"x": 1}' and the null row contribute nothing
     assert rows == {"a": (2, 13, 3, 10), "b": (1, 7, 7, 7)}
+
+
+def test_parse_robots_txt_groups_and_precedence():
+    from smartreader_ray.functions.robots import parse_robots_txt
+
+    body = """
+# comment
+User-agent: googlebot
+Disallow: /g
+
+User-agent: *
+Disallow: /private
+Allow: /private/pub
+Crawl-delay: 10
+
+User-agent: mybot
+User-agent: otherbot
+Allow: /only
+"""
+    assert parse_robots_txt(body) == [(False, "/private"),
+                                      (True, "/private/pub")]
+    # longest matching agent token wins over *
+    assert parse_robots_txt(body, agent="mybot/1.0") == [(True, "/only")]
+    assert parse_robots_txt(body, agent="googlebot") == [(False, "/g")]
+    # empty Disallow means allow-all (no rules emitted)
+    assert parse_robots_txt("User-agent: *\nDisallow:") == []
+
+
+def test_robots_gate_longest_prefix_allow_ties(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.robots import robots_gate
+
+    rules = {
+        "a.com": [(False, "/x"), (True, "/x/pub")],
+        # equal-length tie: Allow wins
+        "t.com": [(False, "/ab"), (True, "/ab")],
+    }
+    t = pa.table(
+        {
+            "host": ["a.com", "a.com", "a.com", "b.com", "t.com"],
+            "path": ["/x/secret", "/x/pub/1", "/y", "/x/secret",
+                     "/ab/z"],
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            robots_gate(ray.data.from_arrow(t).repartition(2), rules)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    got = dict(zip(zip(out.column("host").to_pylist(),
+                       out.column("path").to_pylist()),
+                   out.column("allowed").to_pylist()))
+    assert got == {
+        ("a.com", "/x/secret"): False,
+        ("a.com", "/x/pub/1"): True,
+        ("a.com", "/y"): True,            # no match -> allowed
+        ("b.com", "/x/secret"): True,     # unknown host -> allowed
+        ("t.com", "/ab/z"): True,         # equal-length tie -> Allow
+    }
