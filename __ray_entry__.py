@@ -2621,6 +2621,69 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_mode_by(sf_dir: str):
+    """Per-source modal language with deterministic tie-break
+    (`functions/reshape.py: mode_by`): per-batch count partials → one
+    (key, value, n) exchange → vectorized per-group argmax."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import mode_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang"],
+    )
+    return mode_by(ds, "source", "lang")
+
+
+def _q_rollup_sales(sf_dir: str):
+    """Single-pass ROLLUP over (l_returnflag, l_linestatus)
+    (`functions/reshape.py: rollup_agg`): all prefix grains in ONE
+    shuffle; integer cents keep the rolled sums hash-exact."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import rollup_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus",
+                 "l_quantity", "l_extendedprice"],
+    )
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                      ["l_quantity", "l_extendedprice"])
+
+
+def _q_retention(sf_dir: str):
+    """Cohort retention triangle over the event stream
+    (`functions/windows.py: retention_cohorts`): distinct (user, day)
+    dedup → per-user first-day offsets → (cohort, offset) count.
+    Integer epoch-day arithmetic both sides."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import retention_cohorts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return retention_cohorts(ds)
+
+
+def _q_daily_resample(sf_dir: str):
+    """Daily counts per event type with explicit zero gap-fill over
+    the global day span (`functions/windows.py: resample_daily`) —
+    the densification step before trend/moving-average models."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import resample_daily
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"],
+    )
+    return resample_daily(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -2724,6 +2787,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_curation": _q_norm_curation,
         "supplier_hits": _q_supplier_hits,
         "robots_gate": _q_robots_gate,
+        "mode_by": _q_mode_by,
+        "rollup_sales": _q_rollup_sales,
+        "retention": _q_retention,
+        "daily_resample": _q_daily_resample,
     }
 
 
@@ -4086,6 +4153,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg ma ON ma.tok = top.a
             JOIN marg mb ON mb.tok = top.b
             ORDER BY pair_count DESC, a, b
+        """,
+        # mode_by: ROW_NUMBER argmax with the same (n DESC, lang ASC)
+        # tie-break the engine applies.
+        "mode_by": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY source, lang
+            ), r AS (
+                SELECT source, lang, n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n DESC, lang ASC) AS rk,
+                       SUM(n) OVER (PARTITION BY source) AS tot
+                FROM c
+            )
+            SELECT source, lang AS mode_lang,
+                   CAST(n AS BIGINT) AS n_mode,
+                   CAST(tot AS BIGINT) AS n_rows
+            FROM r WHERE rk = 1 ORDER BY source
+        """,
+        # rollup_sales: GROUP BY ROLLUP, rolled levels surfaced as the
+        # engine's '(all)' sentinel; identical cents math.
+        "rollup_sales": """
+            SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_l_quantity_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT))
+                        AS BIGINT) AS sum_l_extendedprice_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        # retention: distinct-day pairs, per-user MIN cohort, integer
+        # epoch-day arithmetic (date subtraction = int days in DuckDB).
+        "retention": """
+            WITH p AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), f AS (
+                SELECT user_id, MIN(d) AS fd FROM p GROUP BY user_id
+            )
+            SELECT CAST(fd - DATE '1970-01-01' AS BIGINT) AS cohort_day,
+                   CAST(d - fd AS BIGINT) AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # daily_resample: generate_series grid over the global day span
+        # CROSS JOIN distinct types, LEFT JOIN counts, COALESCE 0.
+        "daily_resample": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT CAST(min(d) AS BIGINT) AS lo,
+                       CAST(max(d) AS BIGINT) AS hi FROM c
+            ), g AS (
+                SELECT DISTINCT event_type FROM c
+            ), grid AS (
+                SELECT g.event_type, t.d
+                FROM g, s, UNNEST(generate_series(s.lo, s.hi)) AS t(d)
+            )
+            SELECT grid.event_type, CAST(grid.d AS BIGINT) AS day,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM grid LEFT JOIN c
+                ON c.event_type = grid.event_type AND c.d = grid.d
+            ORDER BY 1, 2
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

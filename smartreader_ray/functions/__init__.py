@@ -72,9 +72,10 @@ from .bpe import bpe_pair_counts, bpe_train, word_histogram
 from .graph import consecutive_edges, hits, pagerank
 from .standardize import corr_by, linreg_by, zscore_by
 from .windows import cumulative_by, funnel, late_events
-from .reshape import (fixed_width_histogram, json_field_agg,
-                      range_partition_by_quantiles)
+from .reshape import (fixed_width_histogram, json_field_agg, mode_by,
+                      range_partition_by_quantiles, rollup_agg)
 from .robots import parse_robots_txt, robots_gate
+from .windows import resample_daily, retention_cohorts
 
 __all__ = [
     "exact_dedup",
@@ -97,6 +98,10 @@ __all__ = [
     "cumulative_by",
     "fixed_width_histogram",
     "json_field_agg",
+    "mode_by",
+    "rollup_agg",
+    "retention_cohorts",
+    "resample_daily",
     "winsorize_stats",
     "parse_robots_txt",
     "robots_gate",

@@ -235,3 +235,103 @@ def json_field_agg(ds, json_col: str, key: str, group_col: str):
         )
         .sort(group_col)
     )
+
+
+def mode_by(ds, key_col: str, col: str):
+    """Per-key modal value of ``col`` with a deterministic tie-break
+    (smallest value wins) — the categorical companion to the numeric
+    per-key stats: "dominant language per source", "most common event
+    per user". SQL equivalent: ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY n DESC, col ASC) = 1.
+
+    Ray shape: per-batch Arrow ``group_by(key, col)`` count partials →
+    one ``groupby(key)`` exchange of (key, value, n) rows (cardinality
+    = keys × distinct values, independent of row count) → per-group
+    vectorized argmax. Output: key, mode_<col>, n_mode, n_rows.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select([key_col, col])
+             .group_by([key_col, col]).aggregate([([], "count_all")]))
+        return g.rename_columns([key_col, col, "n"])
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.group_by([key_col, col]).aggregate([("n", "sum")])
+        g = g.rename_columns([key_col, col, "n"])
+        idx = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), (col, "ascending")])
+        top = g.take(idx.slice(0, 1))
+        total = pc.sum(g.column("n")).as_py()
+        return pa.table({
+            key_col: top.column(key_col),
+            f"mode_{col}": top.column(col),
+            "n_mode": pc.cast(top.column("n"), pa.int64()),
+            "n_rows": pa.array([int(total)], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(pick, batch_format="pyarrow")
+        .sort(key_col)
+    )
+
+
+def rollup_agg(ds, key_cols: list[str], value_cols: list[str],
+               all_token: str = "(all)"):
+    """Single-pass ROLLUP: every prefix grain of ``key_cols`` —
+    (k1, k2), (k1, ALL), (ALL, ALL) — computed in ONE shuffle instead
+    of one aggregation job per grain. Each batch contributes a
+    pre-combined partial per grain (rolled levels take the sentinel
+    ``all_token``), so the exchange carries grain-count × group-count
+    rows regardless of input size; at 100 TB this replaces G full
+    passes with one.
+
+    Value columns cross the exchange as integer cents
+    (floor(v·100+0.5), the repo's established float-exactness route) so
+    the rolled-up sums are hash-exact and order-independent.
+    """
+    from ray.data.aggregate import Sum
+
+    sum_cols = [f"sum_{v}_cents" for v in value_cols]
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cents = {
+            sc: pc.cast(
+                pc.floor(pc.add(pc.multiply(
+                    pc.cast(b.column(v), pa.float64()), 100.0), 0.5)),
+                pa.int64())
+            for v, sc in zip(value_cols, sum_cols)
+        }
+        ones = pa.array(np.ones(n, dtype=np.int64))
+        outs = []
+        for lvl in range(len(key_cols), -1, -1):
+            cols = {}
+            for i, k in enumerate(key_cols):
+                cols[k] = (b.column(k) if i < lvl
+                           else pa.array([all_token] * n, type=pa.string()))
+            for sc in sum_cols:
+                cols[sc] = cents[sc]
+            cols["n"] = ones
+            g = pa.table(cols).group_by(key_cols).aggregate(
+                [(sc, "sum") for sc in sum_cols] + [("n", "sum")])
+            outs.append(g.rename_columns(key_cols + sum_cols + ["n"]))
+        return pa.concat_tables(outs)
+
+    aggs = [Sum(sc, alias_name=sc) for sc in sum_cols]
+    aggs.append(Sum("n", alias_name="n"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in key_cols}
+        for sc in sum_cols + ["n"]:
+            cols[sc] = pc.cast(b.column(sc), pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols)
+        .aggregate(*aggs)
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(key_cols)
+    )
