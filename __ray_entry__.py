@@ -2684,6 +2684,58 @@ def _q_daily_resample(sf_dir: str):
     return resample_daily(ds)
 
 
+def _q_table_diff(sf_dir: str):
+    """Snapshot diff (CDC) between two deterministic versions of the
+    corpus (`functions/setops.py: table_diff`): v1 drops doc_id%7==5,
+    v2 drops doc_id%7==3 and appends ' v2' to text when doc_id%4==0 —
+    yielding added / removed / changed keys. One groupby over (key,
+    side, hash) rows; document bytes never cross the exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.setops import table_diff
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def mk_left(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 != 5))
+
+    def mk_right(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 3
+        b = b.filter(pa.array(keep))
+        ids = ids[keep]
+        suffix = np.where(ids % 4 == 0, " v2", "")
+        text = pc.binary_join_element_wise(
+            b.column("text"), pa.array(suffix, type=pa.string()), "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": text})
+
+    left = docs.map_batches(mk_left, batch_format="pyarrow")
+    right = docs.map_batches(mk_right, batch_format="pyarrow")
+    return table_diff(left, right)
+
+
+def _q_skyline_parts(sf_dir: str):
+    """2-D Pareto front over parts, maximizing (p_retailprice, p_size)
+    (`functions/topk.py: skyline`): per-block vectorized frontier →
+    frontier-sized merge block → same kernel once more."""
+    import ray.data
+
+    from smartreader_ray.functions.topk import skyline
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    return skyline(ds, "p_retailprice", "p_size").sort("p_partkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -2791,6 +2843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_sales": _q_rollup_sales,
         "retention": _q_retention,
         "daily_resample": _q_daily_resample,
+        "table_diff": _q_table_diff,
+        "skyline_parts": _q_skyline_parts,
     }
 
 
@@ -4223,6 +4277,39 @@ def oracle_sql() -> dict[str, str]:
             FROM grid LEFT JOIN c
                 ON c.event_type = grid.event_type AND c.d = grid.d
             ORDER BY 1, 2
+        """,
+        # table_diff: FULL OUTER JOIN on the two deterministic corpus
+        # versions; the engine compares 64-bit content hashes, the
+        # oracle compares the text itself — identical verdicts absent a
+        # blake2b collision (odds documented in setops.py).
+        "table_diff": """
+            WITH l AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 != 5
+            ), r AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 != 3
+            )
+            SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+                   CASE WHEN r.doc_id IS NULL THEN 'removed'
+                        WHEN l.doc_id IS NULL THEN 'added'
+                        ELSE 'changed' END AS status
+            FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id
+            WHERE r.doc_id IS NULL OR l.doc_id IS NULL OR l.text <> r.text
+            ORDER BY doc_id
+        """,
+        # skyline_parts: textbook NOT EXISTS strict-dominance predicate.
+        "skyline_parts": """
+            SELECT p_partkey, p_retailprice, p_size FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice >= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice > a.p_retailprice
+                       OR b.p_size > a.p_size)
+            )
+            ORDER BY p_partkey
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -76,6 +76,8 @@ from .reshape import (fixed_width_histogram, json_field_agg, mode_by,
                       range_partition_by_quantiles, rollup_agg)
 from .robots import parse_robots_txt, robots_gate
 from .windows import resample_daily, retention_cohorts
+from .setops import table_diff
+from .topk import skyline
 
 __all__ = [
     "exact_dedup",
@@ -102,6 +104,8 @@ __all__ = [
     "rollup_agg",
     "retention_cohorts",
     "resample_daily",
+    "table_diff",
+    "skyline",
     "winsorize_stats",
     "parse_robots_txt",
     "robots_gate",

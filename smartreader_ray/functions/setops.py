@@ -97,3 +97,78 @@ def intersect_by_content(left, right, id_col: str = "doc_id",
         return b.select([id_col])
 
     return firsts.map_batches(clean, batch_format="pyarrow")
+
+
+def table_diff(left, right, key_col: str = "doc_id",
+               content_col: str = "text"):
+    """Snapshot diff (CDC) between two versions of a keyed corpus:
+    which keys were ``added``, ``removed``, or ``changed`` between
+    version 1 (``left``) and version 2 (``right``) — the dataset-
+    versioning primitive behind incremental reprocessing ("re-extract
+    only what changed since the last crawl").
+
+    Precondition: ``key_col`` is unique within each side (a version
+    snapshot); a duplicate key raises loudly rather than misclassifying.
+
+    Plan: tag each side (1=left, 2=right), hash content to 8 bytes, and
+    run ONE ``groupby(key)`` over (key, side, hash) rows — ~24
+    bytes/row crosses the exchange regardless of document size.
+    side_sum 1 → removed, 2 → added, 3 → changed iff the two hashes
+    differ (equal-content rows are dropped — diff output is
+    change-sized, not corpus-sized). Same 64-bit collision trade as
+    ``except_by_content``.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            vals = b.column(content_col).to_pylist()
+            h = np.asarray(_hash64([v or "" for v in vals]),
+                           dtype=np.uint64).view(np.int64)
+            return pa.table({
+                key_col: b.column(key_col),
+                "__side": pa.array(
+                    np.full(len(vals), side, dtype=np.int64)),
+                "__h": pa.array(h, type=pa.int64()),
+            })
+        return f
+
+    tagged = (
+        left.select_columns([key_col, content_col])
+        .map_batches(tag(1), batch_format="pyarrow")
+        .union(right.select_columns([key_col, content_col])
+               .map_batches(tag(2), batch_format="pyarrow"))
+    )
+    agg = tagged.groupby(key_col).aggregate(
+        Sum("__side", alias_name="side_sum"),
+        Min("__h", alias_name="h_min"),
+        Max("__h", alias_name="h_max"),
+        Count(alias_name="n"),
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        ss = b.column("side_sum").to_numpy(zero_copy_only=False)
+        if ((n > 2) | (ss < 1) | (ss > 3) | ((n == 2) & (ss != 3))).any():
+            raise ValueError(
+                "table_diff: duplicate key within a snapshot side — "
+                "CDC requires key-unique versions")
+        changed = (ss == 3) & (
+            b.column("h_min").to_numpy(zero_copy_only=False)
+            != b.column("h_max").to_numpy(zero_copy_only=False))
+        status = np.where(ss == 1, "removed",
+                          np.where(ss == 2, "added", "changed"))
+        keep = (ss != 3) | changed
+        t = pa.table({
+            key_col: b.column(key_col),
+            "status": pa.array(status, type=pa.string()),
+        })
+        return t.filter(pa.array(keep))
+
+    return (
+        agg.map_batches(classify, batch_format="pyarrow")
+        .sort(key_col)
+    )

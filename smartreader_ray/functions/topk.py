@@ -81,3 +81,49 @@ def top_k_by(ds, key_col: str, value_col: str, k: int = 10,
         .groupby(key_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def skyline(ds, x_col: str, y_col: str):
+    """2-D Pareto front, maximizing BOTH columns: keep exactly the rows
+    no other row strictly dominates (x' ≥ x AND y' ≥ y with at least
+    one strict). The multi-objective companion to top-k — "best
+    price-for-size" style frontier queries.
+
+    Distributed shape (the classic two-phase skyline): a vectorized
+    per-block skyline pass prunes everything locally dominated — the
+    frontier of a block is tiny relative to the block — then the union
+    of local survivors is collapsed to one block and the SAME kernel
+    runs once more. Correct because local pruning is conservative
+    (a point dominated within a block is dominated globally, and every
+    global frontier point survives its own block). The merge block is
+    frontier-sized; for adversarial inputs whose frontier exceeds one
+    block, chain another local round (tree merge) — documented, not
+    needed for real distributions.
+
+    Per-block kernel: lexsort by (x desc, y desc); within each distinct
+    x the max-y rows survive iff that max beats the running max-y of
+    all strictly-greater-x groups. Equal (x, y) duplicates are all kept
+    (they do not dominate each other), matching SQL NOT EXISTS.
+    """
+    import numpy as np
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        x = b.column(x_col).to_numpy(zero_copy_only=False)
+        y = b.column(y_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((-y, -x))
+        xs, ys = x[order], y[order]
+        new_grp = np.r_[True, xs[1:] != xs[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        gmax = ys[new_grp]  # y sorted desc within group → first is max
+        prev = np.r_[-np.inf, np.maximum.accumulate(gmax)[:-1]]
+        keep_grp = gmax > prev
+        keep = keep_grp[gid] & (ys == gmax[gid])
+        return b.take(pa.array(order[keep]))
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local, batch_format="pyarrow")
+    )
