@@ -2736,6 +2736,34 @@ def _q_skyline_parts(sf_dir: str):
     return skyline(ds, "p_retailprice", "p_size").sort("p_partkey")
 
 
+def _q_edit1_names(sf_dir: str):
+    """Edit-distance-1 similarity self-join over supplier names
+    (`functions/fuzzy.py: edit1_pairs`, FastSS deletion blocking):
+    candidates only within shared deletion-variant buckets, verified
+    in place — never n² distance calls."""
+    import ray.data
+
+    from smartreader_ray.functions.fuzzy import edit1_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_name"])
+    return edit1_pairs(ds, "s_name")
+
+
+def _q_phrase_search(sf_dir: str):
+    """Positional phrase query 'hash join' per source
+    (`functions/ngrams.py: phrase_count`): shuffle-free vectorized
+    adjacency scan; only (source, n_docs, n_occ) partials exchange."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import phrase_count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"])
+    return phrase_count(ds, "hash", "join")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -2845,6 +2873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_resample": _q_daily_resample,
         "table_diff": _q_table_diff,
         "skyline_parts": _q_skyline_parts,
+        "edit1_names": _q_edit1_names,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -4310,6 +4340,39 @@ def oracle_sql() -> dict[str, str]:
                        OR b.p_size > a.p_size)
             )
             ORDER BY p_partkey
+        """,
+        # edit1_names: brute levenshtein self-join on distinct names —
+        # the oracle pays the n² the engine's deletion blocking avoids.
+        "edit1_names": """
+            WITH n AS (SELECT DISTINCT s_name AS s FROM supplier)
+            SELECT a.s AS a, b.s AS b
+            FROM n a JOIN n b
+              ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+            ORDER BY a, b
+        """,
+        # phrase_search: positional adjacency via generate_series over
+        # token indices; sources with zero hits still appear (LEFT JOIN).
+        "phrase_search": """
+            WITH base AS (
+                SELECT doc_id, source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ), m AS (
+                SELECT doc_id, source, COUNT(*) AS n
+                FROM base,
+                     UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+                WHERE a[i] = 'hash' AND a[i + 1] = 'join'
+                GROUP BY doc_id, source
+            ), s AS (
+                SELECT DISTINCT source FROM documents
+            )
+            SELECT s.source,
+                   CAST(COALESCE(x.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(x.n_occ, 0) AS BIGINT) AS n_occ
+            FROM s LEFT JOIN (
+                SELECT source, count(*) AS n_docs, SUM(n) AS n_occ
+                FROM m GROUP BY source
+            ) x USING (source)
+            ORDER BY source
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -78,6 +78,8 @@ from .robots import parse_robots_txt, robots_gate
 from .windows import resample_daily, retention_cohorts
 from .setops import table_diff
 from .topk import skyline
+from .fuzzy import edit1_pairs, is_edit1
+from .ngrams import phrase_count
 
 __all__ = [
     "exact_dedup",
@@ -106,6 +108,9 @@ __all__ = [
     "resample_daily",
     "table_diff",
     "skyline",
+    "edit1_pairs",
+    "is_edit1",
+    "phrase_count",
     "winsorize_stats",
     "parse_robots_txt",
     "robots_gate",

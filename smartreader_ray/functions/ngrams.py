@@ -422,3 +422,59 @@ def cooccurrence_window(ds, text_col: str = "text", window: int = 3,
         )
 
     return top.map_batches(attach, batch_format="pyarrow")
+
+
+def phrase_count(ds, w1: str, w2: str, text_col: str = "text",
+                 group_col: str = "source"):
+    """Positional phrase query: per ``group_col``, how many documents
+    contain the exact two-token phrase ``w1 w2`` and how many total
+    (possibly overlapping) occurrences — the inverted-index adjacency
+    join (pos₂ = pos₁ + 1) that substring LIKE cannot express once
+    occurrences may overlap.
+
+    Ray shape: entirely shuffle-free scan — each batch tokenizes with
+    the corpus convention (single-space split), finds adjacent
+    (w1, w2) positions vectorized (one Arrow equality per word + one
+    numpy AND over the flat token stream, row-boundary masked), and
+    pre-aggregates per group; only (group, n_docs, n_occ) partials
+    reach the final vocabulary-sized groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, row_idx, lens = _tokens_flat(b, text_col)
+        if len(flat) == 0:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "n_occ": pa.array([], type=pa.int64()),
+            })
+        is1 = pc.equal(flat, w1).to_numpy(zero_copy_only=False)
+        is2 = pc.equal(flat, w2).to_numpy(zero_copy_only=False)
+        adj = is1[:-1] & is2[1:] & (row_idx[:-1] == row_idx[1:])
+        occ = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(occ, row_idx[:-1][adj], 1)
+        t = pa.table({
+            group_col: b.column(group_col),
+            "occ": pa.array(occ),
+            "hit": pa.array((occ > 0).astype(np.int64)),
+        })
+        g = t.group_by(group_col).aggregate(
+            [("hit", "sum"), ("occ", "sum")])
+        return g.rename_columns([group_col, "n_docs", "n_occ"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_occ", alias_name="n_occ"))
+        .map_batches(
+            lambda b: pa.table({
+                group_col: b.column(group_col),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "n_occ": pc.cast(b.column("n_occ"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort(group_col)
+    )
