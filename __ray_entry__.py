@@ -2764,6 +2764,62 @@ def _q_phrase_search(sf_dir: str):
     return phrase_count(ds, "hash", "join")
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    """Revenue per returnflag over lineitem rows of high-value orders
+    (`functions/join.py: semi_join`), with ``broadcast_limit`` forced
+    below the key count so the driver exercises the SCALE path: Bloom
+    bitmap OR-merged from per-block partials, broadcast once, local
+    prefilter, then exact verify join — result is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.join import semi_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    hv = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 450000.0)),
+        batch_format="pyarrow",
+    )
+    kept = semi_join(li, hv, "l_orderkey", "o_orderkey",
+                     broadcast_limit=100)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("l_extendedprice"), 100.0), 0.5)), pa.int64())
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "revenue_cents": cents,
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("revenue_cents", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "revenue_cents"])
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "revenue_cents": pc.cast(b.column("revenue_cents"),
+                                         pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("l_returnflag")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -2875,6 +2931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": _q_skyline_parts,
         "edit1_names": _q_edit1_names,
         "phrase_search": _q_phrase_search,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -4373,6 +4430,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM m GROUP BY source
             ) x USING (source)
             ORDER BY source
+        """,
+        # bloom_semi_join: plain WHERE EXISTS — the bloom is invisible
+        # to semantics, only to exchange volume.
+        "bloom_semi_join": """
+            WITH s AS (
+                SELECT l_returnflag, l_extendedprice FROM lineitem l
+                WHERE EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey
+                      AND o.o_totalprice > 450000.0
+                )
+            )
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM s GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -36,7 +36,7 @@ from .curation import (
     repetition_stats,
     winsorize_stats,
 )
-from .join import asof_join, broadcast_join, hash_join, range_join
+from .join import asof_join, broadcast_join, hash_join, range_join, semi_join
 from .similarity import (
     ann_ivf,
     ann_ivf_bucketed,
@@ -119,6 +119,7 @@ __all__ = [
     "word_histogram",
     "repetition_stats",
     "hash_join",
+    "semi_join",
     "stratified_sample",
     "temperature_mix",
     "weighted_mix",

@@ -580,3 +580,130 @@ def asof_join(left, right, by: str, on: str,
     return matched.union(
         prune(left, left_cols).map_batches(l_null_out, batch_format="pyarrow")
     )
+
+
+def _mix64(x):
+    """splitmix64 finalizer, vectorized over uint64 — the standard
+    public integer mixer (Steele et al., 2014)."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _key_hash_u64(arr: pa.ChunkedArray | pa.Array):
+    """Column → uint64 hashes: integer keys are mixed in-register;
+    string keys go through the repo's blake2b hash64."""
+    import numpy as np
+
+    t = arr.type
+    if pa.types.is_integer(t):
+        v = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        return _mix64(v.view(np.uint64))
+    from .dedup import _hash64
+
+    vals = arr.to_pylist()
+    return np.asarray(_hash64([str(v) for v in vals]), dtype=np.uint64)
+
+
+def _bloom_positions(h, bloom_bits: int, k: int):
+    """k double-hashed bit positions per key (Kirsch–Mitzenmacher)."""
+    import numpy as np
+
+    h1 = h
+    h2 = _mix64(h ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    mask = np.uint64(bloom_bits - 1)
+    with np.errstate(over="ignore"):
+        return [(h1 + np.uint64(i) * h2) & mask for i in range(k)]
+
+
+def semi_join(left, right, left_key: str, right_key: str,
+              broadcast_limit: int = 2_000_000,
+              bloom_bits: int = 1 << 23, bloom_k: int = 4):
+    """EXACT semi-join: left rows whose key appears in ``right`` —
+    SQL ``WHERE EXISTS`` — without ever shipping the full left table
+    through a shuffle.
+
+    Two regimes on the DISTINCT right-key count (one keys-only groupby
+    either way):
+
+    * ``≤ broadcast_limit``: the distinct keys are ``ray.put`` once and
+      every left task filters with an Arrow ``is_in`` — zero left-side
+      exchange.
+    * beyond: a Bloom filter (``bloom_bits`` bits, ``bloom_k``
+      double-hashed probes) is built from per-block partial bitmaps
+      OR-merged on the driver (constant ``bloom_bits/8`` bytes per
+      block regardless of key count; tree-merge if block count ever
+      makes the driver OR the bottleneck), broadcast once, and left
+      batches drop non-members locally — so only the ~1 % false
+      positives plus true members reach the exact verify
+      ``hash_join`` against the distinct keys. The result is EXACT;
+      the bloom only prunes exchange volume.
+    """
+    import numpy as np
+    import ray
+
+    rk = (
+        right.select_columns([right_key])
+        .groupby(right_key)
+        .count()
+        .map_batches(lambda b: b.select([right_key]),
+                     batch_format="pyarrow")
+    )
+    n_keys = rk.count()
+    left_cols = left.schema().names
+
+    if n_keys <= broadcast_limit:
+        keys_arr = pa.concat_tables(
+            [pa.table({right_key: b[right_key]})
+             for b in rk.iter_batches(batch_format="pyarrow")]
+        ).column(right_key).combine_chunks()
+        ref = ray.put(keys_arr)
+
+        def filt(b: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            return b.filter(pc.is_in(b.column(left_key), value_set=keys))
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    nbytes = bloom_bits // 8
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        h = _key_hash_u64(b.column(right_key))
+        for idx in _bloom_positions(h, bloom_bits, bloom_k):
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary())})
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for row in rk.map_batches(bloom_partial,
+                              batch_format="pyarrow").iter_rows():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        h = _key_hash_u64(b.column(left_key))
+        member = np.ones(len(h), dtype=bool)
+        for idx in _bloom_positions(h, bloom_bits, bloom_k):
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            member &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return b.filter(pa.array(member))
+
+    pref = left.map_batches(prefilter, batch_format="pyarrow")
+    rk2 = rk.map_batches(
+        lambda b: b.rename_columns(["__rk"]), batch_format="pyarrow")
+    out = hash_join(
+        pref, rk2, left_key=left_key, right_key="__rk",
+        left_cols=left_cols, right_cols=["__rk"], how="inner",
+    )
+    return out.map_batches(lambda b: b.select(left_cols),
+                           batch_format="pyarrow")
