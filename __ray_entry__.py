@@ -2820,6 +2820,42 @@ def _q_bloom_semi_join(sf_dir: str):
     )
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence over orders: top-25 part pairs by
+    the number of orders containing both (`functions/graph.py:
+    basket_pairs`). Deterministic (count desc, pair asc) total order so
+    boundary ties never vary with partitioning."""
+    import ray.data
+
+    from smartreader_ray.functions.graph import basket_pairs
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    return basket_pairs(li, "l_orderkey", "l_partkey", top_n=25)
+
+
+def _q_triangles(sf_dir: str):
+    """Exact triangle count of the undirected supplier hand-off graph
+    (`functions/graph.py: triangle_count`, degree-ordered node
+    iterator): wedges generated once at each triangle's minimum-rank
+    vertex, closed by ONE pair-keyed groupby against flagged edges."""
+    import ray.data
+
+    from smartreader_ray.functions.graph import (consecutive_edges,
+                                                 triangle_count)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    edges = consecutive_edges(
+        li, "l_orderkey", "l_linenumber", "l_suppkey", seq_stride=1000
+    )
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -2932,6 +2968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit1_names": _q_edit1_names,
         "phrase_search": _q_phrase_search,
         "bloom_semi_join": _q_bloom_semi_join,
+        "basket_pairs": _q_basket_pairs,
+        "triangles": _q_triangles,
     }
 
 
@@ -4446,6 +4484,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
                                  AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # basket_pairs: distinct (order, part) self-join; same total
+        # order for the top-25 cut.
+        "basket_pairs": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem
+            ), p AS (
+                SELECT a.pk AS item_a, b.pk AS item_b, count(*) AS n
+                FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2
+            )
+            SELECT item_a, item_b, CAST(n AS BIGINT) AS n_groups
+            FROM p ORDER BY n DESC, item_a, item_b LIMIT 25
+        """,
+        # triangles: same degree-(then id)-ordered orientation via SQL
+        # row-value comparison; wedges = oriented out-neighbor pairs;
+        # closing edge looked up in the undirected edge set.
+        "triangles": """
+            WITH li AS (
+                SELECT l_orderkey * 1000 + l_linenumber AS k, l_suppkey
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+                FROM li a JOIN li b ON b.k = a.k + 1
+                WHERE a.l_suppkey <> b.l_suppkey
+            ), u AS (
+                SELECT DISTINCT LEAST(src, dst) AS a,
+                                GREATEST(src, dst) AS b
+                FROM e
+            ), d AS (
+                SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM u UNION ALL SELECT b AS v FROM u
+                ) GROUP BY v
+            ), o AS (
+                SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                            THEN u.a ELSE u.b END AS s,
+                       CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                            THEN u.b ELSE u.a END AS t
+                FROM u JOIN d da ON da.v = u.a JOIN d db ON db.v = u.b
+            ), w AS (
+                SELECT o1.s, LEAST(o1.t, o2.t) AS x,
+                       GREATEST(o1.t, o2.t) AS y
+                FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM w JOIN u ON u.a = w.x AND u.b = w.y)
+                       AS n_triangles
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

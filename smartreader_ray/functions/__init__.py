@@ -69,7 +69,8 @@ from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
 from .bpe import bpe_pair_counts, bpe_train, word_histogram
-from .graph import consecutive_edges, hits, pagerank
+from .graph import (basket_pairs, consecutive_edges, hits, pagerank,
+                    triangle_count)
 from .standardize import corr_by, linreg_by, zscore_by
 from .windows import cumulative_by, funnel, late_events
 from .reshape import (fixed_width_histogram, json_field_agg, mode_by,
@@ -171,6 +172,8 @@ __all__ = [
     "consecutive_edges",
     "pagerank",
     "hits",
+    "basket_pairs",
+    "triangle_count",
     "cooccurrence_window",
     "late_events",
     "range_partition_by_quantiles",

@@ -33,7 +33,7 @@ SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
 __all__ = ["consecutive_edges", "pagerank", "rank_weighted_rollup",
-           "hits", "SCALE"]
+           "hits", "basket_pairs", "triangle_count", "SCALE"]
 
 
 def consecutive_edges(ds, group_col: str, seq_col: str, node_col: str,
@@ -658,3 +658,304 @@ def hits(edges, nodes, node_col: str = "v", iterations: int = 4,
         node_col, "av", [node_col, "hub"], ["authority"],
     )
     return joined.sort(node_col)
+
+
+def basket_pairs(ds, group_col: str, item_col: str, top_n: int = 25,
+                 local_rows_max: int = 20_000_000):
+    """Market-basket co-occurrence: count, per unordered item pair, the
+    number of groups (orders / sessions / docs) containing BOTH items —
+    the sufficient statistic for association rules and co-click graphs.
+    Output: top ``top_n`` pairs by count (ties broken by pair id).
+
+    Same dual-regime shape as `consecutive_edges` (graph.py:39), and
+    for the same measured reason: the group key is near-unique (a few
+    rows per order), the regime where a generic hash self-join pays one
+    Python emit per key. Local regime (rows ≤ ``local_rows_max``): one
+    argsort on the (group, item) pairs + fully vectorized within-
+    segment pair expansion (items sorted within a group, so pairs come
+    out id-canonical a<b for free) + ``np.unique`` counts. Distributed
+    regime: distinct (group, item) → `hash_join` self-join on the
+    group key → per-block pre-combine → pair groupby; one 16-byte-row
+    all-to-all, nothing driver-sized.
+
+    Group sizes are assumed bounded (baskets, not corpora): a group of
+    size c emits C(c, 2) pairs — a degenerate mega-group fails loudly
+    at ``max_pairs_per_key`` in the distributed regime rather than OOM.
+    """
+    import numpy as np
+    import ray.data
+
+    def local_cut(b: pa.Table) -> pa.Table:
+        # deterministic TOTAL order (count desc, pair asc): boundary
+        # ties must not resolve arbitrarily or the result varies by
+        # partitioning — each block keeps its k best under the same
+        # order, so the global winners all survive the cut
+        idx = pc.sort_indices(b, sort_keys=[
+            ("n_groups", "descending"),
+            ("item_a", "ascending"), ("item_b", "ascending")])
+        return b.take(idx.slice(0, top_n)).select(
+            ["item_a", "item_b", "n_groups"])
+
+    def finalize_counts(pairs_counts):
+        return (
+            pairs_counts.map_batches(local_cut, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(local_cut, batch_format="pyarrow")
+        )
+
+    n_rows = ds.count()
+    item_type = dict(zip(ds.schema().names, ds.schema().types))[item_col]
+    if n_rows <= local_rows_max and pa.types.is_integer(item_type):
+        g_parts, i_parts = [], []
+        for b in ds.select_columns([group_col, item_col]).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            g_parts.append(pc.cast(b.column(group_col), pa.int64())
+                           .to_numpy(zero_copy_only=False))
+            i_parts.append(pc.cast(b.column(item_col), pa.int64())
+                           .to_numpy(zero_copy_only=False))
+        g = np.concatenate(g_parts)
+        v = np.concatenate(i_parts)
+        gv = np.unique(np.stack([g, v], axis=1), axis=0)  # distinct, sorted
+        g, v = gv[:, 0], gv[:, 1]
+        seg_start = np.r_[True, g[1:] != g[:-1]]
+        seg_id = np.cumsum(seg_start) - 1
+        seg_sizes = np.bincount(seg_id)
+        pos = np.arange(len(g)) - np.repeat(
+            np.cumsum(seg_sizes) - seg_sizes, seg_sizes)
+        tails = (seg_sizes[seg_id] - pos - 1).astype(np.int64)
+        firsts = np.repeat(np.arange(len(g), dtype=np.int64), tails)
+        within = np.arange(tails.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(tails) - tails, tails)
+        seconds = firsts + 1 + within
+        pairs = np.stack([v[firsts], v[seconds]], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        tbl = pa.table({
+            "item_a": pa.array(uniq[:, 0], type=pa.int64()),
+            "item_b": pa.array(uniq[:, 1], type=pa.int64()),
+            "n_groups": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+        return finalize_counts(ray.data.from_arrow(tbl))
+
+    from .join import hash_join
+
+    distinct = (
+        ds.select_columns([group_col, item_col])
+        .groupby([group_col, item_col]).count()
+        .map_batches(lambda b: b.select([group_col, item_col]),
+                     batch_format="pyarrow")
+    )
+    left = distinct.map_batches(
+        lambda b: b.rename_columns(["g", "item_a"]),
+        batch_format="pyarrow")
+    right = distinct.map_batches(
+        lambda b: b.rename_columns(["g2", "item_b"]),
+        batch_format="pyarrow")
+    joined = hash_join(left, right, "g", "g2", ["item_a"], ["item_b"])
+
+    def precombine(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("item_a"), b.column("item_b")))
+        g2 = b.group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
+        return g2.rename_columns(["item_a", "item_b", "n_groups"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        joined.map_batches(precombine, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("n_groups", alias_name="n_groups"))
+        .map_batches(
+            lambda b: pa.table({
+                "item_a": b.column("item_a"),
+                "item_b": b.column("item_b"),
+                "n_groups": pc.cast(b.column("n_groups"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return finalize_counts(counts)
+
+
+def _closed_partial(b: pa.Table) -> pa.Table:
+    """Per-block triangle partial: Σ wedge-count where the closing
+    edge flag is set — one int64 per block reaches the driver."""
+    if b.num_rows == 0:
+        return pa.table({"tri": pa.array([0], type=pa.int64())})
+    hit = pc.if_else(pc.greater(pc.cast(b.column("f"), pa.int64()), 0),
+                     pc.cast(b.column("n"), pa.int64()),
+                     pa.scalar(0, type=pa.int64()))
+    total = pc.sum(hit).as_py() or 0
+    return pa.table({"tri": pa.array([int(total)], type=pa.int64())})
+
+
+def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
+                   wedge_cap: int = 20_000):
+    """EXACT triangle count of the undirected graph induced by a
+    directed edge list — the standard clustering/cohesion statistic
+    for link graphs. Node-iterator with degree ordering (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011 — the public MapReduce algorithm): each edge is
+    oriented from its lower-(degree, id) endpoint, so every wedge is
+    generated at its minimum-rank vertex exactly once and a vertex's
+    oriented out-degree is O(√m) regardless of its raw degree — the
+    celebrity-node wedge explosion cannot happen.
+
+    Stages (all exchanges edge- or wedge-sized, 16-byte rows):
+    1. symmetrize + distinct → id-canonical undirected edges (a < b);
+    2. degree count per endpoint;
+    3. orient: degrees attached via broadcast map under
+       ``degree_broadcast_limit`` nodes, else two `hash_join`s;
+    4. wedges per source via ``groupby(src)`` (a group beyond
+       ``wedge_cap`` out-neighbors raises loudly — with degree
+       orientation that means a pathological near-clique, and C(cap,2)
+       pairs would OOM the task);
+    5. triangles = wedges whose closing edge exists: UNION the wedge
+       counts with flagged edges and run ONE pair-keyed groupby — no
+       join operator needed.
+
+    Returns a single row: (n_nodes, n_edges, n_wedges, n_triangles),
+    all int64 — hash-exact against the SQL replay.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("src"), pa.int64())
+        d = pc.cast(b.column("dst"), pa.int64())
+        t = pa.table({
+            "a": pc.min_element_wise(s, d),
+            "b": pc.max_element_wise(s, d),
+        })
+        t = t.filter(pc.not_equal(t.column("a"), t.column("b")))
+        g = t.group_by(["a", "b"]).aggregate([])  # per-block distinct
+        return g.select(["a", "b"])
+
+    und = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"]).count()
+        .map_batches(lambda b: b.select(["a", "b"]),
+                     batch_format="pyarrow")
+    ).materialize()  # edge-sized; reused for degrees, orient, closing
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        v = pa.concat_arrays([
+            b.column("a").combine_chunks().cast(pa.int64()),
+            b.column("b").combine_chunks().cast(pa.int64()),
+        ])
+        g = pa.table({"v": v}).group_by("v").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "deg"])
+
+    deg = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("deg", alias_name="deg"))
+    ).materialize()
+    n_nodes = deg.count()
+    n_edges = und.count()
+
+    if n_nodes <= degree_broadcast_limit:
+        vs_parts, dg_parts = [], []
+        for b in deg.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+            vs_parts.append(pc.cast(b.column("v"), pa.int64())
+                            .to_numpy(zero_copy_only=False))
+            dg_parts.append(pc.cast(b.column("deg"), pa.int64())
+                            .to_numpy(zero_copy_only=False))
+        vs = np.concatenate(vs_parts)
+        dgs = np.concatenate(dg_parts)
+        order = np.argsort(vs)
+        deg_ref = ray.put((vs[order], dgs[order]))
+
+        def orient(b: pa.Table) -> pa.Table:
+            v_sorted, d_sorted = ray.get(deg_ref)
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            bb = b.column("b").to_numpy(zero_copy_only=False)
+            da = d_sorted[np.searchsorted(v_sorted, a)]
+            db = d_sorted[np.searchsorted(v_sorted, bb)]
+            # rank = (deg, id); a < b already, so tie-break keeps a→b
+            a_first = (da < db) | ((da == db) & (a < bb))
+            return pa.table({
+                "s": pa.array(np.where(a_first, a, bb), type=pa.int64()),
+                "t": pa.array(np.where(a_first, bb, a), type=pa.int64()),
+            })
+
+        oriented = und.map_batches(orient, batch_format="pyarrow")
+    else:
+        from .join import hash_join
+
+        da = hash_join(und, deg.map_batches(
+            lambda b: b.rename_columns(["va", "deg_a"]),
+            batch_format="pyarrow"), "a", "va",
+            ["a", "b"], ["deg_a"])
+        dab = hash_join(da, deg.map_batches(
+            lambda b: b.rename_columns(["vb", "deg_b"]),
+            batch_format="pyarrow"), "b", "vb",
+            ["a", "b", "deg_a"], ["deg_b"])
+
+        def orient_joined(b: pa.Table) -> pa.Table:
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            bb = b.column("b").to_numpy(zero_copy_only=False)
+            da_ = b.column("deg_a").to_numpy(zero_copy_only=False)
+            db_ = b.column("deg_b").to_numpy(zero_copy_only=False)
+            a_first = (da_ < db_) | ((da_ == db_) & (a < bb))
+            return pa.table({
+                "s": pa.array(np.where(a_first, a, bb), type=pa.int64()),
+                "t": pa.array(np.where(a_first, bb, a), type=pa.int64()),
+            })
+
+        oriented = dab.map_batches(orient_joined, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        ws = np.sort(g.column("t").to_numpy(zero_copy_only=False))
+        c = len(ws)
+        if c > wedge_cap:
+            raise ValueError(
+                f"triangle_count: oriented out-degree {c} exceeds "
+                f"wedge_cap={wedge_cap} — near-clique graph; raise the "
+                "cap only with the memory to hold C(cap,2) wedges")
+        if c < 2:
+            return pa.table({
+                "x": pa.array([], type=pa.int64()),
+                "y": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        i, j = np.triu_indices(c, k=1)
+        return pa.table({
+            "x": pa.array(ws[i], type=pa.int64()),
+            "y": pa.array(ws[j], type=pa.int64()),
+            "n": pa.array(np.ones(len(i), dtype=np.int64)),
+        })
+
+    wedge_rows = oriented.groupby("s").map_groups(
+        wedges, batch_format="pyarrow")
+    n_wedges = int(wedge_rows.count())
+
+    flagged_edges = und.map_batches(
+        lambda b: pa.table({
+            "x": pc.cast(b.column("a"), pa.int64()),
+            "y": pc.cast(b.column("b"), pa.int64()),
+            "n": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "flag": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    wedge_tagged = wedge_rows.map_batches(
+        lambda b: b.append_column(
+            "flag", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    closed = (
+        wedge_tagged.union(flagged_edges)
+        .groupby(["x", "y"])
+        .aggregate(Sum("n", alias_name="n"), Sum("flag", alias_name="f"))
+        .map_batches(_closed_partial, batch_format="pyarrow")
+    )
+    n_triangles = sum(r["tri"] for r in closed.take_all())
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], type=pa.int64()),
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_wedges": pa.array([n_wedges], type=pa.int64()),
+        "n_triangles": pa.array([int(n_triangles)], type=pa.int64()),
+    }))
