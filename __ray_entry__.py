@@ -2837,10 +2837,14 @@ def _q_basket_pairs(sf_dir: str):
 
 
 def _q_triangles(sf_dir: str):
-    """Exact triangle count of the undirected supplier hand-off graph
+    """Exact triangle count of the undirected PART hand-off graph
     (`functions/graph.py: triangle_count`, degree-ordered node
     iterator): wedges generated once at each triangle's minimum-rank
-    vertex, closed by ONE pair-keyed groupby against flagged edges."""
+    vertex, closed by ONE pair-keyed groupby against flagged edges.
+    The part graph (not the supplier graph) is the right subject: with
+    ~20× more nodes than suppliers it is SPARSE, the regime the
+    algorithm's O(m^{3/2}) bound is for — the 1000-node supplier graph
+    is a near-clique where ANY exact method degenerates to n³/6."""
     import ray.data
 
     from smartreader_ray.functions.graph import (consecutive_edges,
@@ -2848,12 +2852,89 @@ def _q_triangles(sf_dir: str):
 
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
     )
     edges = consecutive_edges(
-        li, "l_orderkey", "l_linenumber", "l_suppkey", seq_stride=1000
+        li, "l_orderkey", "l_linenumber", "l_partkey", seq_stride=1000
     )
     return triangle_count(edges)
+
+
+def _q_cdc_reprocess_chain(sf_dir: str):
+    """Composed chain #7 — incremental reprocessing driven by CDC:
+    snapshot-diff the two corpus versions (`setops.table_diff`), keep
+    the dirty keys (added + changed), semi-join version 2 down to just
+    those documents through the Bloom scale path (`join.semi_join`,
+    broadcast_limit forced below the key count), and roll up per-lang
+    doc counts + char totals of the TO-REPROCESS set. One SQL replay
+    end-to-end — the 'only re-extract what changed since the last
+    crawl' loop as a single lazy pipeline."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.join import semi_join
+    from smartreader_ray.functions.setops import table_diff
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+
+    def mk_left(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 != 5)).select(["doc_id", "text"])
+
+    def mk_right(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 7 != 3
+        b = b.filter(pa.array(keep))
+        ids = ids[keep]
+        suffix = np.where(ids % 4 == 0, " v2", "")
+        text = pc.binary_join_element_wise(
+            b.column("text"), pa.array(suffix, type=pa.string()), "")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"), "text": text})
+
+    v1 = docs.map_batches(mk_left, batch_format="pyarrow")
+    v2 = docs.map_batches(mk_right, batch_format="pyarrow")
+    diff = table_diff(v1, v2.select_columns(["doc_id", "text"]))
+    dirty = diff.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("status"), "removed")
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    kept = semi_join(v2, dirty, "doc_id", "doc_id", broadcast_limit=100)
+
+    def rollup_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sum_chars": pc.cast(pc.utf8_length(b.column("text")),
+                                 pa.int64()),
+        })
+        g = t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    return (
+        kept.map_batches(rollup_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+        .map_batches(
+            lambda b: pa.table({
+                "lang": b.column("lang"),
+                "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                "sum_chars": pc.cast(b.column("sum_chars"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2970,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
+        "cdc_reprocess_chain": _q_cdc_reprocess_chain,
     }
 
 
@@ -4504,12 +4586,12 @@ def oracle_sql() -> dict[str, str]:
         # closing edge looked up in the undirected edge set.
         "triangles": """
             WITH li AS (
-                SELECT l_orderkey * 1000 + l_linenumber AS k, l_suppkey
+                SELECT l_orderkey * 1000 + l_linenumber AS k, l_partkey
                 FROM lineitem
             ), e AS (
-                SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                 FROM li a JOIN li b ON b.k = a.k + 1
-                WHERE a.l_suppkey <> b.l_suppkey
+                WHERE a.l_partkey <> b.l_partkey
             ), u AS (
                 SELECT DISTINCT LEAST(src, dst) AS a,
                                 GREATEST(src, dst) AS b
@@ -4535,6 +4617,25 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM w JOIN u ON u.a = w.x AND u.b = w.y)
                        AS n_triangles
+        """,
+        # cdc_reprocess_chain: diff -> dirty keys -> semi-join -> rollup
+        # in one statement; length() = Python len on the ASCII corpus.
+        "cdc_reprocess_chain": """
+            WITH l AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 != 5
+            ), r AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 != 3
+            ), dirty AS (
+                SELECT r.doc_id FROM r LEFT JOIN l USING (doc_id)
+                WHERE l.doc_id IS NULL OR l.text <> r.text
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM r JOIN dirty USING (doc_id)
+            GROUP BY lang ORDER BY lang
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

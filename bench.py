@@ -246,6 +246,10 @@ def run_main() -> dict:
         "norm_dedup", "funnel", "value_histogram", "bpe_pairs",
         "running_totals", "props_extract", "winsorize", "norm_curation",
         "supplier_hits", "robots_gate",
+        "mode_by", "rollup_sales", "retention", "daily_resample",
+        "table_diff", "skyline_parts", "edit1_names", "phrase_search",
+        "bloom_semi_join", "basket_pairs", "triangles",
+        "cdc_reprocess_chain",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -775,19 +775,19 @@ def basket_pairs(ds, group_col: str, item_col: str, top_n: int = 25,
     return finalize_counts(counts)
 
 
-def _closed_partial(b: pa.Table) -> pa.Table:
-    """Per-block triangle partial: Σ wedge-count where the closing
-    edge flag is set — one int64 per block reaches the driver."""
-    if b.num_rows == 0:
-        return pa.table({"tri": pa.array([0], type=pa.int64())})
-    hit = pc.if_else(pc.greater(pc.cast(b.column("f"), pa.int64()), 0),
-                     pc.cast(b.column("n"), pa.int64()),
-                     pa.scalar(0, type=pa.int64()))
-    total = pc.sum(hit).as_py() or 0
-    return pa.table({"tri": pa.array([int(total)], type=pa.int64())})
+
+
+def _orient_arrays(a, bb, da, db):
+    """Vectorized degree-(then id)-order edge orientation: returns
+    (s, t) with rank(s) < rank(t), rank = (deg, id)."""
+    import numpy as np
+
+    a_first = (da < db) | ((da == db) & (a < bb))
+    return np.where(a_first, a, bb), np.where(a_first, bb, a)
 
 
 def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
+                   local_edges_max: int = 5_000_000,
                    wedge_cap: int = 20_000):
     """EXACT triangle count of the undirected graph induced by a
     directed edge list — the standard clustering/cohesion statistic
@@ -797,27 +797,101 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
     oriented from its lower-(degree, id) endpoint, so every wedge is
     generated at its minimum-rank vertex exactly once and a vertex's
     oriented out-degree is O(√m) regardless of its raw degree — the
-    celebrity-node wedge explosion cannot happen.
+    celebrity-node wedge explosion cannot happen. Meaningful on SPARSE
+    graphs (the real link-graph regime); a near-clique is Θ(n³)
+    triangles for ANY exact method.
 
-    Stages (all exchanges edge- or wedge-sized, 16-byte rows):
-    1. symmetrize + distinct → id-canonical undirected edges (a < b);
-    2. degree count per endpoint;
-    3. orient: degrees attached via broadcast map under
-       ``degree_broadcast_limit`` nodes, else two `hash_join`s;
-    4. wedges per source via ``groupby(src)`` (a group beyond
-       ``wedge_cap`` out-neighbors raises loudly — with degree
-       orientation that means a pathological near-clique, and C(cap,2)
-       pairs would OOM the task);
-    5. triangles = wedges whose closing edge exists: UNION the wedge
-       counts with flagged edges and run ONE pair-keyed groupby — no
-       join operator needed.
+    Returns one row (n_nodes, n_edges, n_wedges, n_triangles), all
+    int64 — hash-exact against the SQL replay.
 
-    Returns a single row: (n_nodes, n_edges, n_wedges, n_triangles),
-    all int64 — hash-exact against the SQL replay.
+    Regimes after the shared symmetrize-distinct + degree-count stages
+    (both edge-sized exchanges):
+
+    * **local** (≤ ``local_edges_max`` undirected edges): the edge
+      list is pulled once (16 bytes/edge), and orientation → lexsort →
+      within-segment pair expansion → sorted-key membership are all
+      single numpy kernels. This exists for the same measured reason
+      as `consecutive_edges`' local regime: per-group Python overhead
+      across 10⁴–10⁵ wedge groups dwarfs the actual work (measured
+      325 s → ~4 s on the sf0.1 part graph, 294k edges / 2.3M wedges).
+    * **distributed**: degrees attached by broadcast map (or two
+      `hash_join`s beyond ``degree_broadcast_limit`` nodes), wedges
+      per source via ``groupby(src)`` (a group beyond ``wedge_cap``
+      raises loudly — C(cap,2) pairs would OOM the task), and ONE
+      pair-keyed groupby over wedge-counts ∪ flagged-edges closes
+      triangles and tallies wedges in the same pass — no join
+      operator, nothing driver-sized.
     """
     import numpy as np
     import ray
+    import ray.data as _rd
     from ray.data.aggregate import Sum
+
+    def result(n_edges, n_nodes, n_wedges, n_triangles):
+        return _rd.from_arrow(pa.table({
+            "n_nodes": pa.array([int(n_nodes)], type=pa.int64()),
+            "n_edges": pa.array([int(n_edges)], type=pa.int64()),
+            "n_wedges": pa.array([int(n_wedges)], type=pa.int64()),
+            "n_triangles": pa.array([int(n_triangles)], type=pa.int64()),
+        }))
+
+    n_directed = edges.count()
+    if n_directed <= local_edges_max:
+        # symmetrize + distinct + count + orient + wedge-expand + close,
+        # all as single numpy kernels on 16 bytes/edge — no exchange at
+        # all (a two-key distinct groupby alone measured 30 s on the
+        # 294k-edge part graph; this path does the whole count in ~4 s)
+        a_parts, b_parts = [], []
+        for blk in edges.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            a_parts.append(pc.cast(blk.column("src"), pa.int64())
+                           .to_numpy(zero_copy_only=False))
+            b_parts.append(pc.cast(blk.column("dst"), pa.int64())
+                           .to_numpy(zero_copy_only=False))
+        if not a_parts:
+            return result(0, 0, 0, 0)
+        sa = np.concatenate(a_parts)
+        sb = np.concatenate(b_parts)
+        keep = sa != sb
+        sa, sb = sa[keep], sb[keep]
+        if len(sa) == 0:
+            return result(0, 0, 0, 0)
+        # factorize FIRST, then dedup pairs as one int64 composite key:
+        # np.unique(axis=0) sorts a void view ~10× slower than int keys,
+        # and m = len(nodes) < 2^31 guarantees lo·m+hi fits int64
+        nodes, inv = np.unique(np.concatenate([sa, sb]),
+                               return_inverse=True)
+        ja, jb = inv[:len(sa)], inv[len(sa):]
+        m = np.int64(len(nodes))
+        edge_keys_all = np.minimum(ja, jb) * m + np.maximum(ja, jb)
+        uniq_keys = np.unique(edge_keys_all)
+        ia, ib = uniq_keys // m, uniq_keys % m
+        n_edges = len(ia)
+        degs = np.bincount(np.concatenate([ia, ib]),
+                           minlength=len(nodes))
+        # orient on COMPACT indices; rank = (deg, original id) and ids
+        # are sorted within np.unique, so index order == id order
+        s_idx, t_idx = _orient_arrays(ia, ib, degs[ia], degs[ib])
+        order = np.lexsort((t_idx, s_idx))
+        ss, ts = s_idx[order], t_idx[order]
+        seg_start = np.r_[True, ss[1:] != ss[:-1]]
+        seg_id = np.cumsum(seg_start) - 1
+        seg_sizes = np.bincount(seg_id)
+        pos = np.arange(len(ss)) - np.repeat(
+            np.cumsum(seg_sizes) - seg_sizes, seg_sizes)
+        tails = (seg_sizes[seg_id] - pos - 1).astype(np.int64)
+        firsts = np.repeat(np.arange(len(ss), dtype=np.int64), tails)
+        within = np.arange(tails.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(tails) - tails, tails)
+        seconds = firsts + 1 + within
+        wx, wy = ts[firsts], ts[seconds]  # sorted within segment → x<y
+        wedge_keys = wx * m + wy          # compact indices: no overflow
+        edge_keys = np.sort(ia * m + ib)  # ia<ib ⇔ id-canonical
+        hit = np.searchsorted(edge_keys, wedge_keys, side="left")
+        hit = np.clip(hit, 0, len(edge_keys) - 1)
+        closed = edge_keys[hit] == wedge_keys
+        return result(n_edges, len(nodes), len(wedge_keys),
+                      int(closed.sum()))
 
     def undirect(b: pa.Table) -> pa.Table:
         s = pc.cast(b.column("src"), pa.int64())
@@ -835,7 +909,8 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
         .groupby(["a", "b"]).count()
         .map_batches(lambda b: b.select(["a", "b"]),
                      batch_format="pyarrow")
-    ).materialize()  # edge-sized; reused for degrees, orient, closing
+    ).materialize()  # edge-sized; feeds degrees, orientation, closing
+    n_edges = und.count()
 
     def endpoints(b: pa.Table) -> pa.Table:
         v = pa.concat_arrays([
@@ -850,7 +925,6 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
         .groupby("v").aggregate(Sum("deg", alias_name="deg"))
     ).materialize()
     n_nodes = deg.count()
-    n_edges = und.count()
 
     if n_nodes <= degree_broadcast_limit:
         vs_parts, dg_parts = [], []
@@ -869,14 +943,11 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
             v_sorted, d_sorted = ray.get(deg_ref)
             a = b.column("a").to_numpy(zero_copy_only=False)
             bb = b.column("b").to_numpy(zero_copy_only=False)
-            da = d_sorted[np.searchsorted(v_sorted, a)]
-            db = d_sorted[np.searchsorted(v_sorted, bb)]
-            # rank = (deg, id); a < b already, so tie-break keeps a→b
-            a_first = (da < db) | ((da == db) & (a < bb))
-            return pa.table({
-                "s": pa.array(np.where(a_first, a, bb), type=pa.int64()),
-                "t": pa.array(np.where(a_first, bb, a), type=pa.int64()),
-            })
+            s, t = _orient_arrays(
+                a, bb, d_sorted[np.searchsorted(v_sorted, a)],
+                d_sorted[np.searchsorted(v_sorted, bb)])
+            return pa.table({"s": pa.array(s, type=pa.int64()),
+                             "t": pa.array(t, type=pa.int64())})
 
         oriented = und.map_batches(orient, batch_format="pyarrow")
     else:
@@ -894,13 +965,11 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
         def orient_joined(b: pa.Table) -> pa.Table:
             a = b.column("a").to_numpy(zero_copy_only=False)
             bb = b.column("b").to_numpy(zero_copy_only=False)
-            da_ = b.column("deg_a").to_numpy(zero_copy_only=False)
-            db_ = b.column("deg_b").to_numpy(zero_copy_only=False)
-            a_first = (da_ < db_) | ((da_ == db_) & (a < bb))
-            return pa.table({
-                "s": pa.array(np.where(a_first, a, bb), type=pa.int64()),
-                "t": pa.array(np.where(a_first, bb, a), type=pa.int64()),
-            })
+            s, t = _orient_arrays(
+                a, bb, b.column("deg_a").to_numpy(zero_copy_only=False),
+                b.column("deg_b").to_numpy(zero_copy_only=False))
+            return pa.table({"s": pa.array(s, type=pa.int64()),
+                             "t": pa.array(t, type=pa.int64())})
 
         oriented = dab.map_batches(orient_joined, batch_format="pyarrow")
 
@@ -917,18 +986,18 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
                 "x": pa.array([], type=pa.int64()),
                 "y": pa.array([], type=pa.int64()),
                 "n": pa.array([], type=pa.int64()),
+                "flag": pa.array([], type=pa.int64()),
             })
         i, j = np.triu_indices(c, k=1)
         return pa.table({
             "x": pa.array(ws[i], type=pa.int64()),
             "y": pa.array(ws[j], type=pa.int64()),
             "n": pa.array(np.ones(len(i), dtype=np.int64)),
+            "flag": pa.array(np.zeros(len(i), dtype=np.int64)),
         })
 
     wedge_rows = oriented.groupby("s").map_groups(
         wedges, batch_format="pyarrow")
-    n_wedges = int(wedge_rows.count())
-
     flagged_edges = und.map_batches(
         lambda b: pa.table({
             "x": pc.cast(b.column("a"), pa.int64()),
@@ -938,24 +1007,28 @@ def triangle_count(edges, degree_broadcast_limit: int = 5_000_000,
         }),
         batch_format="pyarrow",
     )
-    wedge_tagged = wedge_rows.map_batches(
-        lambda b: b.append_column(
-            "flag", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
-        batch_format="pyarrow",
-    )
-    closed = (
-        wedge_tagged.union(flagged_edges)
+
+    def closed_partial(b: pa.Table) -> pa.Table:
+        # per-block partial of BOTH tallies: Σn = wedges, Σn·[flag>0]
+        # = closed wedges = triangles — one pass, two int64s per block
+        n = pc.cast(b.column("n"), pa.int64())
+        f = pc.cast(b.column("f"), pa.int64())
+        hit = pc.if_else(pc.greater(f, 0), n,
+                         pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "wedges": pa.array([int(pc.sum(n).as_py() or 0)],
+                               type=pa.int64()),
+            "tri": pa.array([int(pc.sum(hit).as_py() or 0)],
+                            type=pa.int64()),
+        })
+
+    tallies = (
+        wedge_rows.union(flagged_edges)
         .groupby(["x", "y"])
         .aggregate(Sum("n", alias_name="n"), Sum("flag", alias_name="f"))
-        .map_batches(_closed_partial, batch_format="pyarrow")
+        .map_batches(closed_partial, batch_format="pyarrow")
+        .take_all()
     )
-    n_triangles = sum(r["tri"] for r in closed.take_all())
-
-    import ray.data as _rd
-
-    return _rd.from_arrow(pa.table({
-        "n_nodes": pa.array([n_nodes], type=pa.int64()),
-        "n_edges": pa.array([n_edges], type=pa.int64()),
-        "n_wedges": pa.array([n_wedges], type=pa.int64()),
-        "n_triangles": pa.array([int(n_triangles)], type=pa.int64()),
-    }))
+    n_wedges = sum(r["wedges"] for r in tallies)
+    n_triangles = sum(r["tri"] for r in tallies)
+    return result(n_edges, n_nodes, n_wedges, n_triangles)

@@ -91,7 +91,7 @@ def test_triangle_count_matches_bruteforce(ray_session):
     assert out["n_triangles"] == n_tri
 
 
-def test_triangle_count_join_regime_matches_broadcast(ray_session):
+def test_triangle_count_all_three_regimes_agree(ray_session):
     import ray.data
 
     from smartreader_ray.functions.graph import triangle_count
@@ -101,9 +101,12 @@ def test_triangle_count_join_regime_matches_broadcast(ray_session):
     dst = rng.integers(0, 25, 150).astype(np.int64)
     edges = ray.data.from_arrow(pa.table({
         "src": pa.array(src), "dst": pa.array(dst)})).repartition(3)
-    a = triangle_count(edges).take_all()[0]
-    b = triangle_count(edges, degree_broadcast_limit=0).take_all()[0]
-    assert a == b
+    local = triangle_count(edges).take_all()[0]
+    dist_bcast = triangle_count(
+        edges, local_edges_max=0).take_all()[0]
+    dist_join = triangle_count(
+        edges, local_edges_max=0, degree_broadcast_limit=0).take_all()[0]
+    assert local == dist_bcast == dist_join
 
 
 def test_triangle_count_known_graph(ray_session):
