@@ -2937,6 +2937,38 @@ def _q_cdc_reprocess_chain(sf_dir: str):
     )
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-event-type outlier counts via Median Absolute
+    Deviation (`functions/standardize.py: mad_outliers`): two exact
+    histogram-quantile reductions with key-sized broadcasts between,
+    strict |v − med| > 3·mad — bit-equal doubles both sides."""
+    import ray.data
+
+    from smartreader_ray.functions.standardize import mad_outliers
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return mad_outliers(ds, "event_type", "value", k=3.0)
+
+
+def _q_user_paths(sf_dir: str):
+    """Top-20 per-(user, day) behavioral paths
+    (`functions/windows.py: user_day_paths`): one user-keyed exchange,
+    C-level path assembly per group, path-sized count groupby,
+    deterministic boundary."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import user_day_paths
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return user_day_paths(ds, top_n=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3052,6 +3084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
+        "mad_outliers": _q_mad_outliers,
+        "user_paths": _q_user_paths,
     }
 
 
@@ -4636,6 +4670,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS sum_chars
             FROM r JOIN dirty USING (doc_id)
             GROUP BY lang ORDER BY lang
+        """,
+        # mad_outliers: nested percentile_disc medians; identical IEEE
+        # ABS/compare expression tree.
+        "mad_outliers": """
+            WITH m AS (
+                SELECT event_type,
+                       percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY value) AS med
+                FROM events GROUP BY event_type
+            ), d AS (
+                SELECT e.event_type, e.value, m.med,
+                       ABS(e.value - m.med) AS dev
+                FROM events e JOIN m USING (event_type)
+            ), md AS (
+                SELECT event_type,
+                       percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY dev) AS mad
+                FROM d GROUP BY event_type
+            )
+            SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+                   MAX(d.med) AS med, MAX(md.mad) AS mad,
+                   CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM d JOIN md USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        # user_paths: string_agg with in-aggregate ORDER BY (ts, id) —
+        # a total order, event ids unique; same top-20 boundary rule.
+        "user_paths": """
+            WITH p AS (
+                SELECT user_id,
+                       CAST(ts AS DATE) AS day,
+                       string_agg(event_type, '>'
+                           ORDER BY ts, event_id) AS path
+                FROM events GROUP BY user_id, day
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+            FROM p GROUP BY path
+            ORDER BY n_user_days DESC, path LIMIT 20
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -249,7 +249,7 @@ def run_main() -> dict:
         "mode_by", "rollup_sales", "retention", "daily_resample",
         "table_diff", "skyline_parts", "edit1_names", "phrase_search",
         "bloom_semi_join", "basket_pairs", "triangles",
-        "cdc_reprocess_chain",
+        "cdc_reprocess_chain", "mad_outliers", "user_paths",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

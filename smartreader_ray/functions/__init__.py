@@ -71,12 +71,12 @@ from .similarity import kmeans_fit
 from .bpe import bpe_pair_counts, bpe_train, word_histogram
 from .graph import (basket_pairs, consecutive_edges, hits, pagerank,
                     triangle_count)
-from .standardize import corr_by, linreg_by, zscore_by
+from .standardize import corr_by, linreg_by, mad_outliers, zscore_by
 from .windows import cumulative_by, funnel, late_events
 from .reshape import (fixed_width_histogram, json_field_agg, mode_by,
                       range_partition_by_quantiles, rollup_agg)
 from .robots import parse_robots_txt, robots_gate
-from .windows import resample_daily, retention_cohorts
+from .windows import resample_daily, retention_cohorts, user_day_paths
 from .setops import table_diff
 from .topk import skyline
 from .fuzzy import edit1_pairs, is_edit1
@@ -107,6 +107,8 @@ __all__ = [
     "rollup_agg",
     "retention_cohorts",
     "resample_daily",
+    "mad_outliers",
+    "user_day_paths",
     "table_diff",
     "skyline",
     "edit1_pairs",

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _check_int_totals(int_totals: "np.ndarray", float_totals: "np.ndarray",
@@ -295,3 +296,97 @@ def corr_by(ds, key_col: str, x_col: str, y_col: str, round_to: int = 6):
         )
 
     return totals.map_batches(finalize, batch_format="pyarrow")
+
+
+def mad_outliers(ds, key_col: str, value_col: str, k: float = 3.0):
+    """Robust per-key outlier detection via Median Absolute Deviation:
+    med = percentile_disc(0.5) of the values, mad = percentile_disc(0.5)
+    of |v − med|, outlier ⇔ |v − med| > k·mad (strict). The
+    mean/std z-score (`zscore_by`) is itself dragged by the outliers it
+    hunts; MAD has a 50 % breakdown point — the robust-statistics
+    standard for heavy-tailed quality signals.
+
+    Exactness without rounding: med and mad are DATA values (discrete
+    quantile convention, `sketch.exact_quantile_by`), and |v − med| /
+    k·mad / the comparison are single IEEE ops evaluated identically by
+    the SQL replay — bit-equal doubles end to end.
+
+    Ray shape: two histogram reductions (each exchanges only keys ×
+    distinct values × blocks rows) with a key-sized broadcast between
+    and after — the value pass is shuffle-free both times; the final
+    count is a key-sized groupby. Three passes over the input is the
+    honest cost of nested medians; each is a pruned-column scan.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .sketch import exact_quantile_by
+
+    def qmap(qds):
+        out = {}
+        for r in qds.iter_rows():  # key-sized by construction
+            out[r[key_col]] = float(r["value"])
+        return out
+
+    med_ref = ray.put(qmap(exact_quantile_by(ds, key_col, value_col,
+                                             qs=(0.5,))))
+
+    def add_dev(b: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        keys = b.column(key_col).to_pylist()
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = np.asarray([med[kk] for kk in keys], dtype=np.float64)
+        return pa.table({
+            key_col: b.column(key_col),
+            "dev": pa.array(np.abs(v - m), type=pa.float64()),
+        })
+
+    dev_ds = ds.select_columns([key_col, value_col]).map_batches(
+        add_dev, batch_format="pyarrow")
+    mad_ref = ray.put(qmap(exact_quantile_by(dev_ds, key_col, "dev",
+                                             qs=(0.5,))))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        mad = ray.get(mad_ref)
+        keys = b.column(key_col).to_pylist()
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = np.asarray([med[kk] for kk in keys], dtype=np.float64)
+        t = np.asarray([mad[kk] for kk in keys], dtype=np.float64)
+        out = (np.abs(v - m) > k * t).astype(np.int64)
+        tbl = pa.table({
+            key_col: b.column(key_col),
+            "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            "n_outliers": pa.array(out),
+        })
+        g = tbl.group_by(key_col).aggregate(
+            [("n", "sum"), ("n_outliers", "sum")])
+        return g.rename_columns([key_col, "n", "n_outliers"])
+
+    counted = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("n_outliers", alias_name="n_outliers"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        mad = ray.get(mad_ref)
+        keys = b.column(key_col).to_pylist()
+        return pa.table({
+            key_col: b.column(key_col),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "med": pa.array([med[kk] for kk in keys],
+                            type=pa.float64()),
+            "mad": pa.array([mad[kk] for kk in keys],
+                            type=pa.float64()),
+            "n_outliers": pc.cast(b.column("n_outliers"), pa.int64()),
+        })
+
+    return counted.map_batches(
+        finalize, batch_format="pyarrow").sort(key_col)

@@ -613,3 +613,74 @@ def resample_daily(ds, group_col: str = "event_type", ts_col: str = "ts"):
         .map_groups(densify, batch_format="pyarrow")
         .sort([group_col, "day"])
     )
+
+
+def user_day_paths(ds, top_n: int = 20, user_col: str = "user_id",
+                   ts_col: str = "ts", step_col: str = "event_type",
+                   id_col: str = "event_id", sep: str = ">"):
+    """Behavioral path mining: the ordered event-type sequence of each
+    (user, day), counted per DISTINCT path — 'view>click>purchase'
+    style journey frequencies, the input to funnel discovery (the
+    declared-funnel companion is `funnel`). Output: top ``top_n`` paths
+    by the number of user-days following them, deterministic
+    (count desc, path asc) boundary.
+
+    Ray shape: one ``groupby(user)`` exchange co-locates each user's
+    events (the floor cost for ANY per-user sequencing); inside a
+    group the day-paths are built by ONE pandas sort + C-level
+    ``groupby(day).agg(join)`` — no per-event Python. Path partials
+    pre-combine per block before the path-keyed count groupby
+    (path-cardinality-sized), then the `basket_pairs`-style
+    deterministic two-level top-N cut. Ordering within a day is
+    (ts, id) — total because event ids are unique.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "day": pc.cast(pc.cast(g.column(ts_col), pa.date32()),
+                           pa.int32()).to_numpy(zero_copy_only=False),
+            "ts": g.column(ts_col).to_numpy(zero_copy_only=False),
+            "id": g.column(id_col).to_numpy(zero_copy_only=False),
+            "step": g.column(step_col).to_pandas(),
+        }).sort_values(["day", "ts", "id"], kind="stable")
+        paths = df.groupby("day", sort=False)["step"].agg(sep.join)
+        vc = paths.value_counts()
+        return pa.table({
+            "path": pa.array(vc.index.to_numpy(), type=pa.string()),
+            "n_user_days": pa.array(vc.to_numpy().astype("int64"),
+                                    type=pa.int64()),
+        })
+
+    def precombine(b: pa.Table) -> pa.Table:
+        g = b.group_by("path").aggregate([("n_user_days", "sum")])
+        return g.rename_columns(["path", "n_user_days"])
+
+    def local_cut(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("n_user_days", "descending"), ("path", "ascending")])
+        return b.take(idx.slice(0, top_n)).select(
+            ["path", "n_user_days"])
+
+    return (
+        ds.select_columns([user_col, ts_col, id_col, step_col])
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(precombine, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_user_days", alias_name="n_user_days"))
+        .map_batches(
+            lambda b: pa.table({
+                "path": b.column("path"),
+                "n_user_days": pc.cast(b.column("n_user_days"),
+                                       pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .map_batches(local_cut, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_cut, batch_format="pyarrow")
+    )

@@ -1,0 +1,66 @@
+"""mad_outliers (robust stats) and user_day_paths (journey mining)."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_mad_outliers_flags_only_the_spike(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.standardize import mad_outliers
+
+    # key 'a': med of {9,10,11,12,1000} = 11 (percentile_disc),
+    # deviations {2,1,0,1,989} → mad = 1; only 989 > 3·1 → 1 outlier
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "v": [10.0, 9.0, 11.0, 12.0, 1000.0, 5.0, 5.0, 5.0],
+    })
+    out = mad_outliers(ray.data.from_arrow(t).repartition(3),
+                       "k", "v").take_all()
+    by = {r["k"]: r for r in out}
+    assert by["a"]["med"] == 11.0 and by["a"]["mad"] == 1.0
+    assert by["a"]["n_outliers"] == 1 and by["a"]["n"] == 5
+    # constant key: mad = 0, nothing strictly exceeds 0
+    assert by["b"]["mad"] == 0.0 and by["b"]["n_outliers"] == 0
+
+
+def test_mad_outliers_partitioning_invariant(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.standardize import mad_outliers
+
+    rng = np.random.default_rng(4)
+    t = pa.table({
+        "k": [f"k{i % 4}" for i in range(200)],
+        "v": rng.normal(50, 10, 200),
+    })
+    a = mad_outliers(ray.data.from_arrow(t).repartition(2),
+                     "k", "v").take_all()
+    b = mad_outliers(ray.data.from_arrow(t).repartition(9),
+                     "k", "v").take_all()
+    assert a == b
+
+
+def test_user_day_paths_orders_and_counts(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.windows import user_day_paths
+
+    def ts(day, hour):
+        return datetime.datetime(2024, 1, day, hour)
+
+    # user 1 day 1: view>click ; user 2 day 1: view>click ;
+    # user 1 day 2: purchase   — ties impossible (ids unique)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 1], type=pa.int64()),
+        "ts": pa.array([ts(1, 2), ts(1, 3), ts(1, 1), ts(1, 9), ts(2, 1)],
+                       type=pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "event_type": ["view", "click", "view", "click", "purchase"],
+    })
+    out = user_day_paths(ray.data.from_arrow(t).repartition(2),
+                         top_n=5).take_all()
+    assert out[0] == {"path": "view>click", "n_user_days": 2}
+    assert {"path": "purchase", "n_user_days": 1} in out
