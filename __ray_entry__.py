@@ -2969,6 +2969,64 @@ def _q_user_paths(sf_dir: str):
     return user_day_paths(ds, top_n=20)
 
 
+def _q_profile(sf_dir: str):
+    """Numeric table-health profile of lineitem's measure columns
+    (`functions/reshape.py: profile_table`): per column one stats row
+    (n, nulls, min, max, cents sum); exchange is columns × blocks."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import profile_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols)
+    return profile_table(ds, cols)
+
+
+def _q_sort_bounds(sf_dir: str):
+    """Deterministic range-partition boundary planning over
+    l_extendedprice (`functions/reshape.py: sort_bounds`): md5-sampled
+    rows → exact discrete quantiles of the sample = equi-depth shard
+    bounds; the RangePartitioner step, SQL-replayable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.reshape import sort_bounds
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pa.table({
+            "rid": pc.add(pc.multiply(pc.cast(b.column("l_orderkey"),
+                                              pa.int64()), 1000),
+                          pc.cast(b.column("l_linenumber"), pa.int64())),
+            "l_extendedprice": b.column("l_extendedprice"),
+        }),
+        batch_format="pyarrow",
+    )
+    return sort_bounds(ds, "l_extendedprice", "rid",
+                       num_shards=8, sample_prob=0.1)
+
+
+def _q_latest_version(sf_dir: str):
+    """Log compaction: each (user, event_type)'s LATEST event by
+    (ts desc, id desc) (`functions/reshape.py: latest_by`) — the CDC
+    'current state per entity' materialization; associative reduce, so
+    only keys × blocks rows cross the exchange."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import latest_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
+    )
+    return latest_by(ds, ["user_id", "event_type"], "ts", "event_id",
+                     ["value"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3086,6 +3144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
         "mad_outliers": _q_mad_outliers,
         "user_paths": _q_user_paths,
+        "profile_lineitem": _q_profile,
+        "sort_bounds": _q_sort_bounds,
+        "latest_version": _q_latest_version,
     }
 
 
@@ -4710,6 +4771,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
             FROM p GROUP BY path
             ORDER BY n_user_days DESC, path LIMIT 20
+        """,
+        # profile_lineitem: one UNION ALL leg per declared column.
+        "profile_lineitem": """
+            WITH legs AS (
+                SELECT 'l_quantity' AS column_name, l_quantity AS v FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT column_name, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   MIN(v) AS min_v, MAX(v) AS max_v,
+                   CAST(SUM(CAST(FLOOR(v * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM legs GROUP BY column_name ORDER BY column_name
+        """,
+        # sort_bounds: identical md5 sample draw + percentile_disc.
+        "sort_bounds": """
+            WITH s AS (
+                SELECT l_extendedprice AS v FROM lineitem
+                WHERE substr(md5(CAST(l_orderkey * 1000 + l_linenumber
+                                      AS VARCHAR)), 1, 8) < '19999999'
+            )
+            SELECT CAST(1/8.0 AS DOUBLE) AS q, percentile_disc(1/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            UNION ALL SELECT CAST(2/8.0 AS DOUBLE) AS q, percentile_disc(2/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            UNION ALL SELECT CAST(3/8.0 AS DOUBLE) AS q, percentile_disc(3/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            UNION ALL SELECT CAST(4/8.0 AS DOUBLE) AS q, percentile_disc(4/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            UNION ALL SELECT CAST(5/8.0 AS DOUBLE) AS q, percentile_disc(5/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            UNION ALL SELECT CAST(6/8.0 AS DOUBLE) AS q, percentile_disc(6/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            UNION ALL SELECT CAST(7/8.0 AS DOUBLE) AS q, percentile_disc(7/8.0) WITHIN GROUP (ORDER BY v) AS bound FROM s
+            ORDER BY q
+        """,
+        # latest_version: ROW_NUMBER over the same total order.
+        "latest_version": """
+            SELECT user_id, event_type, ts, event_id, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rk
+                FROM events
+            ) WHERE rk = 1 ORDER BY user_id, event_type
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -250,6 +250,7 @@ def run_main() -> dict:
         "table_diff", "skyline_parts", "edit1_names", "phrase_search",
         "bloom_semi_join", "basket_pairs", "triangles",
         "cdc_reprocess_chain", "mad_outliers", "user_paths",
+        "profile_lineitem", "sort_bounds", "latest_version",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -73,8 +73,10 @@ from .graph import (basket_pairs, consecutive_edges, hits, pagerank,
                     triangle_count)
 from .standardize import corr_by, linreg_by, mad_outliers, zscore_by
 from .windows import cumulative_by, funnel, late_events
-from .reshape import (fixed_width_histogram, json_field_agg, mode_by,
-                      range_partition_by_quantiles, rollup_agg)
+from .reshape import (fixed_width_histogram, json_field_agg, latest_by,
+                      mode_by, profile_table,
+                      range_partition_by_quantiles, rollup_agg,
+                      sort_bounds)
 from .robots import parse_robots_txt, robots_gate
 from .windows import resample_daily, retention_cohorts, user_day_paths
 from .setops import table_diff
@@ -108,6 +110,9 @@ __all__ = [
     "retention_cohorts",
     "resample_daily",
     "mad_outliers",
+    "profile_table",
+    "sort_bounds",
+    "latest_by",
     "user_day_paths",
     "table_diff",
     "skyline",

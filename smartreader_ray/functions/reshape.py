@@ -335,3 +335,153 @@ def rollup_agg(ds, key_cols: list[str], value_cols: list[str],
         .map_batches(finalize, batch_format="pyarrow")
         .sort(key_cols)
     )
+
+
+def profile_table(ds, columns: list[str]):
+    """Numeric table-health profiler: per declared column, one row of
+    (n, n_null, min, max, integer-cents sum) — the stats pass a
+    pipeline runs before trusting an unfamiliar 100 TB drop (nulls
+    where none are expected, out-of-range values, truncated loads).
+
+    Columns are DECLARED, not inferred (schema inference is itself a
+    full scan). Per batch every column collapses to ONE stats row, so
+    the exchange is columns × blocks rows; min/max are raw data
+    values, the sum crosses as floor(v·100+0.5) int64 — all
+    SQL-replayable. All-null blocks emit null min/max (the groupby's
+    ignore-nulls Min/Max handles them).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in columns:
+            col = pc.cast(b.column(c), pa.float64())
+            n = len(col)
+            nn = col.null_count
+            names.append(c)
+            ns.append(n)
+            nulls.append(nn)
+            if n - nn > 0:
+                mm = pc.min_max(col)
+                mins.append(mm["min"].as_py())
+                maxs.append(mm["max"].as_py())
+                v = col.drop_null().to_numpy(zero_copy_only=False)
+                sums.append(int(np.floor(v * 100.0 + 0.5)
+                                .astype(np.int64).sum()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+                sums.append(0)
+        return pa.table({
+            "column_name": pa.array(names, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "n_null": pa.array(nulls, type=pa.int64()),
+            "min_v": pa.array(mins, type=pa.float64()),
+            "max_v": pa.array(maxs, type=pa.float64()),
+            "sum_cents": pa.array(sums, type=pa.int64()),
+        })
+
+    return (
+        ds.select_columns(columns)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("column_name")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+        .map_batches(
+            lambda b: pa.table({
+                "column_name": b.column("column_name"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "n_null": pc.cast(b.column("n_null"), pa.int64()),
+                "min_v": pc.cast(b.column("min_v"), pa.float64()),
+                "max_v": pc.cast(b.column("max_v"), pa.float64()),
+                "sum_cents": pc.cast(b.column("sum_cents"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("column_name")
+    )
+
+
+def sort_bounds(ds, value_col: str, id_col: str,
+                num_shards: int = 8, sample_prob: float = 0.1):
+    """Range-partition boundary planner — what Spark's RangePartitioner
+    does before a distributed sort, made DETERMINISTIC: sample rows
+    whose ``md5(str(id))`` falls under ``sample_prob`` (the repo's
+    reproducible-draw convention, SQL-replayable), then read the
+    equi-depth boundaries off the sample's exact discrete quantiles.
+    Output: (q, bound) for q = i/num_shards, i = 1..num_shards−1 —
+    feed to a range shuffle so every shard gets ~equal rows without
+    scanning full data twice.
+
+    Ray shape: the sample filter is a shuffle-free map pass; the
+    quantile reduction exchanges only the sample's value histogram
+    (`sketch.exact_quantile_by` convention = percentile_disc).
+    """
+    from .sampling import _md5_hex, mix_threshold_hex
+    from .sketch import exact_quantile_by
+
+    threshold = mix_threshold_hex(sample_prob)
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hexes = _md5_hex(ids)
+        mask = pa.array([h[:8] < threshold for h in hexes])
+        kept = b.filter(mask)
+        return pa.table({
+            "__g": pa.array(["all"] * kept.num_rows, type=pa.string()),
+            value_col: kept.column(value_col),
+        })
+
+    qs = tuple(i / num_shards for i in range(1, num_shards))
+    bounds = exact_quantile_by(
+        ds.select_columns([id_col, value_col]).map_batches(
+            sample, batch_format="pyarrow"),
+        "__g", value_col, qs=qs)
+    return bounds.map_batches(
+        lambda b: pa.table({
+            "q": b.column("q"),
+            "bound": pc.cast(b.column("value"), pa.float64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("q")
+
+
+def latest_by(ds, key_cols: list[str], ts_col: str, id_col: str,
+              value_cols: list[str]):
+    """Log compaction / upsert resolution: keep each key's LATEST row
+    by (ts desc, id desc) — the materialize step of every CDC or
+    event-sourced table ("current state per entity"). The (ts, id)
+    order is total because ids are unique, so the survivor is
+    deterministic.
+
+    Ray shape: the reduce is associative, so each block first collapses
+    to one candidate row per key (C-level pandas sort +
+    drop_duplicates — no per-row Python), and only keys × blocks rows
+    cross the keyed exchange; the identical kernel then picks the
+    global winner per group.
+    """
+    cols = key_cols + [ts_col, id_col] + value_cols
+
+    def reduce_block(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.select(cols).to_pandas()
+        df = df.sort_values(
+            key_cols + [ts_col, id_col],
+            ascending=[True] * len(key_cols) + [False, False],
+            kind="stable",
+        ).drop_duplicates(subset=key_cols, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(reduce_block, batch_format="pyarrow")
+        .groupby(key_cols)
+        .map_groups(reduce_block, batch_format="pyarrow")
+        .sort(key_cols)
+    )

@@ -1,0 +1,94 @@
+"""profile_table, sort_bounds, latest_by — semantics on crafted inputs."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_profile_table_nulls_and_stats(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.reshape import profile_table
+
+    t = pa.table({
+        "x": pa.array([1.0, 2.0, None, 4.0], type=pa.float64()),
+        "y": pa.array([10.5, None, None, -2.25], type=pa.float64()),
+    })
+    out = profile_table(ray.data.from_arrow(t).repartition(3),
+                        ["x", "y"]).take_all()
+    by = {r["column_name"]: r for r in out}
+    assert by["x"]["n"] == 4 and by["x"]["n_null"] == 1
+    assert by["x"]["min_v"] == 1.0 and by["x"]["max_v"] == 4.0
+    assert by["x"]["sum_cents"] == 700
+    assert by["y"]["n_null"] == 2
+    assert by["y"]["min_v"] == -2.25 and by["y"]["max_v"] == 10.5
+    # floor(-2.25·100 + 0.5) = -225 + 0.5 → floor(-224.5) = -225
+    assert by["y"]["sum_cents"] == 1050 + (-225)
+
+
+def test_sort_bounds_equidepth(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.reshape import sort_bounds
+
+    n = 4000
+    t = pa.table({
+        "rid": pa.array(np.arange(n), type=pa.int64()),
+        "v": pa.array(np.arange(n, dtype=np.float64)),
+    })
+    out = sort_bounds(ray.data.from_arrow(t).repartition(4), "v", "rid",
+                      num_shards=4, sample_prob=0.5).take_all()
+    assert [r["q"] for r in out] == [0.25, 0.5, 0.75]
+    # a uniform ramp sampled at 50% must give near-equidepth bounds
+    b = [r["bound"] for r in out]
+    assert b[0] < b[1] < b[2]
+    for got, want in zip(b, (n * 0.25, n * 0.5, n * 0.75)):
+        assert abs(got - want) < n * 0.05
+
+
+def test_latest_by_picks_newest_with_id_tiebreak(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.reshape import latest_by
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": pa.array([ts(1), ts(5), ts(5), ts(2), ts(1)],
+                       type=pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = latest_by(ray.data.from_arrow(t).repartition(3),
+                    ["k"], "ts", "id", ["v"]).take_all()
+    by = {r["k"]: r for r in out}
+    # key a: two rows tie at ts(5) → larger id (3) wins
+    assert by["a"]["id"] == 3 and by["a"]["v"] == 3.0
+    assert by["b"]["id"] == 4 and by["b"]["v"] == 4.0
+
+
+def test_latest_by_partitioning_invariant(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.reshape import latest_by
+
+    rng = np.random.default_rng(2)
+    n = 500
+    t = pa.table({
+        "k": [f"k{i % 20}" for i in range(n)],
+        "ts": pa.array(
+            [datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(seconds=int(s))
+             for s in rng.integers(0, 3600, n)],
+            type=pa.timestamp("us")),
+        "id": pa.array(np.arange(n), type=pa.int64()),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    a = latest_by(ray.data.from_arrow(t).repartition(2),
+                  ["k"], "ts", "id", ["v"]).take_all()
+    b = latest_by(ray.data.from_arrow(t).repartition(11),
+                  ["k"], "ts", "id", ["v"]).take_all()
+    assert a == b
