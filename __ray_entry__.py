@@ -3027,6 +3027,61 @@ def _q_latest_version(sf_dir: str):
                      ["value"])
 
 
+def _q_shot_boundaries(sf_dir: str):
+    """Video temporal segmentation over REAL demux + byte-level frame
+    decode (`stages/media.py: ShotBoundaryStage`): synthetic FVID clips
+    whose 16×16 BMP frames are pure functions of (doc_id, frame) —
+    scene base shifts the red channel by 128 every scene_len frames —
+    so every detected boundary is replayed by the SQL oracle from the
+    same formula; a demux/decode/delta bug of one pixel flips the hash
+    (the `media_pipeline` gating pattern, extended to video)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.codecs import bmp_encode
+    from smartreader_ray.stages.media import ShotBoundaryStage, fvid_encode
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 5 == 0
+        ids = ids[keep]
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n_frames = 8 + i % 9
+            scene_len = 3 + i % 3
+            frames = []
+            for f in range(n_frames):
+                px = np.empty((16, 16, 3), dtype=np.uint8)
+                px[:, :, 0] = (i * 31 + 128 * (f // scene_len)) % 256
+                px[:, :, 1] = f % 256
+                px[:, :, 2] = (i * 7 + 3) % 256
+                frames.append(bmp_encode(px))
+            payloads.append(fvid_encode(frames))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "media_ref": pa.array([f"vid://{int(i)}" for i in ids],
+                                  type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    bounds = ds.map_batches(
+        ShotBoundaryStage, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=16,
+    )
+
+    def thin(b: pa.Table) -> pa.Table:
+        assert all(e == "" for e in b.column("error").to_pylist())
+        return b.select(["doc_id", "frame_idx"])
+
+    return bounds.map_batches(thin, batch_format="pyarrow").sort(
+        ["doc_id", "frame_idx"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3147,6 +3202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile,
         "sort_bounds": _q_sort_bounds,
         "latest_version": _q_latest_version,
+        "shot_boundaries": _q_shot_boundaries,
     }
 
 
@@ -4815,6 +4871,22 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ts DESC, event_id DESC) AS rk
                 FROM events
             ) WHERE rk = 1 ORDER BY user_id, event_type
+        """,
+        # shot_boundaries: the scene formula guarantees every scene
+        # change clears the threshold (mean delta (128+1)/3 ≈ 43 > 10)
+        # and nothing within a scene does (1/3); the oracle replays the
+        # boundary set the decode path must reproduce byte-exactly.
+        "shot_boundaries": """
+            WITH d AS (
+                SELECT doc_id, 8 + doc_id % 9 AS nf, 3 + doc_id % 3 AS sl
+                FROM documents WHERE doc_id % 5 = 0
+            ), b AS (
+                SELECT doc_id, t.f FROM d,
+                     UNNEST(generate_series(1, nf - 1)) AS t(f)
+                WHERE f % sl = 0
+            )
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
+            FROM b ORDER BY doc_id, frame_idx
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -586,3 +586,60 @@ class ByteHistogramFeatures:
             ],
             names=["doc_id", "media_ref", "embedding"],
         )
+
+
+class ShotBoundaryStage:
+    """Actor-pool video temporal segmentation: demux the FVID container,
+    decode every frame (real byte-level BMP/PPM decode), and flag a shot
+    boundary wherever the mean absolute pixel delta between consecutive
+    frames exceeds ``threshold`` — the classic histogram/intensity-delta
+    shot detector (the first stage of any video curation pipeline:
+    scene-level sampling, per-shot captioning, duplicate-shot pruning).
+
+    Emits one row per detected boundary ``(doc_id, media_ref,
+    frame_idx, delta)`` — frame_idx is the FIRST frame of the new shot —
+    plus nothing for undecodable rows beyond an error row at idx −1
+    (the stage-error convention of `FrameSampleStage`). Binary payloads
+    never leave the stage.
+    """
+
+    def __init__(self, threshold: float = 10.0):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import MediaDecodeError, decode_image
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_doc, o_ref, o_idx, o_delta, o_err = [], [], [], [], []
+        for d, r, p in zip(doc_ids, refs, payloads):
+            try:
+                frames = fvid_decode(p or b"")
+                prev = None
+                for i, fr in enumerate(frames):
+                    _, px = decode_image(fr)
+                    cur = px.astype(np.int32)
+                    if prev is not None and cur.shape == prev.shape:
+                        delta = float(np.abs(cur - prev).mean())
+                        if delta > self.threshold:
+                            o_doc.append(d); o_ref.append(r)
+                            o_idx.append(i)
+                            o_delta.append(delta); o_err.append("")
+                    prev = cur
+            except MediaDecodeError as exc:
+                o_doc.append(d); o_ref.append(r)
+                o_idx.append(-1); o_delta.append(0.0)
+                o_err.append(str(exc))
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, type=pa.int64()),
+                pa.array(o_ref, type=pa.string()),
+                pa.array(o_idx, type=pa.int32()),
+                pa.array(o_delta, type=pa.float64()),
+                pa.array(o_err, type=pa.string()),
+            ],
+            names=["doc_id", "media_ref", "frame_idx", "delta", "error"],
+        )
