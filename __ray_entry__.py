@@ -3082,6 +3082,22 @@ def _q_shot_boundaries(sf_dir: str):
         ["doc_id", "frame_idx"])
 
 
+def _q_interval_overlap(sf_dir: str):
+    """Interval × window overlap join via exact bucket binning
+    (`functions/windows.py: interval_window_overlap`): per-(user, day)
+    activity intervals expanded to the 6-hour windows they overlap —
+    a bucket-keyed count groupby replaces the non-equi join."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import interval_window_overlap
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return interval_window_overlap(ds, window_s=21_600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3203,6 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_bounds": _q_sort_bounds,
         "latest_version": _q_latest_version,
         "shot_boundaries": _q_shot_boundaries,
+        "interval_overlap": _q_interval_overlap,
     }
 
 
@@ -4887,6 +4904,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
             FROM b ORDER BY doc_id, frame_idx
+        """,
+        # interval_overlap: the same floor-bucket expansion in SQL —
+        # equivalently a correlated non-equi join, but the bucket replay
+        # pins the engine's binning algebra exactly.
+        "interval_overlap": """
+            WITH iv AS (
+                SELECT user_id, CAST(ts AS DATE) AS d,
+                       MIN(ts) AS s, MAX(ts) AS e
+                FROM events GROUP BY 1, 2
+            ), b AS (
+                SELECT epoch_us(s) // 21600000000 AS b0,
+                       epoch_us(e) // 21600000000 AS b1
+                FROM iv
+            ), x AS (
+                SELECT t.k FROM b,
+                     UNNEST(generate_series(b0, b1)) AS t(k)
+            )
+            SELECT CAST(k * 21600000000 AS BIGINT) AS window_us,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM x GROUP BY 1 ORDER BY 1
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -78,7 +78,8 @@ from .reshape import (fixed_width_histogram, json_field_agg, latest_by,
                       range_partition_by_quantiles, rollup_agg,
                       sort_bounds)
 from .robots import parse_robots_txt, robots_gate
-from .windows import resample_daily, retention_cohorts, user_day_paths
+from .windows import (interval_window_overlap, resample_daily,
+                      retention_cohorts, user_day_paths)
 from .setops import table_diff
 from .topk import skyline
 from .fuzzy import edit1_pairs, is_edit1
@@ -114,6 +115,7 @@ __all__ = [
     "sort_bounds",
     "latest_by",
     "user_day_paths",
+    "interval_window_overlap",
     "table_diff",
     "skyline",
     "edit1_pairs",

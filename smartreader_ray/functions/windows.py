@@ -684,3 +684,84 @@ def user_day_paths(ds, top_n: int = 20, user_col: str = "user_id",
         .repartition(1)
         .map_batches(local_cut, batch_format="pyarrow")
     )
+
+
+def interval_window_overlap(ds, user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            window_s: int = 21_600):
+    """Interval × window overlap join via bucket binning — the
+    distributed pattern for joining two interval sets without a cross
+    product: each (user, day) activity interval [first_ts, last_ts] is
+    expanded to exactly the fixed ``window_s`` windows it overlaps
+    (floor(start/w) .. floor(end/w) — the closed-interval vs
+    half-open-window algebra makes that range EXACT), and a bucket-keyed
+    count groupby replaces the non-equi join. Output: one row per
+    window with ≥1 overlapping interval: (window_us, n_intervals).
+
+    Ray shape: interval derivation is one (user, day)-keyed min/max
+    groupby (activity-sized, pre-combined per block); bin expansion is
+    a vectorized repeat/arange whose fan-out is interval_span/window_s
+    (bounded: a day-bounded interval covers ≤ 86 400/window_s buckets);
+    the final exchange is calendar-sized. The same binning handles
+    interval × interval joins (bin BOTH sides, join within bucket,
+    dedup pair) — documented here as the scale recipe.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    w_us = int(window_s) * 1_000_000
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(b.column(ts_col), pa.date32()), pa.int32())
+        t = pa.table({
+            user_col: b.column(user_col),
+            "day": days,
+            "ts": b.column(ts_col),
+        })
+        g = t.group_by([user_col, "day"]).aggregate(
+            [("ts", "min"), ("ts", "max")])
+        return g.rename_columns([user_col, "day", "s", "e"])
+
+    intervals = (
+        ds.select_columns([user_col, ts_col])
+        .map_batches(day_pairs, batch_format="pyarrow")
+        .groupby([user_col, "day"])
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "window_us": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        e = b.column("e").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        k0 = s // w_us
+        k1 = e // w_us
+        counts = (k1 - k0 + 1).astype(np.int64)
+        flat = np.repeat(k0, counts) + (
+            np.arange(counts.sum(), dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+        uniq, n = np.unique(flat, return_counts=True)
+        return pa.table({
+            "window_us": pa.array(uniq * w_us, type=pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return (
+        intervals.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_us")
+        .aggregate(Sum("n", alias_name="n_intervals"))
+        .map_batches(
+            lambda b: pa.table({
+                "window_us": b.column("window_us"),
+                "n_intervals": pc.cast(b.column("n_intervals"),
+                                       pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("window_us")
+    )
