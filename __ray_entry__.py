@@ -3098,6 +3098,67 @@ def _q_interval_overlap(sf_dir: str):
     return interval_window_overlap(ds, window_s=21_600)
 
 
+def _q_engagement_chain(sf_dir: str):
+    """Composed chain #8 — engagement distribution over SESSIONIZED
+    events: gap-based sessions (`windows.sessionize`) → per-session
+    size bucket (1 / 2-3 / 4-7 / 8+) and integer-µs duration → bucket
+    rollup (n_sessions, sum_events, sum_duration_us). One SQL replay
+    chains the LAG/SUM-OVER sessionization into the same rollup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    sess = sessionize(ds, gap_s=1800.0)
+
+    BUCKETS = np.asarray(["1", "2-3", "4-7", "8+"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        t0 = b.column("t_start").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        t1 = b.column("t_end").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        bucket = BUCKETS[np.digitize(n, [2, 4, 8])]
+        t = pa.table({
+            "bucket": pa.array(bucket, type=pa.string()),
+            "n_sessions": pa.array(np.ones(len(n), dtype=np.int64)),
+            "sum_events": pa.array(n.astype(np.int64)),
+            "sum_duration_us": pa.array(t1 - t0),
+        })
+        g = t.group_by("bucket").aggregate(
+            [("n_sessions", "sum"), ("sum_events", "sum"),
+             ("sum_duration_us", "sum")])
+        return g.rename_columns(
+            ["bucket", "n_sessions", "sum_events", "sum_duration_us"])
+
+    return (
+        sess.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("sum_events", alias_name="sum_events"),
+                   Sum("sum_duration_us", alias_name="sum_duration_us"))
+        .map_batches(
+            lambda b: pa.table({
+                "bucket": b.column("bucket"),
+                "n_sessions": pc.cast(b.column("n_sessions"), pa.int64()),
+                "sum_events": pc.cast(b.column("sum_events"), pa.int64()),
+                "sum_duration_us": pc.cast(b.column("sum_duration_us"),
+                                           pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3220,6 +3281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_version": _q_latest_version,
         "shot_boundaries": _q_shot_boundaries,
         "interval_overlap": _q_interval_overlap,
+        "engagement_chain": _q_engagement_chain,
     }
 
 
@@ -4924,6 +4986,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(k * 21600000000 AS BIGINT) AS window_us,
                    CAST(count(*) AS BIGINT) AS n_intervals
             FROM x GROUP BY 1 ORDER BY 1
+        """,
+        # engagement_chain: the sessionize CTEs feed the same bucket
+        # rollup; duration summed in integer microseconds.
+        "engagement_chain": """
+            WITH marks AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), nums AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marks
+            ), sess AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                     epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+              FROM nums GROUP BY user_id, session_id
+            )
+            SELECT CASE WHEN n_events < 2 THEN '1'
+                        WHEN n_events < 4 THEN '2-3'
+                        WHEN n_events < 8 THEN '4-7'
+                        ELSE '8+' END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS sum_events,
+                   CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us
+            FROM sess GROUP BY bucket ORDER BY bucket
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

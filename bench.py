@@ -251,7 +251,7 @@ def run_main() -> dict:
         "bloom_semi_join", "basket_pairs", "triangles",
         "cdc_reprocess_chain", "mad_outliers", "user_paths",
         "profile_lineitem", "sort_bounds", "latest_version",
-        "shot_boundaries", "interval_overlap",
+        "shot_boundaries", "interval_overlap", "engagement_chain",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
