@@ -2864,11 +2864,12 @@ def _q_cdc_reprocess_chain(sf_dir: str):
     """Composed chain #7 — incremental reprocessing driven by CDC:
     snapshot-diff the two corpus versions (`setops.table_diff`), keep
     the dirty keys (added + changed), semi-join version 2 down to just
-    those documents through the Bloom scale path (`join.semi_join`,
-    broadcast_limit forced below the key count), and roll up per-lang
-    doc counts + char totals of the TO-REPROCESS set. One SQL replay
-    end-to-end — the 'only re-extract what changed since the last
-    crawl' loop as a single lazy pipeline."""
+    those documents (`join.semi_join`, AUTO regime — the dirty-key set
+    is ~⅓ of the corpus, so the broadcast `is_in` path is the correct
+    one; the Bloom scale path is exercised by `bloom_semi_join`), and
+    roll up per-lang doc counts + char totals of the TO-REPROCESS set.
+    One SQL replay end-to-end — the 'only re-extract what changed
+    since the last crawl' loop as a single lazy pipeline."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -2906,8 +2907,9 @@ def _q_cdc_reprocess_chain(sf_dir: str):
             pc.not_equal(b.column("status"), "removed")
         ).select(["doc_id"]),
         batch_format="pyarrow",
-    )
-    kept = semi_join(v2, dirty, "doc_id", "doc_id", broadcast_limit=100)
+    ).materialize()  # change-sized; semi_join consumes it twice — without
+    # this the whole diff pipeline (two corpus scans) re-executes
+    kept = semi_join(v2, dirty, "doc_id", "doc_id")
 
     def rollup_partial(b: pa.Table) -> pa.Table:
         t = pa.table({

@@ -655,7 +655,10 @@ def semi_join(left, right, left_key: str, right_key: str,
         .count()
         .map_batches(lambda b: b.select([right_key]),
                      batch_format="pyarrow")
-    )
+    ).materialize()  # distinct-key-sized, in the OBJECT STORE (spills,
+    # never driver heap); consumed 2-3× below (count, bloom build,
+    # verify join) — without this each consumer re-executes the whole
+    # right-side derivation
     n_keys = rk.count()
     left_cols = left.schema().names
 
