@@ -3161,6 +3161,28 @@ def _q_engagement_chain(sf_dir: str):
     )
 
 
+def _q_pivot_roundtrip(sf_dir: str):
+    """Reshape inverse proof: pivot user × event-type counts wide, then
+    `unpivot` back to long (`functions/reshape.py: unpivot`) — the
+    output must equal the dense (user × declared-type) count grid,
+    explicit zeros included. SQL replays the grid directly."""
+    import ray.data
+
+    from smartreader_ray.functions import pivot_counts
+    from smartreader_ray.functions.reshape import unpivot
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    wide = pivot_counts(ds, "user_id", "event_type", types)
+    return unpivot(
+        wide, "user_id", [f"n_{t}" for t in types],
+        var_col="variable", val_col="n",
+    ).sort(["user_id", "variable"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3284,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shot_boundaries": _q_shot_boundaries,
         "interval_overlap": _q_interval_overlap,
         "engagement_chain": _q_engagement_chain,
+        "pivot_roundtrip": _q_pivot_roundtrip,
     }
 
 
@@ -5018,6 +5041,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_events) AS BIGINT) AS sum_events,
                    CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us
             FROM sess GROUP BY bucket ORDER BY bucket
+        """,
+        # pivot_roundtrip: the dense user × type grid with explicit
+        # zeros and the 'n_<type>' variable labels the melt emits.
+        "pivot_roundtrip": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            t AS (
+                SELECT * FROM (VALUES ('n_click', 'click'),
+                                      ('n_error', 'error'),
+                                      ('n_purchase', 'purchase'),
+                                      ('n_signup', 'signup'),
+                                      ('n_view', 'view'))
+                     AS v(variable, et)
+            ), c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT u.user_id, t.variable,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM u CROSS JOIN t
+            LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.et
+            ORDER BY u.user_id, t.variable
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

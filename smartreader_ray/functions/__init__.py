@@ -76,7 +76,7 @@ from .windows import cumulative_by, funnel, late_events
 from .reshape import (fixed_width_histogram, json_field_agg, latest_by,
                       mode_by, profile_table,
                       range_partition_by_quantiles, rollup_agg,
-                      sort_bounds)
+                      sort_bounds, unpivot)
 from .robots import parse_robots_txt, robots_gate
 from .windows import (interval_window_overlap, resample_daily,
                       retention_cohorts, user_day_paths)
@@ -114,6 +114,7 @@ __all__ = [
     "profile_table",
     "sort_bounds",
     "latest_by",
+    "unpivot",
     "user_day_paths",
     "interval_window_overlap",
     "table_diff",

@@ -485,3 +485,37 @@ def latest_by(ds, key_cols: list[str], ts_col: str, id_col: str,
         .map_groups(reduce_block, batch_format="pyarrow")
         .sort(key_cols)
     )
+
+
+def unpivot(ds, key_col: str, value_cols: list[str],
+            var_col: str = "variable", val_col: str = "value"):
+    """Wide→long melt — `pivot_counts`' inverse: each input row emits
+    one (key, variable, value) row per declared wide column. A pure
+    per-batch expansion: zero shuffle, the fan-out factor is the
+    declared column count, and the variable names are string constants
+    per column (never inferred from data).
+    """
+    import numpy as np
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = len(value_cols)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        keys = pc.take(b.column(key_col), idx)
+        names = pa.array(
+            np.tile(np.asarray(value_cols, dtype=object), n),
+            type=pa.string())
+        vals = pa.concat_arrays([
+            b.column(c).combine_chunks().cast(pa.int64())
+            for c in value_cols
+        ])
+        # interleave: values currently column-major; reorder row-major
+        order = pa.array(
+            (np.arange(n * k).reshape(k, n).T).reshape(-1))
+        return pa.table({
+            key_col: keys,
+            var_col: names,
+            val_col: pc.take(vals, order),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -113,3 +113,23 @@ def test_resample_daily_zero_fills_gaps(ray_session):
     assert got[("a", d1 + 1)] == 0 and got[("a", d1 + 2)] == 0
     assert got[("a", d1 + 3)] == 1
     assert got[("b", d1)] == 0 and got[("b", d1 + 1)] == 1
+
+
+def test_unpivot_inverts_pivot(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.reshape import pivot_counts, unpivot
+
+    t = pa.table({
+        "k": ["a", "a", "b", "b", "b"],
+        "c": ["x", "y", "x", "x", "z"],
+    })
+    wide = pivot_counts(ray.data.from_arrow(t).repartition(2),
+                        "k", "c", ["x", "y", "z"])
+    long = unpivot(wide, "k", ["n_x", "n_y", "n_z"],
+                   var_col="variable", val_col="n").take_all()
+    got = {(r["k"], r["variable"]): r["n"] for r in long}
+    assert got == {
+        ("a", "n_x"): 1, ("a", "n_y"): 1, ("a", "n_z"): 0,
+        ("b", "n_x"): 2, ("b", "n_y"): 0, ("b", "n_z"): 1,
+    }
