@@ -2820,6 +2820,63 @@ def _q_bloom_semi_join(sf_dir: str):
     )
 
 
+def _q_anti_join(sf_dir: str):
+    """Customers who never placed an order above $300k, rolled up per
+    market segment (`functions/join.py: anti_join` — SQL NOT EXISTS)
+    with ``broadcast_limit`` forced below the distinct key count so the
+    driver exercises the SCALE path: a Bloom MISS proves
+    non-membership, so those rows are emitted locally with zero
+    exchange; only bloom positives (mostly rows that will be dropped)
+    enter the exact ``left_anti`` verify join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.join import anti_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 300000.0)),
+        batch_format="pyarrow",
+    )
+    never = anti_join(cust, ords, "c_custkey", "o_custkey",
+                      broadcast_limit=100)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("c_acctbal"), 100.0), 0.5)), pa.int64())
+        t = pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "bal_cents": cents,
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n", "sum"), ("bal_cents", "sum")])
+        return g.rename_columns(["c_mktsegment", "n", "bal_cents"])
+
+    return (
+        never.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("bal_cents", alias_name="bal_cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "bal_cents": pc.cast(b.column("bal_cents"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("c_mktsegment")
+    )
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket co-occurrence over orders: top-25 part pairs by
     the number of orders containing both (`functions/graph.py:
@@ -3295,6 +3352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit1_names": _q_edit1_names,
         "phrase_search": _q_phrase_search,
         "bloom_semi_join": _q_bloom_semi_join,
+        "anti_join": _q_anti_join,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -4821,6 +4879,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
                                  AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # anti_join: plain WHERE NOT EXISTS — the bloom split is
+        # invisible to semantics, only to exchange volume.
+        "anti_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000.0
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         # basket_pairs: distinct (order, part) self-join; same total
         # order for the top-25 cut.

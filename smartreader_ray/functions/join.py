@@ -604,8 +604,14 @@ def _key_hash_u64(arr: pa.ChunkedArray | pa.Array):
 
     t = arr.type
     if pa.types.is_integer(t):
-        v = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
-        return _mix64(v.view(np.uint64))
+        # fill nulls BEFORE to_numpy: a null in an int64 column makes
+        # to_numpy return float64 (NaN), and .view on float bits would
+        # hash every value in the batch wrong. Null rows hash as 0 —
+        # callers either mask nulls out (anti_join) or tolerate the
+        # false positive (semi_join's exact verify drops it).
+        v = pc.fill_null(pc.cast(arr, pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
+        return _mix64(v.astype(np.int64).view(np.uint64))
     from .dedup import _hash64
 
     vals = arr.to_pylist()
@@ -653,7 +659,9 @@ def semi_join(left, right, left_key: str, right_key: str,
         right.select_columns([right_key])
         .groupby(right_key)
         .count()
-        .map_batches(lambda b: b.select([right_key]),
+        .map_batches(lambda b: b.select([right_key]).filter(
+            pc.is_valid(b.column(right_key))),  # SQL [NOT] EXISTS: a
+        # null right key matches nothing — drop it from the key set
                      batch_format="pyarrow")
     ).materialize()  # distinct-key-sized, in the OBJECT STORE (spills,
     # never driver heap); consumed 2-3× below (count, bloom build,
@@ -710,3 +718,114 @@ def semi_join(left, right, left_key: str, right_key: str,
     )
     return out.map_batches(lambda b: b.select(left_cols),
                            batch_format="pyarrow")
+
+
+def anti_join(left, right, left_key: str, right_key: str,
+              broadcast_limit: int = 2_000_000,
+              bloom_bits: int = 1 << 23, bloom_k: int = 4):
+    """EXACT anti-join: left rows whose key appears NOWHERE in ``right``
+    — SQL ``WHERE NOT EXISTS`` — the mirror of :func:`semi_join`, and
+    like it built to avoid shipping the full left table when it can.
+
+    Null-key semantics follow SQL ``NOT EXISTS``: a null left key never
+    equals anything, so those rows are KEPT (unlike ``NOT IN``).
+
+    Two regimes on the DISTINCT right-key count:
+
+    * ``≤ broadcast_limit``: distinct keys are ``ray.put`` once and every
+      left task drops members with Arrow ``is_in`` locally — zero
+      left-side exchange.
+    * beyond: the Bloom filter is even better placed here than in the
+      semi-join — a bloom MISS proves non-membership, so every
+      definitely-absent left row is emitted locally without ever
+      entering an exchange; only the bloom POSITIVES (true members plus
+      ~1 % false positives, i.e. rows that will mostly be *dropped*)
+      go through the exact ``left_anti`` hash-join against the distinct
+      keys. Output is the union of proven-absent rows and
+      verified-absent positives — exact.
+    """
+    import numpy as np
+    import ray
+
+    rk = (
+        right.select_columns([right_key])
+        .groupby(right_key)
+        .count()
+        .map_batches(lambda b: b.select([right_key]).filter(
+            pc.is_valid(b.column(right_key))),  # SQL [NOT] EXISTS: a
+        # null right key matches nothing — drop it from the key set
+                     batch_format="pyarrow")
+    ).materialize()  # distinct-key-sized, object store (see semi_join)
+    n_keys = rk.count()
+    left_cols = left.schema().names
+
+    if n_keys <= broadcast_limit:
+        keys_arr = pa.concat_tables(
+            [pa.table({right_key: b[right_key]})
+             for b in rk.iter_batches(batch_format="pyarrow")]
+        ).column(right_key).combine_chunks()
+        ref = ray.put(keys_arr)
+
+        def filt(b: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            col = b.column(left_key)
+            member = pc.fill_null(pc.is_in(col, value_set=keys), False)
+            return b.filter(pc.invert(member))
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    nbytes = bloom_bits // 8
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        h = _key_hash_u64(b.column(right_key))
+        for idx in _bloom_positions(h, bloom_bits, bloom_k):
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary())})
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for row in rk.map_batches(bloom_partial,
+                              batch_format="pyarrow").iter_rows():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    def _membership(b: pa.Table) -> "np.ndarray":
+        bits = ray.get(bloom_ref)
+        h = _key_hash_u64(b.column(left_key))
+        member = np.ones(len(h), dtype=bool)
+        for idx in _bloom_positions(h, bloom_bits, bloom_k):
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            member &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        # a null left key hashes to SOME bucket; force it down the
+        # keep-locally path (NOT EXISTS keeps null-key rows)
+        nulls = pc.is_null(b.column(left_key)).to_numpy(
+            zero_copy_only=False)
+        member &= ~nulls
+        return member
+
+    def keep_misses(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(~_membership(b)))
+
+    def keep_hits(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_membership(b)))
+
+    proven_absent = left.map_batches(keep_misses, batch_format="pyarrow")
+    # seed with an empty block of the KNOWN schema: if the bloom sends
+    # zero rows to the verify join, a bare map_batches dataset reports
+    # schema()=None and hash_join's introspection would crash
+    schema = left.schema()
+    seed = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.nulls(0, type=t) for t in schema.types], names=schema.names))
+    positives = seed.union(
+        left.map_batches(keep_hits, batch_format="pyarrow"))
+    rk2 = rk.map_batches(
+        lambda b: b.rename_columns(["__rk"]), batch_format="pyarrow")
+    verified = hash_join(
+        positives, rk2, left_key=left_key, right_key="__rk",
+        left_cols=left_cols, right_cols=["__rk"], how="left_anti",
+    )
+    return proven_absent.union(
+        verified.map_batches(lambda b: b.select(left_cols),
+                             batch_format="pyarrow"))

@@ -181,3 +181,71 @@ def test_zscore_corr_bit_equal_vs_duckdb(ray_session, seed):
         FROM m
     """).fetchall())
     assert got_c == exp_c, seed
+
+
+ANTI_SQL = """
+    SELECT k, lv FROM l
+    WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.rk = l.k)
+"""
+
+
+@pytest.mark.parametrize("seed", [30, 31, 32, 33])
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 1])
+def test_anti_join_matches_duckdb(ray_session, seed, broadcast_limit):
+    """anti_join (both regimes) vs DuckDB NOT EXISTS — nulls kept,
+    duplicates preserved, empty sides covered."""
+    import ray.data
+
+    from smartreader_ray.functions.join import anti_join
+
+    rng = np.random.RandomState(seed)
+    n_l = 0 if seed == 33 else rng.randint(1, 30)
+    n_r = rng.randint(0, 25)
+    left = _rand_table(rng, n_l, "k", "lv")
+    right = _rand_table(rng, n_r, "rk", "rv")
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    lds = ray.data.from_arrow(left) if n_l else ray.data.from_arrow(
+        left.schema.empty_table())
+    rds = ray.data.from_arrow(right) if n_r else ray.data.from_arrow(
+        right.schema.empty_table())
+
+    out = anti_join(lds, rds, "k", "rk",
+                    broadcast_limit=broadcast_limit).take_all()
+    got = _norm(tuple(r.get(c) for c in ("k", "lv")) for r in out)
+    exp = _norm(con.sql(ANTI_SQL).fetchall())
+    assert got == exp, (seed, broadcast_limit)
+
+
+SEMI_SQL = """
+    SELECT k, lv FROM l
+    WHERE EXISTS (SELECT 1 FROM r WHERE r.rk = l.k)
+"""
+
+
+@pytest.mark.parametrize("seed", [40, 41, 42])
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 1])
+def test_semi_join_nullable_keys(ray_session, seed, broadcast_limit):
+    """semi_join on columns WITH nulls (regression: an int64 batch with
+    a null key used to hash as float bits in the bloom prefilter,
+    dropping true members; and a null right key in the broadcast set
+    used to match null left keys unlike SQL EXISTS)."""
+    import ray.data
+
+    from smartreader_ray.functions.join import semi_join
+
+    rng = np.random.RandomState(seed)
+    left = _rand_table(rng, rng.randint(1, 30), "k", "lv", null_frac=0.3)
+    right = _rand_table(rng, rng.randint(1, 25), "rk", "rv", null_frac=0.3)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+
+    out = semi_join(lds, rds, "k", "rk",
+                    broadcast_limit=broadcast_limit).take_all()
+    got = _norm(tuple(r.get(c) for c in ("k", "lv")) for r in out)
+    exp = _norm(con.sql(SEMI_SQL).fetchall())
+    assert got == exp, (seed, broadcast_limit)
