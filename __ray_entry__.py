@@ -3028,6 +3028,28 @@ def _q_user_paths(sf_dir: str):
     return user_day_paths(ds, top_n=20)
 
 
+def _q_event_pattern(sf_dir: str):
+    """SQL:2016 row-pattern matching, MATCH_RECOGNIZE-lite
+    (`functions/windows.py: match_pattern`): per user, count
+    non-overlapping 'view (click)+ purchase' runs in the time-ordered
+    event-symbol sequence — funnels with repetition that the plain
+    step-funnel can't express. Symbols assigned vectorized per batch
+    BEFORE the one per-user exchange (1-byte symbol on the wire)."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import match_pattern
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return match_pattern(
+        ds, r"vc+p",
+        {"view": "v", "click": "c", "purchase": "p",
+         "signup": "s", "error": "e"},
+    )
+
+
 def _q_profile(sf_dir: str):
     """Numeric table-health profile of lineitem's measure columns
     (`functions/reshape.py: profile_table`): per column one stats row
@@ -3358,6 +3380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
         "mad_outliers": _q_mad_outliers,
         "user_paths": _q_user_paths,
+        "event_pattern": _q_event_pattern,
         "profile_lineitem": _q_profile,
         "sort_bounds": _q_sort_bounds,
         "latest_version": _q_latest_version,
@@ -5003,6 +5026,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
             FROM p GROUP BY path
             ORDER BY n_user_days DESC, path LIMIT 20
+        """,
+        # event_pattern: RE2's regexp_extract_all replays Python
+        # re.findall because the non-overlapping scan semantics of
+        # 'vc+p' (greedy class repetition, terminal literal) agree.
+        "event_pattern": """
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  ELSE 'e' END, ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(seq, 'vc+p'))
+                        AS BIGINT) AS n_matches
+            FROM s
+            WHERE len(regexp_extract_all(seq, 'vc+p')) >= 1
+            ORDER BY user_id
         """,
         # profile_lineitem: one UNION ALL leg per declared column.
         "profile_lineitem": """

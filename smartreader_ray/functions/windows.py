@@ -765,3 +765,81 @@ def interval_window_overlap(ds, user_col: str = "user_id",
         )
         .sort("window_us")
     )
+
+
+def match_pattern(ds, pattern: str, symbol_map: dict,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", step_col: str = "event_type",
+                  min_matches: int = 1):
+    """MATCH_RECOGNIZE-lite: count NON-OVERLAPPING occurrences of a
+    regex ``pattern`` in each key's time-ordered event-symbol sequence
+    ('view click click purchase' → 'vccp'), emitting keys with
+    ``≥ min_matches``. The distributed form of SQL:2016 row-pattern
+    matching restricted to per-key sequences — funnels with repetition
+    ('v c+ p'), alternation, optional steps.
+
+    ``symbol_map``: step value → single ASCII letter. Steps absent from
+    the map raise (a silent drop would change adjacency semantics).
+    The pattern must stick to the mapped letters and regex operators
+    whose non-overlapping scan semantics agree between engines
+    (classes, +, *, ?, |, anchors) — the contract that lets a SQL
+    oracle replay it with RE2's ``regexp_extract_all``.
+
+    Ray shape: symbols are assigned per BATCH before the exchange
+    (vectorized ``pc.index_in`` + take — the wire carries a 1-byte
+    symbol, not the step string), then ONE ``groupby(user)`` co-locates
+    each key's events — the floor cost of any per-key sequencing; in
+    the group: one pandas sort + join + compiled-regex findall per key.
+    Per-key sequence must fit a group task (same contract as
+    sessionize/user_day_paths).
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    for sym in symbol_map.values():
+        if len(sym) != 1:
+            raise ValueError(f"symbols must be single chars, got {sym!r}")
+    vocab = pa.array(list(symbol_map.keys()), type=pa.string())
+    chars = pa.array(list(symbol_map.values()), type=pa.string())
+
+    def symbolize(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column(step_col), value_set=vocab)
+        if pc.any(pc.and_(pc.is_null(idx),
+                          pc.is_valid(b.column(step_col)))).as_py():
+            seen = pc.unique(b.column(step_col)).to_pylist()
+            missing = sorted(set(seen) - set(symbol_map))
+            raise ValueError(f"unmapped step values: {missing}")
+        return pa.table({
+            user_col: b.column(user_col),
+            "__ts": b.column(ts_col),
+            "__id": b.column(id_col),
+            "__sym": pc.take(chars, idx),
+        })
+
+    rx = re.compile(pattern)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "ts": g.column("__ts").to_numpy(zero_copy_only=False),
+            "id": g.column("__id").to_numpy(zero_copy_only=False),
+            "sym": g.column("__sym").to_pandas(),
+        }).sort_values(["ts", "id"], kind="stable")
+        n = len(rx.findall("".join(df["sym"])))
+        if n < min_matches:
+            return pa.table({user_col: pa.array([], type=g.column(
+                user_col).type), "n_matches": pa.array([], pa.int64())})
+        return pa.table({
+            user_col: g.column(user_col).slice(0, 1),
+            "n_matches": pa.array([n], type=pa.int64()),
+        })
+
+    return (
+        ds.select_columns([user_col, ts_col, id_col, step_col])
+        .map_batches(symbolize, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(per_key, batch_format="pyarrow")
+        .sort(user_col)
+    )

@@ -3,6 +3,7 @@
 import datetime
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 
@@ -64,3 +65,95 @@ def test_user_day_paths_orders_and_counts(ray_session):
                          top_n=5).take_all()
     assert out[0] == {"path": "view>click", "n_user_days": 2}
     assert {"path": "purchase", "n_user_days": 1} in out
+
+
+class TestMatchPattern:
+    """MATCH_RECOGNIZE-lite: randomized differential vs a pure-Python
+    per-key replay AND DuckDB's regexp_extract_all."""
+
+    SYM = {"view": "v", "click": "c", "purchase": "p",
+           "signup": "s", "error": "e"}
+
+    def _mk(self, seed, n_users=6, n_events=120):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.RandomState(seed)
+        steps = list(self.SYM)
+        return pa.table({
+            "user_id": pa.array(rng.randint(0, n_users, size=n_events),
+                                type=pa.int64()),
+            "ts": pa.array(
+                rng.permutation(n_events).astype("datetime64[us]")),
+            "event_id": pa.array(np.arange(n_events), type=pa.int64()),
+            "event_type": [steps[i] for i in
+                           rng.randint(0, len(steps), size=n_events)],
+        })
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("pattern", ["vc+p", "s(v|c)*p", "e{2,}"])
+    def test_matches_python_and_duckdb(self, ray_session, seed, pattern):
+        import re
+
+        import duckdb
+        import ray.data
+
+        from smartreader_ray.functions.windows import match_pattern
+
+        t = self._mk(seed)
+        got = {
+            r["user_id"]: r["n_matches"]
+            for r in match_pattern(
+                ray.data.from_arrow(t), pattern, self.SYM).take_all()
+        }
+        # pure-Python replay
+        rows = sorted(zip(t.column("ts").to_pylist(),
+                          t.column("event_id").to_pylist(),
+                          t.column("user_id").to_pylist(),
+                          t.column("event_type").to_pylist()))
+        seqs = {}
+        for ts, eid, u, s in rows:
+            seqs[u] = seqs.get(u, "") + self.SYM[s]
+        exp = {u: len(re.findall(pattern, s)) for u, s in seqs.items()}
+        exp = {u: n for u, n in exp.items() if n >= 1}
+        assert got == exp, (seed, pattern)
+        # RE2 parity (the oracle's engine)
+        con = duckdb.connect()
+        con.register("t", t)
+        sql_pat = pattern.replace("{", "{").replace("}", "}")
+        dd = dict(con.sql(f"""
+            WITH s AS (
+                SELECT user_id, string_agg(CASE event_type
+                    WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+                FROM t GROUP BY user_id)
+            SELECT user_id, len(regexp_extract_all(seq, '{sql_pat}'))
+            FROM s WHERE len(regexp_extract_all(seq, '{sql_pat}')) >= 1
+        """).fetchall())
+        assert got == dd, (seed, pattern)
+
+    def test_unmapped_step_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.windows import match_pattern
+
+        t = pa.table({
+            "user_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([0], type=pa.timestamp("us")),
+            "event_id": pa.array([1], type=pa.int64()),
+            "event_type": ["mystery"],
+        })
+        with pytest.raises(Exception, match="unmapped step"):
+            match_pattern(ray.data.from_arrow(t), "v",
+                          {"view": "v"}).take_all()
+
+    def test_multichar_symbol_raises(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import match_pattern
+
+        with pytest.raises(ValueError, match="single chars"):
+            match_pattern(ray.data.from_arrow(self._mk(0)), "v",
+                          {"view": "vw"})
