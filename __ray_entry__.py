@@ -2621,6 +2621,31 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS radius over the supplier hand-off graph
+    (`functions/graph.py: bfs_hops`): minimum hop distance from the
+    seed suppliers (every 50th key) to every supplier reachable in ≤3
+    hops — crawl-frontier / contamination-blast-radius shape. Exact;
+    the oracle is a depth-bounded recursive CTE."""
+    import ray.data
+
+    from smartreader_ray.functions.graph import bfs_hops, consecutive_edges
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    )
+    edges = consecutive_edges(
+        li, "l_orderkey", "l_linenumber", "l_suppkey", seq_stride=1000
+    )
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey"])
+    seeds = [k for k in sup.column("s_suppkey").to_pylist() if k % 50 == 0]
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
 def _q_mode_by(sf_dir: str):
     """Per-source modal language with deterministic tie-break
     (`functions/reshape.py: mode_by`): per-batch count partials → one
@@ -3352,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "pdf_extract": _q_pdf_extract,
         "supplier_pagerank": _q_supplier_pagerank,
+        "bfs_hops": _q_bfs_hops,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4527,6 +4553,28 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # bfs_hops: depth-bounded recursive CTE; UNION dedups (v, d)
+        # pairs so cycles can't loop, min(d) picks the BFS layer.
+        "bfs_hops": """
+            WITH RECURSIVE li AS (
+                SELECT l_orderkey * 1000 + l_linenumber AS k, l_suppkey
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+                FROM li a JOIN li b ON b.k = a.k + 1
+                WHERE a.l_suppkey <> b.l_suppkey
+            ), seeds AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS v FROM supplier
+                WHERE s_suppkey % 50 = 0
+            ), r AS (
+                SELECT v, 0 AS d FROM seeds
+                UNION
+                SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v
+                WHERE r.d < 3
+            )
+            SELECT v, CAST(min(d) AS BIGINT) AS hops
+            FROM r GROUP BY v ORDER BY v
+        """,
         # pagerank_weighted_parts: same CTE chain, ranks joined back
         # through lineitem — Σ rank·qty per part (all-int), top 20.
         "pagerank_weighted_parts": _pagerank_rollup_oracle_sql(5),

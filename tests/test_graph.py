@@ -258,3 +258,78 @@ def test_hits_matches_reference(ray_session, local_max):
     want_h, want_a = _hits_reference(edges, nodes, 3)
     assert got_h == want_h
     assert got_a == want_a
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        frontier = {v for v in nxt if v not in dist}
+        for v in frontier:
+            dist[v] = h
+    return dist
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("regime", ["local", "broadcast", "distributed"])
+def test_bfs_hops_all_regimes(ray_session, seed, regime):
+    """bfs_hops vs a dict BFS AND DuckDB's recursive CTE, on random
+    directed graphs with cycles, unreachable nodes, and multi-seeds —
+    every regime forced via the thresholds."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from smartreader_ray.functions.graph import bfs_hops
+
+    rng = np.random.RandomState(seed)
+    n, m = 25, 80
+    edges = sorted({(int(rng.randint(0, n)), int(rng.randint(0, n)))
+                    for _ in range(m)})
+    edges = [(s, d) for s, d in edges if s != d]
+    seeds = sorted({int(rng.randint(0, n)) for _ in range(3)})
+    kw = {"local": dict(),
+          "broadcast": dict(local_edges_max=1),
+          "distributed": dict(local_edges_max=1,
+                              broadcast_nodes_max=1)}[regime]
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([d for _, d in edges], type=pa.int64()),
+    })).repartition(3)
+    out = bfs_hops(eds, seeds, max_hops=3, **kw).take_all()
+    got = {r["v"]: r["hops"] for r in out}
+    want = _bfs_reference(edges, seeds, 3)
+    assert got == want, (seed, regime)
+
+    con = duckdb.connect()
+    con.register("e", pa.table({
+        "src": pa.array([s for s, _ in edges], type=pa.int64()),
+        "dst": pa.array([d for _, d in edges], type=pa.int64())}))
+    con.register("s", pa.table({"v": pa.array(seeds, type=pa.int64())}))
+    dd = dict(con.sql("""
+        WITH RECURSIVE r AS (
+            SELECT v, 0 AS d FROM s
+            UNION
+            SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v
+            WHERE r.d < 3
+        ) SELECT v, min(d) FROM r GROUP BY v
+    """).fetchall())
+    assert got == dd, (seed, regime)
+
+
+def test_bfs_hops_empty_sources_raise(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.graph import bfs_hops
+
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64())}))
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_hops(eds, [])
