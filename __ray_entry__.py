@@ -2621,6 +2621,70 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_impute_values(sf_dir: str):
+    """Null imputation with the per-key exact median
+    (`functions/standardize.py: impute_median`): a deterministic 1-in-20
+    mask nulls out l_quantity, the per-returnflag median fills the
+    holes, and an integer-cent rollup proves the imputed values are
+    bit-exactly the SQL percentile_disc(0.5) — histogram reduction +
+    broadcast fill, the row-sized data never shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.standardize import impute_median
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"])
+
+    def synth_nulls(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = pc.add(pc.multiply(b.column("l_orderkey"), 7),
+                   b.column("l_linenumber")).to_numpy(
+                       zero_copy_only=False)
+        mask = pa.array(k % 20 == 0)  # Arrow ships no mod kernel
+        q = pc.if_else(mask, pa.scalar(None, pa.float64()),
+                       pc.cast(b.column("l_quantity"), pa.float64()))
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "q": q})
+
+    filled = impute_median(
+        ds.map_batches(synth_nulls, batch_format="pyarrow"),
+        "l_returnflag", "q")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("q"), 100.0), 0.5)), pa.int64())
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty_cents": cents,
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("qty_cents", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "qty_cents"])
+
+    return (
+        filled.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("qty_cents", alias_name="qty_cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "qty_cents": pc.cast(b.column("qty_cents"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("l_returnflag")
+    )
+
+
 def _q_bfs_hops(sf_dir: str):
     """Multi-source BFS radius over the supplier hand-off graph
     (`functions/graph.py: bfs_hops`): minimum hop distance from the
@@ -3378,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "supplier_pagerank": _q_supplier_pagerank,
         "bfs_hops": _q_bfs_hops,
+        "impute_values": _q_impute_values,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4553,6 +4618,30 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # impute_values: same 1-in-20 null mask; COALESCE with the
+        # per-key percentile_disc(0.5); keys with no survivors keep
+        # nulls (LEFT JOIN) — cents sum then replays exactly.
+        "impute_values": """
+            WITH x AS (
+                SELECT l_returnflag,
+                       CASE WHEN (l_orderkey * 7 + l_linenumber) % 20 = 0
+                            THEN NULL
+                            ELSE CAST(l_quantity AS DOUBLE) END AS q
+                FROM lineitem
+            ), m AS (
+                SELECT l_returnflag,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY q)
+                           AS med
+                FROM x WHERE q IS NOT NULL GROUP BY l_returnflag
+            ), f AS (
+                SELECT x.l_returnflag, COALESCE(x.q, m.med) AS q
+                FROM x LEFT JOIN m USING (l_returnflag)
+            )
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(q * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty_cents
+            FROM f GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         # bfs_hops: depth-bounded recursive CTE; UNION dedups (v, d)
         # pairs so cycles can't loop, min(d) picks the BFS layer.
         "bfs_hops": """

@@ -390,3 +390,52 @@ def mad_outliers(ds, key_col: str, value_col: str, k: float = 3.0):
 
     return counted.map_batches(
         finalize, batch_format="pyarrow").sort(key_col)
+
+
+def impute_median(ds, key_col: str, value_col: str):
+    """Null imputation with the per-key EXACT median (percentile_disc
+    0.5 of the key's non-null values) — the standard numeric-cleaning
+    step before training-feature export. Keys whose values are ALL
+    null keep their nulls (inventing a value for an empty distribution
+    would be silent data corruption); every other column passes
+    through untouched.
+
+    Exactness: the imputed value is a DATA value (discrete quantile
+    convention, `sketch.exact_quantile_by`), so downstream integer-cent
+    rollups stay hash-exact against a SQL replay.
+
+    Ray shape: one histogram reduction over the non-null rows (exchange
+    is keys × distinct values × blocks — `exact_quantile_by`), the
+    key-sized median map is ``ray.put`` once, and the fill pass is a
+    shuffle-free vectorized ``index_in`` + ``if_else`` over every
+    batch. Two pruned scans total; the row-sized data never shuffles.
+    """
+    import ray
+
+    from .sketch import exact_quantile_by
+
+    present = ds.map_batches(
+        lambda b: b.select([key_col, value_col]).filter(
+            pc.is_valid(b.column(value_col))),
+        batch_format="pyarrow",
+    )
+    med_rows = exact_quantile_by(present, key_col, value_col,
+                                 qs=(0.5,)).take_all()  # key-sized
+    med_keys, med_vals = [], []
+    for r in med_rows:
+        med_keys.append(r[key_col])
+        med_vals.append(float(r["value"]))
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    ref = ray.put((pa.array(med_keys, type=key_type),
+                   pa.array(med_vals, type=pa.float64())))
+
+    def fill(b: pa.Table) -> pa.Table:
+        mk, mv = ray.get(ref)
+        v = pc.cast(b.column(value_col), pa.float64())
+        idx = pc.index_in(b.column(key_col), value_set=mk)
+        fills = pc.take(mv, idx)  # null where key has no median
+        out = pc.if_else(pc.is_valid(v), v, fills)
+        i = b.column_names.index(value_col)
+        return b.set_column(i, value_col, out)
+
+    return ds.map_batches(fill, batch_format="pyarrow")

@@ -492,3 +492,60 @@ def test_linreg_by_matches_numpy_polyfit(ray_session):
         r = np.corrcoef(xs, ys)[0, 1]
         assert got[lang]["r2"] == pytest.approx(r * r, abs=1e-6)
     assert got["xx"]["slope"] is None and got["cc"]["slope"] is None
+
+
+class TestImputeMedian:
+    def test_fills_with_exact_median_and_passes_through(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.standardize import impute_median
+
+        t = pa.table({
+            "k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+            "v": [1.0, None, 3.0, 2.0, None,   10.0, None, 30.0,
+                  None, None],
+            "tag": list("pqrstuvwxy"),
+        })
+        out = impute_median(
+            ray.data.from_arrow(t).repartition(3), "k", "v").take_all()
+        got = {r["tag"]: r["v"] for r in out}
+        # a: median of {1,2,3} = 2 (percentile_disc); b: {10,30} → 10
+        assert got["q"] == 2.0 and got["t"] == 2.0
+        assert got["v"] == 10.0
+        # all-null key 'c' keeps nulls — inventing a value would be
+        # silent corruption
+        assert got["x"] is None and got["y"] is None
+        assert {r["tag"] for r in out} == set("pqrstuvwxy")
+        assert got["p"] == 1.0 and got["u"] == 10.0
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_duckdb_coalesce_percentile(self, ray_session, seed):
+        import duckdb
+        import numpy as np
+        import ray.data
+
+        from smartreader_ray.functions.standardize import impute_median
+
+        rng = np.random.RandomState(seed)
+        n = 60
+        vals = rng.randint(0, 9, size=n).astype(float)
+        vals[rng.rand(n) < 0.3] = np.nan
+        t = pa.table({
+            "k": [f"k{rng.randint(0, 4)}" for _ in range(n)],
+            "v": pa.array(vals, from_pandas=True),
+            "rid": pa.array(range(n), type=pa.int64()),
+        })
+        out = impute_median(
+            ray.data.from_arrow(t).repartition(4), "k", "v").take_all()
+        got = {r["rid"]: r["v"] for r in out}
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = dict(con.sql("""
+            WITH m AS (
+                SELECT k, percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                       AS med
+                FROM t WHERE v IS NOT NULL GROUP BY k)
+            SELECT rid, COALESCE(t.v, m.med) FROM t
+            LEFT JOIN m USING (k)
+        """).fetchall())
+        assert got == exp, seed
