@@ -2621,6 +2621,31 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization encoding of the embedding table
+    (`functions/similarity.py: pq_encode`): 8 subspaces of width 8,
+    4-codeword codebook taken deterministically from vec_id < 4,
+    integer-exact distances at scale 1000 so the nearest-codeword
+    assignment (ties to lowest id) and distortion replay in SQL —
+    shuffle-free, one vectorized pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from smartreader_ray.functions.similarity import pq_encode
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.filter(pc.less(head.column("vec_id"), 4))
+    head = head.take(pc.sort_indices(head.column("vec_id")))
+    cb = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in head.column("embedding").to_pylist()])
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return pq_encode(ds, cb, n_subspaces=8, scale=1000).sort(
+        ["vec_id", "m"])
+
+
 def _q_impute_values(sf_dir: str):
     """Null imputation with the per-key exact median
     (`functions/standardize.py: impute_median`): a deterministic 1-in-20
@@ -3443,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": _q_supplier_pagerank,
         "bfs_hops": _q_bfs_hops,
         "impute_values": _q_impute_values,
+        "pq_codes": _q_pq_codes,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4618,6 +4644,37 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # pq_codes: codebook = vec_id < 4; integer quantization at
+        # scale 1000 makes the squared-L2 sum order-independent, so
+        # the argmin (ties to lowest cid) replays exactly; lists are
+        # 1-indexed in DuckDB.
+        "pq_codes": """
+            WITH cb AS (
+                SELECT vec_id AS cid, embedding AS cemb
+                FROM embeddings WHERE vec_id < 4
+            ), d AS (
+                SELECT e.vec_id, s.m, c.cid,
+                       (SELECT CAST(SUM(q.dd * q.dd) AS BIGINT) FROM (
+                            SELECT CAST(FLOOR(CAST(e.embedding[
+                                       CAST(s.m * 8 + g.i AS INT)]
+                                       AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                                 - CAST(FLOOR(CAST(c.cemb[
+                                       CAST(s.m * 8 + g.i AS INT)]
+                                       AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                                   AS dd
+                            FROM generate_series(1, 8) g(i)) q) AS dist
+                FROM embeddings e
+                CROSS JOIN generate_series(0, 7) s(m)
+                CROSS JOIN cb c
+            )
+            SELECT vec_id, CAST(m AS BIGINT) AS m, code, dist FROM (
+                SELECT vec_id, m, cid AS code, dist,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, cid) AS rn
+                FROM d
+            ) WHERE rn = 1
+            ORDER BY vec_id, m
+        """,
         # impute_values: same 1-in-20 null mask; COALESCE with the
         # per-key percentile_disc(0.5); keys with no survivors keep
         # nulls (LEFT JOIN) — cents sum then replays exactly.

@@ -604,3 +604,67 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, id_col: str = "vec_id",
         )
 
     return thin.map_batches(assign, batch_format="pyarrow"), C
+
+
+def pq_encode(ds, codebook: np.ndarray, n_subspaces: int,
+              scale: int = 1000, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Product-quantization encoding — the vector-compression leg of
+    the ANN stack (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): split each D-dim vector into
+    ``n_subspaces`` contiguous blocks and store, per block, the index
+    of the nearest codeword — D floats become ``n_subspaces`` small
+    ints (the IVF-PQ memory layout at billion-vector scale).
+
+    EXACT-integer variant so the assignment is reproducible and
+    SQL-replayable: vectors AND codewords are quantized to int64 at
+    ``scale`` (``floor(v·scale + 0.5)``) and the squared L2 distance is
+    an int64 sum — order-independent, no float-sum ambiguity; ties
+    break to the lowest codeword id. Returns the long form
+    ``(id_col, m, code, dist)`` with ``dist`` the exact int64 squared
+    distortion of the chosen codeword.
+
+    ``codebook``: driver-side (k, D) float array (codebooks are
+    curated-small: k ≤ 256 per PQ convention) — quantized once,
+    ``ray.put`` once, read per actor. Encoding is shuffle-free: one
+    vectorized (B, k, w) numpy pass per batch.
+    """
+    import ray
+
+    k, d = codebook.shape
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by {n_subspaces}")
+    w = d // n_subspaces
+    cq = np.floor(codebook.astype(np.float64) * scale + 0.5).astype(
+        np.int64)
+    cb_ref = ray.put(cq)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        e = _embeddings_matrix(batch, emb_col)
+        if e.shape[1] != d:
+            raise ValueError(f"vector dim {e.shape[1]} != codebook {d}")
+        eq = np.floor(e * scale + 0.5).astype(np.int64)
+        n = eq.shape[0]
+        ids = batch.column(id_col)
+        out_id, out_m, out_code, out_dist = [], [], [], []
+        for m in range(n_subspaces):
+            s = slice(m * w, (m + 1) * w)
+            diff = eq[:, None, s] - cb[None, :, s]     # (B, k, w) int64
+            dist = np.einsum("bkw,bkw->bk", diff, diff)
+            code = np.argmin(dist, axis=1)             # first min = low id
+            out_id.append(ids)
+            out_m.append(np.full(n, m, dtype=np.int64))
+            out_code.append(code.astype(np.int64))
+            out_dist.append(dist[np.arange(n), code])
+        return pa.table({
+            id_col: pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in out_id]),
+            "m": pa.array(np.concatenate(out_m), type=pa.int64()),
+            "code": pa.array(np.concatenate(out_code), type=pa.int64()),
+            "dist": pa.array(np.concatenate(out_dist), type=pa.int64()),
+        })
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        encode, batch_format="pyarrow")

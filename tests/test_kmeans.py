@@ -89,3 +89,55 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     assert not np.isnan(C).any()
     labels = [r["cluster"] for r in got.take_all()]
     assert set(labels) == {0}
+
+
+class TestPQEncode:
+    def _data(self, seed, n=40, d=16):
+        rng = np.random.RandomState(seed)
+        vecs = rng.randn(n, d).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }), vecs
+
+    def test_matches_integer_reference(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.similarity import pq_encode
+
+        t, vecs = self._data(0)
+        cb = vecs[:4].astype(np.float64)
+        out = pq_encode(ray.data.from_arrow(t).repartition(3), cb,
+                        n_subspaces=4, scale=1000).take_all()
+        got = {(r["vec_id"], r["m"]): (r["code"], r["dist"])
+               for r in out}
+        eq = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(
+            np.int64)
+        cq = np.floor(cb * 1000 + 0.5).astype(np.int64)
+        w = 4
+        for i in range(len(vecs)):
+            for m in range(4):
+                s = slice(m * w, (m + 1) * w)
+                dist = ((eq[i, s][None, :] - cq[:, s]) ** 2).sum(axis=1)
+                code = int(np.argmin(dist))
+                assert got[(i, m)] == (code, int(dist[code])), (i, m)
+        # codes themselves: vectors 0..3 ARE codewords → dist 0, own id
+        for c in range(4):
+            for m in range(4):
+                assert got[(c, m)] == (c, 0)
+
+    def test_dim_checks_raise(self, ray_session):
+        import pytest
+        import ray.data
+
+        from smartreader_ray.functions.similarity import pq_encode
+
+        t, vecs = self._data(1)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_encode(ray.data.from_arrow(t), vecs[:2].astype(float),
+                      n_subspaces=5)
+        bad_cb = np.zeros((2, 8))  # codebook dim 8 vs vectors dim 16
+        with pytest.raises(Exception, match="codebook"):
+            pq_encode(ray.data.from_arrow(t), bad_cb,
+                      n_subspaces=4).take_all()
