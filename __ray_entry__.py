@@ -2621,6 +2621,22 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_percent_rank(sf_dir: str):
+    """PERCENT_RANK over (event_type, value)
+    (`functions/windows.py: percent_rank_by`): the tie-safe analytic
+    window — per-block histogram partials, one histogram-sized keyed
+    exchange, vectorized exclusive cumsum per key, broadcast merge-back
+    — the row-sized data never shuffles."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import percent_rank_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"])
+    return percent_rank_by(ds, "event_type", "value").sort("event_id")
+
+
 def _q_pq_codes(sf_dir: str):
     """Product-quantization encoding of the embedding table
     (`functions/similarity.py: pq_encode`): 8 subspaces of width 8,
@@ -3469,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "impute_values": _q_impute_values,
         "pq_codes": _q_pq_codes,
+        "percent_rank": _q_percent_rank,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4644,6 +4661,14 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # percent_rank: (rank-1)/(n-1) depends only on the value, so
+        # it replays under any partitioning; round before hashing.
+        "percent_rank": """
+            SELECT event_id, event_type, value,
+                   round(PERCENT_RANK() OVER (
+                       PARTITION BY event_type ORDER BY value), 6) AS pr
+            FROM events ORDER BY event_id
+        """,
         # pq_codes: codebook = vec_id < 4; integer quantization at
         # scale 1000 makes the squared-L2 sum order-independent, so
         # the argmin (ties to lowest cid) replays exactly; lists are

@@ -843,3 +843,109 @@ def match_pattern(ds, pattern: str, symbol_map: dict,
         .map_groups(per_key, batch_format="pyarrow")
         .sort(user_col)
     )
+
+
+def percent_rank_by(ds, key_col: str, value_col: str,
+                    round_to: int = 6,
+                    broadcast_limit: int = 2_000_000):
+    """Tie-safe analytic ranking: appends ``pr`` =
+    ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY value)`` to every
+    row — (strictly-smaller count) / (n−1), 0 for single-row keys.
+    Unlike NTILE/ROW_NUMBER this depends only on the VALUE, never on
+    physical row order, so it is deterministic under any partitioning
+    — the only window-rank family that can be hash-gated.
+
+    Ray shape (no row-sized shuffle): per-block Arrow (key, value,
+    count) partials → one ``groupby(key)`` over the HISTOGRAM (exchange
+    is keys × distinct values × blocks — the `exact_quantile_by`
+    bounded-domain contract) → per key one vectorized sort + exclusive
+    cumsum gives (value → pr). The rank map is broadcast and applied
+    with a pandas hash merge per batch when it fits
+    (``≤ broadcast_limit`` rows); beyond, it joins back via
+    `join.hash_join` on a composite (key, value-bits) string — exact,
+    float bits hex-encoded rather than formatted.
+    """
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([key_col, value_col]).group_by(
+            [key_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "__v", "__cnt"])
+
+    def per_key(g: pa.Table) -> pa.Table:
+        v = g.column("__v").to_numpy(zero_copy_only=False)
+        c = g.column("__cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        # merge duplicate values across block partials
+        uniq, inv = np.unique(v, return_inverse=True)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnt, inv, c)
+        below = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        n = int(cnt.sum())
+        pr = (below / (n - 1) if n > 1
+              else np.zeros(len(uniq), dtype=np.float64))
+        return pa.table({
+            key_col: pa.array([g.column(key_col)[0].as_py()] * len(uniq),
+                              type=g.column(key_col).type),
+            "__v": pa.array(uniq, type=g.column("__v").type),
+            "pr": pa.array(np.round(pr, round_to), type=pa.float64()),
+        })
+
+    rank_map = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    ).materialize()
+
+    if rank_map.count() <= broadcast_limit:
+        import ray
+
+        parts = list(rank_map.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+        ref = ray.put(pa.concat_tables(parts).combine_chunks())
+
+        def apply(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            rm = ray.get(ref)
+            left = pd.DataFrame({
+                "k": b.column(key_col).to_pandas(),
+                "v": b.column(value_col).to_numpy(zero_copy_only=False),
+            })
+            right = pd.DataFrame({
+                "k": rm.column(key_col).to_pandas(),
+                "v": rm.column("__v").to_numpy(zero_copy_only=False),
+                "pr": rm.column("pr").to_numpy(zero_copy_only=False),
+            })
+            merged = left.merge(right, on=["k", "v"], how="left",
+                                sort=False)
+            return b.append_column(
+                "pr", pa.array(merged["pr"].to_numpy(),
+                               type=pa.float64()))
+
+        return ds.map_batches(apply, batch_format="pyarrow")
+
+    from .join import hash_join
+
+    def add_ck(key, val):
+        def fn(b: pa.Table) -> pa.Table:
+            v = b.column(val).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            hexes = np.char.mod("%016x", v.view(np.uint64))
+            ck = pc.binary_join_element_wise(
+                pc.cast(b.column(key), pa.string()),
+                pa.array(hexes.astype(object), type=pa.string()), "\x1f")
+            return b.append_column("__ck", ck)
+        return fn
+
+    left = ds.map_batches(add_ck(key_col, value_col),
+                          batch_format="pyarrow")
+    right = rank_map.map_batches(add_ck(key_col, "__v"),
+                                 batch_format="pyarrow").map_batches(
+        lambda b: b.select(["__ck", "pr"]), batch_format="pyarrow")
+    out_cols = ds.schema().names
+    joined = hash_join(left, right, left_key="__ck", right_key="__ck",
+                       left_cols=out_cols, right_cols=["pr"], how="left")
+    return joined

@@ -157,3 +157,44 @@ class TestMatchPattern:
         with pytest.raises(ValueError, match="single chars"):
             match_pattern(ray.data.from_arrow(self._mk(0)), "v",
                           {"view": "vw"})
+
+
+class TestPercentRank:
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+    def test_matches_duckdb_window(self, ray_session, seed,
+                                   broadcast_limit):
+        import duckdb
+        import ray.data
+
+        from smartreader_ray.functions.windows import percent_rank_by
+
+        rng = np.random.RandomState(seed)
+        n = 80
+        t = pa.table({
+            "rid": pa.array(range(n), type=pa.int64()),
+            "k": [f"k{rng.randint(0, 3)}" for _ in range(n)],
+            # heavy ties: few distinct values
+            "v": pa.array(rng.randint(0, 6, size=n).astype(float)),
+        })
+        out = percent_rank_by(
+            ray.data.from_arrow(t).repartition(4), "k", "v",
+            broadcast_limit=broadcast_limit).take_all()
+        got = {r["rid"]: r["pr"] for r in out}
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = dict(con.sql("""
+            SELECT rid, round(PERCENT_RANK() OVER (
+                PARTITION BY k ORDER BY v), 6) FROM t
+        """).fetchall())
+        assert got == exp, (seed, broadcast_limit)
+
+    def test_single_row_key_is_zero(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import percent_rank_by
+
+        t = pa.table({"rid": pa.array([0], type=pa.int64()),
+                      "k": ["solo"], "v": [42.0]})
+        out = percent_rank_by(ray.data.from_arrow(t), "k", "v").take_all()
+        assert out[0]["pr"] == 0.0
