@@ -2621,6 +2621,29 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_id_gaps(sf_dir: str):
+    """Data-completeness audit (`functions/reshape.py: id_gaps`): a
+    deterministic 3-in-97 filter knocks runs out of the dense event_id
+    domain; the operator reports every maximal missing run. Bucket
+    width forced small (512) so the driver exercises cross-bucket
+    stitching; interior gap rows stay distributed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.reshape import id_gaps
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def drop_some(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 >= 3))
+
+    return id_gaps(ds.map_batches(drop_some, batch_format="pyarrow"),
+                   "event_id", bucket=512)
+
+
 def _q_percent_rank(sf_dir: str):
     """PERCENT_RANK over (event_type, value)
     (`functions/windows.py: percent_rank_by`): the tie-safe analytic
@@ -3486,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_values": _q_impute_values,
         "pq_codes": _q_pq_codes,
         "percent_rank": _q_percent_rank,
+        "id_gaps": _q_id_gaps,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4661,6 +4685,19 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # id_gaps: the classic lead()-over-ids islands query — interior
+        # gaps only (between observed min and max), same as the engine.
+        "id_gaps": """
+            WITH ids AS (
+                SELECT DISTINCT event_id AS id FROM events
+                WHERE event_id % 97 >= 3
+            ), nxt AS (
+                SELECT id, lead(id) OVER (ORDER BY id) AS nid FROM ids
+            )
+            SELECT id + 1 AS gap_start, nid - 1 AS gap_end,
+                   CAST(nid - 1 - id AS BIGINT) AS n_missing
+            FROM nxt WHERE nid > id + 1 ORDER BY gap_start
+        """,
         # percent_rank: (rank-1)/(n-1) depends only on the value, so
         # it replays under any partitioning; round before hashing.
         "percent_rank": """

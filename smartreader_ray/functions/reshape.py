@@ -519,3 +519,92 @@ def unpivot(ds, key_col: str, value_cols: list[str],
         })
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def id_gaps(ds, id_col: str, bucket: int = 1 << 20):
+    """Missing-run detection over an expected-dense integer id column:
+    emit every maximal run of absent ids strictly between the observed
+    min and max — ``(gap_start, gap_end, n_missing)`` sorted by start.
+    The data-completeness audit (dropped event ranges, lost shards)
+    that SQL spells as the lead()-over-ids islands query.
+
+    Ray shape: ids are bucketed by ``id // bucket`` so ONE keyed
+    groupby co-locates each contiguous id range; inside a bucket the
+    interior runs fall out of one vectorized diff over the sorted
+    unique ids, and those gap rows STAY distributed. Only the
+    per-bucket (first, last) summaries come to the driver (non-empty-
+    bucket-sized — at the default bucket width, one row per ~10⁶ ids),
+    where cross-bucket gaps are stitched by comparing consecutive
+    summaries; empty buckets in between are covered by construction.
+    Duplicates are legal (deduped per block before the exchange).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(b.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "__bucket": pa.array(ids // bucket, type=pa.int64()),
+            "__id": pa.array(ids, type=pa.int64()),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = np.unique(g.column("__id").to_numpy(zero_copy_only=False))
+        d = np.diff(u)
+        at = np.flatnonzero(d > 1)
+        starts = u[at] + 1
+        ends = u[at + 1] - 1
+        # kind 0: interior gap rows; kind 1: the bucket summary
+        return pa.table({
+            "kind": pa.array([0] * len(at) + [1], type=pa.int8()),
+            "a": pa.array(np.concatenate([starts, [u[0]]]),
+                          type=pa.int64()),
+            "b": pa.array(np.concatenate([ends, [u[-1]]]),
+                          type=pa.int64()),
+        })
+
+    tagged = (
+        ds.select_columns([id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    ).materialize()
+
+    if tagged.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "gap_start": pa.array([], type=pa.int64()),
+            "gap_end": pa.array([], type=pa.int64()),
+            "n_missing": pa.array([], type=pa.int64()),
+        }))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gap_start": t.column("a"),
+            "gap_end": t.column("b"),
+            "n_missing": pc.add(pc.subtract(t.column("b"),
+                                            t.column("a")), 1),
+        })
+
+    interior = tagged.map_batches(
+        lambda b: finish(b.filter(pc.equal(b.column("kind"), 0))),
+        batch_format="pyarrow")
+
+    summaries = sorted(
+        (r["a"], r["b"])
+        for r in tagged.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), 1)),
+            batch_format="pyarrow").take_all()
+    )
+    xs, xe = [], []
+    for (pa_, pb), (na, _nb) in zip(summaries, summaries[1:]):
+        if na > pb + 1:
+            xs.append(pb + 1)
+            xe.append(na - 1)
+    cross = ray.data.from_arrow(finish(pa.table({
+        "a": pa.array(xs, type=pa.int64()),
+        "b": pa.array(xe, type=pa.int64()),
+        "kind": pa.array([1] * len(xs), type=pa.int8()),
+    })))
+    return interior.union(cross).sort("gap_start")

@@ -3,6 +3,7 @@
 import datetime
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 
@@ -92,3 +93,47 @@ def test_latest_by_partitioning_invariant(ray_session):
     b = latest_by(ray.data.from_arrow(t).repartition(11),
                   ["k"], "ts", "id", ["v"]).take_all()
     assert a == b
+
+
+class TestIdGaps:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("bucket", [4, 1 << 20])
+    def test_matches_duckdb_islands(self, ray_session, seed, bucket):
+        """Random sparse id sets (with duplicates) vs the lead() islands
+        query — tiny bucket forces cross-bucket stitching, huge bucket
+        the single-bucket path."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.reshape import id_gaps
+
+        rng = np.random.RandomState(seed)
+        ids = rng.choice(200, size=60, replace=True).astype(np.int64)
+        t = pa.table({"id": pa.array(ids, type=pa.int64())})
+        out = id_gaps(ray.data.from_arrow(t).repartition(4), "id",
+                      bucket=bucket).take_all()
+        got = [(r["gap_start"], r["gap_end"], r["n_missing"])
+               for r in out]
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql("""
+            WITH ids AS (SELECT DISTINCT id FROM t),
+            nxt AS (SELECT id, lead(id) OVER (ORDER BY id) AS nid
+                    FROM ids)
+            SELECT id + 1, nid - 1, nid - 1 - id
+            FROM nxt WHERE nid > id + 1 ORDER BY 1
+        """).fetchall()
+        assert got == [tuple(r) for r in exp], (seed, bucket)
+
+    def test_dense_and_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.reshape import id_gaps
+
+        dense = pa.table({"id": pa.array(range(10), type=pa.int64())})
+        assert id_gaps(ray.data.from_arrow(dense), "id").take_all() == []
+        empty = pa.table({"id": pa.array([], type=pa.int64())})
+        assert id_gaps(ray.data.from_arrow(empty), "id").take_all() == []
