@@ -2685,6 +2685,38 @@ def _q_pq_codes(sf_dir: str):
         ["vec_id", "m"])
 
 
+def _q_pq_ann(sf_dir: str):
+    """Composed chain #9 — compressed-domain ANN
+    (`functions/similarity.py: pq_adc_topk`): PQ-encode the corpus,
+    precompute per-query integer LUTs, scan codes with asymmetric
+    distance, top-10 per query under the (dist, vec_id) total order.
+    Same codebook as `pq_codes` (vec_id < 4); queries are vec_id 10
+    and 20 (query_id by vec_id order). All integer → the whole chain
+    hash-gates against one SQL replay."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from smartreader_ray.functions.similarity import pq_adc_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+
+    def rows(pred):
+        f = t.filter(pred)
+        f = f.take(pc.sort_indices(f.column("vec_id")))
+        return np.stack([np.asarray(v, dtype=np.float64)
+                         for v in f.column("embedding").to_pylist()])
+
+    cb = rows(pc.less(t.column("vec_id"), 4))
+    qs = rows(pc.is_in(t.column("vec_id"),
+                       value_set=pa.array([10, 20], type=pa.int64())))
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return pq_adc_topk(ds, cb, qs, n_subspaces=8, k=10, scale=1000)
+
+
 def _q_impute_values(sf_dir: str):
     """Null imputation with the per-key exact median
     (`functions/standardize.py: impute_median`): a deterministic 1-in-20
@@ -3508,6 +3540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "impute_values": _q_impute_values,
         "pq_codes": _q_pq_codes,
+        "pq_ann": _q_pq_ann,
         "percent_rank": _q_percent_rank,
         "id_gaps": _q_id_gaps,
         "cooccurrence": _q_cooccurrence,
@@ -4736,6 +4769,79 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             ) WHERE rn = 1
             ORDER BY vec_id, m
+        """,
+        # pq_ann: replays the pq_codes assignment, builds the per-query
+        # integer LUT the same way, joins codes to LUT cells, sums —
+        # all BIGINT, ties broken (dist, vec_id).
+        "pq_ann": """
+            WITH cb AS (
+                SELECT vec_id AS cid, embedding AS cemb
+                FROM embeddings WHERE vec_id < 4
+            ), codes AS (
+                SELECT vec_id, m, code FROM (
+                    SELECT e.vec_id, s.m, c.cid AS code,
+                           (SELECT CAST(SUM(q.dd * q.dd) AS BIGINT)
+                            FROM (
+                             SELECT CAST(FLOOR(CAST(e.embedding[
+                                        CAST(s.m * 8 + g.i AS INT)]
+                                        AS DOUBLE) * 1000 + 0.5)
+                                        AS BIGINT)
+                                  - CAST(FLOOR(CAST(c.cemb[
+                                        CAST(s.m * 8 + g.i AS INT)]
+                                        AS DOUBLE) * 1000 + 0.5)
+                                        AS BIGINT) AS dd
+                             FROM generate_series(1, 8) g(i)) q) AS dist,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id, s.m
+                               ORDER BY (SELECT CAST(SUM(q.dd * q.dd)
+                                                AS BIGINT) FROM (
+                                 SELECT CAST(FLOOR(CAST(e.embedding[
+                                            CAST(s.m * 8 + g.i AS INT)]
+                                            AS DOUBLE) * 1000 + 0.5)
+                                            AS BIGINT)
+                                      - CAST(FLOOR(CAST(c.cemb[
+                                            CAST(s.m * 8 + g.i AS INT)]
+                                            AS DOUBLE) * 1000 + 0.5)
+                                            AS BIGINT) AS dd
+                                 FROM generate_series(1, 8) g(i)) q),
+                                 c.cid) AS rn
+                    FROM embeddings e
+                    CROSS JOIN generate_series(0, 7) s(m)
+                    CROSS JOIN cb c
+                ) WHERE rn = 1
+            ), qv AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS query_id,
+                       embedding AS qemb
+                FROM embeddings WHERE vec_id IN (10, 20)
+            ), lut AS (
+                SELECT qv.query_id, s.m, c.cid,
+                       (SELECT CAST(SUM(q.dd * q.dd) AS BIGINT) FROM (
+                            SELECT CAST(FLOOR(CAST(qv.qemb[
+                                       CAST(s.m * 8 + g.i AS INT)]
+                                       AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                                 - CAST(FLOOR(CAST(c.cemb[
+                                       CAST(s.m * 8 + g.i AS INT)]
+                                       AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                                   AS dd
+                            FROM generate_series(1, 8) g(i)) q) AS ld
+                FROM qv
+                CROSS JOIN generate_series(0, 7) s(m)
+                CROSS JOIN cb c
+            ), dist AS (
+                SELECT l.query_id, c2.vec_id,
+                       CAST(SUM(l.ld) AS BIGINT) AS dist
+                FROM codes c2
+                JOIN lut l ON l.m = c2.m AND l.cid = c2.code
+                GROUP BY l.query_id, c2.vec_id
+            )
+            SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, dist
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist, vec_id) AS rn
+                FROM dist
+            ) WHERE rn <= 10
+            ORDER BY query_id, rank
         """,
         # impute_values: same 1-in-20 null mask; COALESCE with the
         # per-key percentile_disc(0.5); keys with no survivors keep

@@ -668,3 +668,104 @@ def pq_encode(ds, codebook: np.ndarray, n_subspaces: int,
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, codebook: np.ndarray, queries: np.ndarray,
+                n_subspaces: int, k: int = 10, scale: int = 1000,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """PQ search with Asymmetric Distance Computation (Jégou et al.
+    2011 §IV): corpus vectors are seen only through their PQ codes;
+    each query precomputes a (n_subspaces × k_codewords) lookup table
+    of exact-integer subspace distances, and a vector's approximate
+    distance is ``Σ_m LUT[m][code_m]`` — k_codewords·D multiplies per
+    QUERY instead of D per (query, vector). The compressed-domain
+    scan that makes billion-vector ANN tractable; composes the same
+    integer quantization as `pq_encode`, so encode → LUT → top-k is
+    reproducible end to end.
+
+    Output: (query_id, rank, vec_id, dist) — top ``k`` per query in
+    the TOTAL order (dist asc, vec_id asc), so boundary ties never
+    vary with partitioning. ``queries`` is a (Q, D) driver-side array
+    (broadcast once with the quantized codebook + LUT); per block one
+    vectorized encode + LUT gather emits only the per-query top-k
+    partial (Q·k rows/block across the wire), merged by a single-slot
+    final cut — small-Q contract, same as `ann_topk`.
+    """
+    import ray
+
+    kcb, d = codebook.shape
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by {n_subspaces}")
+    w = d // n_subspaces
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim != 2 or q.shape[1] != d:
+        raise ValueError(f"queries must be (Q, {d})")
+    cq = np.floor(codebook.astype(np.float64) * scale + 0.5).astype(
+        np.int64)
+    qq = np.floor(q * scale + 0.5).astype(np.int64)
+    # LUT[m, query, codeword] = exact int64 squared L2 in subspace m
+    lut = np.empty((n_subspaces, qq.shape[0], kcb), dtype=np.int64)
+    for m in range(n_subspaces):
+        s = slice(m * w, (m + 1) * w)
+        diff = qq[:, None, s] - cq[None, :, s]
+        lut[m] = np.einsum("qkw,qkw->qk", diff, diff)
+    ref = ray.put((cq, lut))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cb, tbl = ray.get(ref)
+        e = _embeddings_matrix(batch, emb_col)
+        eq = np.floor(e * scale + 0.5).astype(np.int64)
+        n = eq.shape[0]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dist = np.zeros((tbl.shape[1], n), dtype=np.int64)  # (Q, B)
+        for m in range(n_subspaces):
+            s = slice(m * w, (m + 1) * w)
+            diff = eq[:, None, s] - cb[None, :, s]
+            codes = np.argmin(
+                np.einsum("bkw,bkw->bk", diff, diff), axis=1)
+            dist += tbl[m][:, codes]
+        out_q, out_v, out_d = [], [], []
+        kk = min(k, n)
+        for qi in range(dist.shape[0]):
+            # total order (dist, vec_id): lexsort minor-to-major
+            order = np.lexsort((ids, dist[qi]))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[order])
+            out_d.append(dist[qi][order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), type=pa.int64()),
+        })
+
+    def final_cut(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(b, sort_keys=[
+            ("query_id", "ascending"), ("dist", "ascending"),
+            ("vec_id", "ascending")])
+        t = b.take(idx)
+        qid = t.column("query_id").to_numpy(zero_copy_only=False)
+        pos = np.arange(len(qid), dtype=np.int64)
+        first = np.zeros(len(qid), dtype=np.int64)
+        if len(qid):
+            starts = np.flatnonzero(np.diff(qid, prepend=qid[0] - 1))
+            first = np.repeat(pos[starts], np.diff(
+                np.append(starts, len(qid))))
+        rank = pos - first + 1
+        keep = rank <= k
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "query_id": t.column("query_id"),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            "vec_id": t.column("vec_id"),
+            "dist": t.column("dist"),
+        })
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(scan, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pyarrow")
+    )

@@ -141,3 +141,62 @@ class TestPQEncode:
         with pytest.raises(Exception, match="codebook"):
             pq_encode(ray.data.from_arrow(t), bad_cb,
                       n_subspaces=4).take_all()
+
+
+class TestPQADCTopK:
+    def test_matches_reference_and_partitioning(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.similarity import pq_adc_topk
+
+        rng = np.random.RandomState(7)
+        n, d, m, w = 50, 16, 4, 4
+        vecs = rng.randn(n, d).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        })
+        cb = vecs[:3].astype(np.float64)
+        qs = vecs[[5, 9]].astype(np.float64)
+
+        eq = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(
+            np.int64)
+        cq = np.floor(cb * 1000 + 0.5).astype(np.int64)
+        qq = np.floor(qs * 1000 + 0.5).astype(np.int64)
+        exp = []
+        for qi in range(2):
+            dists = np.zeros(n, dtype=np.int64)
+            for mm in range(m):
+                s = slice(mm * w, (mm + 1) * w)
+                code = np.argmin(
+                    ((eq[:, None, s] - cq[None, :, s]) ** 2).sum(-1),
+                    axis=1)
+                lut = ((qq[qi, None, s] - cq[:, s]) ** 2).sum(-1)
+                dists += lut[code]
+            order = np.lexsort((np.arange(n), dists))[:6]
+            exp.extend((qi, r + 1, int(order[r]), int(dists[order[r]]))
+                       for r in range(6))
+
+        for parts in (1, 5):
+            out = pq_adc_topk(
+                ray.data.from_arrow(t).repartition(parts), cb, qs,
+                n_subspaces=m, k=6).take_all()
+            got = [(r["query_id"], r["rank"], r["vec_id"], r["dist"])
+                   for r in out]
+            assert got == exp, parts
+
+    def test_bad_query_shape_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from smartreader_ray.functions.similarity import pq_adc_topk
+
+        t = pa.table({
+            "vec_id": pa.array([0], type=pa.int64()),
+            "embedding": pa.array([[0.0] * 8],
+                                  type=pa.list_(pa.float32())),
+        })
+        with pytest.raises(ValueError, match="queries must be"):
+            pq_adc_topk(ray.data.from_arrow(t), np.zeros((2, 8)),
+                        np.zeros(8), n_subspaces=2)
