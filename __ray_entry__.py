@@ -2621,6 +2621,49 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment
+    (`functions/sampling.py: split_assign`): md5-of-id bucketing — ids
+    keep their split forever as the corpus grows, no RNG coordination,
+    shuffle-free. Rolled up per (split, lang) with doc and char
+    counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.sampling import split_assign
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"])
+    tagged = split_assign(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "split": b.column("split"),
+            "lang": b.column("lang"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by(["split", "lang"]).aggregate(
+            [("n", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["split", "lang", "n", "chars"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["split", "lang"]).aggregate(
+            [("n", "sum"), ("chars", "sum")])
+        return g.rename_columns(["split", "lang", "n", "chars"])
+
+    return (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+        .sort(["split", "lang"])
+    )
+
+
 def _q_id_gaps(sf_dir: str):
     """Data-completeness audit (`functions/reshape.py: id_gaps`): a
     deterministic 3-in-97 filter knocks runs out of the dense event_id
@@ -3543,6 +3586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": _q_pq_ann,
         "percent_rank": _q_percent_rank,
         "id_gaps": _q_id_gaps,
+        "dataset_split": _q_dataset_split,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4718,6 +4762,25 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # dataset_split: same md5 hex thresholds (0.8 → cccccccc,
+        # 0.9 → e6666666); fixed-width lowercase hex compares like the
+        # number it encodes.
+        "dataset_split": """
+            WITH x AS (
+                SELECT CASE
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              < 'cccccccc' THEN 'train'
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              < 'e6666666' THEN 'val'
+                         ELSE 'test'
+                       END AS split,
+                       lang, n_chars
+                FROM documents
+            )
+            SELECT split, lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+            FROM x GROUP BY split, lang ORDER BY split, lang
+        """,
         # id_gaps: the classic lead()-over-ids islands query — interior
         # gaps only (between observed min and max), same as the engine.
         "id_gaps": """

@@ -152,3 +152,46 @@ def temperature_mix(ds, alpha: float = 0.5, c: float = 8.0,
     }
     return weighted_mix(ds, weights, default_weight=0.0,
                         key_col=key_col, id_col=id_col)
+
+
+def split_assign(ds, fractions: "dict[str, float]",
+                 id_col: str = "doc_id", out_col: str = "split"):
+    """Deterministic dataset splitting (train/val/test): every row is
+    assigned to exactly one named split by where ``md5(str(id))[:8]``
+    falls among the cumulative-fraction thresholds — a pure function of
+    the id, so the split is reproducible across runs, engines and
+    repartitionings, documents never leak between splits when the
+    corpus grows (an id keeps its bucket forever), and no RNG state is
+    coordinated across workers.
+
+    ``fractions`` must sum to 1 (±1e-9); the LAST split absorbs the
+    hex-rounding sliver so every row lands somewhere. Shuffle-free:
+    one vectorized md5 + ``np.searchsorted`` per batch appends
+    ``out_col``; SQL replays it as a CASE over the same hex literals
+    (lowercase fixed-width hex compares like the number it encodes).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    names = list(fractions)
+    if not names:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    cum, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cum.append(mix_threshold_hex(acc))
+    bounds = np.array(cum, dtype="U8")
+    labels = pa.array(names, type=pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [x[:8] for x in _md5_hex(batch.column(id_col).to_pylist())],
+            dtype="U8")
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            out_col, pc.take(labels, pa.array(idx, type=pa.int64())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

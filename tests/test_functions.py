@@ -1525,3 +1525,41 @@ def test_robots_gate_longest_prefix_allow_ties(ray_session):
         ("b.com", "/x/secret"): True,     # unknown host -> allowed
         ("t.com", "/ab/z"): True,         # equal-length tie -> Allow
     }
+
+
+class TestSplitAssign:
+    def test_partition_complete_disjoint_stable(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from smartreader_ray.functions.sampling import split_assign
+
+        t = pa.table({"doc_id": pa.array(range(300), type=pa.int64())})
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = split_assign(
+            ray.data.from_arrow(t).repartition(4), fr).take_all()
+        got = {r["doc_id"]: r["split"] for r in out}
+        assert len(got) == 300  # every row assigned exactly once
+        # pure function of the id: replay with the same thresholds
+        t1 = format(int(0.8 * 16 ** 8), "08x")
+        t2 = format(int(0.9 * 16 ** 8), "08x")
+        for i in range(300):
+            h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+            want = "train" if h < t1 else ("val" if h < t2 else "test")
+            assert got[i] == want, i
+        # roughly proportional (md5 is uniform; wide tolerance)
+        n_train = sum(1 for s in got.values() if s == "train")
+        assert 0.7 * 300 < n_train < 0.9 * 300
+
+    def test_bad_fractions_raise(self, ray_session):
+        import pytest
+        import ray.data
+
+        from smartreader_ray.functions.sampling import split_assign
+
+        t = pa.table({"doc_id": pa.array([1], type=pa.int64())})
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_assign(ray.data.from_arrow(t), {"a": 0.5, "b": 0.2})
+        with pytest.raises(ValueError, match="non-empty"):
+            split_assign(ray.data.from_arrow(t), {})
