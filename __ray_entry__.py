@@ -2621,6 +2621,72 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_clean_rank_chain(sf_dir: str):
+    """Composed chain #10 — feature cleaning end-to-end: deterministic
+    1-in-20 nulls knocked into event values → per-type exact-median
+    imputation (`impute_median`) → tie-safe PERCENT_RANK over the
+    imputed column (`percent_rank_by`) → keep the top half (pr ≥ 0.5)
+    → per-type rollup (n kept, value cents). Two broadcast-backed
+    passes and one histogram exchange; the row-sized data never
+    shuffles. One SQL statement replays the whole chain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.standardize import impute_median
+    from smartreader_ray.functions.windows import percent_rank_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"])
+
+    def synth_nulls(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        v = pc.if_else(pa.array(ids % 20 == 0),
+                       pa.scalar(None, pa.float64()),
+                       pc.cast(b.column("value"), pa.float64()))
+        return pa.table({"event_type": b.column("event_type"), "v": v})
+
+    filled = impute_median(
+        ds.map_batches(synth_nulls, batch_format="pyarrow"),
+        "event_type", "v")
+    ranked = percent_rank_by(filled, "event_type", "v")
+    kept = ranked.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("pr"), 0.5)),
+        batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("v"), 100.0), 0.5)), pa.int64())
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": cents,
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("value_cents", "sum")])
+        return g.rename_columns(["event_type", "n", "value_cents"])
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("value_cents", alias_name="value_cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "value_cents": pc.cast(b.column("value_cents"),
+                                       pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("event_type")
+    )
+
+
 def _q_dataset_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment
     (`functions/sampling.py: split_assign`): md5-of-id bucketing — ids
@@ -3587,6 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": _q_percent_rank,
         "id_gaps": _q_id_gaps,
         "dataset_split": _q_dataset_split,
+        "clean_rank_chain": _q_clean_rank_chain,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4762,6 +4829,34 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # clean_rank_chain: nulls → COALESCE(percentile_disc) →
+        # PERCENT_RANK (value-only, tie-safe) → pr ≥ 0.5 → cents.
+        "clean_rank_chain": """
+            WITH x AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 20 = 0 THEN NULL
+                            ELSE CAST(value AS DOUBLE) END AS v
+                FROM events
+            ), m AS (
+                SELECT event_type,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                           AS med
+                FROM x WHERE v IS NOT NULL GROUP BY event_type
+            ), f AS (
+                SELECT x.event_type, COALESCE(x.v, m.med) AS v
+                FROM x LEFT JOIN m USING (event_type)
+            ), r AS (
+                SELECT event_type, v,
+                       round(PERCENT_RANK() OVER (
+                           PARTITION BY event_type ORDER BY v), 6) AS pr
+                FROM f
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(v * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM r WHERE pr >= 0.5
+            GROUP BY event_type ORDER BY event_type
+        """,
         # dataset_split: same md5 hex thresholds (0.8 → cccccccc,
         # 0.9 → e6666666); fixed-width lowercase hex compares like the
         # number it encodes.
