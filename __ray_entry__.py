@@ -2621,6 +2621,44 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_rendezvous_shards(sf_dir: str):
+    """Rendezvous/HRW consistent shard routing
+    (`functions/sampling.py: rendezvous_shards`): every doc to the
+    shard whose salted md5 wins, 8 shards; rolled up per (shard, lang).
+    The minimal-movement property (only 1/(n+1) of rows move when a
+    shard is added, all of them TO it) is proven in the unit tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.sampling import rendezvous_shards
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    tagged = rendezvous_shards(ds, 8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "shard": b.column("shard"),
+            "lang": b.column("lang"),
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by(["shard", "lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["shard", "lang", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["shard", "lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["shard", "lang", "n"])
+
+    return (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+        .sort(["shard", "lang"])
+    )
+
+
 def _q_clean_rank_chain(sf_dir: str):
     """Composed chain #10 — feature cleaning end-to-end: deterministic
     1-in-20 nulls knocked into event values → per-type exact-median
@@ -3654,6 +3692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_gaps": _q_id_gaps,
         "dataset_split": _q_dataset_split,
         "clean_rank_chain": _q_clean_rank_chain,
+        "rendezvous_shards": _q_rendezvous_shards,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4829,6 +4868,23 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # rendezvous_shards: argmax over the salted md5s via a
+        # DESC-ordered row_number, ties to the lowest shard id.
+        "rendezvous_shards": """
+            WITH a AS (
+                SELECT doc_id, lang, s.s AS shard,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(s.s AS VARCHAR)),
+                                     1, 8) DESC, s.s) AS rn
+                FROM documents CROSS JOIN generate_series(0, 7) s(s)
+            )
+            SELECT CAST(shard AS BIGINT) AS shard, lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a WHERE rn = 1
+            GROUP BY shard, lang ORDER BY shard, lang
+        """,
         # clean_rank_chain: nulls → COALESCE(percentile_disc) →
         # PERCENT_RANK (value-only, tie-safe) → pr ≥ 0.5 → cents.
         "clean_rank_chain": """

@@ -195,3 +195,47 @@ def split_assign(ds, fractions: "dict[str, float]",
             out_col, pc.take(labels, pa.array(idx, type=pa.int64())))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def rendezvous_shards(ds, n_shards: int, id_col: str = "doc_id",
+                      out_col: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment: each row
+    goes to ``argmax over s of md5(f"{id}:{s}")[:8]`` (ties to the
+    lowest shard id) — the consistent-placement scheme whose defining
+    property is MINIMAL MOVEMENT: growing from n to n+1 shards moves
+    only the rows the new shard wins (≈ 1/(n+1) of them), and every
+    moved row moves TO the new shard; nothing reshuffles among old
+    shards. The standard router for stateful actor pools / incremental
+    index shards (`state/dedup_index.py` uses modulo; HRW is what you
+    deploy when shard counts must change online).
+
+    Pure per-row function of (id, shard set): shuffle-free, no
+    coordination, engine-reproducible — SQL replays it with the same
+    md5 over a ``generate_series`` cross join and an ``arg``-max
+    window. Cost is ``n_shards`` hashes per row; HRW is for routing
+    to worker/shard counts (10s–1000s), not for value partitioning.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    import hashlib
+
+    import numpy as np
+
+    def assign(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        ids = batch.column(id_col).to_pylist()
+        n = len(ids)
+        best_h = np.full(n, "", dtype="U8")
+        best_s = np.zeros(n, dtype=np.int64)
+        for s in range(n_shards):
+            suf = f":{s}".encode()
+            h = np.array(
+                [md5(str(v).encode() + suf).hexdigest()[:8]
+                 for v in ids], dtype="U8")
+            win = h > best_h  # strict: ties keep the earlier (lower) s
+            best_h[win] = h[win]
+            best_s[win] = s
+        return batch.append_column(
+            out_col, pa.array(best_s, type=pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1563,3 +1563,50 @@ class TestSplitAssign:
             split_assign(ray.data.from_arrow(t), {"a": 0.5, "b": 0.2})
         with pytest.raises(ValueError, match="non-empty"):
             split_assign(ray.data.from_arrow(t), {})
+
+
+class TestRendezvousShards:
+    def test_minimal_movement_property(self, ray_session):
+        """THE defining HRW property: n → n+1 shards moves only the
+        rows the new shard wins, and every moved row moves TO it."""
+        import ray.data
+
+        from smartreader_ray.functions.sampling import rendezvous_shards
+
+        t = pa.table({"doc_id": pa.array(range(400), type=pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(3)
+        a = {r["doc_id"]: r["shard"]
+             for r in rendezvous_shards(ds, 5).take_all()}
+        b = {r["doc_id"]: r["shard"]
+             for r in rendezvous_shards(ds, 6).take_all()}
+        moved = {i for i in a if a[i] != b[i]}
+        assert all(b[i] == 5 for i in moved)  # all moves go TO shard 5
+        # expected fraction ≈ 1/6; generous band
+        assert 0.05 < len(moved) / 400 < 0.30
+        # balance: every shard owns something
+        assert set(a.values()) == set(range(5))
+
+    def test_matches_hash_argmax(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from smartreader_ray.functions.sampling import rendezvous_shards
+
+        t = pa.table({"doc_id": pa.array(range(50), type=pa.int64())})
+        got = {r["doc_id"]: r["shard"] for r in rendezvous_shards(
+            ray.data.from_arrow(t), 4).take_all()}
+        for i in range(50):
+            hs = [hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8]
+                  for s in range(4)]
+            assert got[i] == hs.index(max(hs)), i
+
+    def test_bad_n_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from smartreader_ray.functions.sampling import rendezvous_shards
+
+        t = pa.table({"doc_id": pa.array([1], type=pa.int64())})
+        with pytest.raises(ValueError):
+            rendezvous_shards(ray.data.from_arrow(t), 0)
