@@ -2621,6 +2621,70 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_debounce(sf_dir: str):
+    """Retry-storm suppression (`functions/windows.py: debounce`):
+    drop events ≤ 60 s after the previous same-(user, type) event,
+    then per-type survivor counts + cents — one per-user exchange,
+    vectorized lag inside the group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.windows import debounce
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"])
+    kept = debounce(ds, window_s=60.0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(b.column("value"), pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "value_cents": cents,
+            "n": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("value_cents", "sum")])
+        return g.rename_columns(["event_type", "n", "value_cents"])
+
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("value_cents", alias_name="value_cents"))
+        .map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "value_cents": pc.cast(b.column("value_cents"),
+                                       pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .sort("event_type")
+    )
+
+
+def _q_posting_lists(sf_dir: str):
+    """Inverted-index build (`functions/ngrams.py: posting_lists`):
+    per term the distinct-doc frequency plus the first 10 doc ids —
+    within-block (term, doc) dedup is globally exact because a doc is
+    one row, so only vocab × blocks partials (≤ 10 ids each) cross the
+    wire."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import posting_lists
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return posting_lists(ds, cap=10)
+
+
 def _q_rendezvous_shards(sf_dir: str):
     """Rendezvous/HRW consistent shard routing
     (`functions/sampling.py: rendezvous_shards`): every doc to the
@@ -3693,6 +3757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "clean_rank_chain": _q_clean_rank_chain,
         "rendezvous_shards": _q_rendezvous_shards,
+        "posting_lists": _q_posting_lists,
+        "debounce": _q_debounce,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4868,6 +4934,49 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # debounce: lag() over (user, type), keep first-of-key or
+        # gap > 60 s — integer microsecond comparison both sides.
+        "debounce": """
+            WITH l AS (
+                SELECT event_type, value,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)) AS dt_us
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM l WHERE dt_us IS NULL OR dt_us > 60000000
+            GROUP BY event_type ORDER BY event_type
+        """,
+        # posting_lists: same single-space tokenization convention;
+        # first-10 postings via row_number, df from the full set.
+        "posting_lists": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split(trim(text), ' ')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), r AS (
+                SELECT term, doc_id,
+                       row_number() OVER (PARTITION BY term
+                                          ORDER BY doc_id) AS rn
+                FROM tok
+            ), c AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS n_docs
+                FROM tok GROUP BY term
+            ), p AS (
+                SELECT term,
+                       string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id) AS postings
+                FROM r WHERE rn <= 10 GROUP BY term
+            )
+            SELECT c.term, c.n_docs, p.postings
+            FROM c JOIN p USING (term) ORDER BY term
+        """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
         "rendezvous_shards": """

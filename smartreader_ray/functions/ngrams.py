@@ -478,3 +478,61 @@ def phrase_count(ds, w1: str, w2: str, text_col: str = "text",
         )
         .sort(group_col)
     )
+
+
+def posting_lists(ds, doc_col: str = "doc_id", text_col: str = "text",
+                  cap: int = 10):
+    """Inverted-index construction: per term, the distinct-document
+    frequency and the first ``cap`` doc ids (ascending, comma-joined) —
+    the search-engine posting-list build, capped so the output stays
+    browsable (a full index build would write the list column to
+    partitioned parquet instead of capping).
+
+    Partitioning assumption (stated because correctness rides on it):
+    ``doc_col`` identifies a ROW — each document lives in exactly one
+    block — so within-block (term, doc) dedup is globally exact and no
+    (term × doc)-sized exchange is needed for the df count. Per block:
+    one vectorized tokenize + pandas dedup emits (term, df_partial,
+    first-cap ids); one ``groupby(term)`` merges partials (vocab ×
+    blocks rows on the wire, each carrying ≤ cap ids).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(batch, text_col)
+        docs = batch.column(doc_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "term": flat.to_pandas(),
+            "doc": docs[row_idx],
+        })
+        df = df[df["term"].str.len() > 0].drop_duplicates()
+        df = df.sort_values(["term", "doc"], kind="stable")
+        g = df.groupby("term", sort=False)["doc"]
+        agg = g.agg(df_part="size", ids=lambda s: s.head(cap).tolist())
+        return pa.table({
+            "term": pa.array(agg.index, type=pa.string()),
+            "df_part": pa.array(agg["df_part"].to_numpy(),
+                                type=pa.int64()),
+            "ids": pa.array(agg["ids"].tolist(),
+                            type=pa.list_(pa.int64())),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        n_docs = int(pc.sum(group.column("df_part")).as_py())
+        ids = sorted(
+            x for lst in group.column("ids").to_pylist() for x in lst
+        )[:cap]
+        return pa.table({
+            "term": group.column("term").slice(0, 1),
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "postings": pa.array(
+                [",".join(str(i) for i in ids)], type=pa.string()),
+        })
+
+    return (
+        ds.select_columns([doc_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort("term")
+    )

@@ -949,3 +949,46 @@ def percent_rank_by(ds, key_col: str, value_col: str,
     joined = hash_join(left, right, left_key="__ck", right_key="__ck",
                        left_cols=out_cols, right_cols=["pr"], how="left")
     return joined
+
+
+def debounce(ds, window_s: float = 60.0, user_col: str = "user_id",
+             type_col: str = "event_type", ts_col: str = "ts",
+             id_col: str = "event_id"):
+    """Event debouncing: drop a row when the PREVIOUS event of the same
+    (user, type) — by (ts, id) order — happened ``≤ window_s`` seconds
+    before it; the first of each (user, type) always survives. The
+    duplicate-click / retry-storm suppressor every event pipeline runs
+    before sessionizing. Lag-based (the reference event is the previous
+    row whether or not IT survived), which is exactly SQL
+    ``lag() OVER (PARTITION BY user, type ORDER BY ts, id)`` — the
+    kept-anchored variant is sequential and not window-expressible.
+
+    Ray shape: one ``groupby(user)`` exchange (the per-user sequencing
+    floor, shared with `sessionize`); inside a group one vectorized
+    sort over (type, ts, id) and one diff — type boundaries reset via
+    a pandas factorize, no per-event Python.
+    """
+    import pyarrow.compute as pc
+
+    win_us = int(window_s * 1_000_000)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(g.column(type_col).to_pandas(),
+                                sort=False)
+        order = np.lexsort((ids, ts, codes))
+        dt = np.diff(ts[order])
+        same = np.diff(codes[order]) == 0
+        drop_sorted = np.concatenate(
+            ([False], same & (dt <= win_us)))
+        keep = np.ones(g.num_rows, dtype=bool)
+        keep[order] = ~drop_sorted
+        return g.filter(pa.array(keep))
+
+    return (
+        ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    )

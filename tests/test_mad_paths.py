@@ -198,3 +198,41 @@ class TestPercentRank:
                       "k": ["solo"], "v": [42.0]})
         out = percent_rank_by(ray.data.from_arrow(t), "k", "v").take_all()
         assert out[0]["pr"] == 0.0
+
+
+class TestDebounce:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_duckdb_lag(self, ray_session, seed):
+        import duckdb
+        import ray.data
+
+        from smartreader_ray.functions.windows import debounce
+
+        rng = np.random.RandomState(seed)
+        n = 120
+        t = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "user_id": pa.array(rng.randint(0, 4, size=n),
+                                type=pa.int64()),
+            "event_type": [["a", "b"][i] for i in
+                           rng.randint(0, 2, size=n)],
+            # coarse seconds so gaps straddle the 10 s window often
+            "ts": pa.array((rng.randint(0, 300, size=n) * 1_000_000)
+                           .astype("datetime64[us]")),
+        })
+        out = debounce(ray.data.from_arrow(t).repartition(3),
+                       window_s=10.0).take_all()
+        got = sorted(r["event_id"] for r in out)
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = sorted(r[0] for r in con.sql("""
+            WITH l AS (
+                SELECT event_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)) AS dt
+                FROM t)
+            SELECT event_id FROM l
+            WHERE dt IS NULL OR dt > 10000000
+        """).fetchall())
+        assert got == exp, seed

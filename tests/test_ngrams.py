@@ -189,3 +189,39 @@ def test_cooccurrence_differential_duckdb(ray_session):
     for col in ("a", "b", "pair_count", "count_a", "count_b"):
         assert got.column(col).to_pylist() == \
             want.column(col).to_pylist(), col
+
+
+def test_posting_lists_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import posting_lists
+
+    docs = ["a b a", "b c", "", "a   c", "c c c"]
+    t = pa.table({
+        "doc_id": pa.array([10, 3, 7, 5, 1], type=pa.int64()),
+        "text": docs,
+    })
+    out = posting_lists(ray.data.from_arrow(t).repartition(3),
+                        cap=2).take_all()
+    got = {r["term"]: (r["n_docs"], r["postings"]) for r in out}
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = {r[0]: (r[1], r[2]) for r in con.sql("""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       UNNEST(string_split(trim(text), ' ')) AS term
+                FROM t) WHERE term <> ''
+        ), r AS (
+            SELECT term, doc_id, row_number() OVER (
+                PARTITION BY term ORDER BY doc_id) AS rn FROM tok
+        )
+        SELECT term, (SELECT count(*) FROM tok x
+                      WHERE x.term = r.term) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings
+        FROM r WHERE rn <= 2 GROUP BY term
+    """).fetchall()}
+    assert got == exp
+    assert got["a"] == (2, "5,10")  # multi-occurrence dedup + order
