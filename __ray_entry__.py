@@ -2621,6 +2621,22 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_fd_histogram(sf_dir: str):
+    """Composed chain #11 — statistician's histogram
+    (`functions/reshape.py: fd_histogram`): exact q25/q75 off a
+    distributed value-count histogram choose the Freedman–Diaconis bin
+    width, then nbins-sized bincount partials count the bins. Every
+    derived float is one fixed IEEE tree (libm pow == SQL power), so
+    the data-dependent edges still hash-gate."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import fd_histogram
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    return fd_histogram(ds, "value")
+
+
 def _q_debounce(sf_dir: str):
     """Retry-storm suppression (`functions/windows.py: debounce`):
     drop events ≤ 60 s after the previous same-(user, type) event,
@@ -3759,6 +3775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_shards": _q_rendezvous_shards,
         "posting_lists": _q_posting_lists,
         "debounce": _q_debounce,
+        "fd_histogram": _q_fd_histogram,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4934,6 +4951,45 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # fd_histogram: the SAME IEEE expression tree — percentile_disc
+        # quantiles, h = 2·IQR/power(n,1/3), nbins = ceil(span/h),
+        # w = (lo + nbins·h − lo)/nbins, clamp(floor((v−lo)/w)).
+        "fd_histogram": """
+            WITH s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       min(CAST(value AS DOUBLE)) AS lo,
+                       max(CAST(value AS DOUBLE)) AS hiv,
+                       percentile_disc(0.25) WITHIN GROUP
+                           (ORDER BY CAST(value AS DOUBLE)) AS q25,
+                       percentile_disc(0.75) WITHIN GROUP
+                           (ORDER BY CAST(value AS DOUBLE)) AS q75
+                FROM events WHERE value IS NOT NULL
+            ), p AS (
+                SELECT n, lo, hiv,
+                       2.0 * (q75 - q25)
+                           / power(CAST(n AS DOUBLE), 1.0 / 3.0) AS h
+                FROM s
+            ), q AS (
+                SELECT lo,
+                       CAST(CEIL((hiv - lo) / h) AS BIGINT) AS nbins, h
+                FROM p
+            ), e AS (
+                SELECT lo, nbins,
+                       (lo + CAST(nbins AS DOUBLE) * h - lo)
+                           / CAST(nbins AS DOUBLE) AS w
+                FROM q
+            ), assigned AS (
+                SELECT least(greatest(CAST(FLOOR(
+                           (CAST(v.value AS DOUBLE) - e.lo) / e.w)
+                           AS BIGINT), 0), e.nbins - 1) AS bin,
+                       e.lo AS lo, e.w AS w
+                FROM events v CROSS JOIN e
+                WHERE v.value IS NOT NULL
+            )
+            SELECT bin, lo + CAST(bin AS DOUBLE) * w AS bin_lo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM assigned GROUP BY bin, lo, w ORDER BY bin
+        """,
         # debounce: lag() over (user, type), keep first-of-key or
         # gap > 60 s — integer microsecond comparison both sides.
         "debounce": """

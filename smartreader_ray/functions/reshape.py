@@ -608,3 +608,79 @@ def id_gaps(ds, id_col: str, bucket: int = 1 << 20):
         "kind": pa.array([1] * len(xs), type=pa.int8()),
     })))
     return interior.union(cross).sort("gap_start")
+
+
+def fd_histogram(ds, value_col: str, max_driver_values: int = 5_000_000):
+    """Auto-binned histogram with the Freedman–Diaconis rule: bin width
+    ``h = 2·IQR / n^(1/3)`` — the statistician's default when nobody
+    wants to hand-pick ``nbins``. Two passes:
+
+    1. a distributed value-count histogram (exchange = distinct values
+       × blocks — the `exact_quantile_by` bounded-domain contract; the
+       merged histogram comes to the driver, guarded at
+       ``max_driver_values``) yields EXACT q25/q75 (percentile_disc
+       convention), min, max, n;
+    2. the derived edges feed :func:`fixed_width_histogram`, whose
+       bincount partials are nbins-sized.
+
+    Every derived float (h, hi, w, bin_lo) is computed by one fixed
+    IEEE expression tree — libm ``pow(n, 1/3)`` is SQL ``power()`` —
+    so a SQL replay spelling the same tree is bit-identical and the
+    result hash-gates. Degenerate spread (IQR = 0 or min = max)
+    collapses to one bin covering everything.
+    """
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def vc_partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq, type=pa.float64()),
+                         "cnt": pa.array(cnt, type=pa.int64())})
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+    ).materialize()
+    n_distinct = hist.count()
+    if n_distinct == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "bin": pa.array([], type=pa.int64()),
+            "bin_lo": pa.array([], type=pa.float64()),
+            "n": pa.array([], type=pa.int64()),
+        }))
+    if n_distinct > max_driver_values:
+        raise ValueError(
+            f"fd_histogram: {n_distinct} distinct values exceeds the "
+            f"driver guard ({max_driver_values}); the value domain is "
+            "not bounded — pre-round the column or use "
+            "fixed_width_histogram with chosen edges")
+    t = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow",
+                                                batch_size=None)))
+    order = pc.sort_indices(t.column("v"))
+    vals = t.column("v").take(order).to_numpy(zero_copy_only=False)
+    cnts = t.column("cnt").take(order).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+
+    def disc(q):  # smallest value with cumulative fraction ≥ q
+        pos = max(0, math.ceil(q * n) - 1)
+        return float(vals[np.searchsorted(cum, pos + 1, side="left")])
+
+    q25, q75 = disc(0.25), disc(0.75)
+    lo, hi_v = float(vals[0]), float(vals[-1])
+    h = 2.0 * (q75 - q25) / math.pow(float(n), 1.0 / 3.0)
+    if h <= 0.0 or hi_v <= lo:
+        nbins, hi = 1, hi_v + 1.0
+    else:
+        nbins = int(math.ceil((hi_v - lo) / h))
+        hi = lo + float(nbins) * h
+    return fixed_width_histogram(ds, value_col, lo, hi, nbins)

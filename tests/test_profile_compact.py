@@ -137,3 +137,73 @@ class TestIdGaps:
         assert id_gaps(ray.data.from_arrow(dense), "id").take_all() == []
         empty = pa.table({"id": pa.array([], type=pa.int64())})
         assert id_gaps(ray.data.from_arrow(empty), "id").take_all() == []
+
+
+class TestFDHistogram:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_duckdb_same_tree(self, ray_session, seed):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.reshape import fd_histogram
+
+        rng = np.random.RandomState(seed)
+        vals = np.round(rng.gamma(2.0, 10.0, size=400), 2)
+        t = pa.table({"value": pa.array(vals, type=pa.float64())})
+        out = fd_histogram(ray.data.from_arrow(t).repartition(4),
+                           "value").take_all()
+        got = [(r["bin"], r["bin_lo"], r["n"]) for r in out]
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql("""
+            WITH s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       min(value) AS lo, max(value) AS hiv,
+                       percentile_disc(0.25) WITHIN GROUP
+                           (ORDER BY value) AS q25,
+                       percentile_disc(0.75) WITHIN GROUP
+                           (ORDER BY value) AS q75
+                FROM t
+            ), p AS (SELECT n, lo, hiv,
+                       2.0*(q75-q25)/power(CAST(n AS DOUBLE), 1.0/3.0)
+                           AS h FROM s),
+            q AS (SELECT lo, CAST(CEIL((hiv-lo)/h) AS BIGINT) AS nbins,
+                         h FROM p),
+            e AS (SELECT lo, nbins,
+                         (lo + CAST(nbins AS DOUBLE)*h - lo)
+                             / CAST(nbins AS DOUBLE) AS w FROM q),
+            a AS (SELECT least(greatest(CAST(FLOOR(
+                             (v.value - e.lo)/e.w) AS BIGINT), 0),
+                             e.nbins-1) AS bin, e.lo AS lo, e.w AS w
+                  FROM t v CROSS JOIN e)
+            SELECT bin, lo + CAST(bin AS DOUBLE)*w, CAST(count(*)
+                   AS BIGINT)
+            FROM a GROUP BY bin, lo, w ORDER BY bin
+        """).fetchall()
+        assert got == [tuple(r) for r in exp], seed
+
+    def test_degenerate_spread_single_bin(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.reshape import fd_histogram
+
+        t = pa.table({"value": pa.array([5.0] * 20, type=pa.float64())})
+        out = fd_histogram(ray.data.from_arrow(t), "value").take_all()
+        assert len(out) == 1 and out[0]["n"] == 20 and out[0]["bin"] == 0
+
+    def test_driver_guard_raises(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from smartreader_ray.functions.reshape import fd_histogram
+
+        t = pa.table({"value": pa.array(
+            np.arange(100, dtype=np.float64))})
+        with pytest.raises(ValueError, match="driver guard"):
+            fd_histogram(ray.data.from_arrow(t), "value",
+                         max_driver_values=10)
