@@ -2621,6 +2621,65 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_scd2_history(sf_dir: str):
+    """Type-2 SCD dimension history (`functions/join.py: scd2_apply`):
+    two deterministic customer snapshots (snapshot 2 drops key%17==0,
+    bumps balances on key%10==0, adds key%17==16) folded into a
+    versioned history at ts 1 then 2 — changed rows close and reopen,
+    removals close, inserts open. One full-outer hash_join per
+    application; closed rows never re-enter the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.join import scd2_apply
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def base(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("c_acctbal"), 100.0), 0.5)), pa.int64())
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_mktsegment": b.column("c_mktsegment"),
+                         "bal_cents": cents})
+
+    def snap1(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = base(b)
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 17 != 16))
+
+    def snap2(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = base(b)
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        bump = pa.array((k % 10 == 0).astype("int64") * 100)
+        t = t.set_column(
+            t.column_names.index("bal_cents"), "bal_cents",
+            pc.add(t.column("bal_cents"), bump))
+        return t.filter(pa.array(k % 17 != 0))
+
+    empty = ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array([], type=pa.int64()),
+        "c_mktsegment": pa.array([], type=pa.string()),
+        "bal_cents": pa.array([], type=pa.int64()),
+        "valid_from": pa.array([], type=pa.int64()),
+        "valid_to": pa.array([], type=pa.int64()),
+    }))
+    attrs = ["c_mktsegment", "bal_cents"]
+    h1 = scd2_apply(empty, cust.map_batches(snap1,
+                                            batch_format="pyarrow"),
+                    "c_custkey", attrs, ts=1)
+    h2 = scd2_apply(h1, cust.map_batches(snap2,
+                                         batch_format="pyarrow"),
+                    "c_custkey", attrs, ts=2)
+    return h2.sort(["c_custkey", "valid_from"])
+
+
 def _q_fd_histogram(sf_dir: str):
     """Composed chain #11 — statistician's histogram
     (`functions/reshape.py: fd_histogram`): exact q25/q75 off a
@@ -3776,6 +3835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_lists": _q_posting_lists,
         "debounce": _q_debounce,
         "fd_histogram": _q_fd_histogram,
+        "scd2_history": _q_scd2_history,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,
@@ -4951,6 +5011,44 @@ def oracle_sql() -> dict[str, str]:
         # supplier_pagerank: unrolled-CTE replay of the all-integer power
         # iteration — identical floor-div/damping arithmetic per round.
         "supplier_pagerank": _pagerank_oracle_sql(5),
+        # scd2_history: set logic over the two snapshots — opened-at-1
+        # rows close at 2 iff changed/removed; opened-at-2 rows are the
+        # new/changed ones.
+        "scd2_history": """
+            WITH base AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS bal_cents
+                FROM customer
+            ), s1 AS (
+                SELECT * FROM base WHERE c_custkey % 17 <> 16
+            ), s2 AS (
+                SELECT c_custkey, c_mktsegment,
+                       bal_cents + CASE WHEN c_custkey % 10 = 0
+                                        THEN 100 ELSE 0 END AS bal_cents
+                FROM base WHERE c_custkey % 17 <> 0
+            ), h1 AS (
+                SELECT s1.c_custkey, s1.c_mktsegment, s1.bal_cents,
+                       CAST(1 AS BIGINT) AS valid_from,
+                       CASE WHEN s2.c_custkey IS NULL THEN 2
+                            WHEN s2.bal_cents <> s1.bal_cents
+                              OR s2.c_mktsegment <> s1.c_mktsegment
+                            THEN 2 ELSE NULL END AS valid_to
+                FROM s1 LEFT JOIN s2 ON s2.c_custkey = s1.c_custkey
+            ), h2 AS (
+                SELECT s2.c_custkey, s2.c_mktsegment, s2.bal_cents,
+                       CAST(2 AS BIGINT) AS valid_from,
+                       CAST(NULL AS BIGINT) AS valid_to
+                FROM s2 LEFT JOIN s1 ON s1.c_custkey = s2.c_custkey
+                WHERE s1.c_custkey IS NULL
+                   OR s1.bal_cents <> s2.bal_cents
+                   OR s1.c_mktsegment <> s2.c_mktsegment
+            )
+            SELECT c_custkey, c_mktsegment, bal_cents,
+                   valid_from, CAST(valid_to AS BIGINT) AS valid_to
+            FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+            ORDER BY c_custkey, valid_from
+        """,
         # fd_histogram: the SAME IEEE expression tree — percentile_disc
         # quantiles, h = 2·IQR/power(n,1/3), nbins = ceil(span/h),
         # w = (lo + nbins·h − lo)/nbins, clamp(floor((v−lo)/w)).

@@ -829,3 +829,118 @@ def anti_join(left, right, left_key: str, right_key: str,
     return proven_absent.union(
         verified.map_batches(lambda b: b.select(left_cols),
                              batch_format="pyarrow"))
+
+
+def scd2_apply(history, snapshot, id_col: str, attr_cols: list[str],
+               ts: int, from_col: str = "valid_from",
+               to_col: str = "valid_to"):
+    """Type-2 slowly-changing-dimension merge: fold a new snapshot into
+    a versioned history table at time ``ts``. History rows carry
+    ``[id, attrs..., valid_from, valid_to]`` with ``valid_to`` NULL on
+    the current version. Per id:
+
+    - attrs unchanged → current row passes through untouched;
+    - attrs changed  → current row is CLOSED (``valid_to = ts``) and a
+      new version opens (``valid_from = ts``);
+    - id absent from the snapshot → current row is closed (deletion);
+    - id new in the snapshot → a first version opens.
+
+    Already-closed rows pass through untouched — the operator is
+    idempotent-append: applying snapshots in ts order builds the full
+    audit history, the warehouse companion to `reshape.table_diff`'s
+    stateless CDC diff. ``attr_cols`` must be non-null (dimension
+    attributes; a null would make 'changed' ambiguous — enforced).
+
+    Ray shape: closed rows never enter the exchange (one pruned
+    filter); current ∪ snapshot meet in ONE `hash_join` full-outer on
+    the id; classification is vectorized per joined batch. Output
+    schema == history schema.
+    """
+    import numpy as np
+    import ray.data
+
+    hist_cols = [id_col] + list(attr_cols) + [from_col, to_col]
+
+    def keep_closed(b: pa.Table) -> pa.Table:
+        return b.select(hist_cols).filter(pc.is_valid(b.column(to_col)))
+
+    def keep_current(b: pa.Table) -> pa.Table:
+        return b.select(hist_cols).filter(pc.is_null(b.column(to_col)))
+
+    # consumed twice (closed + current) — materialize once, or every
+    # downstream read re-executes the whole upstream apply chain; the
+    # empty seed gives the lazy filters a KNOWN schema (an all-current
+    # history has zero closed rows and vice versa)
+    history = history.materialize()
+    htypes = dict(zip(history.schema().names, history.schema().types))
+    hseed = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.nulls(0, type=htypes[c]) for c in hist_cols],
+        names=hist_cols))
+    closed = hseed.union(
+        history.map_batches(keep_closed, batch_format="pyarrow"))
+    current = hseed.union(
+        history.map_batches(keep_current, batch_format="pyarrow"))
+
+    s_attr = [f"__s_{c}" for c in attr_cols]
+
+    def prep_snap(b: pa.Table) -> pa.Table:
+        for c in attr_cols:
+            if pc.any(pc.is_null(b.column(c))).as_py():
+                raise ValueError(
+                    f"scd2_apply: snapshot attr {c!r} contains nulls")
+        return pa.table(
+            {"__sid": b.column(id_col),
+             **{f"__s_{c}": b.column(c) for c in attr_cols}})
+
+    stypes = dict(zip(snapshot.schema().names, snapshot.schema().types))
+    sseed = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.nulls(0, type=stypes[id_col])] +
+        [pa.nulls(0, type=stypes[c]) for c in attr_cols],
+        names=["__sid"] + s_attr))
+    snap = sseed.union(
+        snapshot.select_columns([id_col] + list(attr_cols)).map_batches(
+            prep_snap, batch_format="pyarrow"))
+
+    joined = hash_join(
+        current, snap, left_key=id_col, right_key="__sid",
+        left_cols=hist_cols, right_cols=["__sid"] + s_attr,
+        how="full_outer",
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        has_cur = pc.is_valid(b.column(id_col)).to_numpy(
+            zero_copy_only=False)
+        has_snap = pc.is_valid(b.column("__sid")).to_numpy(
+            zero_copy_only=False)
+        same = np.ones(b.num_rows, dtype=bool)
+        for c in attr_cols:
+            eq = pc.equal(b.column(c), b.column(f"__s_{c}"))
+            same &= pc.fill_null(eq, False).to_numpy(
+                zero_copy_only=False)
+        unchanged = has_cur & has_snap & same
+        closing = has_cur & ~unchanged          # changed or removed
+        opening = has_snap & ~unchanged         # changed or brand new
+
+        out = []
+        keep = b.filter(pa.array(unchanged))
+        out.append(pa.table({c: keep.column(c) for c in hist_cols}))
+        cl = b.filter(pa.array(closing))
+        out.append(pa.table({
+            **{c: cl.column(c) for c in hist_cols if c != to_col},
+            to_col: pa.array([ts] * cl.num_rows,
+                             type=cl.column(to_col).type),
+        }).select(hist_cols))
+        op = b.filter(pa.array(opening))
+        out.append(pa.table({
+            id_col: op.column("__sid"),
+            **{c: op.column(f"__s_{c}") for c in attr_cols},
+            from_col: pa.array([ts] * op.num_rows,
+                               type=cl.column(from_col).type),
+            to_col: pa.nulls(op.num_rows, type=cl.column(to_col).type),
+        }).select(hist_cols))
+        return pa.concat_tables(out)
+
+    return closed.union(
+        joined.map_batches(classify, batch_format="pyarrow"))

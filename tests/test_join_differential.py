@@ -249,3 +249,62 @@ def test_semi_join_nullable_keys(ray_session, seed, broadcast_limit):
     got = _norm(tuple(r.get(c) for c in ("k", "lv")) for r in out)
     exp = _norm(con.sql(SEMI_SQL).fetchall())
     assert got == exp, (seed, broadcast_limit)
+
+
+class TestSCD2Apply:
+    def _hist(self, rows):
+        import pyarrow as pa
+
+        return pa.table({
+            "id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "attr": pa.array([r[1] for r in rows], type=pa.string()),
+            "valid_from": pa.array([r[2] for r in rows],
+                                   type=pa.int64()),
+            "valid_to": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    def _snap(self, d):
+        import pyarrow as pa
+
+        return pa.table({
+            "id": pa.array(list(d), type=pa.int64()),
+            "attr": pa.array([d[k] for k in d], type=pa.string()),
+        })
+
+    def test_three_snapshot_lifecycle(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.join import scd2_apply
+
+        empty = ray.data.from_arrow(self._hist([]))
+        h = scd2_apply(empty, ray.data.from_arrow(
+            self._snap({1: "a", 2: "b", 3: "c"})), "id", ["attr"], ts=1)
+        # t=2: 1 unchanged, 2 changed, 3 removed, 4 new
+        h = scd2_apply(h, ray.data.from_arrow(
+            self._snap({1: "a", 2: "B", 4: "d"})), "id", ["attr"], ts=2)
+        # t=3: 2 changes back, 4 removed
+        h = scd2_apply(h, ray.data.from_arrow(
+            self._snap({1: "a", 2: "b"})), "id", ["attr"], ts=3)
+        got = sorted((r["id"], r["attr"], r["valid_from"], r["valid_to"])
+                     for r in h.take_all())
+        assert got == [
+            (1, "a", 1, None),
+            (2, "B", 2, 3), (2, "b", 1, 2), (2, "b", 3, None),
+            (3, "c", 1, 2),
+            (4, "d", 2, 3),
+        ]
+
+    def test_null_attr_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.join import scd2_apply
+
+        empty = ray.data.from_arrow(self._hist([]))
+        snap = pa.table({
+            "id": pa.array([1], type=pa.int64()),
+            "attr": pa.array([None], type=pa.string()),
+        })
+        with pytest.raises(Exception, match="contains nulls"):
+            scd2_apply(empty, ray.data.from_arrow(snap), "id",
+                       ["attr"], ts=1).take_all()
