@@ -2621,6 +2621,25 @@ def _pagerank_rollup_oracle_sql(iterations: int = 5) -> str:
     """
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count–Min sketch point queries
+    (`functions/sketch.py: count_min_term_counts`): constant-size
+    per-block grids merged by elementwise sum (CMS is linear), probed
+    for eight fixed terms. Estimates are deterministic and
+    partition-invariant but hash-dependent — rows-only; the exact
+    companions are `token_stats` / `frequent_terms`, and the accuracy
+    bound (true ≤ est ≤ true + εN) is pinned in tests."""
+    import ray.data
+
+    from smartreader_ray.functions.sketch import count_min_term_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return count_min_term_counts(
+        ds, ["join", "hash", "row", "batch", "scan", "column",
+             "customer", "filter"])
+
+
 def _q_scd2_history(sf_dir: str):
     """Type-2 SCD dimension history (`functions/join.py: scd2_apply`):
     two deterministic customer snapshots (snapshot 2 drops key%17==0,
@@ -3836,6 +3855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce": _q_debounce,
         "fd_histogram": _q_fd_histogram,
         "scd2_history": _q_scd2_history,
+        "cms_counts": _q_cms_counts,
         "cooccurrence": _q_cooccurrence,
         "pagerank_weighted_parts": _q_pagerank_weighted_parts,
         "norm_dedup": _q_norm_dedup,

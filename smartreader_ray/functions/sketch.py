@@ -447,3 +447,68 @@ def frequent_terms(ds, text_col: str = "text", capacity: int = 256,
         .limit(k)
         .map_batches(with_err, batch_format="pyarrow")
     )
+
+
+def count_min_term_counts(ds, probes: "list[str]",
+                          text_col: str = "text",
+                          width: int = 1 << 14, depth: int = 4):
+    """Count–Min sketch term frequencies (Cormode & Muthukrishnan '05):
+    a ``depth × width`` int64 counter grid; every token increments one
+    counter per row (Kirsch–Mitzenmacher double hashing), a point query
+    reads the MINIMUM across rows. One-sided error: ``true ≤ est ≤
+    true + εN`` with ε = e/width at probability 1 − e^−depth — the
+    constant-memory companion to Misra–Gries (`frequent_terms`) that
+    answers ANY point query, not just heavy hitters.
+
+    CMS is LINEAR, so per-block partial grids merge by elementwise sum
+    — each block contributes one constant-size ``depth·width·8``-byte
+    row regardless of block vocabulary, and the merged sketch is
+    bit-identical under any partitioning (deterministic seeds, integer
+    sums). Estimates are deterministic but hash-dependent, so the
+    driver query registers rows-only with `token_stats`/`frequent_terms`
+    as the exact companions.
+
+    Returns (term, est) for the ``probes``, sorted by term.
+    """
+    import ray.data
+
+    from .ngrams import _tokens_flat
+
+    def _positions(terms: np.ndarray):
+        h = _hash64(list(terms)).astype(np.uint64)
+        h2 = _mix64(h ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            return [((h + np.uint64(d) * h2) % np.uint64(width))
+                    .astype(np.int64) for d in range(depth)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, _, _ = _tokens_flat(batch, text_col)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        terms = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnts = vc.field("counts").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        if len(terms):
+            for d, pos in enumerate(_positions(terms)):
+                np.add.at(grid[d], pos, cnts)
+        return pa.table({"grid": pa.array([grid.tobytes()],
+                                          type=pa.binary())})
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow").iter_rows():
+        merged += np.frombuffer(row["grid"], dtype=np.int64).reshape(
+            depth, width)
+
+    probe_arr = np.asarray(sorted(probes), dtype=object)
+    est = np.full(len(probe_arr), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(probe_arr):
+        for d, pos in enumerate(_positions(probe_arr)):
+            est = np.minimum(est, merged[d, pos])
+    return ray.data.from_arrow(pa.table({
+        "term": pa.array(list(probe_arr), type=pa.string()),
+        "est": pa.array(est, type=pa.int64()),
+    }))

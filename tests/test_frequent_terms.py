@@ -70,3 +70,49 @@ def test_frequent_terms_exact_when_capacity_suffices(ray_session):
     assert [(r["term"], r["est"], r["err"]) for r in out] == [
         ("a", 4, 0), ("b", 3, 0), ("c", 3, 0),
     ]
+
+
+class TestCountMin:
+    def test_bounds_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.sketch import count_min_term_counts
+
+        rng = np.random.RandomState(0)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(80)]
+        t = pa.table({"text": docs})
+        true = {}
+        total = 0
+        for d in docs:
+            for w in d.split(" "):
+                true[w] = true.get(w, 0) + 1
+                total += 1
+        probes = vocab[:10]
+        outs = []
+        for parts in (1, 5):
+            out = count_min_term_counts(
+                ray.data.from_arrow(t).repartition(parts), probes,
+                width=1 << 12, depth=4).take_all()
+            outs.append({r["term"]: r["est"] for r in out})
+        # merged sketch bit-identical under any partitioning
+        assert outs[0] == outs[1]
+        eps_n = (2.718281828 / (1 << 12)) * total
+        for w in probes:
+            tr = true.get(w, 0)
+            assert outs[0][w] >= tr, w          # never undercounts
+            assert outs[0][w] <= tr + eps_n + 1, w
+
+    def test_absent_term_small_estimate(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from smartreader_ray.functions.sketch import count_min_term_counts
+
+        t = pa.table({"text": ["a b c"] * 10})
+        out = count_min_term_counts(
+            ray.data.from_arrow(t), ["zzz"], width=1 << 12,
+            depth=4).take_all()
+        assert out[0]["est"] <= 1  # at most noise, never negative
