@@ -3752,6 +3752,55 @@ def _q_pivot_roundtrip(sf_dir: str):
     ).sort(["user_id", "variable"])
 
 
+def _q_markov(sf_dir: str):
+    """First-order Markov transition matrix over per-user event
+    sequences (`functions/windows.py: markov_transitions`): one
+    user-keyed exchange, per-group vectorized lag pairing, |types|^2
+    count partials; p is the single n/tot IEEE division both engines
+    evaluate identically."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import markov_transitions
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    return markov_transitions(ds)
+
+
+def _q_attribution(sf_dir: str):
+    """First-touch conversion attribution over gap sessions
+    (`functions/windows.py: session_attribution`): sessions credited to
+    their first event's type; conversions = sessions containing a
+    'purchase'; exact integer-cent conversion value."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import session_attribution
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "value", "event_id"],
+    )
+    return session_attribution(ds)
+
+
+def _q_rolling_anomaly(sf_dir: str):
+    """Trailing-rows anomaly detection (`functions/windows.py:
+    rolling_anomaly`): flag events whose cents exceed 2x the mean of
+    the previous 4 same-user events — pure int64 compare
+    (cents*k > factor*trail_sum), full windows only."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import rolling_anomaly
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    return rolling_anomaly(ds, k=4, factor=2).sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3892,6 +3941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": _q_interval_overlap,
         "engagement_chain": _q_engagement_chain,
         "pivot_roundtrip": _q_pivot_roundtrip,
+        "markov_events": _q_markov,
+        "attribution": _q_attribution,
+        "rolling_anomaly": _q_rolling_anomaly,
     }
 
 
@@ -6038,6 +6090,93 @@ def oracle_sql() -> dict[str, str]:
             FROM u CROSS JOIN t
             LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.et
             ORDER BY u.user_id, t.variable
+        """,
+        # markov_events: lag() window replays the per-user (ts, id)
+        # sequencing; p is the identical single IEEE division n/tot.
+        "markov_events": """
+            WITH l AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ), c AS (
+                SELECT prev_type, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM l WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            ), t AS (
+                SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type
+            )
+            SELECT c.prev_type, c.event_type, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+            FROM c JOIN t USING (prev_type)
+            ORDER BY c.prev_type, c.event_type
+        """,
+        # attribution: the engagement_chain sessionize CTE + ROW_NUMBER
+        # first-touch and an exact integer-cent conversion rollup.
+        "attribution": """
+            WITH marks AS (
+              SELECT user_id, ts, event_id, event_type, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), nums AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marks
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id) AS rn
+              FROM nums
+            ), sess AS (
+              SELECT user_id, session_id,
+                     MAX(CASE WHEN rn = 1 THEN event_type END)
+                         AS first_touch,
+                     MAX(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS converted,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                              + 0.5) AS BIGINT)
+                              ELSE 0 END) AS conv_cents
+              FROM ranked GROUP BY user_id, session_id
+            )
+            SELECT first_touch,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted,
+                   CAST(SUM(CASE WHEN converted = 1 THEN conv_cents
+                                 ELSE 0 END) AS BIGINT)
+                       AS converted_value_cents
+            FROM sess GROUP BY first_touch ORDER BY first_touch
+        """,
+        # rolling_anomaly: SUM/COUNT OVER ROWS BETWEEN 4 PRECEDING AND
+        # 1 PRECEDING; the flag compare is pure int64 on both sides.
+        "rolling_anomaly": """
+            WITH c AS (
+                SELECT user_id, event_id, ts,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM events
+            ), w AS (
+                SELECT user_id, event_id, cents,
+                       SUM(cents) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                           AS trail_sum,
+                       COUNT(*) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                           AS cnt
+                FROM c
+            )
+            SELECT user_id, event_id, cents,
+                   CAST(trail_sum AS BIGINT) AS trail_sum
+            FROM w WHERE cnt = 4 AND cents * 4 > 2 * trail_sum
+            ORDER BY event_id
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

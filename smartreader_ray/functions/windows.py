@@ -992,3 +992,212 @@ def debounce(ds, window_s: float = 60.0, user_col: str = "user_id",
     return (
         ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def markov_transitions(ds, user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id"):
+    """First-order Markov transition matrix over per-user event
+    sequences: count of (prev_type -> event_type) steps by (ts, id)
+    order, plus the row-normalized transition probability. The
+    behavioral-model / anomaly-baseline primitive (what follows a
+    'view'? how often does 'error' repeat?).
+
+    Returns ``prev_type, event_type, n, p`` sorted by (prev, curr);
+    ``p`` is the single IEEE division n/tot so both engines produce the
+    identical double bit pattern (SQL: lag() window -> GROUP BY).
+
+    Ray shape: one ``groupby(user)`` exchange (the per-user sequencing
+    floor shared with `sessionize`); each group emits LOCAL
+    (prev, curr, n) count partials, so the second exchange ships at
+    most |types|^2 rows per group; the final normalize runs on the
+    collected |types|^2 matrix — bounded by the type vocabulary, never
+    by the corpus.
+    """
+    import pandas as pd
+
+    def per_user(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({
+            "prev_type": pa.array([], type=pa.string()),
+            "event_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if n < 2:
+            return empty
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        t = g.column(type_col).to_numpy(zero_copy_only=False)[order]
+        df = pd.DataFrame({"prev_type": t[:-1], "event_type": t[1:]})
+        c = (df.groupby(["prev_type", "event_type"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(c, preserve_index=False).cast(
+            empty.schema)
+
+    pruned = ds.select_columns([user_col, type_col, ts_col, id_col])
+    partials = pruned.groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow")
+    counts = partials.groupby(["prev_type", "event_type"]).sum("n")
+    # |types|^2 rows — driver-side finalize is bounded by the type
+    # vocabulary, not the corpus.
+    mat = counts.to_pandas()
+    empty_out = pa.table({
+        "prev_type": pa.array([], type=pa.string()),
+        "event_type": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "p": pa.array([], type=pa.float64()),
+    })
+    if len(mat) == 0:
+        return empty_out
+    mat = mat.rename(columns={"sum(n)": "n"})
+    mat["n"] = mat["n"].astype(np.int64)
+    tot = mat.groupby("prev_type")["n"].transform("sum").astype(np.int64)
+    mat["p"] = mat["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    mat = mat.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        mat[["prev_type", "event_type", "n", "p"]], preserve_index=False)
+
+
+def session_attribution(ds, gap_s: float = 1800.0,
+                        convert_type: str = "purchase",
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        value_col: str = "value",
+                        id_col: str = "event_id"):
+    """First-touch conversion attribution: split each user's events into
+    gap sessions (same rule as `sessionize`), credit every session to
+    the event_type of its FIRST event (the acquisition channel), and
+    roll up per channel: sessions started, sessions that contain a
+    ``convert_type`` event, and the exact integer-cent value of those
+    conversion events.
+
+    Ray shape: the per-user kernel does sessions + per-session firsts +
+    conversion sums fully vectorized (cumsum / np.add.at over session
+    ordinals) and emits per-channel partials — at most |types| rows per
+    user — then one tiny (channel)-keyed sum. No session-level rows ever
+    shuffle.
+    """
+    gap_us = int(gap_s * 1_000_000)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table({
+            "first_touch": pa.array([], type=pa.string()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "n_converted": pa.array([], type=pa.int64()),
+            "converted_value_cents": pa.array([], type=pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts_o = ts[order]
+        types = g.column(type_col).to_numpy(zero_copy_only=False)[order]
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)[order]
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = np.diff(ts_o) > gap_us
+        sid = np.cumsum(new_s) - 1          # 0-based session ordinal
+        n_sess = int(sid[-1]) + 1
+        firsts = types[new_s]                # first_touch per session
+        conv = types == convert_type
+        cents = np.floor(vals.astype(np.float64) * 100.0 + 0.5).astype(
+            np.int64)
+        conv_any = np.zeros(n_sess, dtype=np.int64)
+        np.add.at(conv_any, sid[conv], 1)
+        conv_val = np.zeros(n_sess, dtype=np.int64)
+        np.add.at(conv_val, sid[conv], cents[conv])
+        df = pd.DataFrame({
+            "first_touch": firsts,
+            "one": np.ones(n_sess, dtype=np.int64),
+            "cvt": (conv_any > 0).astype(np.int64),
+            "val": np.where(conv_any > 0, conv_val, 0),
+        })
+        out = df.groupby("first_touch", sort=False).agg(
+            n_sessions=("one", "sum"), n_converted=("cvt", "sum"),
+            converted_value_cents=("val", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            empty.schema)
+
+    pruned = ds.select_columns(
+        [user_col, ts_col, type_col, value_col, id_col])
+    partials = pruned.groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow")
+    rolled = partials.groupby("first_touch").sum(
+        ["n_sessions", "n_converted", "converted_value_cents"])
+    out = rolled.to_pandas()
+    if len(out) == 0:
+        return pa.table({
+            "first_touch": pa.array([], type=pa.string()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "n_converted": pa.array([], type=pa.int64()),
+            "converted_value_cents": pa.array([], type=pa.int64()),
+        })
+    out = out.rename(columns={
+        "sum(n_sessions)": "n_sessions",
+        "sum(n_converted)": "n_converted",
+        "sum(converted_value_cents)": "converted_value_cents"})
+    for c in ("n_sessions", "n_converted", "converted_value_cents"):
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values("first_touch").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def rolling_anomaly(ds, k: int = 4, factor: int = 2,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value", id_col: str = "event_id"):
+    """Trailing-rows anomaly detector: flag an event whose value (exact
+    integer cents) exceeds ``factor`` x the mean of the PREVIOUS ``k``
+    events of the same user (by (ts, id) order), evaluated only where a
+    full k-window exists. The compare is pure int64 —
+    ``cents * k > factor * trail_sum`` — so there is no float mean to
+    drift (SQL: SUM/COUNT OVER ROWS BETWEEN k PRECEDING AND 1
+    PRECEDING).
+
+    Ray shape: one ``groupby(user)`` exchange; per group a lexsort +
+    cumsum sliding sum; only flagged rows leave the group.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "cents": pa.array([], type=pa.int64()),
+            "trail_sum": pa.array([], type=pa.int64()),
+        })
+        n = g.num_rows
+        if n <= k:
+            return empty
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((ids, ts))
+        vals = g.column(value_col).to_numpy(zero_copy_only=False)[order]
+        cents = np.floor(vals.astype(np.float64) * 100.0 + 0.5).astype(
+            np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        # trailing sum of rows [i-k, i) — full windows start at i=k
+        trail = csum[k:-1] - csum[:-(k + 1)]
+        cur = cents[k:]
+        flag = cur * k > factor * trail
+        if not flag.any():
+            return empty
+        uid = int(g.column(user_col)[0].as_py())
+        idx = np.flatnonzero(flag) + k
+        return pa.table({
+            "user_id": pa.array(np.full(idx.size, uid), type=pa.int64()),
+            "event_id": pa.array(ids[order][idx], type=pa.int64()),
+            "cents": pa.array(cents[idx], type=pa.int64()),
+            "trail_sum": pa.array(trail[flag], type=pa.int64()),
+        })
+
+    pruned = ds.select_columns([user_col, ts_col, value_col, id_col])
+    return pruned.groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow")

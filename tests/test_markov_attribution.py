@@ -1,0 +1,154 @@
+"""Differential tests for markov_transitions / session_attribution /
+rolling_anomaly against brute-force pure-Python references on a small
+seeded event stream (ties, singleton users, empty-window edges)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _mk_events(seed=7, n=400, users=12, types=("view", "click",
+                                               "purchase", "error")):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 10_000_000, size=n)) * 1_000_000
+    return pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, users, size=n),
+                            type=pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_type": pa.array(rng.choice(types, size=n)),
+        "value": pa.array(np.round(rng.uniform(0, 300, size=n), 2)),
+    })
+
+
+def _rows(t):
+    return list(zip(*[t.column(c).to_pylist() for c in t.column_names]))
+
+
+class TestMarkov:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import markov_transitions
+
+        t = _mk_events()
+        got = markov_transitions(ray.data.from_arrow(t).repartition(7))
+
+        seq = {}
+        for eid, uid, ts, et, _v in _rows(t):
+            seq.setdefault(uid, []).append((ts, eid, et))
+        counts = {}
+        for uid, evs in seq.items():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        tots = {}
+        for (a, _b), n in counts.items():
+            tots[a] = tots.get(a, 0) + n
+
+        assert got.num_rows == len(counts)
+        for prev, curr, n, p in _rows(got):
+            assert counts[(prev, curr)] == n
+            assert p == n / tots[prev]  # bit-equal single division
+        # probabilities per prev row-normalize to ~1
+        by_prev = {}
+        for prev, _c, _n, p in _rows(got):
+            by_prev[prev] = by_prev.get(prev, 0.0) + p
+        for s in by_prev.values():
+            assert math.isclose(s, 1.0, rel_tol=1e-12)
+
+    def test_singleton_user_emits_nothing(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import markov_transitions
+
+        t = pa.table({
+            "event_id": pa.array([1], type=pa.int64()),
+            "user_id": pa.array([5], type=pa.int64()),
+            "ts": pa.array(np.array([0], dtype="datetime64[us]")),
+            "event_type": pa.array(["view"]),
+        })
+        got = markov_transitions(ray.data.from_arrow(t))
+        assert got.num_rows == 0
+
+
+class TestAttribution:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import session_attribution
+
+        t = _mk_events(seed=11, n=500)
+        gap_s = 1800.0
+        got = session_attribution(
+            ray.data.from_arrow(t).repartition(5), gap_s=gap_s)
+
+        seq = {}
+        for eid, uid, ts, et, v in _rows(t):
+            seq.setdefault(uid, []).append((ts, eid, et, v))
+        agg = {}
+        for uid, evs in seq.items():
+            evs.sort()
+            sessions = []
+            for ev in evs:
+                if (not sessions or (ev[0] - sessions[-1][-1][0])
+                        .total_seconds() > gap_s):
+                    sessions.append([ev])
+                else:
+                    sessions[-1].append(ev)
+            for s in sessions:
+                ft = s[0][2]
+                a = agg.setdefault(ft, [0, 0, 0])
+                a[0] += 1
+                conv = [ev for ev in s if ev[2] == "purchase"]
+                if conv:
+                    a[1] += 1
+                    a[2] += sum(
+                        int(math.floor(ev[3] * 100 + 0.5)) for ev in conv)
+
+        assert {r[0]: tuple(r[1:]) for r in _rows(got)} == {
+            k: tuple(v) for k, v in agg.items()}
+
+
+class TestRollingAnomaly:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import rolling_anomaly
+
+        t = _mk_events(seed=3, n=600, users=9)
+        k, factor = 4, 2
+        got = rolling_anomaly(
+            ray.data.from_arrow(t).repartition(6), k=k, factor=factor)
+
+        seq = {}
+        for eid, uid, ts, _et, v in _rows(t):
+            seq.setdefault(uid, []).append((ts, eid, v))
+        want = set()
+        for uid, evs in seq.items():
+            evs.sort()
+            cents = [int(math.floor(v * 100 + 0.5)) for _, _, v in evs]
+            for i in range(k, len(evs)):
+                trail = sum(cents[i - k:i])
+                if cents[i] * k > factor * trail:
+                    want.add((uid, evs[i][1], cents[i], trail))
+        rows = {(r["user_id"], r["event_id"], r["cents"], r["trail_sum"])
+                for r in got.take_all()}
+        assert rows == want
+        assert len(rows) > 0  # the seed produces anomalies
+
+    def test_short_user_no_rows(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import rolling_anomaly
+
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array(np.array([0, 1, 2], dtype="datetime64[us]")),
+            "value": pa.array([1.0, 2.0, 300.0]),
+        })
+        assert rolling_anomaly(
+            ray.data.from_arrow(t), k=4).count() == 0
