@@ -3801,6 +3801,37 @@ def _q_rolling_anomaly(sf_dir: str):
     return rolling_anomaly(ds, k=4, factor=2).sort("event_id")
 
 
+def _q_ntile(sf_dir: str):
+    """NTILE(8) equal-frequency buckets over event value cents with
+    (cents, id) total order (`functions/reshape.py: ntile_summary`) —
+    a true distributed global ranking (TeraSort sample → range exchange
+    → offset ranks), rolled up per bucket."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import ntile_summary
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["value", "event_id"],
+    )
+    return ntile_summary(ds, "value", "event_id", k=8)
+
+
+def _q_key_gini(sf_dir: str):
+    """Key-skew diagnostics over lineitem's l_partkey (`functions/
+    reshape.py: key_gini`): exact Gini over per-key counts via
+    distributed ranking — int64 sufficient stats + one IEEE division."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import key_gini
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey"],
+    )
+    return key_gini(ds, "l_partkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3944,6 +3975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_events": _q_markov,
         "attribution": _q_attribution,
         "rolling_anomaly": _q_rolling_anomaly,
+        "ntile_values": _q_ntile,
+        "key_skew_gini": _q_key_gini,
     }
 
 
@@ -6177,6 +6210,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(trail_sum AS BIGINT) AS trail_sum
             FROM w WHERE cnt = 4 AND cents * 4 > 2 * trail_sum
             ORDER BY event_id
+        """,
+        # ntile_values: NTILE over the identical (cents, event_id)
+        # total order; per-bucket int64 rollup.
+        "ntile_values": """
+            WITH c AS (
+                SELECT event_id,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM events
+            ), t AS (
+                SELECT cents,
+                       ntile(8) OVER (ORDER BY cents, event_id) AS bucket
+                FROM c
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM t GROUP BY bucket ORDER BY bucket
+        """,
+        # key_skew_gini: row_number over (count, key) replays the
+        # ranking; gini is the one shared IEEE division.
+        "key_skew_gini": """
+            WITH c AS (
+                SELECT l_partkey AS key, count(*) AS n
+                FROM lineitem GROUP BY 1
+            ), r AS (
+                SELECT n, row_number() OVER (ORDER BY n, key) AS rn
+                FROM c
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(SUM(n) AS BIGINT) AS tot,
+                       CAST(SUM(rn * n) AS BIGINT) AS s1,
+                       CAST(MAX(n) AS BIGINT) AS max_n
+                FROM r
+            )
+            SELECT k AS n_keys, tot AS total_rows, max_n AS max_count,
+                   s1 AS rank_weighted_sum,
+                   CAST(2 * s1 - (k + 1) * tot AS DOUBLE)
+                       / CAST(k * tot AS DOUBLE) AS gini
+            FROM s
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -684,3 +684,221 @@ def fd_histogram(ds, value_col: str, max_driver_values: int = 5_000_000):
         nbins = int(math.ceil((hi_v - lo) / h))
         hi = lo + float(nbins) * h
     return fixed_width_histogram(ds, value_col, lo, hi, nbins)
+
+
+def global_rank(ds, ckey_col: str, num_parts: int = 64,
+                samples_per_block: int = 37):
+    """Exact global 1-based row numbering over a UNIQUE int64 sort key —
+    the distributed-ranking primitive behind NTILE / median-split /
+    Gini. TeraSort shape: (1) evenly-spaced per-block sort-key samples
+    → driver picks ``num_parts-1`` range bounds (sample table is
+    blocks × ``samples_per_block`` rows — bounded by block count, never
+    row count); (2) one range-keyed exchange; (3) per-range counts →
+    driver prefix-sum → broadcast offsets; (4) per-range local sort +
+    offset. Only the sample and the num_parts-sized count table ever
+    reach the driver.
+
+    ``ckey_col`` must be UNIQUE int64 (compose ties as
+    ``value * 2^32 + id``) — uniqueness makes the rank total and the
+    range assignment unambiguous. Size ``num_parts`` so a range
+    (~n/num_parts rows) fits a worker's heap.
+
+    Returns the dataset with an added ``rn`` (int64, 1-based).
+    """
+    import ray
+
+    def samp(b: dict) -> dict:
+        v = np.sort(np.asarray(b[ckey_col], dtype=np.int64))
+        if v.size == 0:
+            return {"s": np.array([], dtype=np.int64)}
+        idx = np.linspace(0, v.size - 1, samples_per_block).astype(np.int64)
+        return {"s": v[idx]}
+
+    sample_vals = np.sort(np.concatenate(
+        [b["s"] for b in ds.map_batches(samp, batch_format="numpy")
+         .iter_batches(batch_format="numpy")] or [np.array([], np.int64)]))
+    if sample_vals.size == 0:
+        return ds.map_batches(
+            lambda b: b.append_column("rn", pa.array([], type=pa.int64())),
+            batch_format="pyarrow")
+    qs = np.linspace(0, 1, num_parts + 1)[1:-1]
+    bounds = np.unique(np.quantile(sample_vals, qs).astype(np.int64))
+    bounds_ref = ray.put(bounds)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        v = b.column(ckey_col).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bd, v, side="right").astype(np.int64)
+        return b.append_column("__part", pa.array(part, type=pa.int64()))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow").materialize()
+    cnt = stamped.groupby("__part").count().to_pandas()
+    cnt = cnt.sort_values("__part")
+    offs = np.concatenate(([0], np.cumsum(cnt["count()"].to_numpy())))
+    off_by_part = {int(p): int(o) for p, o in
+                   zip(cnt["__part"].to_numpy(), offs[:-1])}
+    offs_ref = ray.put(off_by_part)
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column("rn", pa.array([], type=pa.int64()))
+        off = ray.get(offs_ref)[int(g.column("__part")[0].as_py())]
+        v = g.column(ckey_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        rn = np.empty(v.size, dtype=np.int64)
+        rn[order] = off + 1 + np.arange(v.size, dtype=np.int64)
+        return g.append_column("rn", pa.array(rn, type=pa.int64()))
+
+    return (stamped.groupby("__part")
+            .map_groups(rank_part, batch_format="pyarrow")
+            .drop_columns(["__part"]))
+
+
+def ntile_summary(ds, value_col: str, id_col: str, k: int = 8,
+                  num_parts: int = 64):
+    """NTILE(k) over the total order (value-cents, id) — per-bucket
+    rollup ``bucket, n_rows, min_cents, max_cents, sum_cents``. The
+    equal-frequency binning step behind quantile features and balanced
+    dataset splits, exercised as a true distributed global ranking
+    (`global_rank`) rather than a single-node window.
+
+    Bucket rule (standard SQL NTILE): with n rows, q = n//k, r = n%k,
+    the first r buckets take q+1 rows. Exact int64 arithmetic end to
+    end (cents = floor(v*100 + 0.5)); ids must fit in [0, 2^31) so the
+    composite sort key cents·2³² + id stays int64-exact.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= 2**31):
+            raise OverflowError(
+                f"ntile_summary: {id_col} outside [0, 2^31) breaks the "
+                "composite int64 sort key")
+        cents = np.floor(v.astype(np.float64) * 100.0 + 0.5).astype(
+            np.int64)
+        return pa.table({
+            "__ck": pa.array(cents * (2**32) + ids, type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    n = keyed_ds.count()
+    if n == 0:
+        return pa.table({
+            "bucket": pa.array([], type=pa.int64()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "min_cents": pa.array([], type=pa.int64()),
+            "max_cents": pa.array([], type=pa.int64()),
+            "sum_cents": pa.array([], type=pa.int64()),
+        })
+    ranked = global_rank(keyed_ds, "__ck", num_parts=num_parts)
+    q, r = divmod(n, k)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        rn0 = b.column("rn").to_numpy(zero_copy_only=False) - 1
+        cut = r * (q + 1)
+        small = np.maximum(q, 1)  # q==0 rows never take the else branch
+        bucket = np.where(rn0 < cut, rn0 // (q + 1),
+                          r + (rn0 - cut) // small) + 1
+        t = pa.table({
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "cents": b.column("cents"),
+        })
+        g = t.group_by("bucket").aggregate(
+            [("cents", "count"), ("cents", "min"),
+             ("cents", "max"), ("cents", "sum")])
+        return g.rename_columns(
+            ["bucket", "n_rows", "min_cents", "max_cents", "sum_cents"])
+
+    out = (ranked.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Min("min_cents", alias_name="min_cents"),
+                      Max("max_cents", alias_name="max_cents"),
+                      Sum("sum_cents", alias_name="sum_cents")))
+
+    def cast64(b: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pc.cast(b.column(c), pa.int64()) for c in b.column_names})
+
+    return out.map_batches(cast64, batch_format="pyarrow").sort("bucket")
+
+
+def key_gini(ds, key_col: str, num_parts: int = 16):
+    """Key-skew diagnostics for shuffle planning: per-key row counts →
+    exact Gini coefficient over the count distribution (0 = perfectly
+    even keys, →1 = one hot key), plus n_keys / total_rows / max_count.
+    The "will this groupby straggle?" probe the engine's own salting
+    guards (`hash_join`, `orders_by_segment_salted`) act on.
+
+    Gini = (2·Σ rn·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) over counts ranked
+    ascending (ties broken by key id) — ranks come from `global_rank`
+    on the composite count·2³² + key, so the whole statistic is exact
+    int64 sufficient stats + ONE final IEEE division, identical in SQL.
+    Loud int64 bound: n_keys · total_rows must stay below 2^63.
+    """
+    counts = ds.groupby(key_col).count()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        kv = b.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = b.column("count()").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if kv.size and (kv.min() < 0 or kv.max() >= 2**31):
+            raise OverflowError(
+                f"key_gini: {key_col} outside [0, 2^31) breaks the "
+                "composite int64 sort key")
+        return pa.table({
+            "__ck": pa.array(n * (2**32) + kv, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+        })
+
+    ranked = global_rank(counts.map_batches(keyed, batch_format="pyarrow"),
+                         "__ck", num_parts=num_parts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        rn = b.column("rn").to_numpy(zero_copy_only=False)
+        # object-int product sum: rn*n can exceed int64 inside a block
+        # long before the guarded total does — Python ints never wrap
+        s1_blk = int((rn.astype(object) * n.astype(object)).sum()) \
+            if n.size else 0
+        if s1_blk >= 2**63:
+            raise OverflowError(
+                "key_gini: block rank-weighted sum exceeds int64")
+        return pa.table({
+            "k": pa.array([n.size], type=pa.int64()),
+            "tot": pa.array([int(n.sum())], type=pa.int64()),
+            "s1": pa.array([s1_blk], type=pa.int64()),
+            "max_n": pa.array([int(n.max()) if n.size else 0],
+                              type=pa.int64()),
+        })
+
+    parts = ranked.map_batches(partial, batch_format="pyarrow").to_pandas()
+    k = int(parts["k"].sum())
+    tot = int(parts["tot"].sum())
+    s1 = int(parts["s1"].sum())  # Python ints: overflow-safe combine
+    max_n = int(parts["max_n"].max()) if len(parts) else 0
+    if k == 0:
+        return pa.table({
+            "n_keys": pa.array([], type=pa.int64()),
+            "total_rows": pa.array([], type=pa.int64()),
+            "max_count": pa.array([], type=pa.int64()),
+            "rank_weighted_sum": pa.array([], type=pa.int64()),
+            "gini": pa.array([], type=pa.float64()),
+        })
+    if k * tot >= 2**63 or s1 >= 2**63:
+        raise OverflowError(
+            "key_gini: n_keys*total_rows exceeds int64 — the exactness "
+            "contract fails loudly instead of wrapping")
+    gini = float(2 * s1 - (k + 1) * tot) / float(k * tot)
+    return pa.table({
+        "n_keys": pa.array([k], type=pa.int64()),
+        "total_rows": pa.array([tot], type=pa.int64()),
+        "max_count": pa.array([max_n], type=pa.int64()),
+        "rank_weighted_sum": pa.array([s1], type=pa.int64()),
+        "gini": pa.array([gini], type=pa.float64()),
+    })
