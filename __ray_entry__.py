@@ -3832,6 +3832,53 @@ def _q_key_gini(sf_dir: str):
     return key_gini(ds, "l_partkey")
 
 
+def _q_audio_autocorr(sf_dir: str):
+    """Exact integer PCM autocorrelation at lags 1/2/4 (`stages/
+    media.py: AudioAutocorrFeatures`): same deterministic ramp WAVs as
+    `audio_features`, REAL stdlib `wave` decode in an actor pool, pure
+    int64 Σ s[i]·s[i+L]; the oracle replays the ramp per lag with a
+    lateral generate_series."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.stages.codecs import wav_encode
+    from smartreader_ray.stages.media import AudioAutocorrFeatures
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n = 50 + i % 150
+            s = (((i % 7 + 1) * np.arange(n)) % 2001 - 1000).astype(np.int16)
+            payloads.append(wav_encode(s, framerate=8000))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": pa.array(
+                [f"wav://{int(i)}" for i in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    feats = ds.map_batches(
+        AudioAutocorrFeatures, batch_format="pyarrow",
+        fn_constructor_kwargs={"lags": (1, 2, 4)},
+        concurrency=(1, _pool_max()), batch_size=32,
+    )
+
+    def thin(batch: pa.Table) -> pa.Table:
+        assert batch.num_rows == 0 or all(
+            e == "" for e in batch.column("error").to_pylist()
+        ), "decode errors on synthesized WAVs"
+        return batch.select(
+            ["doc_id", "n_frames", "ac_0", "ac_1", "ac_2", "ac_4"])
+
+    return feats.map_batches(thin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -3977,6 +4024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomaly": _q_rolling_anomaly,
         "ntile_values": _q_ntile,
         "key_skew_gini": _q_key_gini,
+        "audio_autocorr": _q_audio_autocorr,
     }
 
 
@@ -6252,6 +6300,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * s1 - (k + 1) * tot AS DOUBLE)
                        / CAST(k * tot AS DOUBLE) AS gini
             FROM s
+        """,
+        # audio_autocorr: replay the planted PCM ramp per lag with a
+        # lateral generate_series — Σ s(j)·s(j+L) in pure integers.
+        "audio_autocorr": """
+            WITH p AS (
+                SELECT doc_id, 50 + doc_id % 150 AS nf, doc_id % 7 + 1 AS k
+                FROM documents
+            ), a AS (
+                SELECT p.doc_id,
+                       sum(((p.k * t.j) % 2001 - 1000)
+                           * ((p.k * t.j) % 2001 - 1000)) AS ac_0
+                FROM p, unnest(generate_series(0, p.nf - 1)) AS t(j)
+                GROUP BY p.doc_id
+            ), l1 AS (
+                SELECT p.doc_id,
+                       sum(((p.k * t.j) % 2001 - 1000)
+                           * ((p.k * (t.j + 1)) % 2001 - 1000)) AS ac_1
+                FROM p, unnest(generate_series(0, p.nf - 2)) AS t(j)
+                GROUP BY p.doc_id
+            ), l2 AS (
+                SELECT p.doc_id,
+                       sum(((p.k * t.j) % 2001 - 1000)
+                           * ((p.k * (t.j + 2)) % 2001 - 1000)) AS ac_2
+                FROM p, unnest(generate_series(0, p.nf - 3)) AS t(j)
+                GROUP BY p.doc_id
+            ), l4 AS (
+                SELECT p.doc_id,
+                       sum(((p.k * t.j) % 2001 - 1000)
+                           * ((p.k * (t.j + 4)) % 2001 - 1000)) AS ac_4
+                FROM p, unnest(generate_series(0, p.nf - 5)) AS t(j)
+                GROUP BY p.doc_id
+            )
+            SELECT p.doc_id, CAST(p.nf AS BIGINT) AS n_frames,
+                   CAST(a.ac_0 AS BIGINT) AS ac_0,
+                   CAST(l1.ac_1 AS BIGINT) AS ac_1,
+                   CAST(l2.ac_2 AS BIGINT) AS ac_2,
+                   CAST(l4.ac_4 AS BIGINT) AS ac_4
+            FROM p JOIN a USING (doc_id) JOIN l1 USING (doc_id)
+                 JOIN l2 USING (doc_id) JOIN l4 USING (doc_id)
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

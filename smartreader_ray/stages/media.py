@@ -643,3 +643,52 @@ class ShotBoundaryStage:
             ],
             names=["doc_id", "media_ref", "frame_idx", "delta", "error"],
         )
+
+
+class AudioAutocorrFeatures:
+    """Actor-pool stage: EXACT integer autocorrelation of WAV PCM at
+    fixed sample lags — ``ac_{L} = Σ s[i]·s[i+L]`` over channel 0 —
+    the periodicity / pitch-strength signal (YIN-class detectors reduce
+    to these sums) kept in pure int64 so an oracle can replay it from
+    the synthesis rule: |s| ≤ 2¹⁵ ⇒ each product ≤ 2³⁰, safe for any
+    clip under 2³³ samples. Malformed payloads become error rows.
+
+    Output: doc_id, media_ref, n_frames, ac_0 (= energy Σs²), one
+    ``ac_{L}`` per requested lag, error.
+    """
+
+    def __init__(self, lags: tuple = (1, 2, 4)):
+        if not lags or any(int(l) <= 0 for l in lags):
+            raise ValueError("lags must be positive sample offsets")
+        self.lags = tuple(int(l) for l in lags)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import MediaDecodeError, wav_decode
+
+        names = ["n_frames", "ac_0"] + [f"ac_{L}" for L in self.lags]
+        cols = {k: [] for k in names}
+        errs = []
+        for p in batch.column("payload").to_pylist():
+            try:
+                _rate, n_ch, samples = wav_decode(p or b"")
+                s = samples.astype(np.int64)[::max(1, n_ch)]  # channel 0
+                cols["n_frames"].append(len(s))
+                cols["ac_0"].append(int((s * s).sum()))
+                for L in self.lags:
+                    cols[f"ac_{L}"].append(
+                        int((s[:-L] * s[L:]).sum()) if len(s) > L else 0)
+                errs.append("")
+            except MediaDecodeError as exc:
+                for k in names:
+                    cols[k].append(0)
+                errs.append(str(exc))
+        out = {
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+        }
+        for k in names:
+            out[k] = pa.array(cols[k], type=pa.int64())
+        out["error"] = pa.array(errs, type=pa.string())
+        return pa.Table.from_pydict(out)

@@ -267,3 +267,58 @@ def test_audio_spectral_stereo_channel0():
     )
     r = AudioSpectralFeatures(frame, 128)(batch).to_pylist()[0]
     assert r["dominant_bin"] == 12  # channel 0, not the mix
+
+
+def test_audio_autocorr_bruteforce_and_edges():
+    from smartreader_ray.stages.media import AudioAutocorrFeatures
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32000, 32000, size=300).astype(np.int16)
+    short = np.array([5, -7, 11], dtype=np.int16)  # len 3 < lag 4
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "media_ref": ["a", "b", "junk"],
+        "payload": pa.array(
+            [wav_encode(s, 8000), wav_encode(short, 8000), b"nope"],
+            type=pa.binary()),
+    })
+    rows = {r["media_ref"]: r
+            for r in AudioAutocorrFeatures((1, 2, 4))(batch).to_pylist()}
+    a = rows["a"]
+    s64 = s.astype(np.int64)
+    assert a["n_frames"] == 300 and a["error"] == ""
+    assert a["ac_0"] == int((s64 * s64).sum())
+    for L in (1, 2, 4):
+        assert a[f"ac_{L}"] == int((s64[:-L] * s64[L:]).sum())
+    b = rows["b"]
+    assert b["ac_4"] == 0  # lag beyond clip length
+    assert b["ac_1"] == 5 * -7 + -7 * 11
+    assert rows["junk"]["error"] != "" and rows["junk"]["ac_0"] == 0
+
+
+def test_audio_autocorr_stereo_channel0():
+    from smartreader_ray.stages.media import AudioAutocorrFeatures
+
+    left = np.array([1, 2, 3, 4], dtype=np.int16)
+    right = np.array([100, 100, 100, 100], dtype=np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    batch = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "media_ref": ["st"],
+        "payload": pa.array([wav_encode(inter, 8000, n_channels=2)],
+                            type=pa.binary()),
+    })
+    r = AudioAutocorrFeatures((1,))(batch).to_pylist()[0]
+    assert r["n_frames"] == 4
+    assert r["ac_0"] == 1 + 4 + 9 + 16
+    assert r["ac_1"] == 1 * 2 + 2 * 3 + 3 * 4
+
+
+def test_audio_autocorr_bad_lags():
+    import pytest
+    from smartreader_ray.stages.media import AudioAutocorrFeatures
+
+    with pytest.raises(ValueError):
+        AudioAutocorrFeatures(())
+    with pytest.raises(ValueError):
+        AudioAutocorrFeatures((0,))
