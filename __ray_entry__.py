@@ -3879,6 +3879,55 @@ def _q_audio_autocorr(sf_dir: str):
     return feats.map_batches(thin, batch_format="pyarrow")
 
 
+def _q_caption_pairs(sf_dir: str):
+    """Interleaved text⇄media alignment (`spanio.py:
+    caption_pairs_batch`): every media span paired with its caption —
+    own alt text, else nearest non-empty text span (preceding wins
+    ties). The span table is synthesized deterministically from
+    `documents` (5-token text chunks, an image after every 3rd chunk,
+    a leading image when doc_id%4==0, planted alts) so the oracle can
+    rebuild the identical interleaving and replay the pairing with
+    IGNORE-NULLS windows."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.spanio import caption_pairs_batch, make_span
+
+    def synth(batch: pa.Table) -> pa.Table:
+        rows_doc, rows_spans = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            did = int(did)
+            toks = (text or "").strip().split(" ")
+            spans = []
+            if did % 4 == 0:
+                spans.append(make_span("image", "", f"img://{did}/0",
+                                       len(spans)))
+            for j in range((len(toks) + 4) // 5):
+                spans.append(make_span(
+                    "text", " ".join(toks[j * 5:j * 5 + 5]), "",
+                    len(spans)))
+                if j % 3 == 1:
+                    alt = f"fig {j + 1}" if (did + j) % 5 == 0 else ""
+                    spans.append(make_span("image", alt,
+                                           f"img://{did}/{j + 1}",
+                                           len(spans)))
+            rows_doc.append(did)
+            rows_spans.append(spans)
+        return pa.table({
+            "doc_id": pa.array(rows_doc, type=pa.int64()),
+            "spans": pa.array(rows_spans),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(synth, batch_format="pyarrow")
+            .map_batches(caption_pairs_batch, batch_format="pyarrow")
+            .sort(["doc_id", "offset"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4025,6 +4074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_values": _q_ntile,
         "key_skew_gini": _q_key_gini,
         "audio_autocorr": _q_audio_autocorr,
+        "caption_pairs": _q_caption_pairs,
     }
 
 
@@ -6339,6 +6389,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l4.ac_4 AS BIGINT) AS ac_4
             FROM p JOIN a USING (doc_id) JOIN l1 USING (doc_id)
                  JOIN l2 USING (doc_id) JOIN l4 USING (doc_id)
+        """,
+        # caption_pairs: rebuild the deterministic interleaving (text
+        # chunk offset = lead + j + (j+1)//3; image after chunk j%3==1
+        # at offset+1; leading image at 0 when doc_id%4=0) and replay
+        # the nearest-text pairing with IGNORE NULLS windows.
+        "caption_pairs": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ), m AS (
+                SELECT doc_id, a, len(a) AS ntok,
+                       CAST(CEIL(len(a) / 5.0) AS BIGINT) AS nc,
+                       CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS lead
+                FROM base
+            ), chunks AS (
+                SELECT doc_id, t.j AS j,
+                       array_to_string(a[t.j * 5 + 1 :
+                                         LEAST(t.j * 5 + 5, ntok)],
+                                       ' ') AS ctext,
+                       lead + t.j + (t.j + 1) // 3 AS off
+                FROM m, unnest(generate_series(0, nc - 1)) AS t(j)
+            ), imgs AS (
+                SELECT doc_id,
+                       'img://' || CAST(doc_id AS VARCHAR) || '/0'
+                           AS media_ref,
+                       0 AS off, '' AS alt
+                FROM m WHERE lead = 1
+                UNION ALL
+                SELECT doc_id,
+                       'img://' || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(j + 1 AS VARCHAR),
+                       off + 1,
+                       CASE WHEN (doc_id + j) % 5 = 0
+                            THEN 'fig ' || CAST(j + 1 AS VARCHAR)
+                            ELSE '' END
+                FROM chunks WHERE j % 3 = 1
+            ), allspans AS (
+                SELECT doc_id, off, 'text' AS kind, ctext AS txt,
+                       CAST(NULL AS VARCHAR) AS media_ref
+                FROM chunks
+                UNION ALL
+                SELECT doc_id, off, 'image', alt, media_ref FROM imgs
+            ), w AS (
+                SELECT *,
+                       last_value(CASE WHEN kind = 'text' THEN txt END
+                                  IGNORE NULLS) OVER pw AS ptxt,
+                       last_value(CASE WHEN kind = 'text' THEN off END
+                                  IGNORE NULLS) OVER pw AS poff,
+                       first_value(CASE WHEN kind = 'text' THEN txt END
+                                   IGNORE NULLS) OVER nw AS ntxt,
+                       first_value(CASE WHEN kind = 'text' THEN off END
+                                   IGNORE NULLS) OVER nw AS noff
+                FROM allspans
+                WINDOW pw AS (PARTITION BY doc_id ORDER BY off
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                       nw AS (PARTITION BY doc_id ORDER BY off
+                              ROWS BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING)
+            )
+            SELECT doc_id, media_ref, 'image' AS kind,
+                   CAST(off AS BIGINT) AS "offset",
+                   CASE WHEN txt <> '' THEN txt
+                        WHEN poff IS NOT NULL AND (noff IS NULL
+                             OR off - poff <= noff - off) THEN ptxt
+                        WHEN noff IS NOT NULL THEN ntxt
+                        ELSE '' END AS caption,
+                   CASE WHEN txt <> '' THEN 'alt'
+                        WHEN poff IS NOT NULL AND (noff IS NULL
+                             OR off - poff <= noff - off) THEN 'prev'
+                        WHEN noff IS NOT NULL THEN 'next'
+                        ELSE 'none' END AS caption_src,
+                   CAST(CASE WHEN txt <> '' THEN 0
+                        WHEN poff IS NOT NULL AND (noff IS NULL
+                             OR off - poff <= noff - off)
+                            THEN off - poff
+                        WHEN noff IS NOT NULL THEN noff - off
+                        ELSE -1 END AS BIGINT) AS distance
+            FROM w WHERE kind = 'image'
+            ORDER BY doc_id, "offset"
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

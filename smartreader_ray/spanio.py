@@ -152,3 +152,77 @@ def spans_equal(a: list[dict], b: list[dict]) -> bool:
         ):
             return False
     return True
+
+
+def caption_pairs_batch(article_batch) -> "pa.Table":
+    """Interleaved-span caption pairing: for every MEDIA span in a
+    ``(doc_id, spans)`` row, find its caption text —
+
+    1. the media span's own non-empty ``text`` (alt / ``figcaption``
+       markup captured at flatten time) → ``caption_src='alt'``;
+    2. else the nearest non-empty TEXT span by span-offset distance,
+       the PRECEDING one winning ties → ``'prev'`` / ``'next'``;
+    3. else ``caption=''``, ``caption_src='none'``.
+
+    ``distance`` is the span-offset delta (0 for alt, -1 for none).
+    The text⇄media alignment step a multimodal training pipeline runs
+    right after extraction (image-caption pair mining). Per-doc numpy
+    searchsorted over the text-span offsets — no quadratic scan.
+
+    Batch-level function: one input row per document, output one row
+    per media span; use inside ``map_batches(..., batch_format="pyarrow")``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    media_kinds = ("image", "video", "audio", "embed")
+    o_doc, o_ref, o_kind, o_off = [], [], [], []
+    o_cap, o_src, o_dist = [], [], []
+    doc_col = article_batch.column("doc_id")
+    for doc_id, spans in zip(doc_col.to_pylist(),
+                             article_batch.column("spans").to_pylist()):
+        spans = spans or []
+        t_off = np.array([s["offset"] for s in spans
+                          if s["kind"] == "text" and (s["text"] or "").strip()],
+                         dtype=np.int64)
+        t_txt = [s["text"] for s in spans
+                 if s["kind"] == "text" and (s["text"] or "").strip()]
+        for s in spans:
+            if s["kind"] not in media_kinds or not s["media_ref"]:
+                continue
+            o_doc.append(doc_id)
+            o_ref.append(s["media_ref"])
+            o_kind.append(s["kind"])
+            off = int(s["offset"])
+            o_off.append(off)
+            alt = (s["text"] or "").strip()
+            if alt:
+                o_cap.append(alt)
+                o_src.append("alt")
+                o_dist.append(0)
+                continue
+            if t_off.size == 0:
+                o_cap.append("")
+                o_src.append("none")
+                o_dist.append(-1)
+                continue
+            i = int(np.searchsorted(t_off, off))
+            prev_d = off - t_off[i - 1] if i > 0 else None
+            next_d = t_off[i] - off if i < t_off.size else None
+            if next_d is None or (prev_d is not None and prev_d <= next_d):
+                o_cap.append(t_txt[i - 1])
+                o_src.append("prev")
+                o_dist.append(int(prev_d))
+            else:
+                o_cap.append(t_txt[i])
+                o_src.append("next")
+                o_dist.append(int(next_d))
+    return pa.table({
+        "doc_id": pa.array(o_doc, type=doc_col.type),
+        "media_ref": pa.array(o_ref, type=pa.string()),
+        "kind": pa.array(o_kind, type=pa.string()),
+        "offset": pa.array(o_off, type=pa.int64()),
+        "caption": pa.array(o_cap, type=pa.string()),
+        "caption_src": pa.array(o_src, type=pa.string()),
+        "distance": pa.array(o_dist, type=pa.int64()),
+    })

@@ -54,3 +54,65 @@ def test_spans_equal():
     assert spans_equal(a, b)
     c = flatten_html("<p>y</p><img src='u'>")
     assert not spans_equal(a, c)
+
+
+def test_caption_pairs_rules():
+    import pyarrow as pa
+
+    from smartreader_ray.spanio import caption_pairs_batch, make_span
+
+    spans = [
+        make_span("image", "", "lead.png", 0),        # next (no prev)
+        make_span("text", "alpha", "", 1),
+        make_span("image", "my alt", "alt.png", 2),   # own alt wins
+        make_span("text", "beta", "", 3),
+        make_span("image", "", "tie.png", 4),         # tie: prev wins
+        make_span("text", "gamma", "", 5),
+        make_span("text", "   ", "", 6),              # blank text ignored
+        make_span("image", "", "far.png", 7),         # prev=gamma d=2
+        make_span("image", "", "", 8),                # no ref -> skipped
+    ]
+    lonely = [make_span("image", "", "only.png", 0)]  # none
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "spans": pa.array([spans, lonely]),
+    })
+    rows = {r["media_ref"]: r
+            for r in caption_pairs_batch(batch).to_pylist()}
+    assert len(rows) == 5
+    assert rows["lead.png"] == {
+        "doc_id": 1, "media_ref": "lead.png", "kind": "image",
+        "offset": 0, "caption": "alpha", "caption_src": "next",
+        "distance": 1}
+    assert (rows["alt.png"]["caption"], rows["alt.png"]["caption_src"],
+            rows["alt.png"]["distance"]) == ("my alt", "alt", 0)
+    assert (rows["tie.png"]["caption"],
+            rows["tie.png"]["caption_src"]) == ("beta", "prev")
+    assert (rows["far.png"]["caption"],
+            rows["far.png"]["distance"]) == ("gamma", 2)
+    assert (rows["only.png"]["caption_src"],
+            rows["only.png"]["distance"]) == ("none", -1)
+
+
+def test_caption_pairs_on_real_extraction():
+    """End-to-end on real markup: flatten -> pair uses the img alt."""
+    import pyarrow as pa
+
+    from smartreader_ray.spanio import caption_pairs_batch, flatten_html
+
+    spans = flatten_html(
+        "<div><p>intro paragraph</p>"
+        "<img src='a.png' alt='a chart'>"
+        "<p>middle text</p><img src='b.png'>"
+        "<p>closing text</p></div>")
+    batch = pa.table({
+        "doc_id": pa.array(["d1"]),
+        "spans": pa.array([spans]),
+    })
+    rows = {r["media_ref"]: r
+            for r in caption_pairs_batch(batch).to_pylist()}
+    assert rows["a.png"]["caption_src"] == "alt"
+    assert rows["a.png"]["caption"] == "a chart"
+    assert rows["b.png"]["caption_src"] in ("prev", "next")
+    assert rows["b.png"]["caption"] in ("middle text", "closing text")
+    assert rows["b.png"]["doc_id"] == "d1"  # string doc ids preserved
