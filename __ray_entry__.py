@@ -3928,6 +3928,44 @@ def _q_caption_pairs(sf_dir: str):
             .sort(["doc_id", "offset"]))
 
 
+def _q_markov_debounced_chain(sf_dir: str):
+    """Composed chain #12: debounce(60 s, per user+type) → first-order
+    Markov transition matrix over the SURVIVING stream → keep
+    transitions with p ≥ 0.2. Proves the event operators compose —
+    the lag windows downstream see the filtered sequence, exactly as
+    the SQL replay does (debounce CTE, then lag over survivors)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.windows import (debounce,
+                                                   markov_transitions)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    surviving = debounce(ds, window_s=60.0)
+    mat = markov_transitions(surviving)
+    return mat.filter(pc.greater_equal(mat.column("p"), 0.2))
+
+
+def _q_abc(sf_dir: str):
+    """Pareto/ABC revenue classification over orders (`functions/
+    reshape.py: abc_analysis`): rank by o_totalprice DESC via the
+    distributed ranking primitive carrying an inclusive cents running
+    total; classes cut at 70.0 % / 90.0 % by pure int64 compare."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import abc_analysis
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice", "o_orderkey"],
+    )
+    return abc_analysis(ds, "o_totalprice", "o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4075,6 +4113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_gini": _q_key_gini,
         "audio_autocorr": _q_audio_autocorr,
         "caption_pairs": _q_caption_pairs,
+        "markov_debounced_chain": _q_markov_debounced_chain,
+        "abc_orders": _q_abc,
     }
 
 
@@ -6469,6 +6509,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -1 END AS BIGINT) AS distance
             FROM w WHERE kind = 'image'
             ORDER BY doc_id, "offset"
+        """,
+        # markov_debounced_chain: debounce CTE (same rule as the
+        # debounce oracle) -> lag over survivors -> p >= 0.15 gate.
+        "markov_debounced_chain": """
+            WITH l AS (
+                SELECT user_id, event_type, ts, event_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id)) AS dt_us
+                FROM events
+            ), surv AS (
+                SELECT user_id, event_type, ts, event_id FROM l
+                WHERE dt_us IS NULL OR dt_us > 60000000
+            ), lg AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM surv
+            ), c AS (
+                SELECT prev_type, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lg WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            ), t AS (
+                SELECT prev_type, SUM(n) AS tot FROM c GROUP BY prev_type
+            )
+            SELECT c.prev_type, c.event_type, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+            FROM c JOIN t USING (prev_type)
+            WHERE CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) >= 0.2
+            ORDER BY c.prev_type, c.event_type
+        """,
+        # abc_orders: running SUM OVER (ORDER BY cents DESC, key);
+        # class cut is the identical int64 permille compare.
+        "abc_orders": """
+            WITH c AS (
+                SELECT o_orderkey AS id,
+                       CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100
+                                  + 0.5) AS BIGINT) AS cents
+                FROM orders
+            ), w AS (
+                SELECT cents,
+                       SUM(cents) OVER (ORDER BY cents DESC, id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c
+            ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM c)
+            SELECT CASE WHEN cum * 1000 <= 700 * t THEN 'A'
+                        WHEN cum * 1000 <= 900 * t THEN 'B'
+                        ELSE 'C' END AS cls,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM w, tot GROUP BY 1 ORDER BY 1
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -687,7 +687,7 @@ def fd_histogram(ds, value_col: str, max_driver_values: int = 5_000_000):
 
 
 def global_rank(ds, ckey_col: str, num_parts: int = 64,
-                samples_per_block: int = 37):
+                samples_per_block: int = 37, sum_col: str | None = None):
     """Exact global 1-based row numbering over a UNIQUE int64 sort key —
     the distributed-ranking primitive behind NTILE / median-split /
     Gini. TeraSort shape: (1) evenly-spaced per-block sort-key samples
@@ -703,9 +703,14 @@ def global_rank(ds, ckey_col: str, num_parts: int = 64,
     range assignment unambiguous. Size ``num_parts`` so a range
     (~n/num_parts rows) fits a worker's heap.
 
-    Returns the dataset with an added ``rn`` (int64, 1-based).
+    Returns the dataset with an added ``rn`` (int64, 1-based). With
+    ``sum_col`` (an int64 column) it also adds ``cum`` — the INCLUSIVE
+    prefix sum of ``sum_col`` in rank order (per-range subtotal offsets
+    ride the same driver prefix-sum as the row counts) — the running
+    total behind Pareto/ABC cuts and equal-weight splits.
     """
     import ray
+    from ray.data.aggregate import Count, Sum
 
     def samp(b: dict) -> dict:
         v = np.sort(np.asarray(b[ckey_col], dtype=np.int64))
@@ -718,9 +723,12 @@ def global_rank(ds, ckey_col: str, num_parts: int = 64,
         [b["s"] for b in ds.map_batches(samp, batch_format="numpy")
          .iter_batches(batch_format="numpy")] or [np.array([], np.int64)]))
     if sample_vals.size == 0:
-        return ds.map_batches(
-            lambda b: b.append_column("rn", pa.array([], type=pa.int64())),
-            batch_format="pyarrow")
+        def empty_cols(b: pa.Table) -> pa.Table:
+            b = b.append_column("rn", pa.array([], type=pa.int64()))
+            if sum_col is not None:
+                b = b.append_column("cum", pa.array([], type=pa.int64()))
+            return b
+        return ds.map_batches(empty_cols, batch_format="pyarrow")
     qs = np.linspace(0, 1, num_parts + 1)[1:-1]
     bounds = np.unique(np.quantile(sample_vals, qs).astype(np.int64))
     bounds_ref = ray.put(bounds)
@@ -732,22 +740,47 @@ def global_rank(ds, ckey_col: str, num_parts: int = 64,
         return b.append_column("__part", pa.array(part, type=pa.int64()))
 
     stamped = ds.map_batches(stamp, batch_format="pyarrow").materialize()
-    cnt = stamped.groupby("__part").count().to_pandas()
+    if sum_col is None:
+        cnt = stamped.groupby("__part").count().to_pandas()
+    else:
+        cnt = stamped.groupby("__part").aggregate(
+            Count(alias_name="count()"),
+            Sum(sum_col, alias_name="__vsum")).to_pandas()
     cnt = cnt.sort_values("__part")
     offs = np.concatenate(([0], np.cumsum(cnt["count()"].to_numpy())))
-    off_by_part = {int(p): int(o) for p, o in
-                   zip(cnt["__part"].to_numpy(), offs[:-1])}
+    if sum_col is None:
+        off_by_part = {int(p): (int(o), 0) for p, o in
+                       zip(cnt["__part"].to_numpy(), offs[:-1])}
+    else:
+        # Python-int prefix sums: partition subtotals never wrap
+        vsums = [int(x) for x in cnt["__vsum"].to_numpy()]
+        voffs, acc = [], 0
+        for x in vsums:
+            voffs.append(acc)
+            acc += x
+        off_by_part = {int(p): (int(o), vo) for p, o, vo in
+                       zip(cnt["__part"].to_numpy(), offs[:-1], voffs)}
     offs_ref = ray.put(off_by_part)
 
     def rank_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return g.append_column("rn", pa.array([], type=pa.int64()))
-        off = ray.get(offs_ref)[int(g.column("__part")[0].as_py())]
+            g = g.append_column("rn", pa.array([], type=pa.int64()))
+            if sum_col is not None:
+                g = g.append_column("cum", pa.array([], type=pa.int64()))
+            return g
+        off, voff = ray.get(offs_ref)[int(g.column("__part")[0].as_py())]
         v = g.column(ckey_col).to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
         rn = np.empty(v.size, dtype=np.int64)
         rn[order] = off + 1 + np.arange(v.size, dtype=np.int64)
-        return g.append_column("rn", pa.array(rn, type=pa.int64()))
+        g = g.append_column("rn", pa.array(rn, type=pa.int64()))
+        if sum_col is not None:
+            vals = g.column(sum_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cum = np.empty(v.size, dtype=np.int64)
+            cum[order] = voff + np.cumsum(vals[order])
+            g = g.append_column("cum", pa.array(cum, type=pa.int64()))
+        return g
 
     return (stamped.groupby("__part")
             .map_groups(rank_part, batch_format="pyarrow")
@@ -902,3 +935,74 @@ def key_gini(ds, key_col: str, num_parts: int = 16):
         "rank_weighted_sum": pa.array([s1], type=pa.int64()),
         "gini": pa.array([gini], type=pa.float64()),
     })
+
+
+def abc_analysis(ds, value_col: str, id_col: str,
+                 permille=(700, 900), num_parts: int = 64):
+    """Pareto / ABC classification: rank rows by value DESC (ties by
+    id ASC), take the inclusive running total of exact integer cents,
+    and cut classes at ``permille`` shares of the grand total (A =
+    running ≤ 70.0 %, B ≤ 90.0 %, C = rest, by default). The
+    "which 20 % of orders carry 80 % of revenue" rollup.
+
+    Rides `global_rank(sum_col=...)` — rank + running total come from
+    ONE TeraSort-shaped exchange. The class test is pure int64:
+    ``cum · 1000 ≤ p · total`` (guarded: total must stay < 2^63/1000).
+    Returns one row per class: ``cls, n_rows, sum_cents``.
+    """
+    from ray.data.aggregate import Sum
+
+    if list(permille) != sorted(permille) or len(permille) != 2:
+        raise ValueError("permille must be two ascending thresholds")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if ids.size and (ids.min() < 0 or ids.max() >= 2**31):
+            raise OverflowError(
+                f"abc_analysis: {id_col} outside [0, 2^31) breaks the "
+                "composite int64 sort key")
+        cents = np.floor(v.astype(np.float64) * 100.0 + 0.5).astype(
+            np.int64)
+        return pa.table({
+            "__ck": pa.array((-cents) * (2**32) + ids, type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+
+    ranked = global_rank(
+        ds.map_batches(keyed, batch_format="pyarrow"), "__ck",
+        num_parts=num_parts, sum_col="cents").materialize()
+    tot_row = ranked.aggregate(Sum("cents", alias_name="t"))
+    total = int(tot_row["t"] or 0)
+    if total * 1000 >= 2**63:
+        raise OverflowError(
+            "abc_analysis: permille compare would exceed int64 — "
+            "failing loudly instead of wrapping")
+    lo, hi = int(permille[0]), int(permille[1])
+
+    def classify(b: pa.Table) -> pa.Table:
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        cls = np.where(cum * 1000 <= lo * total, "A",
+                       np.where(cum * 1000 <= hi * total, "B", "C"))
+        t = pa.table({
+            "cls": pa.array(cls, type=pa.string()),
+            "cents": b.column("cents"),
+        })
+        g = t.group_by("cls").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["cls", "n_rows", "sum_cents"])
+
+    out = (ranked.map_batches(classify, batch_format="pyarrow")
+           .groupby("cls")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("sum_cents", alias_name="sum_cents")))
+
+    def cast64(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cls": b.column("cls"),
+            "n_rows": pc.cast(b.column("n_rows"), pa.int64()),
+            "sum_cents": pc.cast(b.column("sum_cents"), pa.int64()),
+        })
+
+    return out.map_batches(cast64, batch_format="pyarrow").sort("cls")

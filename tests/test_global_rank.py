@@ -113,3 +113,71 @@ class TestKeyGini:
         ds = ray.data.from_arrow(pa.table({"k": keys}))
         got = key_gini(ds, "k").to_pylist()[0]
         assert got["gini"] == 0.0  # perfectly even counts
+
+
+class TestPrefixSumCarry:
+    def test_cum_matches_sorted_cumsum(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.reshape import global_rank
+
+        rng = np.random.default_rng(8)
+        ck = rng.permutation(1500).astype(np.int64)
+        vals = rng.integers(1, 100, size=1500).astype(np.int64)
+        t = pa.table({"__ck": ck, "cents": vals})
+        got = global_rank(ray.data.from_arrow(t).repartition(8), "__ck",
+                          num_parts=6, sum_col="cents").take_all()
+        by_ck = {r["__ck"]: r for r in got}
+        order = np.argsort(ck)
+        cum = np.cumsum(vals[order])
+        for pos, i in enumerate(order):
+            assert by_ck[ck[i]]["rn"] == pos + 1
+            assert by_ck[ck[i]]["cum"] == cum[pos]
+
+
+class TestAbcAnalysis:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.reshape import abc_analysis
+
+        rng = np.random.default_rng(17)
+        n = 900
+        t = pa.table({
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            # heavy ties + a few whales
+            "price": pa.array(np.where(np.arange(n) % 97 == 0, 5000.0,
+                                       rng.integers(1, 50, n) * 1.0)),
+        })
+        got = {r["cls"]: (r["n_rows"], r["sum_cents"])
+               for r in abc_analysis(
+                   ray.data.from_arrow(t).repartition(5), "price", "id",
+                   num_parts=4).take_all()}
+
+        cents = np.floor(t.column("price").to_numpy() * 100 + 0.5).astype(
+            np.int64)
+        ids = t.column("id").to_numpy()
+        order = np.lexsort((ids, -cents))
+        cum = np.cumsum(cents[order])
+        total = int(cents.sum())
+        want = {}
+        for c, cm in zip(cents[order], cum):
+            cls = ("A" if cm * 1000 <= 700 * total
+                   else "B" if cm * 1000 <= 900 * total else "C")
+            nr, sc = want.get(cls, (0, 0))
+            want[cls] = (nr + 1, sc + int(c))
+        assert got == want
+        assert set(got) == {"A", "B", "C"}
+        # whales concentrate value: A must be far fewer rows than C
+        assert got["A"][0] < got["C"][0]
+
+    def test_bad_permille(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.reshape import abc_analysis
+
+        t = pa.table({"id": pa.array([1], type=pa.int64()),
+                      "price": pa.array([1.0])})
+        with pytest.raises(ValueError):
+            abc_analysis(ray.data.from_arrow(t), "price", "id",
+                         permille=(900, 700))
