@@ -3966,6 +3966,22 @@ def _q_abc(sf_dir: str):
     return abc_analysis(ds, "o_totalprice", "o_orderkey")
 
 
+def _q_pmi(sf_dir: str):
+    """PMI over the top-50 windowed co-occurrence pairs (`functions/
+    ngrams.py: pmi_scores`): integer sufficient stats from the
+    distributed pass; the float PMI is ONE shared libm ln expression
+    stamped on the 50-row result (math.log == DuckDB ln bit-exactly;
+    numpy's SIMD log is NOT — verified)."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import pmi_scores
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return pmi_scores(ds, text_col="text", window=3, top_k_pairs=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4115,6 +4131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_pairs": _q_caption_pairs,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
+        "pmi_pairs": _q_pmi,
     }
 
 
@@ -6562,6 +6579,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM w, tot GROUP BY 1 ORDER BY 1
+        """,
+        # pmi_pairs: the cooccurrence oracle + corpus totals + the ONE
+        # shared ln expression (identical left-assoc IEEE order).
+        "pmi_pairs": """
+            WITH base AS (
+                SELECT string_split(trim(text), ' ') AS a FROM documents
+            ), raw AS (
+                SELECT a[i] AS x, a[i + 1] AS y
+                FROM base, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+                UNION ALL
+                SELECT a[i], a[i + 2]
+                FROM base, UNNEST(generate_series(1, len(a) - 2)) AS t(i)
+                UNION ALL
+                SELECT a[i], a[i + 3]
+                FROM base, UNNEST(generate_series(1, len(a) - 3)) AS t(i)
+            ), canon AS (
+                SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM raw
+            ), pcnt AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+                FROM canon GROUP BY a, b
+            ), marg AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT a[i] AS tok
+                      FROM base,
+                           UNNEST(generate_series(1, len(a))) AS t(i))
+                GROUP BY tok
+            ), tot AS (
+                SELECT CAST(SUM(len(a)) AS DOUBLE) AS nt,
+                       CAST(SUM(GREATEST(len(a) - 1, 0)
+                                + GREATEST(len(a) - 2, 0)
+                                + GREATEST(len(a) - 3, 0)) AS DOUBLE)
+                           AS np
+                FROM base
+            ), top AS (
+                SELECT * FROM pcnt ORDER BY pair_count DESC, a, b LIMIT 50
+            )
+            SELECT top.a, top.b, top.pair_count,
+                   ma.c AS count_a, mb.c AS count_b,
+                   ln(CAST(top.pair_count AS DOUBLE) * tot.nt * tot.nt
+                      / (tot.np * CAST(ma.c AS DOUBLE)
+                         * CAST(mb.c AS DOUBLE))) AS pmi
+            FROM top, tot
+            JOIN marg ma ON ma.tok = top.a
+            JOIN marg mb ON mb.tok = top.b
+            ORDER BY pair_count DESC, a, b
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

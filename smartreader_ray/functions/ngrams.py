@@ -536,3 +536,57 @@ def posting_lists(ds, doc_col: str = "doc_id", text_col: str = "text",
         .map_groups(merge, batch_format="pyarrow")
         .sort("term")
     )
+
+
+def pmi_scores(ds, text_col: str = "text", window: int = 3,
+               top_k_pairs: int = 50):
+    """Pointwise mutual information for the top windowed co-occurrence
+    pairs: PMI = ln(P(a,b) / (P(a)·P(b))) with P(a,b) = c_ab/N_p and
+    P(t) = c_t/N_t, evaluated as ONE double expression
+    ``ln(c_ab·N_t·N_t / (N_p·c_a·c_b))`` in the identical left-assoc
+    IEEE order both engines use — DuckDB's ``ln`` is libm's, so
+    ``math.log`` (NOT numpy's SIMD log, which differs in the last bit
+    on some inputs) keeps the float hash-exact.
+
+    All sufficient statistics are exact integers from
+    `cooccurrence_window`; the totals N_t (tokens) and N_p (windowed
+    pair slots, Σ_docs Σ_{w≤window} max(m−w, 0)) are one scan-side
+    aggregate each. PMI is stamped on the 50-row top-k only — the
+    float math never touches corpus-sized data.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    top = cooccurrence_window(ds, text_col=text_col, window=window,
+                              top_k_pairs=top_k_pairs)
+
+    def totals_partial(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(pc.utf8_trim_whitespace(b.column(text_col)),
+                             " ")).to_numpy(zero_copy_only=False)
+        n = n.astype(np.int64)
+        n_pairs = np.zeros_like(n)
+        for w in range(1, window + 1):
+            n_pairs += np.maximum(n - w, 0)
+        return pa.table({
+            "nt": pa.array([int(n.sum())], type=pa.int64()),
+            "np": pa.array([int(n_pairs.sum())], type=pa.int64()),
+        })
+
+    tot = (ds.map_batches(totals_partial, batch_format="pyarrow")
+           .aggregate(Sum("nt", alias_name="nt"),
+                      Sum("np", alias_name="np")))
+    nt, npair = float(tot["nt"]), float(tot["np"])
+
+    def stamp(b: pa.Table) -> pa.Table:
+        pmi = [
+            math.log(float(cab) * nt * nt
+                     / (npair * float(ca) * float(cb)))
+            for cab, ca, cb in zip(b.column("pair_count").to_pylist(),
+                                   b.column("count_a").to_pylist(),
+                                   b.column("count_b").to_pylist())
+        ]
+        return b.append_column("pmi", pa.array(pmi, type=pa.float64()))
+
+    return top.map_batches(stamp, batch_format="pyarrow")

@@ -225,3 +225,42 @@ def test_posting_lists_matches_duckdb(ray_session):
     """).fetchall()}
     assert got == exp
     assert got["a"] == (2, "5,10")  # multi-occurrence dedup + order
+
+
+def test_pmi_scores_bruteforce(ray_session):
+    import math
+
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import pmi_scores
+
+    docs = pa.table({"text": [
+        "a b c a b", "b c d", "a a a b", "x y", "c d a b c",
+    ]})
+    got = pmi_scores(ray.data.from_arrow(docs).repartition(3),
+                     window=2, top_k_pairs=10).take_all()
+
+    toks = [t["text"].strip().split(" ") for t in docs.to_pylist()]
+    from collections import Counter
+    marg = Counter(w for d in toks for w in d)
+    pairs = Counter()
+    for d in toks:
+        for w in (1, 2):
+            for i in range(len(d) - w):
+                a, b = sorted((d[i], d[i + w]))
+                pairs[(a, b)] += 1
+    nt = float(sum(marg.values()))
+    npair = float(sum(max(len(d) - w, 0) for d in toks for w in (1, 2)))
+    want = {k: v for k, v in pairs.items()}
+    assert len(got) == min(10, len(pairs))
+    for r in got:
+        cab = want[(r["a"], r["b"])]
+        assert r["pair_count"] == cab
+        assert r["count_a"] == marg[r["a"]]
+        assert r["count_b"] == marg[r["b"]]
+        assert r["pmi"] == math.log(
+            float(cab) * nt * nt
+            / (npair * float(marg[r["a"]]) * float(marg[r["b"]])))
+    # frequently-together tokens score above independents
+    by_pair = {(r["a"], r["b"]): r["pmi"] for r in got}
+    assert by_pair[("x", "y")] > 0  # x,y only ever co-occur
