@@ -3982,6 +3982,37 @@ def _q_pmi(sf_dir: str):
     return pmi_scores(ds, text_col="text", window=3, top_k_pairs=50)
 
 
+def _q_interval_union(sf_dir: str):
+    """Merged-interval coverage per user (`functions/windows.py:
+    interval_union`): each event opens [ts, ts+5min); overlapping
+    intervals merge via a sorted cumulative-max island scan; exact
+    integer µs coverage."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import interval_union
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return interval_union(ds, span_s=300.0).sort("user_id")
+
+
+def _q_daily_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (`functions/
+    windows.py: daily_streaks`): per-block (user, day) dedup partials →
+    user-keyed groupby → vectorized gaps-and-islands."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import daily_streaks
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return daily_streaks(ds).sort("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4132,6 +4163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
+        "interval_union": _q_interval_union,
+        "daily_streaks": _q_daily_streaks,
     }
 
 
@@ -6624,6 +6657,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg ma ON ma.tok = top.a
             JOIN marg mb ON mb.tok = top.b
             ORDER BY pair_count DESC, a, b
+        """,
+        # interval_union: cumulative-max islands over sorted starts;
+        # same half-open merge rule (break only when st > prev max).
+        "interval_union": """
+            WITH s AS (
+                SELECT user_id, epoch_us(ts) AS st,
+                       epoch_us(ts) + 300000000 AS en
+                FROM events
+            ), w AS (
+                SELECT user_id, st, en,
+                       MAX(en) OVER (PARTITION BY user_id
+                           ORDER BY st, en
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+                FROM s
+            ), m AS (
+                SELECT *, CASE WHEN pmax IS NULL OR st > pmax
+                               THEN 1 ELSE 0 END AS brk
+                FROM w
+            ), g AS (
+                SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY st, en
+                              ROWS UNBOUNDED PRECEDING) AS island
+                FROM m
+            ), isl AS (
+                SELECT user_id, island, MIN(st) AS i_st, MAX(en) AS i_en
+                FROM g GROUP BY user_id, island
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(i_en - i_st) AS BIGINT) AS covered_us
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        # daily_streaks: the day - row_number() gaps-and-islands trick
+        # over distinct (user, epoch-day) pairs.
+        "daily_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), r AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS grp
+                FROM d
+            ), runs AS (
+                SELECT user_id, grp, count(*) AS len
+                FROM r GROUP BY user_id, grp
+            )
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM runs GROUP BY user_id ORDER BY user_id
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -1201,3 +1201,95 @@ def rolling_anomaly(ds, k: int = 4, factor: int = 2,
     pruned = ds.select_columns([user_col, ts_col, value_col, id_col])
     return pruned.groupby(user_col).map_groups(
         per_user, batch_format="pyarrow")
+
+
+def interval_union(ds, span_s: float = 300.0, user_col: str = "user_id",
+                   ts_col: str = "ts"):
+    """Total covered time per user after merging overlaps: each event
+    opens the interval [ts, ts + span_s); overlapping/touching
+    intervals merge into islands; output per user the merged coverage —
+    ``n_islands`` and exact ``covered_us`` — the "active seconds"
+    metric ad/engagement pipelines bill on, and the interval-union
+    primitive genomics/log pipelines call coverage.
+
+    Exact integer µs end to end. Islands: sort starts; a new island
+    opens where start > running max end (touching endpoints merge —
+    half-open intervals). Ray shape: the per-user groupby floor; inside
+    a group one sort + cumulative max (numpy), no per-event Python.
+    """
+    span_us = int(span_s * 1_000_000)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_islands": pa.array([], type=pa.int64()),
+            "covered_us": pa.array([], type=pa.int64()),
+        })
+        n = g.num_rows
+        if n == 0:
+            return empty
+        ts = np.sort(g.column(ts_col).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64))
+        ends = ts + span_us
+        run_max = np.maximum.accumulate(ends)
+        new_island = np.empty(n, dtype=bool)
+        new_island[0] = True
+        new_island[1:] = ts[1:] > run_max[:-1]
+        starts_idx = np.flatnonzero(new_island)
+        island_ends = np.concatenate(
+            (run_max[starts_idx[1:] - 1], [run_max[-1]]))
+        covered = int((island_ends - ts[starts_idx]).sum())
+        uid = int(g.column(user_col)[0].as_py())
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "n_islands": pa.array([len(starts_idx)], type=pa.int64()),
+            "covered_us": pa.array([covered], type=pa.int64()),
+        })
+
+    return (ds.select_columns([user_col, ts_col])
+            .groupby(user_col)
+            .map_groups(per_user, batch_format="pyarrow"))
+
+
+def daily_streaks(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Longest consecutive-day activity streak per user — the retention
+    health metric. Distinct epoch-days per user → gaps-and-islands on
+    day − position (consecutive days share the constant) → per-user
+    ``n_days`` (distinct active days) and ``longest_streak``.
+
+    Ray shape: per-block (user, day) dedup partials shrink the exchange
+    to distinct pairs; one user-keyed groupby; vectorized island scan.
+    """
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        uid = b.column(user_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        t = pa.table({"user_id": pa.array(uid, type=pa.int64()),
+                      "day": pa.array(day, type=pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = np.unique(g.column("day").to_numpy(zero_copy_only=False))
+        if days.size == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_days": pa.array([], type=pa.int64()),
+                "longest_streak": pa.array([], type=pa.int64()),
+            })
+        breaks = np.flatnonzero(np.diff(days) != 1)
+        lengths = np.diff(np.concatenate(([-1], breaks, [days.size - 1])))
+        uid = int(g.column("user_id")[0].as_py())
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "n_days": pa.array([days.size], type=pa.int64()),
+            "longest_streak": pa.array([int(lengths.max())],
+                                       type=pa.int64()),
+        })
+
+    return (ds.select_columns([user_col, ts_col])
+            .map_batches(day_pairs, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pyarrow"))

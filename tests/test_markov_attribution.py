@@ -152,3 +152,74 @@ class TestRollingAnomaly:
         })
         assert rolling_anomaly(
             ray.data.from_arrow(t), k=4).count() == 0
+
+
+class TestIntervalUnion:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import interval_union
+
+        t = _mk_events(seed=23, n=400, users=7)
+        span_us = 300 * 1_000_000
+        got = {r["user_id"]: (r["n_islands"], r["covered_us"])
+               for r in interval_union(
+                   ray.data.from_arrow(t).repartition(5),
+                   span_s=300.0).take_all()}
+
+        seq = {}
+        for _eid, uid, ts, _et, _v in _rows(t):
+            us = int(ts.timestamp() * 1e6) if hasattr(ts, "timestamp") \
+                else int(np.datetime64(ts, "us").astype(np.int64))
+            seq.setdefault(uid, []).append(us)
+        for uid, starts in seq.items():
+            starts.sort()
+            islands = []
+            for st in starts:
+                if islands and st <= islands[-1][1]:
+                    islands[-1][1] = max(islands[-1][1], st + span_us)
+                else:
+                    islands.append([st, st + span_us])
+            want = (len(islands), sum(e - s for s, e in islands))
+            assert got[uid] == want, uid
+
+    def test_touching_intervals_merge(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import interval_union
+
+        ts = np.array([0, 300_000_000, 900_000_000],
+                      dtype="datetime64[us]")
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array(ts),
+        })
+        r = interval_union(ray.data.from_arrow(t),
+                           span_s=300.0).take_all()[0]
+        # [0,300s) + [300s,600s) merge; [900s,1200s) separate
+        assert r["n_islands"] == 2
+        assert r["covered_us"] == 600_000_000 + 300_000_000
+
+
+class TestDailyStreaks:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import daily_streaks
+
+        t = _mk_events(seed=29, n=500, users=8)
+        got = {r["user_id"]: (r["n_days"], r["longest_streak"])
+               for r in daily_streaks(
+                   ray.data.from_arrow(t).repartition(4)).take_all()}
+
+        seq = {}
+        for _eid, uid, ts, _et, _v in _rows(t):
+            us = int(np.datetime64(ts, "us").astype(np.int64))
+            seq.setdefault(uid, set()).add(us // 86_400_000_000)
+        for uid, days in seq.items():
+            ds_ = sorted(days)
+            best = cur = 1
+            for a, b in zip(ds_, ds_[1:]):
+                cur = cur + 1 if b - a == 1 else 1
+                best = max(best, cur)
+            assert got[uid] == (len(ds_), best), uid
