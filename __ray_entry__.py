@@ -4013,6 +4013,23 @@ def _q_daily_streaks(sf_dir: str):
     return daily_streaks(ds).sort("user_id")
 
 
+def _q_balanced_shards(sf_dir: str):
+    """Size-balanced output sharding plan over documents by n_chars
+    (`functions/reshape.py: balanced_shards_plan`): contiguous id-order
+    bin-packing into 16 near-equal-weight shards — shard =
+    exclusive_prefix·k//total, pure int64 on the prefix-sum-carrying
+    global rank."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import balanced_shards_plan
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    return balanced_shards_plan(ds, "doc_id", "n_chars", k=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4165,6 +4182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": _q_pmi,
         "interval_union": _q_interval_union,
         "daily_streaks": _q_daily_streaks,
+        "balanced_shards": _q_balanced_shards,
     }
 
 
@@ -6708,6 +6726,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
                    CAST(MAX(len) AS BIGINT) AS longest_streak
             FROM runs GROUP BY user_id ORDER BY user_id
+        """,
+        # balanced_shards: exclusive prefix sum over id order, shard =
+        # prefix*k//total — the identical int64 bin-pack rule.
+        "balanced_shards": """
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_chars AS pfx
+                FROM documents
+            ), tot AS (
+                SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM documents
+            ), a AS (
+                SELECT doc_id, n_chars,
+                       CAST(pfx AS BIGINT) * 16 // tot.t AS shard
+                FROM w, tot
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_weight,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_id
+            FROM a GROUP BY shard ORDER BY shard
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

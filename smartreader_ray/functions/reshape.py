@@ -1006,3 +1006,80 @@ def abc_analysis(ds, value_col: str, id_col: str,
         })
 
     return out.map_batches(cast64, batch_format="pyarrow").sort("cls")
+
+
+def balanced_shards_plan(ds, id_col: str, weight_col: str, k: int = 16,
+                         num_parts: int = 64):
+    """Compaction / output-layout planning: assign rows IN ID ORDER to
+    ``k`` shards of near-equal total weight (bytes, chars, rows×cost) —
+    ``shard = exclusive_prefix(weight) · k // total`` — the classic
+    contiguous bin-packing a writer uses to emit same-sized files while
+    preserving input order (resumable-output rule: one directory per
+    shard). Returns the per-shard plan: ``shard, n_rows, sum_weight,
+    min_id, max_id`` — contiguous, gap-free id ranges.
+
+    Rides `global_rank(sum_col=...)`: ranking key is the (unique)
+    ``id_col`` itself, the running weight total comes with the same
+    exchange. Pure int64 (guarded: total · k < 2^63).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if w.size and w.min() < 0:
+            raise ValueError("weights must be non-negative")
+        return pa.table({
+            "__ck": pa.array(ids, type=pa.int64()),
+            "w": pa.array(w, type=pa.int64()),
+        })
+
+    ranked = global_rank(
+        ds.map_batches(keyed, batch_format="pyarrow"), "__ck",
+        num_parts=num_parts, sum_col="w").materialize()
+    tot_row = ranked.aggregate(Sum("w", alias_name="t"))
+    total = int(tot_row["t"] or 0)
+    if total <= 0:
+        return pa.table({
+            "shard": pa.array([], type=pa.int64()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "sum_weight": pa.array([], type=pa.int64()),
+            "min_id": pa.array([], type=pa.int64()),
+            "max_id": pa.array([], type=pa.int64()),
+        })
+    if total * k >= 2**63:
+        raise OverflowError(
+            "balanced_shards_plan: total weight × k exceeds int64 — "
+            "failing loudly instead of wrapping")
+
+    def assign(b: pa.Table) -> pa.Table:
+        cum = b.column("cum").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        shard = (cum - w) * k // total  # exclusive prefix
+        t = pa.table({
+            "shard": pa.array(shard, type=pa.int64()),
+            "w": b.column("w"),
+            "id": b.column("__ck"),
+        })
+        g = t.group_by("shard").aggregate(
+            [("w", "count"), ("w", "sum"), ("id", "min"), ("id", "max")])
+        return g.rename_columns(
+            ["shard", "n_rows", "sum_weight", "min_id", "max_id"])
+
+    out = (ranked.map_batches(assign, batch_format="pyarrow")
+           .groupby("shard")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("sum_weight", alias_name="sum_weight"),
+                      Min("min_id", alias_name="min_id"),
+                      Max("max_id", alias_name="max_id")))
+
+    def cast64(b: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pc.cast(b.column(c), pa.int64()) for c in b.column_names})
+
+    return out.map_batches(cast64, batch_format="pyarrow").sort("shard")

@@ -181,3 +181,48 @@ class TestAbcAnalysis:
         with pytest.raises(ValueError):
             abc_analysis(ray.data.from_arrow(t), "price", "id",
                          permille=(900, 700))
+
+
+class TestBalancedShards:
+    def test_contiguous_and_balanced(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.reshape import balanced_shards_plan
+
+        rng = np.random.default_rng(31)
+        n, k = 1200, 8
+        ids = np.arange(n, dtype=np.int64)
+        w = rng.integers(1, 500, size=n).astype(np.int64)
+        t = pa.table({"doc_id": ids, "n_chars": w})
+        plan = balanced_shards_plan(
+            ray.data.from_arrow(t).repartition(7), "doc_id", "n_chars",
+            k=k, num_parts=5).to_pandas()
+
+        # brute force
+        pfx = np.cumsum(w) - w
+        total = int(w.sum())
+        shard = pfx * k // total
+        import pandas as pd
+        want = (pd.DataFrame({"shard": shard, "w": w, "id": ids})
+                .groupby("shard")
+                .agg(n_rows=("w", "size"), sum_weight=("w", "sum"),
+                     min_id=("id", "min"), max_id=("id", "max"))
+                .reset_index())
+        got = plan.astype("int64")
+        assert got.values.tolist() == want.astype("int64").values.tolist()
+        # contiguity: shard i+1 starts right after shard i ends
+        for a, b in zip(got.itertuples(), got.iloc[1:].itertuples()):
+            assert b.min_id == a.max_id + 1
+        # balance: every shard within 2x of ideal weight
+        ideal = total / k
+        assert (got["sum_weight"] < 2 * ideal).all()
+
+    def test_zero_total_empty_plan(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.reshape import balanced_shards_plan
+
+        t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_chars": pa.array([], type=pa.int64())})
+        assert balanced_shards_plan(
+            ray.data.from_arrow(t), "doc_id", "n_chars").num_rows == 0
