@@ -4030,6 +4030,39 @@ def _q_balanced_shards(sf_dir: str):
     return balanced_shards_plan(ds, "doc_id", "n_chars", k=16)
 
 
+def _q_proximity(sf_dir: str):
+    """Temporal proximity join (`functions/windows.py: proximity_join`):
+    every purchase joined to the same user's clicks within ±10 min —
+    before/after counts + nearest absolute µs via sorted searchsorted,
+    O((L+R)·log R) per user where the SQL oracle runs the L×R join."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import proximity_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return proximity_join(ds, "purchase", "click",
+                          window_s=600.0).sort("event_id")
+
+
+def _q_hourly_profile(sf_dir: str):
+    """Seasonality heatmap (`functions/windows.py: hourly_profile`):
+    (day-of-week, hour) counts + exact cent sums from per-block
+    168-bucket partials; dow by pure epoch arithmetic so the oracle
+    replays the identical integer formula."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import hourly_profile
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "value"],
+    )
+    return hourly_profile(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4183,6 +4216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_union": _q_interval_union,
         "daily_streaks": _q_daily_streaks,
         "balanced_shards": _q_balanced_shards,
+        "click_proximity": _q_proximity,
+        "hourly_profile": _q_hourly_profile,
     }
 
 
@@ -6748,6 +6783,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS min_id,
                    CAST(MAX(doc_id) AS BIGINT) AS max_id
             FROM a GROUP BY shard ORDER BY shard
+        """,
+        # click_proximity: the L×R windowed join the engine avoids;
+        # same-µs right events count as before (<=), exact integer µs.
+        "click_proximity": """
+            WITH l AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'purchase'
+            ), r AS (
+                SELECT user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'click'
+            ), j AS (
+                SELECT l.user_id, l.event_id,
+                       CAST(SUM(CASE WHEN r.t <= l.t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_before,
+                       CAST(SUM(CASE WHEN r.t > l.t THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_after,
+                       CAST(MIN(ABS(r.t - l.t)) AS BIGINT)
+                           AS nearest_abs_us
+                FROM l JOIN r ON r.user_id = l.user_id
+                     AND r.t BETWEEN l.t - 600000000 AND l.t + 600000000
+                GROUP BY l.user_id, l.event_id
+            )
+            SELECT l.user_id, l.event_id,
+                   COALESCE(j.n_before, 0) AS n_before,
+                   COALESCE(j.n_after, 0) AS n_after,
+                   j.nearest_abs_us
+            FROM l LEFT JOIN j USING (user_id, event_id)
+            ORDER BY l.event_id
+        """,
+        # hourly_profile: identical integer epoch formulas — no
+        # calendar/timezone function on either side.
+        "hourly_profile": """
+            WITH b AS (
+                SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                       (epoch_us(ts) // 3600000000) % 24 AS hour,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(hour AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM b GROUP BY dow, hour ORDER BY dow, hour
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -1293,3 +1293,134 @@ def daily_streaks(ds, user_col: str = "user_id", ts_col: str = "ts"):
             .map_batches(day_pairs, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(per_user, batch_format="pyarrow"))
+
+
+def proximity_join(ds, left_type: str = "purchase",
+                   right_type: str = "click", window_s: float = 600.0,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type", id_col: str = "event_id"):
+    """Stream⇄stream temporal proximity join: for every LEFT event
+    (e.g. purchase), count the same user's RIGHT events (e.g. click)
+    within ±``window_s`` and report the nearest absolute distance —
+    the "was this conversion preceded by engagement" feature, a
+    windowed non-equi self-join no equality key can express.
+
+    Output per left event: ``user_id, event_id, n_before, n_after,
+    nearest_abs_us`` (NULL when no right event is in window; a right
+    event at the exact same µs counts as before). Exact integer µs.
+
+    Ray shape: the per-user groupby floor; inside a group the right
+    timestamps are sorted ONCE and every left event resolves via two
+    searchsorteds (counts) plus insertion-point neighbors (nearest) —
+    O((L+R)·log R) per user, never the L×R SQL join the oracle runs.
+    """
+    win_us = int(window_s * 1_000_000)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "n_before": pa.array([], type=pa.int64()),
+            "n_after": pa.array([], type=pa.int64()),
+            "nearest_abs_us": pa.array([], type=pa.int64()),
+        })
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lmask = types == left_type
+        if not lmask.any():
+            return empty
+        lt, lid = ts[lmask], ids[lmask]
+        rt = np.sort(ts[types == right_type])
+        uid = int(g.column(user_col)[0].as_py())
+        n = lt.size
+        if rt.size == 0:
+            n_before = n_after = np.zeros(n, dtype=np.int64)
+            nearest = pa.array([None] * n, type=pa.int64())
+        else:
+            lo = np.searchsorted(rt, lt - win_us, side="left")
+            mid = np.searchsorted(rt, lt, side="right")  # same-µs: before
+            hi = np.searchsorted(rt, lt + win_us, side="right")
+            n_before = (mid - lo).astype(np.int64)
+            n_after = (hi - mid).astype(np.int64)
+            prev_i = np.clip(mid - 1, 0, rt.size - 1)
+            next_i = np.clip(mid, 0, rt.size - 1)
+            d_prev = np.where(mid > 0, np.abs(lt - rt[prev_i]),
+                              np.int64(2**62))
+            d_next = np.where(mid < rt.size, np.abs(rt[next_i] - lt),
+                              np.int64(2**62))
+            dmin = np.minimum(d_prev, d_next)
+            has = (n_before + n_after) > 0
+            nearest = pa.array(
+                [int(d) if h else None for d, h in zip(dmin, has)],
+                type=pa.int64())
+        return pa.table({
+            "user_id": pa.array(np.full(n, uid), type=pa.int64()),
+            "event_id": pa.array(lid, type=pa.int64()),
+            "n_before": pa.array(n_before, type=pa.int64()),
+            "n_after": pa.array(n_after, type=pa.int64()),
+            "nearest_abs_us": nearest,
+        })
+
+    pruned = ds.select_columns([user_col, ts_col, type_col, id_col])
+    return pruned.groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow")
+
+
+def hourly_profile(ds, ts_col: str = "ts", value_col: str = "value"):
+    """Seasonality profile: events bucketed by (day-of-week, hour-of-day)
+    with count and exact integer-cent value sums — the load-shape /
+    staffing heatmap input. Day-of-week via pure epoch arithmetic
+    ``(epoch_days + 4) % 7`` (0 = Sunday; 1970-01-01 was a Thursday) so
+    the oracle replays the identical integer formula with no calendar
+    or timezone function in the loop.
+
+    Ray shape: per-block 7×24 count/sum partials (np.bincount over the
+    composite bucket) ride one fixed-size groupby — the exchange is
+    168 rows per block regardless of corpus size.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v.astype(np.float64) * 100.0 + 0.5).astype(
+            np.int64)
+        dow = ((ts // 86_400_000_000) + 4) % 7
+        hour = (ts // 3_600_000_000) % 24
+        bucket = (dow * 24 + hour).astype(np.int64)
+        n = np.bincount(bucket, minlength=168)
+        # weighted bincount goes through float64 (exact only under
+        # 2^53) — accumulate the cent sums in int64 instead
+        s_int = np.zeros(168, dtype=np.int64)
+        np.add.at(s_int, bucket, cents)
+        seen = np.nonzero(n)[0]
+        return pa.table({
+            "dow": pa.array(seen // 24, type=pa.int64()),
+            "hour": pa.array(seen % 24, type=pa.int64()),
+            "n": pa.array(n[seen], type=pa.int64()),
+            "value_cents": pa.array(s_int[seen], type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.select_columns([ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["dow", "hour"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("value_cents", alias_name="value_cents")))
+
+    import pyarrow.compute as pc
+
+    def cast64(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": b.column("dow"),
+            "hour": b.column("hour"),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "value_cents": pc.cast(b.column("value_cents"), pa.int64()),
+        })
+
+    return agg.map_batches(cast64, batch_format="pyarrow").sort(
+        ["dow", "hour"])

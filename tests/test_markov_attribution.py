@@ -223,3 +223,90 @@ class TestDailyStreaks:
                 cur = cur + 1 if b - a == 1 else 1
                 best = max(best, cur)
             assert got[uid] == (len(ds_), best), uid
+
+
+class TestProximityJoin:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import proximity_join
+
+        t = _mk_events(seed=41, n=600, users=6)
+        win = 600 * 1_000_000
+        got = {r["event_id"]: (r["n_before"], r["n_after"],
+                               r["nearest_abs_us"])
+               for r in proximity_join(
+                   ray.data.from_arrow(t).repartition(5),
+                   "purchase", "click", window_s=600.0).take_all()}
+
+        rows = _rows(t)
+        us = {eid: int(np.datetime64(ts, "us").astype(np.int64))
+              for eid, _u, ts, _e, _v in rows}
+        n_checked = 0
+        for eid, uid, _ts, et, _v in rows:
+            if et != "purchase":
+                continue
+            lt = us[eid]
+            rts = [us[e2] for e2, u2, _t2, e2t, _v2 in rows
+                   if u2 == uid and e2t == "click"]
+            inw = [r for r in rts if abs(r - lt) <= win]
+            nb = sum(1 for r in inw if r <= lt)
+            na = sum(1 for r in inw if r > lt)
+            nearest = min((abs(r - lt) for r in inw), default=None)
+            assert got[eid] == (nb, na, nearest), eid
+            n_checked += 1
+        assert n_checked and len(got) == n_checked
+        # some purchases must be click-less (NULL nearest) and some not
+        vals = [v[2] for v in got.values()]
+        assert any(v is None for v in vals) or all(
+            v is not None for v in vals)
+
+    def test_same_microsecond_counts_before(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import proximity_join
+
+        ts = np.array([1_000_000, 1_000_000], dtype="datetime64[us]")
+        t = pa.table({
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "user_id": pa.array([7, 7], type=pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": pa.array(["purchase", "click"]),
+        })
+        r = proximity_join(ray.data.from_arrow(t), "purchase", "click",
+                           window_s=1.0).take_all()[0]
+        assert (r["n_before"], r["n_after"], r["nearest_abs_us"]) \
+            == (1, 0, 0)
+
+
+class TestHourlyProfile:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import hourly_profile
+
+        t = _mk_events(seed=43, n=700)
+        got = {(r["dow"], r["hour"]): (r["n"], r["value_cents"])
+               for r in hourly_profile(
+                   ray.data.from_arrow(t).repartition(6)).take_all()}
+
+        want = {}
+        for _eid, _uid, ts, _et, v in _rows(t):
+            us = int(np.datetime64(ts, "us").astype(np.int64))
+            key = ((us // 86_400_000_000 + 4) % 7,
+                   (us // 3_600_000_000) % 24)
+            n, s = want.get(key, (0, 0))
+            want[key] = (n + 1, s + int(math.floor(v * 100 + 0.5)))
+        assert got == want
+
+    def test_epoch_day_zero_is_thursday(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.windows import hourly_profile
+
+        t = pa.table({
+            "ts": pa.array(np.array([0], dtype="datetime64[us]")),
+            "value": pa.array([1.0]),
+        })
+        r = hourly_profile(ray.data.from_arrow(t)).take_all()[0]
+        assert (r["dow"], r["hour"]) == (4, 0)  # 1970-01-01 00:00 Thu
