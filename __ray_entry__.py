@@ -4063,6 +4063,29 @@ def _q_hourly_profile(sf_dir: str):
     return hourly_profile(ds)
 
 
+def _q_zorder_layout(sf_dir: str):
+    """OPTIMIZE-ZORDER plan (`functions/layout.py: zorder_layout`):
+    Morton-interleave (l_partkey, l_suppkey) low 15 bits, global rank
+    by the Z key (TeraSort exchange), cut into 16 equal-size shards,
+    report per-shard zone maps — the lakehouse two-column clustering
+    primitive, exact int64 end to end."""
+    import ray.data
+
+    from smartreader_ray.functions.layout import zorder_layout
+
+    def rid(b):
+        import pyarrow as pa
+        ids = (b.column("l_orderkey").to_numpy(zero_copy_only=False) * 8
+               + b.column("l_linenumber").to_numpy(zero_copy_only=False))
+        return b.append_column("rid", pa.array(ids, type=pa.int64()))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"],
+    ).map_batches(rid, batch_format="pyarrow")
+    return zorder_layout(ds, "l_partkey", "l_suppkey", "rid", k=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4217,6 +4240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_streaks": _q_daily_streaks,
         "balanced_shards": _q_balanced_shards,
         "click_proximity": _q_proximity,
+        "zorder_layout": _q_zorder_layout,
         "hourly_profile": _q_hourly_profile,
     }
 
@@ -6827,6 +6851,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(SUM(cents) AS BIGINT) AS value_cents
             FROM b GROUP BY dow, hour ORDER BY dow, hour
+        """,
+        # zorder_layout: the identical Morton bit-spread ladder (decimal
+        # masks — DuckDB hex literals don't parse), rank bin-packing
+        # rn0·16 // total, zone maps per shard.
+        "zorder_layout": """
+            WITH c AS (
+                SELECT (l_partkey & 32767) AS x, (l_suppkey & 32767) AS y,
+                       l_orderkey * 8 + l_linenumber AS rid
+                FROM lineitem
+            ), s1 AS (
+                SELECT rid, x, y,
+                       ((x | (x << 8)) & 16711935) AS xs,
+                       ((y | (y << 8)) & 16711935) AS ys
+                FROM c
+            ), s2 AS (
+                SELECT rid, x, y,
+                       ((xs | (xs << 4)) & 252645135) AS xs,
+                       ((ys | (ys << 4)) & 252645135) AS ys
+                FROM s1
+            ), s3 AS (
+                SELECT rid, x, y,
+                       ((xs | (xs << 2)) & 858993459) AS xs,
+                       ((ys | (ys << 2)) & 858993459) AS ys
+                FROM s2
+            ), s4 AS (
+                SELECT rid, x, y,
+                       ((xs | (xs << 1)) & 1431655765) AS xs,
+                       ((ys | (ys << 1)) & 1431655765) AS ys
+                FROM s3
+            ), z AS (
+                SELECT rid, x, y, (xs | (ys << 1)) AS zkey FROM s4
+            ), r AS (
+                SELECT x, y, zkey,
+                       ROW_NUMBER() OVER
+                           (ORDER BY zkey * 4294967296 + rid) - 1 AS rn0,
+                       COUNT(*) OVER () AS total
+                FROM z
+            ), a AS (
+                SELECT x, y, zkey, rn0 * 16 // total AS shard FROM r
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(x) AS BIGINT) AS x_min,
+                   CAST(MAX(x) AS BIGINT) AS x_max,
+                   CAST(MIN(y) AS BIGINT) AS y_min,
+                   CAST(MAX(y) AS BIGINT) AS y_max,
+                   CAST(MIN(zkey) AS BIGINT) AS z_min,
+                   CAST(MAX(zkey) AS BIGINT) AS z_max
+            FROM a GROUP BY shard ORDER BY shard
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,
