@@ -4086,6 +4086,28 @@ def _q_zorder_layout(sf_dir: str):
     return zorder_layout(ds, "l_partkey", "l_suppkey", "rid", k=16)
 
 
+def _q_spatial_join(sf_dir: str):
+    """Grid-bucketed spatial join (`functions/spatial.py: grid_join`):
+    customers vs suppliers placed on a 1024x1024 integer grid by Knuth
+    multiplicative hashing; per customer, the count of suppliers within
+    Chebyshev radius 32 + exact min squared euclidean distance + the
+    nearest supplier (total-order tie-break). One cell-keyed exchange
+    with a 9x-replicated small side, never a cross join."""
+    import ray.data
+
+    from smartreader_ray.functions.spatial import (grid_join,
+                                                   multiplicative_coords)
+
+    cust = multiplicative_coords(
+        ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey"]), "c_custkey")
+    supp = multiplicative_coords(
+        ray.data.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                              columns=["s_suppkey"]), "s_suppkey")
+    return grid_join(cust, supp, d=32, left_id="c_custkey",
+                     right_id="s_suppkey").sort("c_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4241,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_shards": _q_balanced_shards,
         "click_proximity": _q_proximity,
         "zorder_layout": _q_zorder_layout,
+        "spatial_join": _q_spatial_join,
         "hourly_profile": _q_hourly_profile,
     }
 
@@ -6900,6 +6923,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(zkey) AS BIGINT) AS z_min,
                    CAST(MAX(zkey) AS BIGINT) AS z_max
             FROM a GROUP BY shard ORDER BY shard
+        """,
+        # spatial_join: the LxR join the grid plan avoids; identical
+        # multiplicative-hash coords and composite-min tie-break.
+        "spatial_join": """
+            WITH l AS (
+                SELECT c_custkey,
+                       ((c_custkey * 2654435761) % 4294967296)
+                           // 4194304 AS x,
+                       ((c_custkey * 2246822519) % 4294967296)
+                           // 4194304 AS y
+                FROM customer
+            ), r AS (
+                SELECT s_suppkey,
+                       ((s_suppkey * 2654435761) % 4294967296)
+                           // 4194304 AS x,
+                       ((s_suppkey * 2246822519) % 4294967296)
+                           // 4194304 AS y
+                FROM supplier
+            ), j AS (
+                SELECT l.c_custkey,
+                       CAST(count(*) AS BIGINT) AS n_within,
+                       MIN(((l.x - r.x) * (l.x - r.x)
+                            + (l.y - r.y) * (l.y - r.y)) * 1000000
+                           + r.s_suppkey) AS comp
+                FROM l JOIN r
+                  ON ABS(l.x - r.x) <= 32 AND ABS(l.y - r.y) <= 32
+                GROUP BY l.c_custkey
+            )
+            SELECT c_custkey, n_within,
+                   CAST(comp // 1000000 AS BIGINT) AS min_d2,
+                   CAST(comp % 1000000 AS BIGINT) AS nearest_s_suppkey
+            FROM j ORDER BY c_custkey
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

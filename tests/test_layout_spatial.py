@@ -97,3 +97,71 @@ class TestZorderLayout:
         })
         out = zone_prune_fraction(zones, 120, 150, 0, 10)
         assert out == {"shards": 3, "scanned": 1, "pruned": 2}
+
+
+class TestGridJoin:
+    def _points(self, rng, n, lo=0, hi=500):
+        return (rng.integers(lo, hi, n).astype(np.int64),
+                rng.integers(lo, hi, n).astype(np.int64))
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.spatial import grid_join
+
+        rng = np.random.default_rng(23)
+        nl, nr, d = 400, 60, 25
+        lx, ly = self._points(rng, nl)
+        rx, ry = self._points(rng, nr)
+        lids = np.arange(nl, dtype=np.int64)
+        rids = np.arange(nr, dtype=np.int64)
+        left = ray.data.from_arrow(
+            pa.table({"id": lids, "x": lx, "y": ly})).repartition(5)
+        right = ray.data.from_arrow(
+            pa.table({"id": rids, "x": rx, "y": ry})).repartition(3)
+        got = grid_join(left, right, d=d).to_pandas().set_index("id")
+
+        # brute force: all pairs
+        exp = {}
+        for i in range(nl):
+            dx, dy = lx[i] - rx, ly[i] - ry
+            ok = (np.abs(dx) <= d) & (np.abs(dy) <= d)
+            if not ok.any():
+                continue
+            comp = (dx[ok] ** 2 + dy[ok] ** 2) * 1_000_000 + rids[ok]
+            best = comp.min()
+            exp[i] = (int(ok.sum()), int(best // 1_000_000),
+                      int(best % 1_000_000))
+        assert set(got.index) == set(exp)
+        for i, (n_within, min_d2, nearest) in exp.items():
+            row = got.loc[i]
+            assert (row["n_within"], row["min_d2"],
+                    row["nearest_id"]) == (n_within, min_d2, nearest)
+
+    def test_hot_cell_guard(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.spatial import grid_join
+
+        n = 50  # all points in one cell -> group of 50 + 50 > cap
+        t = pa.table({"id": np.arange(n, dtype=np.int64),
+                      "x": np.ones(n, dtype=np.int64),
+                      "y": np.ones(n, dtype=np.int64)})
+        left = ray.data.from_arrow(t)
+        right = ray.data.from_arrow(t)
+        with pytest.raises(Exception, match="hot cell"):
+            grid_join(left, right, d=10, max_per_cell=40).materialize()
+
+    def test_coords_deterministic(self, ray_session):
+        import ray.data
+
+        from smartreader_ray.functions.spatial import multiplicative_coords
+
+        keys = np.array([1, 2, 1000, 123456], dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": keys}))
+        out = multiplicative_coords(ds, "k").to_pandas()
+        for _, row in out.iterrows():
+            k = int(row["k"])
+            assert row["x"] == ((k * 2654435761) % 2**32) // 4194304
+            assert row["y"] == ((k * 2246822519) % 2**32) // 4194304
+            assert 0 <= row["x"] < 1024 and 0 <= row["y"] < 1024
