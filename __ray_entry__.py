@@ -4108,6 +4108,109 @@ def _q_spatial_join(sf_dir: str):
                      right_id="s_suppkey").sort("c_custkey")
 
 
+def _q_table_fingerprint(sf_dir: str):
+    """Order-independent snapshot checksum (`functions/setops.py:
+    table_fingerprint`): per-status (Σ md5-row-hash mod 2^61-1, XOR,
+    count) over orders — the did-anything-change CDC audit whose
+    exchange is one 3-int row per (block, status)."""
+    import ray.data
+
+    from smartreader_ray.functions.setops import table_fingerprint
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate"],
+    )
+    return table_fingerprint(
+        ds, "o_orderstatus",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+        ts_cols=("o_orderdate",))
+
+
+def _q_dq_report(sf_dir: str):
+    """Declarative data-quality audit (`functions/audit.py: dq_report`):
+    null / range / accepted-values rules in ONE streaming pass, plus
+    key-uniqueness (one groupby) and referential integrity against the
+    broadcast customer keyset — the pre-promotion gate, a rule-count-
+    sized report."""
+    import ray.data
+
+    from smartreader_ray.functions.audit import (ForeignKey, GreaterThan,
+                                                 InSet, NotNull, Unique,
+                                                 dq_report)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice"],
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    rules = [
+        NotNull("o_custkey", name="not_null_custkey"),
+        GreaterThan("o_totalprice", 0.0, name="positive_totalprice"),
+        InSet("o_orderstatus", ("O", "F", "P"), name="valid_status"),
+        Unique("o_orderkey", name="unique_orderkey"),
+        ForeignKey("o_custkey", ref_col="c_custkey",
+                   name="fk_custkey_customer"),
+    ]
+    return dq_report(orders, rules,
+                     fk_refs={"fk_custkey_customer": cust})
+
+
+def _q_dq_fingerprint_chain(sf_dir: str):
+    """Composed chain #13 — promotion gate: drop rows violating the
+    row-local + FK constraints (broadcast customer keyset), then
+    checksum the surviving snapshot per status
+    (`functions/audit.py` gate → `functions/setops.py:
+    table_fingerprint`). The audit-then-attest pipeline a nightly
+    snapshot promotion runs; one SQL statement replays both stages."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from smartreader_ray.functions.setops import table_fingerprint
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    keys = np.unique(np.concatenate(
+        [b["c_custkey"] for b in cust.iter_batches(batch_format="numpy")]
+        or [np.array([], dtype=np.int64)]).astype(np.int64))
+    keys_ref = ray.put(keys)
+
+    def gate(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        price_ok = pc.fill_null(
+            pc.greater(b.column("o_totalprice"), 0.0), False)
+        status_ok = pc.fill_null(pc.is_in(
+            b.column("o_orderstatus"),
+            value_set=pa.array(["O", "F", "P"])), False)
+        ck = b.column("o_custkey")
+        vals = pc.fill_null(ck, -1).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pos = np.searchsorted(ks, vals)
+        fk_ok = (pos < ks.size) & (
+            ks[np.minimum(pos, ks.size - 1)] == vals) if ks.size \
+            else np.zeros(len(vals), dtype=bool)
+        mask = pc.and_(pc.and_(price_ok, status_ok), pa.array(fk_ok))
+        return b.filter(mask)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate", "o_totalprice"],
+    ).map_batches(gate, batch_format="pyarrow")
+    return table_fingerprint(
+        orders, "o_orderstatus",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+        ts_cols=("o_orderdate",))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -4264,6 +4367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_proximity": _q_proximity,
         "zorder_layout": _q_zorder_layout,
         "spatial_join": _q_spatial_join,
+        "table_fingerprint": _q_table_fingerprint,
+        "dq_report": _q_dq_report,
+        "dq_fingerprint_chain": _q_dq_fingerprint_chain,
         "hourly_profile": _q_hourly_profile,
     }
 
@@ -6955,6 +7061,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(comp // 1000000 AS BIGINT) AS min_d2,
                    CAST(comp % 1000000 AS BIGINT) AS nearest_s_suppkey
             FROM j ORDER BY c_custkey
+        """,
+        # table_fingerprint: identical md5 row hash (hex-substr cast ==
+        # Python int(hex,16)), order-independent sum-mod/xor aggregates.
+        "table_fingerprint": """
+            WITH h AS (
+                SELECT o_orderstatus,
+                       CAST('0x' || substr(md5(concat_ws('|',
+                           o_orderkey, o_custkey, o_orderstatus,
+                           o_orderpriority, epoch_us(o_orderdate))),
+                           1, 15) AS BIGINT) AS h
+                FROM orders
+            )
+            SELECT o_orderstatus,
+                   CAST(SUM(CAST(h AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS sum_fp,
+                   bit_xor(h) AS xor_fp,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        # dq_report: the five constraint rules as scalar UNION ALL —
+        # pure integer counts.
+        "dq_report": """
+            WITH t AS (SELECT count(*) AS n FROM orders)
+            SELECT * FROM (
+                SELECT 'fk_custkey_customer' AS rule,
+                       CAST((SELECT count(*) FROM orders o
+                             WHERE o.o_custkey IS NOT NULL
+                               AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                            AS BIGINT) AS n_violations,
+                       CAST((SELECT count(o_custkey) FROM orders)
+                            AS BIGINT) AS n_checked
+                UNION ALL
+                SELECT 'not_null_custkey',
+                       CAST((SELECT count(*) FROM orders
+                             WHERE o_custkey IS NULL) AS BIGINT),
+                       CAST((SELECT n FROM t) AS BIGINT)
+                UNION ALL
+                SELECT 'positive_totalprice',
+                       CAST((SELECT count(*) FROM orders
+                             WHERE NOT (o_totalprice > 0)
+                                OR o_totalprice IS NULL) AS BIGINT),
+                       CAST((SELECT n FROM t) AS BIGINT)
+                UNION ALL
+                SELECT 'unique_orderkey',
+                       CAST((SELECT count(*)
+                                    - count(DISTINCT o_orderkey)
+                             FROM orders) AS BIGINT),
+                       CAST((SELECT n FROM t) AS BIGINT)
+                UNION ALL
+                SELECT 'valid_status',
+                       CAST((SELECT count(*) FROM orders
+                             WHERE o_orderstatus NOT IN ('O','F','P')
+                                OR o_orderstatus IS NULL) AS BIGINT),
+                       CAST((SELECT n FROM t) AS BIGINT)
+            ) ORDER BY rule
+        """,
+        # dq_fingerprint_chain: gate + checksum in one statement.
+        "dq_fingerprint_chain": """
+            WITH clean AS (
+                SELECT * FROM orders o
+                WHERE o.o_totalprice > 0
+                  AND o.o_orderstatus IN ('O', 'F', 'P')
+                  AND o.o_custkey IS NOT NULL
+                  AND EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            ), h AS (
+                SELECT o_orderstatus,
+                       CAST('0x' || substr(md5(concat_ws('|',
+                           o_orderkey, o_custkey, o_orderstatus,
+                           o_orderpriority, epoch_us(o_orderdate))),
+                           1, 15) AS BIGINT) AS h
+                FROM clean
+            )
+            SELECT o_orderstatus,
+                   CAST(SUM(CAST(h AS HUGEINT))
+                        % 2305843009213693951 AS BIGINT) AS sum_fp,
+                   bit_xor(h) AS xor_fp,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

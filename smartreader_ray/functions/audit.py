@@ -1,0 +1,181 @@
+"""Data-quality audit: declarative constraint checking at scale.
+
+The Deequ/Great-Expectations-shaped operator a production pipeline runs
+before promoting a snapshot: a fixed set of DECLARED rules, one streaming
+pass for all row-local rules (null / range / accepted-values), plus the
+two rules that need more than a row to decide — uniqueness (one key
+groupby) and referential integrity (broadcast dimension keyset; swap in
+`functions/join.py`'s Bloom path when the dimension stops being
+broadcastable). Output is the tiny ``(rule, n_violations, n_checked)``
+report — integers end to end, so the gate is hash-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class NotNull:
+    col: str
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class GreaterThan:
+    col: str
+    lo: float
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class InSet:
+    col: str
+    values: tuple = field(default_factory=tuple)
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class Unique:
+    col: str
+    name: str = ""
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    col: str
+    ref_col: str = ""
+    name: str = ""
+    # ref dataset is passed to dq_report separately (datasets aren't
+    # hashable dataclass fields)
+
+
+def _rule_name(r) -> str:
+    if r.name:
+        return r.name
+    return f"{type(r).__name__.lower()}_{r.col}"
+
+
+def dq_report(ds, rules: list, fk_refs: dict | None = None) -> pa.Table:
+    """Run the declared ``rules`` over ``ds`` and return the audit
+    report: one row per rule, ``rule, n_violations, n_checked``,
+    sorted by rule name.
+
+    ``fk_refs`` maps a ForeignKey rule's ``name`` (or default name) to
+    its reference DATASET; the reference keyset is collected once and
+    broadcast (``ray.put``) — the dimension-table regime. Row-local
+    rules share a single streaming pass; per-block partials are
+    (rule, 2 ints) rows, so the exchange is rule-count-sized.
+
+    The report is a driver-side table bounded by len(rules) — never by
+    data size.
+    """
+    import ray
+
+    local_rules = [r for r in rules
+                   if isinstance(r, (NotNull, GreaterThan, InSet))]
+    uniq_rules = [r for r in rules if isinstance(r, Unique)]
+    fk_rules = [r for r in rules if isinstance(r, ForeignKey)]
+    if len(local_rules) + len(uniq_rules) + len(fk_rules) != len(rules):
+        raise ValueError("unknown rule type in rules")
+
+    results: dict[str, tuple[int, int]] = {}
+
+    # --- one pass for all row-local rules -------------------------------
+    if local_rules:
+        cols = sorted({r.col for r in local_rules})
+
+        def partial(b: pa.Table) -> pa.Table:
+            names, viol, checked = [], [], []
+            for r in local_rules:
+                col = b.column(r.col)
+                n = b.num_rows
+                if isinstance(r, NotNull):
+                    v = col.null_count
+                elif isinstance(r, GreaterThan):
+                    ok = pc.greater(col, r.lo)
+                    v = n - pc.sum(pc.cast(ok, pa.int64())).as_py() \
+                        if n else 0
+                else:  # InSet
+                    ok = pc.is_in(col, value_set=pa.array(list(r.values)))
+                    v = n - pc.sum(pc.cast(ok, pa.int64())).as_py() \
+                        if n else 0
+                names.append(_rule_name(r))
+                viol.append(int(v))
+                checked.append(n)
+            return pa.Table.from_pydict({
+                "rule": pa.array(names, type=pa.string()),
+                "n_violations": pa.array(viol, type=pa.int64()),
+                "n_checked": pa.array(checked, type=pa.int64()),
+            })
+
+        agg = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("rule")
+               .sum(["n_violations", "n_checked"]))
+        for row in agg.take_all():
+            results[row["rule"]] = (int(row["sum(n_violations)"]),
+                                    int(row["sum(n_checked)"]))
+
+    # --- uniqueness: one key groupby, dup rows = sum(cnt-1 | cnt>1) -----
+    for r in uniq_rules:
+        counts = ds.select_columns([r.col]).groupby(r.col).count()
+
+        def dup_partial(b: pa.Table, _c="count()") -> pa.Table:
+            c = b.column(_c).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "d": pa.array([int(c[c > 1].sum() - (c > 1).sum())],
+                              type=pa.int64()),
+                "n": pa.array([int(c.sum())], type=pa.int64()),
+            })
+
+        s = (counts.map_batches(dup_partial, batch_format="pyarrow")
+             .sum(["d", "n"]))
+        results[_rule_name(r)] = (int(s["sum(d)"]), int(s["sum(n)"]))
+
+    # --- referential integrity: broadcast dimension keyset --------------
+    for r in fk_rules:
+        nm = _rule_name(r)
+        if not fk_refs or nm not in fk_refs:
+            raise ValueError(f"ForeignKey rule {nm} needs fk_refs[{nm!r}]")
+        ref_ds, ref_col = fk_refs[nm], (r.ref_col or r.col)
+        keys = np.unique(np.concatenate(
+            [b[ref_col] for b in ref_ds.select_columns([ref_col])
+             .iter_batches(batch_format="numpy")]
+            or [np.array([], dtype=np.int64)]).astype(np.int64))
+        keys_ref = ray.put(keys)
+
+        def fk_partial(b: pa.Table, _col=r.col, _kr=keys_ref) -> pa.Table:
+            ks = ray.get(_kr)
+            col = b.column(_col)
+            vals = col.drop_null().to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            if ks.size == 0:
+                miss = len(vals)
+            else:
+                pos = np.searchsorted(ks, vals)
+                in_set = (pos < ks.size) & (
+                    ks[np.minimum(pos, ks.size - 1)] == vals)
+                miss = int(len(vals) - in_set.sum())
+            return pa.Table.from_pydict({
+                "d": pa.array([int(miss)], type=pa.int64()),
+                "n": pa.array([len(vals)], type=pa.int64()),
+            })
+
+        s = (ds.select_columns([r.col])
+             .map_batches(fk_partial, batch_format="pyarrow")
+             .sum(["d", "n"]))
+        results[nm] = (int(s["sum(d)"]), int(s["sum(n)"]))
+
+    names = sorted(results)
+    return pa.table({
+        "rule": pa.array(names, type=pa.string()),
+        "n_violations": pa.array([results[n][0] for n in names],
+                                 type=pa.int64()),
+        "n_checked": pa.array([results[n][1] for n in names],
+                              type=pa.int64()),
+    })
