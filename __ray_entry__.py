@@ -4129,6 +4129,23 @@ def _q_table_fingerprint(sf_dir: str):
         ts_cols=("o_orderdate",))
 
 
+def _q_priority_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
+    priorities q = (n_chars·2^40) // (md5_40(doc_id)+1), top-100 by the
+    total order (q DESC, doc_id) — per-block pre-cut, survivors-only
+    sort."""
+    import ray.data
+
+    from smartreader_ray.functions.sampling import priority_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    return priority_sample(ds, "n_chars", "doc_id", k=100)
+
+
 def _q_dq_report(sf_dir: str):
     """Declarative data-quality audit (`functions/audit.py: dq_report`):
     null / range / accepted-values rules in ONE streaming pass, plus
@@ -4370,6 +4387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_fingerprint": _q_table_fingerprint,
         "dq_report": _q_dq_report,
         "dq_fingerprint_chain": _q_dq_fingerprint_chain,
+        "priority_sample": _q_priority_sample,
         "hourly_profile": _q_hourly_profile,
     }
 
@@ -7141,6 +7159,20 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(h) AS xor_fp,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        # priority_sample: identical md5-40-bit uniform + integer
+        # floor-division priority; total order (q DESC, id).
+        "priority_sample": """
+            WITH q AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                       (n_chars * 1099511627776) //
+                       (CAST('0x' || substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                         AS BIGINT) + 1) AS priority
+                FROM documents
+            )
+            SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
+            FROM q ORDER BY priority DESC, doc_id LIMIT 100
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

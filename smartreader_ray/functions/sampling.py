@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -239,3 +240,54 @@ def rendezvous_shards(ds, n_shards: int, id_col: str = "doc_id",
             out_col, pa.array(best_s, type=pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def priority_sample(ds, weight_col: str, id_col: str = "doc_id",
+                    k: int = 100):
+    """Weighted sampling WITHOUT replacement — Duffield–Lund–Thorup
+    priority sampling, made deterministic and integer-exact: each row
+    gets priority ``q = (w · 2^40) // (h + 1)`` where ``h`` is the
+    40-bit md5 of its id (the fixed-seed stand-in for u ~ U(0,1); q is
+    the floor of w/u scaled), and the sample is the top-``k`` rows by
+    ``(q DESC, id ASC)`` — a TOTAL order, so any partitioning yields
+    the same sample and a SQL oracle replays it with the identical
+    md5-substr + integer division.
+
+    Heavier rows win proportionally more often (w/u dominates), the
+    textbook weighted-reservoir semantics for corpus subsampling.
+    Ray shape: per-block top-k pre-cut (priority is block-local
+    computable) → global sort over only ``k × n_blocks`` survivors →
+    limit. Weights must be ints in [0, 2^20) so the scaled product
+    stays int64-exact (loud guard).
+    """
+    import hashlib
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    md5 = hashlib.md5
+
+    def cut(b: pa.Table) -> pa.Table:
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if w.size and (w.min() < 0 or w.max() >= (1 << 20)):
+            raise ValueError(
+                f"priority_sample: {weight_col} must be in [0, 2^20) "
+                "for int64-exact priorities; bucket the weight first")
+        ids = b.column(id_col).to_pylist()
+        h = np.fromiter(
+            (int(md5(str(v).encode()).hexdigest()[:10], 16) for v in ids),
+            dtype=np.int64, count=len(ids))
+        q = (w << np.int64(40)) // (h + 1)
+        idn = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((idn, -q))[:k]
+        return pa.Table.from_pydict({
+            id_col: pa.array(idn[order], type=pa.int64()),
+            "weight": pa.array(w[order], type=pa.int64()),
+            "priority": pa.array(q[order], type=pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, weight_col])
+            .map_batches(cut, batch_format="pyarrow")
+            .sort(key=["priority", id_col], descending=[True, False])
+            .limit(k))
