@@ -4129,6 +4129,38 @@ def _q_table_fingerprint(sf_dir: str):
         ts_cols=("o_orderdate",))
 
 
+def _q_cube_sales(sf_dir: str):
+    """CUBE(status, priority) over orders (`functions/reshape.py:
+    cube_counts`): all four grouping sets from one pass of block-local
+    Arrow pre-aggregation — the exchange carries 4·cells rows per
+    block, exact integer cents."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import cube_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return cube_counts(ds, "o_orderstatus", "o_orderpriority",
+                       "o_totalprice")
+
+
+def _q_time_weighted_avg(sf_dir: str):
+    """Zero-order-hold time-weighted average per user
+    (`functions/windows.py: time_weighted_avg`): each event's value
+    holds until the user's next event; exact integer cents·seconds."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import time_weighted_avg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return time_weighted_avg(ds).sort("user_id")
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4388,6 +4420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_report": _q_dq_report,
         "dq_fingerprint_chain": _q_dq_fingerprint_chain,
         "priority_sample": _q_priority_sample,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "cube_sales": _q_cube_sales,
         "hourly_profile": _q_hourly_profile,
     }
 
@@ -7173,6 +7207,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
             FROM q ORDER BY priority DESC, doc_id LIMIT 100
+        """,
+        # time_weighted_avg: LEAD-window replay of the zero-order-hold
+        # integrals; identical integer cents/seconds flooring.
+        "time_weighted_avg": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM events
+            ), w AS (
+                SELECT user_id, cents,
+                       (LEAD(t) OVER (PARTITION BY user_id ORDER BY t)
+                        - t) // 1000000 AS dt
+                FROM e
+            ), a AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(SUM(dt) AS BIGINT) AS active_s,
+                       CAST(SUM(cents * dt) AS BIGINT)
+                           AS weighted_cents_s
+                FROM w GROUP BY user_id
+            )
+            SELECT user_id, n_events, active_s, weighted_cents_s,
+                   CAST(weighted_cents_s * 100 // active_s AS BIGINT)
+                       AS twa_centicents
+            FROM a WHERE active_s > 0 ORDER BY user_id
+        """,
+        # cube_sales: explicit grouping sets with the 'ALL' sentinel
+        # (clearer than CUBE's NULL convention); exact cents.
+        "cube_sales": """
+            WITH b AS (
+                SELECT o_orderstatus AS s, o_orderpriority AS p,
+                       CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100
+                                  + 0.5) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT * FROM (
+                SELECT s AS o_orderstatus, p AS o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(cents) AS BIGINT) AS value_cents
+                FROM b GROUP BY s, p
+                UNION ALL
+                SELECT s, 'ALL', CAST(count(*) AS BIGINT),
+                       CAST(SUM(cents) AS BIGINT) FROM b GROUP BY s
+                UNION ALL
+                SELECT 'ALL', p, CAST(count(*) AS BIGINT),
+                       CAST(SUM(cents) AS BIGINT) FROM b GROUP BY p
+                UNION ALL
+                SELECT 'ALL', 'ALL', CAST(count(*) AS BIGINT),
+                       CAST(SUM(cents) AS BIGINT) FROM b
+            ) ORDER BY o_orderstatus, o_orderpriority
         """,
         # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
         # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,

@@ -1424,3 +1424,62 @@ def hourly_profile(ds, ts_col: str = "ts", value_col: str = "value"):
 
     return agg.map_batches(cast64, batch_format="pyarrow").sort(
         ["dow", "hour"])
+
+
+def time_weighted_avg(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      value_col: str = "value"):
+    """Time-weighted average per user over an irregular event stream —
+    the metrics-engine aggregate where each observed value HOLDS until
+    the next observation (zero-order hold), so a value seen for an hour
+    weighs 60x one seen for a minute. Plain AVG() answers a different
+    (sampling-biased) question.
+
+    Exact integer semantics both sides of the oracle gate: value →
+    cents = floor(v·100 + 0.5); interval = floor(Δt_µs / 10⁶) seconds;
+    per user over ts-ascending events::
+
+        active_s        = Σ Δt          (the user's observed span)
+        weighted_cents_s = Σ cents_i · Δt_i   (value held · duration)
+        twa_centicents  = weighted·100 // active
+
+    Users with < 2 events or a zero-second span have no interval to
+    average over and are dropped.
+
+    Ray shape: column-pruned user shuffle → vectorized per-group kernel
+    (sort → diff → two dot products), one output row per user.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict({
+            user_col: pa.array([], g.schema.field(user_col).type),
+            "n_events": pa.array([], type=pa.int64()),
+            "active_s": pa.array([], type=pa.int64()),
+            "weighted_cents_s": pa.array([], type=pa.int64()),
+            "twa_centicents": pa.array([], type=pa.int64()),
+        })
+        n = g.num_rows
+        if n < 2:
+            return empty
+        t = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t, v = t[order], v[order]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        dt = (t[1:] - t[:-1]) // 1_000_000
+        active = int(dt.sum())
+        if active <= 0:
+            return empty
+        weighted = int((cents[:-1] * dt).sum())
+        return pa.Table.from_pydict({
+            user_col: g.column(user_col).slice(0, 1),
+            "n_events": pa.array([n], type=pa.int64()),
+            "active_s": pa.array([active], type=pa.int64()),
+            "weighted_cents_s": pa.array([weighted], type=pa.int64()),
+            "twa_centicents": pa.array([weighted * 100 // active],
+                                       type=pa.int64()),
+        })
+
+    return (ds.select_columns([user_col, ts_col, value_col])
+            .groupby(user_col)
+            .map_groups(per_user, batch_format="pyarrow"))
