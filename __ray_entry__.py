@@ -4161,6 +4161,99 @@ def _q_time_weighted_avg(sf_dir: str):
     return time_weighted_avg(ds).sort("user_id")
 
 
+def _q_cusum_alarms(sf_dir: str):
+    """Per-user CUSUM changepoint detection (`functions/windows.py:
+    cusum_changepoints`): Page's one-sided control chart over each
+    user's ts-ordered values, integer cents, SQL-replayable via the
+    prefix-sum-minus-running-min reflection identity."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import cusum_changepoints
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return cusum_changepoints(ds).sort("user_id")
+
+
+def _q_weighted_median(sf_dir: str):
+    """Per-flag weighted median of extended price, quantity-weighted
+    (`functions/sketch.py: weighted_median_by`): histogram reduction,
+    exchange is keys x distinct values x blocks."""
+    import ray.data
+
+    from smartreader_ray.functions.sketch import weighted_median_by
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_median_by(ds, "l_returnflag", "l_extendedprice",
+                              "l_quantity")
+
+
+def _q_budget_alloc(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of exactly 1,000,000
+    units across order priorities proportional to revenue
+    (`functions/reshape.py: largest_remainder_alloc`); int64-exact,
+    total-order tie-break."""
+    import ray.data
+
+    from smartreader_ray.functions.reshape import largest_remainder_alloc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return largest_remainder_alloc(ds, "o_orderpriority", "o_totalprice",
+                                   total_units=1_000_000)
+
+
+def _q_soundex_names(sf_dir: str):
+    """American Soundex phonetic codes of the part-name vocabulary
+    (`functions/fuzzy.py: soundex_tokens`); encode runs once per
+    distinct token, SQL replays the exact translate/collapse chain
+    (RE2-safe — single-char run collapses, no backreferences)."""
+    import ray.data
+
+    from smartreader_ray.functions.fuzzy import soundex_tokens
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_name"])
+    return soundex_tokens(ds, "p_name")
+
+
+def _q_entity_resolution(sf_dir: str):
+    """Record linkage over part names (`functions/fuzzy.py:
+    resolve_entities`): Soundex blocking -> exact Levenshtein<=2 verify
+    -> connected components -> canonical (min-name) label joined back
+    to every part. The full ER pipeline, hash-gated end to end."""
+    import ray.data
+
+    from smartreader_ray.functions.fuzzy import resolve_entities
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"])
+    return resolve_entities(ds, "p_partkey", "p_name", max_dist=2)
+
+
+def _q_boolean_search(sf_dir: str):
+    """Boolean retrieval spark AND join AND NOT window over document
+    token membership (`functions/ngrams.py: boolean_search`) —
+    shuffle-free block-local predicate evaluation."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import boolean_search
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return boolean_search(ds, must=["spark", "join"],
+                          must_not=["window"])
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4420,6 +4513,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_report": _q_dq_report,
         "dq_fingerprint_chain": _q_dq_fingerprint_chain,
         "priority_sample": _q_priority_sample,
+        "cusum_alarms": _q_cusum_alarms,
+        "weighted_median": _q_weighted_median,
+        "budget_alloc": _q_budget_alloc,
+        "soundex_names": _q_soundex_names,
+        "entity_resolution": _q_entity_resolution,
+        "boolean_search": _q_boolean_search,
         "time_weighted_avg": _q_time_weighted_avg,
         "cube_sales": _q_cube_sales,
         "hourly_profile": _q_hourly_profile,
@@ -4428,6 +4527,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from smartreader_ray.functions import mix_threshold_hex as _mt
+
+    def _sx(col: str) -> str:
+        # American Soundex as a pure RE2-safe SQL expression: the exact
+        # step sequence documented in fuzzy.py:soundex (collapse runs
+        # per digit class — equivalent to (.)\1+ which RE2 lacks).
+        u = f"regexp_replace(upper({col}), '[^A-Z]', '', 'g')"
+        u2 = f"substr({u},1,1) || translate(substr({u},2), 'HW', '')"
+        codes = (f"translate({u2}, 'BFPVCGJKQSXZDTLMNRAEIOUYHW',"
+                 f" '11112222222233455600000000')")
+        coll = codes
+        for d in "0123456":
+            coll = f"regexp_replace({coll}, '{d}{{2,}}', '{d}', 'g')"
+        return (f"substr({u},1,1) || substr(replace(substr({coll},2),"
+                f"'0','') || '000', 1, 3)")
 
     return {
         "weighted_mix": f"""
@@ -7207,6 +7320,137 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
             FROM q ORDER BY priority DESC, doc_id LIMIT 100
+        """,
+        # cusum_alarms: the max(0, S+d) recursion replayed WITHOUT
+        # recursion via S_t = P_t - min(0, running min of P); exact ints.
+        "cusum_alarms": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CAST(FLOOR(CAST(value AS DOUBLE)*100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM events
+            ), k AS (
+                SELECT user_id, SUM(cents) // COUNT(*) + 50 AS kk
+                FROM e GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, t,
+                       SUM(cents - kk) OVER (PARTITION BY e.user_id
+                                             ORDER BY t) AS P
+                FROM e JOIN k USING (user_id)
+            ), s AS (
+                SELECT user_id, t,
+                       P - LEAST(0, MIN(P) OVER (PARTITION BY user_id
+                                                 ORDER BY t)) AS S
+                FROM p
+            ), x AS (
+                SELECT user_id, t, S,
+                       COALESCE(LAG(S) OVER (PARTITION BY user_id
+                                             ORDER BY t), 0) AS Sp
+                FROM s
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(S) AS BIGINT) AS max_cusum,
+                   CAST(SUM(CASE WHEN Sp < 3000 AND S >= 3000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                   CAST(COALESCE(MIN(CASE WHEN Sp < 3000 AND S >= 3000
+                                 THEN t END), -1) AS BIGINT)
+                       AS first_alarm_us
+            FROM x GROUP BY user_id ORDER BY user_id
+        """,
+        # weighted_median: cumulative-weight crossing over the exact
+        # (key, value) histogram; the median is a data value.
+        "weighted_median": """
+            WITH h AS (
+                SELECT l_returnflag,
+                       CAST(l_extendedprice AS DOUBLE) AS value,
+                       SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE) + 0.5)
+                                AS BIGINT)) AS w
+                FROM lineitem GROUP BY 1, 2
+            ), c AS (
+                SELECT l_returnflag, value,
+                       SUM(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY value) AS cum,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                FROM h
+            )
+            SELECT l_returnflag,
+                   CAST(MAX(tot) AS BIGINT) AS total_weight,
+                   MIN(CASE WHEN 2*cum >= tot THEN value END) AS wmedian
+            FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # budget_alloc: Hamilton apportionment — floor quota + leftover
+        # units to the largest remainders (rem DESC, key ASC).
+        "budget_alloc": """
+            WITH w AS (
+                SELECT o_orderpriority,
+                       SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)*100
+                                      + 0.5) AS BIGINT)) AS weight_cents
+                FROM orders GROUP BY 1
+            ), t AS (
+                SELECT SUM(weight_cents) AS tw, 1000000 AS units FROM w
+            ), b AS (
+                SELECT o_orderpriority, weight_cents,
+                       units * weight_cents // tw AS base,
+                       units * weight_cents % tw AS rem
+                FROM w, t
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                             o_orderpriority) AS rk,
+                       (SELECT units FROM t) - SUM(base) OVER ()
+                           AS leftover
+                FROM b
+            )
+            SELECT o_orderpriority,
+                   CAST(weight_cents AS BIGINT) AS weight_cents,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                        END AS BIGINT) AS alloc
+            FROM r ORDER BY o_orderpriority
+        """,
+        # soundex_names: the encoder replayed as a SQL expression chain.
+        "soundex_names": f"""
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+            t AS (SELECT DISTINCT unnest(string_split(p_name,' '))
+                      AS token FROM d)
+            SELECT token, {_sx('token')} AS soundex
+            FROM t WHERE length(token) > 0 ORDER BY token
+        """,
+        # entity_resolution: blocking + levenshtein edges + recursive
+        # min-label reachability (symmetric edges => connectivity).
+        "entity_resolution": f"""
+            WITH RECURSIVE d AS (SELECT DISTINCT p_name FROM part),
+            tk AS (SELECT DISTINCT p_name,
+                       unnest(string_split(p_name,' ')) AS token FROM d),
+            sx AS (SELECT p_name, {_sx('token')} AS code
+                   FROM tk WHERE length(token) > 0),
+            cand AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb
+                     FROM sx a JOIN sx b
+                     ON a.code = b.code AND a.p_name < b.p_name),
+            edges AS (SELECT na, nb FROM cand
+                      WHERE levenshtein(na, nb) <= 2),
+            sym AS (SELECT na AS a, nb AS b FROM edges
+                    UNION SELECT nb, na FROM edges),
+            reach(node, lab) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+                UNION
+                SELECT s.b, r.lab FROM reach r JOIN sym s
+                ON s.a = r.node
+            ),
+            comp AS (SELECT node, MIN(lab) AS canon FROM reach
+                     GROUP BY node)
+            SELECT p.p_partkey, p.p_name,
+                   COALESCE(c.canon, p.p_name) AS canonical
+            FROM part p LEFT JOIN comp c ON c.node = p.p_name
+            ORDER BY p.p_partkey
+        """,
+        # boolean_search: token-membership predicates on the shared
+        # single-space tokenization.
+        "boolean_search": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(trim(text),' '), 'spark')
+              AND list_contains(string_split(trim(text),' '), 'join')
+              AND NOT list_contains(string_split(trim(text),' '),
+                                    'window')
+            ORDER BY doc_id
         """,
         # time_weighted_avg: LEAD-window replay of the zero-order-hold
         # integrals; identical integer cents/seconds flooring.

@@ -590,3 +590,42 @@ def pmi_scores(ds, text_col: str = "text", window: int = 3,
         return b.append_column("pmi", pa.array(pmi, type=pa.float64()))
 
     return top.map_batches(stamp, batch_format="pyarrow")
+
+
+def boolean_search(ds, must, must_not=(), doc_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Boolean retrieval (term_1 AND ... AND term_k AND NOT x_1 ...)
+    over whitespace-token membership — the query side of the
+    `posting_lists` index, evaluated index-free as a shuffle-free
+    scan: a document is one row, so every predicate resolves inside
+    its own block and NOTHING crosses an exchange but matching doc
+    ids. Per block: one Arrow tokenize, one vectorized equality mask
+    per query term (k+m kernel passes, no Python over tokens).
+
+    Returns matching ``doc_col`` rows sorted ascending.
+    """
+    must = list(must)
+    must_not = list(must_not)
+    if not must:
+        raise ValueError("boolean_search: need at least one must-term")
+
+    def filt(b: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(b, text_col)
+        n = b.num_rows
+
+        def rows_with(term: str) -> np.ndarray:
+            mask = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            out = np.zeros(n, dtype=bool)
+            out[row_idx[mask]] = True
+            return out
+
+        keep = np.ones(n, dtype=bool)
+        for t in must:
+            keep &= rows_with(t)
+        for t in must_not:
+            keep &= ~rows_with(t)
+        return b.filter(pa.array(keep)).select([doc_col])
+
+    return (ds.select_columns([doc_col, text_col])
+            .map_batches(filt, batch_format="pyarrow")
+            .sort(doc_col))

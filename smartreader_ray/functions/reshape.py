@@ -1138,3 +1138,69 @@ def cube_counts(ds, a_col: str, b_col: str, value_col: str,
             .sum(["n", "value_cents"])
             .map_batches(finalize, batch_format="pyarrow")
             .sort([a_col, b_col]))
+
+
+def largest_remainder_alloc(ds, key_col: str, weight_col: str,
+                            total_units: int = 1_000_000):
+    """Proportional integer apportionment by the largest-remainder
+    (Hamilton) method: split exactly ``total_units`` indivisible units
+    (budget cents, sample quotas, shard slots) across keys proportional
+    to each key's weight sum. Naive rounding of the real-valued quota
+    never sums back to the total; Hamilton gives every key
+    floor(total*w/W) and hands the leftover units to the largest
+    fractional remainders (ties broken by key ascending — a TOTAL
+    order, so the result is partitioning-independent).
+
+    All arithmetic is int64-exact: weights are floored to cents per
+    row, summed distributed, and total*w_cents stays well inside int64
+    for any realistic budget (guarded). The final ranking runs on the
+    KEY-SIZED aggregate in one block — the only driver-adjacent step,
+    bounded by key cardinality, never rows.
+
+    Returns (key, weight_cents, alloc: int64) with sum(alloc) ==
+    total_units.
+    """
+    from ray.data.aggregate import Sum
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        w = np.floor(b.column(weight_col).to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            key_col: b.column(key_col),
+            "weight_cents": pa.array(w, type=pa.int64()),
+        })
+
+    agg = (ds.select_columns([key_col, weight_col])
+           .map_batches(cents_partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("weight_cents", alias_name="weight_cents")))
+
+    def allocate(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col)
+        w = b.column("weight_cents").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total_w = int(w.sum())
+        if total_w <= 0:
+            raise ValueError("largest_remainder_alloc: non-positive "
+                             "total weight")
+        if total_units * total_w >= 2 ** 62:
+            raise OverflowError(
+                "largest_remainder_alloc: total_units * total weight "
+                "exceeds int64-exact range")
+        base = total_units * w // total_w
+        rem = total_units * w % total_w
+        leftover = total_units - int(base.sum())
+        # rank by (remainder DESC, key ASC) — total order
+        order = np.lexsort((np.arange(len(w)), -rem))
+        extra = np.zeros(len(w), dtype=np.int64)
+        extra[order[:leftover]] = 1
+        return pa.table({
+            key_col: keys,
+            "weight_cents": pa.array(w, type=pa.int64()),
+            "alloc": pa.array(base + extra, type=pa.int64()),
+        })
+
+    # key-sized by construction: repartition(1) so ranking sees every key
+    return (agg.sort(key_col).repartition(1)
+            .map_batches(allocate, batch_format="pyarrow")
+            .sort(key_col))

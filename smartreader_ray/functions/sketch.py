@@ -512,3 +512,57 @@ def count_min_term_counts(ds, probes: "list[str]",
         "term": pa.array(list(probe_arr), type=pa.string()),
         "est": pa.array(est, type=pa.int64()),
     }))
+
+
+def weighted_median_by(ds, key_col: str, value_col: str, weight_col: str):
+    """EXACT per-key weighted (lower) median: the smallest value v such
+    that the cumulative weight of all values <= v reaches half the
+    key's total weight (2*cum >= W) — the inventory/pricing standard
+    where each row counts ``weight_col`` times (a quantity-50 line item
+    weighs 50x a quantity-1 line). Plain median answers the per-ROW
+    question; this answers the per-UNIT one.
+
+    Same histogram-reduction shape as `exact_quantile_by`: per block
+    one Arrow group_by collapses (key, value) to a weight sum, so the
+    exchange is O(keys x distinct values x blocks) — independent of row
+    count — and one ``groupby(key)`` merges histograms and reads the
+    crossing off the cumulative weights. Weights are floored to int64
+    (+0.5) so cumulative sums are exact integers; the reported median
+    is a DATA value (bit-equal to the SQL replay's, no arithmetic).
+
+    Returns (key, total_weight: int64, wmedian: float64).
+    """
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        w = np.floor(b.column(weight_col).to_numpy(
+            zero_copy_only=False) * 1.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            key_col: b.column(key_col),
+            "value": b.column(value_col).cast(pa.float64()),
+            "w": pa.array(w, type=pa.int64()),
+        })
+        g = t.group_by([key_col, "value"]).aggregate([("w", "sum")])
+        return g.rename_columns([key_col, "value", "w"])
+
+    def hist_merge(group: pa.Table) -> pa.Table:
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        w = group.column("w").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        uv, inv = np.unique(v, return_inverse=True)
+        uw = np.zeros(len(uv), dtype=np.int64)
+        np.add.at(uw, inv, w)
+        cum = np.cumsum(uw)
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total, side="left"))
+        return pa.Table.from_pydict({
+            key_col: group.column(key_col).combine_chunks().slice(0, 1),
+            "total_weight": pa.array([total], type=pa.int64()),
+            "wmedian": pa.array([float(uv[idx])], type=pa.float64()),
+        })
+
+    partials = ds.select_columns(
+        [key_col, value_col, weight_col]).map_batches(
+        hist_partial, batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(
+        hist_merge, batch_format="pyarrow").sort(key_col)

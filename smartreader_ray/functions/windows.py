@@ -1483,3 +1483,64 @@ def time_weighted_avg(ds, user_col: str = "user_id", ts_col: str = "ts",
     return (ds.select_columns([user_col, ts_col, value_col])
             .groupby(user_col)
             .map_groups(per_user, batch_format="pyarrow"))
+
+
+def cusum_changepoints(ds, user_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value",
+                       allowance_cents: int = 50,
+                       threshold_cents: int = 3000):
+    """One-sided CUSUM changepoint detection per user — the classic
+    Page (1954) control chart: over the user's ts-ordered values the
+    statistic S_t = max(0, S_{t-1} + (x_t - k)) accumulates upward
+    drift above the user's own baseline and an alarm fires whenever S
+    crosses ``threshold_cents`` from below. The monitoring primitive
+    behind data-quality drift alerts and per-source corpus anomaly
+    detection.
+
+    Exact integer semantics both sides of the oracle gate:
+    x = floor(value*100 + 0.5) cents; baseline k = (sum(x) // n) +
+    allowance_cents (floor mean, integer); and the recursion is
+    replayed in SQL WITHOUT recursion via the reflection identity
+
+        S_t = P_t - min(0, min_{j<=t} P_j),  P_t = cumsum(x - k)
+
+    (prefix sum minus its running minimum), so the gate needs only two
+    window functions. Alarms are UPWARD CROSSINGS (S_{t-1} < h <= S_t)
+    so a long excursion counts once.
+
+    Per user: n_events, max_cusum, n_alarms, first_alarm_us (epoch
+    microseconds of the first crossing; -1 when none — a sentinel, not
+    NULL, for hash-stable output).
+
+    Ray shape: one column-pruned ``groupby(user)`` exchange, then a
+    vectorized per-group kernel (sort, cumsum, running min) — no
+    Python loop over events.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        t = g.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t = t[order]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)[order]
+        n = len(cents)
+        k = int(cents.sum()) // n + allowance_cents
+        p = np.cumsum(cents - k)
+        runmin = np.minimum(np.minimum.accumulate(p), 0)
+        s = p - runmin
+        s_prev = np.concatenate(([0], s[:-1]))
+        cross = (s_prev < threshold_cents) & (s >= threshold_cents)
+        n_alarms = int(cross.sum())
+        first = int(t[np.argmax(cross)]) if n_alarms else -1
+        return pa.Table.from_pydict({
+            user_col: g.column(user_col).slice(0, 1),
+            "n_events": pa.array([n], type=pa.int64()),
+            "max_cusum": pa.array([int(s.max())], type=pa.int64()),
+            "n_alarms": pa.array([n_alarms], type=pa.int64()),
+            "first_alarm_us": pa.array([first], type=pa.int64()),
+        })
+
+    return (ds.select_columns([user_col, ts_col, value_col])
+            .groupby(user_col)
+            .map_groups(per_user, batch_format="pyarrow"))
