@@ -4254,6 +4254,51 @@ def _q_boolean_search(sf_dir: str):
                           must_not=["window"])
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped star join (`functions/join.py:
+    star_revenue_by_nation`, composed chain #14): revenue per nation
+    where customer and supplier share the nation, orders on/after
+    1997-01-01. The fact table streams once against ray.put dense
+    dimension LUTs — zero fact-side shuffle; exact int64 centi-cents."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from smartreader_ray.functions.join import star_revenue_by_nation
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    date_from = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+    return star_revenue_by_nation(
+        li,
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                      columns=["s_suppkey", "s_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"]),
+        date_from)
+
+
+def _q_source_drift(sf_dir: str):
+    """PSI distribution drift of every source's n_chars profile vs
+    src0 (`functions/audit.py: psi_drift`): exact integer bin counts
+    off one (group, bin) exchange; per-bin float terms are one shared
+    IEEE tree (libm log == DuckDB ln)."""
+    import ray.data
+
+    from smartreader_ray.functions.audit import psi_drift
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"])
+    return psi_drift(ds, "source", "n_chars", baseline="src0")
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4513,6 +4558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_report": _q_dq_report,
         "dq_fingerprint_chain": _q_dq_fingerprint_chain,
         "priority_sample": _q_priority_sample,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "source_drift": _q_source_drift,
         "cusum_alarms": _q_cusum_alarms,
         "weighted_median": _q_weighted_median,
         "budget_alloc": _q_budget_alloc,
@@ -7320,6 +7367,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
             FROM q ORDER BY priority DESC, doc_id LIMIT 100
+        """,
+        # local_supplier_revenue: the 5-table Q5 star with the
+        # cross-dimension c_nationkey = s_nationkey predicate.
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                                       *100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(CAST(l_discount
+                                       AS DOUBLE)*100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_cc
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        # source_drift: PSI per (source, bin) vs src0 — exact counts,
+        # one shared IEEE tree for p/q/term (DuckDB ln == libm log).
+        "source_drift": """
+            WITH b AS (
+                SELECT source,
+                       LEAST(CAST(FLOOR(CAST(n_chars AS DOUBLE)/64.0)
+                                  AS BIGINT), 15) AS bin
+                FROM documents
+            ), c AS (
+                SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2
+            ), s AS (SELECT DISTINCT source FROM documents),
+            g AS (SELECT source, i AS bin
+                  FROM s, generate_series(0, 15) t(i)),
+            d AS (SELECT g.source, g.bin, COALESCE(c.c, 0) AS c
+                  FROM g LEFT JOIN c
+                  ON c.source = g.source AND c.bin = g.bin),
+            n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                  FROM d GROUP BY source),
+            base AS (SELECT d.bin, d.c AS cb, n.n AS nb
+                     FROM d JOIN n USING (source)
+                     WHERE d.source = 'src0')
+            SELECT d.source AS "group", d.bin,
+                   base.cb AS expected_n, d.c AS actual_n,
+                   ((CAST(d.c+1 AS DOUBLE)/CAST(n.n+16 AS DOUBLE))
+                    - (CAST(base.cb+1 AS DOUBLE)
+                       /CAST(base.nb+16 AS DOUBLE)))
+                   * ln((CAST(d.c+1 AS DOUBLE)/CAST(n.n+16 AS DOUBLE))
+                        / (CAST(base.cb+1 AS DOUBLE)
+                           /CAST(base.nb+16 AS DOUBLE))) AS psi_term
+            FROM d JOIN n ON n.source = d.source
+            JOIN base ON base.bin = d.bin
+            WHERE d.source <> 'src0'
+            ORDER BY d.source, d.bin
         """,
         # cusum_alarms: the max(0, S+d) recursion replayed WITHOUT
         # recursion via S_t = P_t - min(0, running min of P); exact ints.

@@ -179,3 +179,87 @@ def dq_report(ds, rules: list, fk_refs: dict | None = None) -> pa.Table:
         "n_checked": pa.array([results[n][1] for n in names],
                               type=pa.int64()),
     })
+
+
+def psi_drift(ds, group_col: str, value_col: str, baseline: str,
+              nbins: int = 16, bin_width: float = 64.0):
+    """Population Stability Index between each group's value
+    distribution and the ``baseline`` group's — the standard
+    drift-detection gate (credit-risk lineage; PSI > 0.25 = major
+    shift) run before promoting a new corpus snapshot: has src_k's
+    length/score profile moved against the reference source?
+
+    Fixed-width bins (floor(v / bin_width), clamped to nbins-1) keep
+    the binning data-independent, and counts are exact integers off ONE
+    pre-aggregated (group, bin) exchange of at most groups x bins x
+    blocks rows. Add-one smoothing handles empty bins. Per-bin floats
+    are ONE shared IEEE tree — p = (c+1)/(n+nbins) via double division,
+    term = (q - p) * ln(q / p) with libm log (math.log == DuckDB ln
+    bit-exact; the numpy SIMD log is NOT and is avoided) — so the gate
+    hashes the floats too. PSI totals are left to the consumer (a
+    16-term float sum is order-sensitive; the per-bin rows are the
+    reproducible artifact).
+
+    Returns (group, bin, expected_n, actual_n, psi_term) for every
+    group except the baseline, dense over all bins, sorted.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def bin_partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.minimum(np.floor(v / bin_width).astype(np.int64),
+                          nbins - 1)
+        t = pa.table({
+            "group": b.column(group_col).cast(pa.string()),
+            "bin": pa.array(bins, type=pa.int64()),
+            "c": pa.array(np.ones(len(bins), dtype=np.int64)),
+        })
+        g = t.group_by(["group", "bin"]).aggregate([("c", "sum")])
+        return g.rename_columns(["group", "bin", "c"])
+
+    agg = (ds.select_columns([group_col, value_col])
+           .map_batches(bin_partial, batch_format="pyarrow")
+           .groupby(["group", "bin"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        groups = b.column("group").to_pylist()
+        bins = b.column("bin").to_numpy(zero_copy_only=False)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        dense: dict[str, np.ndarray] = {}
+        for g, bi, ci in zip(groups, bins, c):
+            dense.setdefault(g, np.zeros(nbins, dtype=np.int64))[bi] = ci
+        if baseline not in dense:
+            raise ValueError(f"psi_drift: baseline group {baseline!r} "
+                             "absent from input")
+        cb = dense[baseline]
+        nb = int(cb.sum())
+        out = {"group": [], "bin": [], "expected_n": [],
+               "actual_n": [], "psi_term": []}
+        for g in sorted(dense):
+            if g == baseline:
+                continue
+            cg = dense[g]
+            ng = int(cg.sum())
+            for bi in range(nbins):
+                p = (int(cb[bi]) + 1) / (nb + nbins)
+                q = (int(cg[bi]) + 1) / (ng + nbins)
+                out["group"].append(g)
+                out["bin"].append(bi)
+                out["expected_n"].append(int(cb[bi]))
+                out["actual_n"].append(int(cg[bi]))
+                out["psi_term"].append((q - p) * math.log(q / p))
+        return pa.table({
+            "group": pa.array(out["group"], type=pa.string()),
+            "bin": pa.array(out["bin"], type=pa.int64()),
+            "expected_n": pa.array(out["expected_n"], type=pa.int64()),
+            "actual_n": pa.array(out["actual_n"], type=pa.int64()),
+            "psi_term": pa.array(out["psi_term"], type=pa.float64()),
+        })
+
+    # groups x bins rows by construction — one block
+    return (agg.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort(["group", "bin"]))

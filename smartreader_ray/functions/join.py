@@ -944,3 +944,94 @@ def scd2_apply(history, snapshot, id_col: str, attr_cols: list[str],
 
     return closed.union(
         joined.map_batches(classify, batch_format="pyarrow"))
+
+
+def star_revenue_by_nation(lineitem, orders_tbl, customer_tbl,
+                           supplier_tbl, nation_tbl,
+                           date_from_us: int):
+    """TPC-H-Q5-shaped star join: revenue per nation over line items
+    whose ORDER ships on/after ``date_from_us`` and whose customer and
+    supplier sit in the SAME nation — the classic 5-table join with a
+    cross-dimension correlation predicate (c_nationkey = s_nationkey)
+    that a pairwise join planner handles worst.
+
+    Ray shape — the 100 TB fact-table pattern: the FACT (lineitem)
+    streams through ONE ``map_batches`` stage; every DIMENSION becomes
+    a dense int64 numpy lookup array (keys here are 0..n-1 by
+    construction — the general case hashes instead) shipped once via
+    ``ray.put`` and indexed with one fancy-indexing gather per batch.
+    No fact-side shuffle exists at all: the only exchange is the final
+    ~|nations|-row aggregate. When a dimension outgrows broadcast, the
+    named fallback is `hash_join` with salt on the hot side.
+
+    Revenue is exact int64 centi-cents: extprice_cents x (100 -
+    round(discount*100)); per-batch Arrow pre-aggregation means each
+    block contributes at most |nations| partial rows.
+
+    Returns (n_name, revenue_cc: int64) sorted by nation name.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def dense_lut(tbl, key_col, val_col, fill=-1):
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = tbl.column(val_col).to_numpy(zero_copy_only=False)
+        out = np.full(int(k.max()) + 1, fill, dtype=np.int64)
+        out[k] = v.astype(np.int64)
+        return out
+
+    odate = orders_tbl.column("o_orderdate").to_numpy(
+        zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    ocust = orders_tbl.column("o_custkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    okey = orders_tbl.column("o_orderkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cust_of_order = np.full(int(okey.max()) + 1, -1, dtype=np.int64)
+    keep = odate >= date_from_us
+    cust_of_order[okey[keep]] = ocust[keep]  # -1 = date-filtered out
+
+    nat_of_cust = dense_lut(customer_tbl, "c_custkey", "c_nationkey")
+    nat_of_supp = dense_lut(supplier_tbl, "s_suppkey", "s_nationkey")
+    refs = ray.put((cust_of_order, nat_of_cust, nat_of_supp))
+    names = {int(r["n_nationkey"]): str(r["n_name"])
+             for r in nation_tbl.to_pylist()}
+
+    def revenue_partial(b: pa.Table) -> pa.Table:
+        orders_lut, cust_lut, supp_lut = ray.get(refs)
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cust = orders_lut[ok]
+        snat = supp_lut[sk]
+        sel = cust >= 0
+        sel &= cust_lut[np.where(sel, cust, 0)] == snat
+        ep = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        pct = np.floor(dc * 100.0 + 0.5).astype(np.int64)
+        rev = cents[sel] * (100 - pct[sel])
+        t = pa.table({
+            "nationkey": pa.array(snat[sel], type=pa.int64()),
+            "revenue_cc": pa.array(rev, type=pa.int64()),
+        })
+        g = t.group_by("nationkey").aggregate([("revenue_cc", "sum")])
+        return g.rename_columns(["nationkey", "revenue_cc"])
+
+    agg = (lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(revenue_partial, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("revenue_cc", alias_name="revenue_cc")))
+
+    def name_out(b: pa.Table) -> pa.Table:
+        nk = b.column("nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in nk],
+                               type=pa.string()),
+            "revenue_cc": b.column("revenue_cc").cast(pa.int64()),
+        })
+
+    return agg.map_batches(name_out, batch_format="pyarrow").sort(
+        "n_name")
