@@ -4299,6 +4299,41 @@ def _q_source_drift(sf_dir: str):
     return psi_drift(ds, "source", "n_chars", baseline="src0")
 
 
+def _q_ohlc_hourly(sf_dir: str):
+    """Hourly OHLC candle bars per event type (`functions/windows.py:
+    ohlc_bars`): open/close are order statistics computed as plain
+    MIN/MAX over an int64 (offset_us, biased-cents) composite — no
+    per-group sort, no map_groups, pure mergeable aggregates."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import ohlc_bars
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"])
+    return ohlc_bars(ds, width_s=3600)
+
+
+def _q_schema_union(sf_dir: str):
+    """Schema-evolution union (`functions/setops.py: union_by_name`):
+    two projection epochs of orders (the older lacks o_orderpriority)
+    concatenated by NAME with typed-null fill — shuffle-free
+    streaming alignment."""
+    import ray.data
+
+    from smartreader_ray.functions.setops import union_by_name
+
+    old = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).filter(expr="o_orderkey < 7500")
+    new = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).filter(expr="o_orderkey >= 7500")
+    return union_by_name([old, new]).sort("o_orderkey")
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4560,6 +4595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": _q_priority_sample,
         "local_supplier_revenue": _q_local_supplier_revenue,
         "source_drift": _q_source_drift,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "schema_union": _q_schema_union,
         "cusum_alarms": _q_cusum_alarms,
         "weighted_median": _q_weighted_median,
         "budget_alloc": _q_budget_alloc,
@@ -7420,6 +7457,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN base ON base.bin = d.bin
             WHERE d.source <> 'src0'
             ORDER BY d.source, d.bin
+        """,
+        # ohlc_hourly: open/close via the same int64 composite
+        # (offset_us * 2^21 + cents + 2^20) the engine packs.
+        "ohlc_hourly": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) AS t,
+                       CAST(FLOOR(CAST(value AS DOUBLE)*100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM events
+            ), w AS (
+                SELECT event_type, t - t % 3600000000 AS window_us,
+                       (t - (t - t % 3600000000)) * 2097152
+                           + (cents + 1048576) AS comp,
+                       cents
+                FROM e
+            )
+            SELECT event_type, window_us,
+                   CAST(MIN(comp) % 2097152 - 1048576 AS BIGINT)
+                       AS open_cents,
+                   CAST(MAX(cents) AS BIGINT) AS high_cents,
+                   CAST(MIN(cents) AS BIGINT) AS low_cents,
+                   CAST(MAX(comp) % 2097152 - 1048576 AS BIGINT)
+                       AS close_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # schema_union: UNION ALL BY NAME with explicit typed-null fill.
+        "schema_union": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderkey < 7500
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey >= 7500
+            ORDER BY o_orderkey
         """,
         # cusum_alarms: the max(0, S+d) recursion replayed WITHOUT
         # recursion via S_t = P_t - min(0, running min of P); exact ints.

@@ -251,3 +251,48 @@ def table_fingerprint(ds, group_col: str, cols: list[str],
             .groupby(group_col)
             .map_groups(combine, batch_format="pyarrow")
             .sort(group_col))
+
+
+def union_by_name(datasets):
+    """Schema-evolution union: concatenate Datasets whose schemas
+    overlap but don't match (new columns added across ingestion
+    epochs, reordered projections) by NAME — missing columns become
+    typed nulls, column order is first-seen. The reader-side half of
+    "add a column without rewriting history" that every long-lived
+    corpus needs; plain ``union`` would mis-zip by position or reject.
+
+    Column types must agree where shared (loudly checked); the
+    alignment is a shuffle-free per-batch projection, so the union
+    stays fully streaming.
+    """
+    if not datasets:
+        raise ValueError("union_by_name: need at least one dataset")
+    cols: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for d in datasets:
+        s = d.schema()
+        for name, typ in zip(s.names, s.types):
+            if name in types:
+                if types[name] != typ:
+                    raise ValueError(
+                        f"union_by_name: column {name!r} has "
+                        f"conflicting types {types[name]} vs {typ}")
+            else:
+                cols.append(name)
+                types[name] = typ
+
+    def align(b: pa.Table) -> pa.Table:
+        arrays = []
+        for c in cols:
+            if c in b.column_names:
+                arrays.append(b.column(c))
+            else:
+                arrays.append(pa.nulls(b.num_rows, type=types[c]))
+        return pa.table(dict(zip(cols, arrays)))
+
+    aligned = [d.map_batches(align, batch_format="pyarrow")
+               for d in datasets]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.union(d)
+    return out

@@ -1544,3 +1544,96 @@ def cusum_changepoints(ds, user_col: str = "user_id", ts_col: str = "ts",
     return (ds.select_columns([user_col, ts_col, value_col])
             .groupby(user_col)
             .map_groups(per_user, batch_format="pyarrow"))
+
+
+def ohlc_bars(ds, key_col: str = "event_type", ts_col: str = "ts",
+              value_col: str = "value", width_s: int = 3600):
+    """OHLC candle bars per key per tumbling window — open (value at
+    the earliest event), high, low, close (value at the latest), count.
+    The financial/metrics resample whose open/close are ORDER
+    statistics, not algebraic aggregates — the part that normally
+    forces a per-group sort.
+
+    No sort and no per-group Python here: open/close ride ordinary
+    MIN/MAX by packing each event into one int64 composite
+
+        comp = offset_us * 2^21 + (cents + 2^20)
+
+    where offset_us = ts - window_start (< width) dominates and the
+    biased cents break ties low/high deterministically. min(comp)
+    decodes to the open, max(comp) to the close — associative,
+    commutative, mergeable, and replayable in SQL with the same
+    arithmetic. Guards keep the packing exact: |cents| < 2^20 and
+    width_s * 1e6 * 2^21 within int64 (width <= ~611 hours).
+
+    Ray shape: per-block Arrow group_by pre-aggregates (key, window)
+    cells, ONE groupby merges min/max/sum partials — exchange is
+    cells x blocks rows, never events.
+
+    Returns (key, window_us, open_cents, high_cents, low_cents,
+    close_cents, n) sorted.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    width_us = int(width_s) * 1_000_000
+    bias = 1 << 20
+    scale = 1 << 21
+    if width_us * scale >= 2 ** 62:
+        raise OverflowError("ohlc_bars: width_s too large for exact "
+                            "int64 composite packing")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        # guard on the FLOATS: int64 overflow in the cast would wrap to
+        # INT64_MIN whose np.abs is itself negative and slips any
+        # post-cast check
+        if len(v) and (np.abs(v * 100.0) >= bias).any():
+            raise OverflowError(
+                "ohlc_bars: |value| cents exceed the 2^20 packing "
+                "range; rescale the value column")
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        win = t - t % width_us
+        comp = (t - win) * scale + (cents + bias)
+        tbl = pa.table({
+            key_col: b.column(key_col),
+            "window_us": pa.array(win, type=pa.int64()),
+            "comp_min": pa.array(comp, type=pa.int64()),
+            "comp_max": pa.array(comp, type=pa.int64()),
+            "hi": pa.array(cents, type=pa.int64()),
+            "lo": pa.array(cents, type=pa.int64()),
+            "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+        })
+        g = tbl.group_by([key_col, "window_us"]).aggregate(
+            [("comp_min", "min"), ("comp_max", "max"),
+             ("hi", "max"), ("lo", "min"), ("n", "sum")])
+        return g.rename_columns([key_col, "window_us", "comp_min",
+                                 "comp_max", "hi", "lo", "n"])
+
+    agg = (ds.select_columns([key_col, ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby([key_col, "window_us"])
+           .aggregate(Min("comp_min", alias_name="comp_min"),
+                      Max("comp_max", alias_name="comp_max"),
+                      Max("hi", alias_name="hi"),
+                      Min("lo", alias_name="lo"),
+                      Sum("n", alias_name="n")))
+
+    def decode(b: pa.Table) -> pa.Table:
+        cmin = b.column("comp_min").to_numpy(zero_copy_only=False)
+        cmax = b.column("comp_max").to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b.column(key_col),
+            "window_us": b.column("window_us").cast(pa.int64()),
+            "open_cents": pa.array(cmin % scale - bias,
+                                   type=pa.int64()),
+            "high_cents": b.column("hi").cast(pa.int64()),
+            "low_cents": b.column("lo").cast(pa.int64()),
+            "close_cents": pa.array(cmax % scale - bias,
+                                    type=pa.int64()),
+            "n": b.column("n").cast(pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow").sort(
+        [key_col, "window_us"])
