@@ -4334,6 +4334,21 @@ def _q_schema_union(sf_dir: str):
     return union_by_name([old, new]).sort("o_orderkey")
 
 
+def _q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center coreset selection over embeddings
+    (`functions/similarity.py: kcenter_select`): Gonzalez
+    farthest-point traversal, integer-quantized exact distances,
+    total-order argmax — the data-pruning pick whose greedy trajectory
+    is partitioning-independent and SQL-replayable as k chained CTEs."""
+    import ray.data
+
+    from smartreader_ray.functions.similarity import kcenter_select
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+    return kcenter_select(ds, k=8)
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4597,6 +4612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_drift": _q_source_drift,
         "ohlc_hourly": _q_ohlc_hourly,
         "schema_union": _q_schema_union,
+        "kcenter_coreset": _q_kcenter_coreset,
         "cusum_alarms": _q_cusum_alarms,
         "weighted_median": _q_weighted_median,
         "budget_alloc": _q_budget_alloc,
@@ -4611,6 +4627,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from smartreader_ray.functions import mix_threshold_hex as _mt
+
+    def _kcenter_sql(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
+        # greedy k-center replayed as k chained CTEs: c_r = total-order
+        # argmax of the running min-distance m_r (exact int squared L2
+        # on the same quantization the engine uses)
+        def dist(a: str, b: str) -> str:
+            return (f"(SELECT SUM(({a}.e[i]-{b}.e[i])*({a}.e[i]-{b}.e[i]))"
+                    f" FROM generate_series(1,{dim}) t(i))")
+
+        parts = [f"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+              *{scale}+0.5) AS BIGINT)) AS e FROM embeddings),
+        c0 AS (SELECT vec_id, e FROM q
+          ORDER BY (SELECT SUM(q.e[i]*q.e[i])
+                    FROM generate_series(1,{dim}) t(i)) DESC, vec_id
+          LIMIT 1),
+        m1 AS (SELECT q.vec_id, q.e, {dist('q', 'c0')} AS mind
+               FROM q, c0)"""]
+        for r in range(1, k):
+            parts.append(f"c{r} AS (SELECT vec_id, e, mind FROM m{r} "
+                         f"ORDER BY mind DESC, vec_id LIMIT 1)")
+            if r < k - 1:
+                parts.append(
+                    f"m{r + 1} AS (SELECT m{r}.vec_id, m{r}.e, "
+                    f"LEAST(m{r}.mind, {dist(f'm{r}', f'c{r}')}) AS mind"
+                    f" FROM m{r}, c{r})")
+        sels = ["SELECT CAST(0 AS BIGINT) AS sel_rank, vec_id, "
+                "CAST(-1 AS BIGINT) AS dist2 FROM c0"]
+        for r in range(1, k):
+            sels.append(f"SELECT CAST({r} AS BIGINT), vec_id, "
+                        f"CAST(mind AS BIGINT) FROM c{r}")
+        return (",\n".join(parts) + "\nSELECT * FROM ("
+                + " UNION ALL ".join(sels) + ") ORDER BY sel_rank")
 
     def _sx(col: str) -> str:
         # American Soundex as a pure RE2-safe SQL expression: the exact
@@ -7493,6 +7542,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey >= 7500
             ORDER BY o_orderkey
         """,
+        "kcenter_coreset": _kcenter_sql(k=8),
         # cusum_alarms: the max(0, S+d) recursion replayed WITHOUT
         # recursion via S_t = P_t - min(0, running min of P); exact ints.
         "cusum_alarms": """

@@ -769,3 +769,114 @@ def pq_adc_topk(ds, codebook: np.ndarray, queries: np.ndarray,
         .repartition(1)
         .map_batches(final_cut, batch_format="pyarrow")
     )
+
+
+def kcenter_select(ds, k: int = 8, scale: int = 1000,
+                   id_col: str = "vec_id", embed_col: str = "embedding"):
+    """Greedy k-center (farthest-point traversal / Gonzalez 1985)
+    coreset selection — the data-pruning primitive: pick k vectors so
+    every vector is close to some pick (2-approximation of the optimal
+    k-center cover). Round r broadcasts only the NEWEST center, each
+    block updates its running min-distance column and emits ONE
+    (best mind, best id) candidate, and the driver reduces blocks —
+    per-round exchange is O(blocks), state is one int64 column riding
+    the corpus.
+
+    Determinism end to end: embeddings int64-quantized at ``scale``
+    (same convention as PQ), distances are exact integer squared L2,
+    and every argmax uses the TOTAL order (mind DESC, id ASC) — so the
+    greedy trajectory is partitioning-independent and SQL-replayable
+    (k chained CTEs). Seed pick = max squared norm, min id on ties.
+
+    Returns (sel_rank, vec_id, dist2) — dist2 is the picked vector's
+    distance to the previously selected set (the coverage radius
+    sequence, nonincreasing; -1 for the seed).
+    """
+    import ray
+
+    def quant(b: pa.Table) -> pa.Table:
+        e = np.stack(b.column(embed_col).to_pandas().to_numpy())
+        eq = np.floor(e.astype(np.float64) * scale + 0.5).astype(
+            np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            "eq": pa.array(list(eq), type=pa.list_(pa.int64())),
+            "mind": pa.array(np.full(len(eq), -1, dtype=np.int64)),
+        })
+
+    state = ds.select_columns([id_col, embed_col]).map_batches(
+        quant, batch_format="pyarrow").materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        eq = np.stack(b.column("eq").to_pandas().to_numpy())
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        norms = (eq * eq).sum(axis=1)
+        order = np.lexsort((ids, -norms))
+        i = order[0]
+        return pa.table({
+            id_col: pa.array([ids[i]], type=pa.int64()),
+            "score": pa.array([int(norms[i])], type=pa.int64()),
+            "eq": pa.array([eq[i].tolist()], type=pa.list_(pa.int64())),
+        })
+
+    def best_of(cands: pa.Table):
+        ids = cands.column(id_col).to_numpy(zero_copy_only=False)
+        sc = cands.column("score").to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((ids, -sc))[0])
+        return (int(ids[i]), int(sc[i]),
+                np.asarray(cands.column("eq")[i].as_py(),
+                           dtype=np.int64))
+
+    def collect(cand_ds) -> pa.Table:
+        # blocks-sized by construction: one candidate row per block
+        return pa.concat_tables(
+            list(cand_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)))
+
+    seeds = collect(state.map_batches(seed_partial,
+                                      batch_format="pyarrow"))
+    sel_id, _, center = best_of(seeds)
+    picks = [(0, sel_id, -1)]
+
+    for _ in range(1, k):
+        c_ref = ray.put(center)
+
+        def update(b: pa.Table, _c=c_ref) -> pa.Table:
+            c = ray.get(_c)
+            eq = np.stack(b.column("eq").to_pandas().to_numpy())
+            diff = eq - c
+            d2 = (diff * diff).sum(axis=1)
+            old = b.column("mind").to_numpy(zero_copy_only=False)
+            mind = np.where(old < 0, d2, np.minimum(old, d2))
+            return pa.table({
+                id_col: b.column(id_col),
+                "eq": b.column("eq"),
+                "mind": pa.array(mind, type=pa.int64()),
+            })
+
+        state = state.map_batches(
+            update, batch_format="pyarrow").materialize()
+
+        def cand_partial(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            mind = b.column("mind").to_numpy(zero_copy_only=False)
+            i = int(np.lexsort((ids, -mind))[0])
+            return pa.table({
+                id_col: pa.array([ids[i]], type=pa.int64()),
+                "score": pa.array([int(mind[i])], type=pa.int64()),
+                "eq": pa.array([b.column("eq")[i].as_py()],
+                               type=pa.list_(pa.int64())),
+            })
+
+        cands = collect(state.map_batches(cand_partial,
+                                          batch_format="pyarrow"))
+        sel_id, score, center = best_of(cands)
+        picks.append((len(picks), sel_id, score))
+
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "sel_rank": pa.array([p[0] for p in picks], type=pa.int64()),
+        id_col: pa.array([p[1] for p in picks], type=pa.int64()),
+        "dist2": pa.array([p[2] for p in picks], type=pa.int64()),
+    }))
