@@ -4349,6 +4349,22 @@ def _q_kcenter_coreset(sf_dir: str):
     return kcenter_select(ds, k=8)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup (chain #15,
+    `functions/similarity.py: semantic_dedup`): k-center seeds →
+    integer argmin cluster assignment → within-cluster cosine ≥ 0.45
+    edges → components → canonical keep id. Cross-cluster pairs are
+    never examined — the locality that makes semantic dedup tractable
+    at corpus scale."""
+    import ray.data
+
+    from smartreader_ray.functions.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(ds, k_clusters=8, tau=0.45)
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4613,6 +4629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_hourly": _q_ohlc_hourly,
         "schema_union": _q_schema_union,
         "kcenter_coreset": _q_kcenter_coreset,
+        "semantic_dedup": _q_semantic_dedup,
         "cusum_alarms": _q_cusum_alarms,
         "weighted_median": _q_weighted_median,
         "budget_alloc": _q_budget_alloc,
@@ -4628,38 +4645,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from smartreader_ray.functions import mix_threshold_hex as _mt
 
-    def _kcenter_sql(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
+    def _kcenter_ctes(k: int = 8, dim: int = 64,
+                      scale: int = 1000) -> list:
         # greedy k-center replayed as k chained CTEs: c_r = total-order
         # argmax of the running min-distance m_r (exact int squared L2
-        # on the same quantization the engine uses)
+        # on the same quantization the engine uses). MATERIALIZED is
+        # load-bearing: the chain references each m_r twice, so inlined
+        # CTEs re-evaluate exponentially (2^k scans of q).
         def dist(a: str, b: str) -> str:
             return (f"(SELECT SUM(({a}.e[i]-{b}.e[i])*({a}.e[i]-{b}.e[i]))"
                     f" FROM generate_series(1,{dim}) t(i))")
 
-        parts = [f"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        parts = [f"""q AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
           list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)
               *{scale}+0.5) AS BIGINT)) AS e FROM embeddings),
-        c0 AS (SELECT vec_id, e FROM q
+        c0 AS MATERIALIZED (SELECT vec_id, e FROM q
           ORDER BY (SELECT SUM(q.e[i]*q.e[i])
                     FROM generate_series(1,{dim}) t(i)) DESC, vec_id
           LIMIT 1),
-        m1 AS (SELECT q.vec_id, q.e, {dist('q', 'c0')} AS mind
-               FROM q, c0)"""]
+        m1 AS MATERIALIZED (SELECT q.vec_id, q.e, {dist('q', 'c0')}
+               AS mind FROM q, c0)"""]
         for r in range(1, k):
-            parts.append(f"c{r} AS (SELECT vec_id, e, mind FROM m{r} "
-                         f"ORDER BY mind DESC, vec_id LIMIT 1)")
+            parts.append(f"c{r} AS MATERIALIZED (SELECT vec_id, e, mind"
+                         f" FROM m{r} ORDER BY mind DESC, vec_id"
+                         f" LIMIT 1)")
             if r < k - 1:
                 parts.append(
-                    f"m{r + 1} AS (SELECT m{r}.vec_id, m{r}.e, "
-                    f"LEAST(m{r}.mind, {dist(f'm{r}', f'c{r}')}) AS mind"
+                    f"m{r + 1} AS MATERIALIZED (SELECT m{r}.vec_id, "
+                    f"m{r}.e, LEAST(m{r}.mind, "
+                    f"{dist(f'm{r}', f'c{r}')}) AS mind"
                     f" FROM m{r}, c{r})")
+        return parts
+
+    def _kcenter_sql(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
+        parts = _kcenter_ctes(k, dim, scale)
         sels = ["SELECT CAST(0 AS BIGINT) AS sel_rank, vec_id, "
                 "CAST(-1 AS BIGINT) AS dist2 FROM c0"]
         for r in range(1, k):
             sels.append(f"SELECT CAST({r} AS BIGINT), vec_id, "
                         f"CAST(mind AS BIGINT) FROM c{r}")
-        return (",\n".join(parts) + "\nSELECT * FROM ("
+        return ("WITH " + ",\n".join(parts) + "\nSELECT * FROM ("
                 + " UNION ALL ".join(sels) + ") ORDER BY sel_rank")
+
+    def _semantic_dedup_sql(k: int = 8, dim: int = 64,
+                            scale: int = 1000,
+                            tau: float = 0.45) -> str:
+        # k-center seeds -> integer argmin assignment (ties to lowest
+        # seed rank) -> within-cluster cosine edges -> recursive
+        # min-label components -> canonical per vector
+        parts = _kcenter_ctes(k, dim, scale)
+        ctrs = " UNION ALL ".join(
+            [f"SELECT CAST({r} AS BIGINT) AS rk, e FROM c{r}"
+             for r in range(k)])
+        parts.append(f"ctr AS MATERIALIZED ({ctrs})")
+        parts.append(f"""dst AS MATERIALIZED (SELECT q.vec_id, ctr.rk,
+          (SELECT SUM((q.e[i]-ctr.e[i])*(q.e[i]-ctr.e[i]))
+           FROM generate_series(1,{dim}) t(i)) AS d2
+          FROM q, ctr)""")
+        parts.append("""asg AS MATERIALIZED (
+          SELECT vec_id, rk AS cluster FROM (
+            SELECT vec_id, rk, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2, rk) AS rn FROM dst)
+          WHERE rn = 1)""")
+        parts.append(f"""edges AS MATERIALIZED (
+          SELECT a.vec_id AS na, b.vec_id AS nb
+          FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON CAST(ea.vec_id AS BIGINT) = a.vec_id
+          JOIN embeddings eb ON CAST(eb.vec_id AS BIGINT) = b.vec_id
+          WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+              CAST(eb.embedding AS DOUBLE[])) >= {tau})""")
+        parts.append("""sym AS MATERIALIZED (
+          SELECT na AS a, nb AS b FROM edges
+          UNION SELECT nb, na FROM edges),
+        reach(node, lab) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+          SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+        comp AS (SELECT node, MIN(lab) AS canon FROM reach
+                 GROUP BY node)""")
+        return ("WITH RECURSIVE " + ",\n".join(parts) + """
+        SELECT asg.vec_id, asg.cluster,
+               COALESCE(comp.canon, asg.vec_id) AS canonical
+        FROM asg LEFT JOIN comp ON comp.node = asg.vec_id
+        ORDER BY asg.vec_id""")
 
     def _sx(col: str) -> str:
         # American Soundex as a pure RE2-safe SQL expression: the exact
@@ -7543,6 +7613,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "kcenter_coreset": _kcenter_sql(k=8),
+        "semantic_dedup": _semantic_dedup_sql(k=8, tau=0.45),
         # cusum_alarms: the max(0, S+d) recursion replayed WITHOUT
         # recursion via S_t = P_t - min(0, running min of P); exact ints.
         "cusum_alarms": """

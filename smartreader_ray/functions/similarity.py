@@ -880,3 +880,116 @@ def kcenter_select(ds, k: int = 8, scale: int = 1000,
         id_col: pa.array([p[1] for p in picks], type=pa.int64()),
         "dist2": pa.array([p[2] for p in picks], type=pa.int64()),
     }))
+
+
+def semantic_dedup(ds, k_clusters: int = 8, tau: float = 0.45,
+                   scale: int = 1000, id_col: str = "vec_id",
+                   embed_col: str = "embedding",
+                   cluster_cap: int = 100_000):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    public): cluster the embedding space, then treat within-cluster
+    pairs above cosine ``tau`` as duplicates and keep one
+    representative per duplicate component. Cross-cluster pairs are
+    never examined — that locality is what makes semantic dedup
+    tractable at corpus scale (all-pairs is n²).
+
+    Deterministic end to end: cluster seeds are the `kcenter_select`
+    picks (integer-exact, SQL-replayable), assignment is integer
+    squared-L2 argmin with ties to the lowest seed rank, and the
+    canonical representative is the component's minimum id (driver
+    union-find on the OUTPUT-sized edge list). The cosine test itself
+    follows the `embed_neardup` precedent: float threshold, identical
+    formula both sides of the gate.
+
+    Ray shape: k tiny seed rounds (see kcenter_select) + ONE
+    ``groupby(cluster)`` exchange; per cluster a vectorized normalize +
+    matmul emits pairs. A cluster beyond ``cluster_cap`` raises loudly
+    (the fix is more clusters, not silent truncation).
+
+    Returns (vec_id, cluster, canonical) sorted by id.
+    """
+    import ray
+    import ray.data
+
+    from .dedup import connected_components
+
+    seeds = kcenter_select(ds, k=k_clusters, scale=scale,
+                           id_col=id_col, embed_col=embed_col)
+    seed_ids = [int(r[id_col]) for r in seeds.iter_rows()]  # k rows
+    id_to_rank = {v: i for i, v in enumerate(seed_ids)}
+
+    # fetch the seed vectors (k rows) in one pruned pass
+    def grab_seeds(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, np.asarray(seed_ids, dtype=np.int64))
+        return b.filter(pa.array(mask))
+
+    picked = pa.concat_tables(
+        list(ds.select_columns([id_col, embed_col])
+             .map_batches(grab_seeds, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)))
+    centers = np.zeros(
+        (k_clusters,
+         len(picked.column(embed_col)[0].as_py())), dtype=np.int64)
+    for i in range(picked.num_rows):
+        rank = id_to_rank[int(picked.column(id_col)[i].as_py())]
+        v = np.asarray(picked.column(embed_col)[i].as_py(),
+                       dtype=np.float64)
+        centers[rank] = np.floor(v * scale + 0.5).astype(np.int64)
+    c_ref = ray.put(centers)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        e = np.stack(b.column(embed_col).to_pandas().to_numpy())
+        eq = np.floor(e.astype(np.float64) * scale + 0.5).astype(
+            np.int64)
+        # exact int d2 to every center; argmin ties -> lowest rank
+        d2 = ((eq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)  # argmin takes the FIRST (lowest rank)
+        return pa.table({
+            id_col: b.column(id_col),
+            "cluster": pa.array(cl, type=pa.int64()),
+            embed_col: b.column(embed_col),
+        })
+
+    assigned = ds.select_columns([id_col, embed_col]).map_batches(
+        assign, batch_format="pyarrow").materialize()
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows > cluster_cap:
+            raise ValueError(
+                f"semantic_dedup: cluster {g.column('cluster')[0]} has "
+                f"{g.num_rows} rows (> cluster_cap={cluster_cap}); "
+                "raise k_clusters")
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        e = np.stack(g.column(embed_col).to_pandas().to_numpy()).astype(
+            np.float64)
+        nrm = e / np.linalg.norm(e, axis=1, keepdims=True)
+        cos = nrm @ nrm.T
+        ai, bi = np.where(np.triu(cos >= tau, k=1))
+        a, b = ids[ai], ids[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "a": pa.array(lo, type=pa.int64()),
+            "b": pa.array(hi, type=pa.int64()),
+        })
+
+    edges = assigned.groupby("cluster").map_groups(
+        cluster_pairs, batch_format="pyarrow")
+    comp = connected_components(edges, col_a="a", col_b="b")
+    canon = {int(r["doc_id"]): int(r["cluster_id"])
+             for r in comp.iter_rows()}  # duplicate-rows-sized
+    canon_ref = ray.put(canon)
+
+    def out(b: pa.Table) -> pa.Table:
+        m = ray.get(canon_ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: b.column(id_col),
+            "cluster": b.column("cluster"),
+            "canonical": pa.array([m.get(int(i), int(i)) for i in ids],
+                                  type=pa.int64()),
+        })
+
+    return assigned.map_batches(out, batch_format="pyarrow").sort(
+        id_col)
