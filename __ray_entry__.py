@@ -4365,6 +4365,22 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, k_clusters=8, tau=0.45)
 
 
+def _q_span_corruption(sf_dir: str):
+    """T5-style span corruption (`functions/curation.py:
+    span_corruption`): deterministic md5-keyed token masking, masked
+    runs collapsed to numbered sentinels in the input, sentinel-prefixed
+    runs as the target — byte-identical to the gaps-and-islands SQL
+    replay, partitioning-independent by construction."""
+    import ray.data
+
+    from smartreader_ray.functions.curation import span_corruption
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return span_corruption(ds, mask_rate=0.15)
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4630,6 +4646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_union": _q_schema_union,
         "kcenter_coreset": _q_kcenter_coreset,
         "semantic_dedup": _q_semantic_dedup,
+        "span_corruption": _q_span_corruption,
         "cusum_alarms": _q_cusum_alarms,
         "weighted_median": _q_weighted_median,
         "budget_alloc": _q_budget_alloc,
@@ -7614,6 +7631,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcenter_coreset": _kcenter_sql(k=8),
         "semantic_dedup": _semantic_dedup_sql(k=8, tau=0.45),
+        # span_corruption: masked runs via gaps-and-islands; strings
+        # must be byte-identical (same md5 keying, same sentinels).
+        "span_corruption": f"""
+            WITH tk AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS toks
+                FROM documents
+            ), px AS (
+                SELECT doc_id, toks,
+                       UNNEST(generate_series(1, len(toks))) AS pos
+                FROM tk
+            ), t AS (
+                SELECT doc_id, pos, toks[pos] AS tok,
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(pos-1 AS VARCHAR)), 1, 8)
+                           < '{_mt(0.15)}' AS mask
+                FROM px
+            ), rs AS (
+                SELECT *, mask AND NOT COALESCE(
+                    LAG(mask) OVER (PARTITION BY doc_id ORDER BY pos),
+                    FALSE) AS run_start
+                FROM t
+            ), r AS (
+                SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                    AS run_id
+                FROM rs
+            )
+            SELECT doc_id,
+                COALESCE(string_agg(
+                    CASE WHEN NOT mask THEN tok
+                         WHEN run_start THEN '<extra_id_'
+                             || CAST(run_id AS VARCHAR) || '>'
+                    END, ' ' ORDER BY pos)
+                    FILTER (WHERE NOT mask OR run_start), '')
+                    AS input_text,
+                COALESCE(string_agg(
+                    CASE WHEN run_start THEN '<extra_id_'
+                             || CAST(run_id AS VARCHAR) || '> ' || tok
+                         ELSE tok END, ' ' ORDER BY pos)
+                    FILTER (WHERE mask), '') AS target_text,
+                CAST(SUM(CASE WHEN mask THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_masked
+            FROM r GROUP BY doc_id ORDER BY doc_id
+        """,
         # cusum_alarms: the max(0, S+d) recursion replayed WITHOUT
         # recursion via S_t = P_t - min(0, running min of P); exact ints.
         "cusum_alarms": """

@@ -484,3 +484,72 @@ def winsorize_stats(ds, key_col: str, value_col: str,
         )
         .sort(key_col)
     )
+
+
+def span_corruption(ds, doc_col: str = "doc_id", text_col: str = "text",
+                    mask_rate: float = 0.15):
+    """T5-style span corruption (Raffel et al. 2020, public): mask a
+    deterministic ~``mask_rate`` of each document's tokens, collapse
+    each masked RUN to one numbered sentinel in the input, and emit the
+    masked runs (sentinel-prefixed) as the target — the
+    denoising-objective pair generator of an LLM pretraining pipeline.
+
+    Reproducibility is the whole design: a token is masked iff the
+    first 8 hex chars of md5("{doc_id}:{pos}") fall under the
+    ``mask_rate`` threshold (`mix_threshold_hex` — the same keyed-hash
+    convention as `weighted_mix`/`split_assign`), so the corruption of
+    a document never depends on partitioning, epoch, or corpus
+    composition, and a SQL replay produces byte-identical strings
+    (runs numbered by the gaps-and-islands trick). At real scale the
+    md5 would swap for a cheaper keyed hash; md5 is the SQL-parity
+    choice.
+
+    Shuffle-free: a document is one row, so tokenize -> mask -> run
+    detection -> string assembly all happen inside the block.
+
+    Returns (doc_id, input_text, target_text, n_masked).
+    """
+    import hashlib
+
+    from .sampling import mix_threshold_hex
+
+    thresh = mix_threshold_hex(mask_rate)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        docs = b.column(doc_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        out_in: list[str] = []
+        out_tg: list[str] = []
+        out_n: list[int] = []
+        for d, txt in zip(docs, texts):
+            toks = (txt or "").strip().split(" ")
+            mask = np.fromiter(
+                (hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:8]
+                 < thresh for i in range(len(toks))),
+                dtype=bool, count=len(toks))
+            prev = np.concatenate(([False], mask[:-1]))
+            run_start = mask & ~prev
+            run_id = np.cumsum(run_start) - 1
+            inp: list[str] = []
+            tgt: list[str] = []
+            for i, tok in enumerate(toks):
+                if not mask[i]:
+                    inp.append(tok)
+                elif run_start[i]:
+                    inp.append(f"<extra_id_{run_id[i]}>")
+                    tgt.append(f"<extra_id_{run_id[i]}> {tok}")
+                else:
+                    tgt.append(tok)
+            out_in.append(" ".join(inp))
+            out_tg.append(" ".join(tgt))
+            out_n.append(int(mask.sum()))
+        return pa.table({
+            doc_col: b.column(doc_col),
+            "input_text": pa.array(out_in, type=pa.string()),
+            "target_text": pa.array(out_tg, type=pa.string()),
+            "n_masked": pa.array(out_n, type=pa.int64()),
+        })
+
+    return (ds.select_columns([doc_col, text_col])
+            .map_batches(corrupt, batch_format="pyarrow")
+            .sort(doc_col))
