@@ -4381,6 +4381,23 @@ def _q_span_corruption(sf_dir: str):
     return span_corruption(ds, mask_rate=0.15)
 
 
+def _q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of every source's n_chars distribution
+    onto src0's (`functions/standardize.py: quantile_normalize_by`):
+    integer cross-multiplied rank comparison — no floats anywhere in
+    the mapping, output is a baseline data value."""
+    import ray.data
+
+    from smartreader_ray.functions.standardize import (
+        quantile_normalize_by)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"])
+    return quantile_normalize_by(ds, "source", "n_chars",
+                                 baseline="src0")
+
+
 def _q_priority_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (`functions/sampling.py: priority_sample`): Duffield–Lund–Thorup
@@ -4647,6 +4664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": _q_kcenter_coreset,
         "semantic_dedup": _q_semantic_dedup,
         "span_corruption": _q_span_corruption,
+        "quantile_normalize": _q_quantile_normalize,
         "cusum_alarms": _q_cusum_alarms,
         "weighted_median": _q_weighted_median,
         "budget_alloc": _q_budget_alloc,
@@ -7631,6 +7649,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcenter_coreset": _kcenter_sql(k=8),
         "semantic_dedup": _semantic_dedup_sql(k=8, tau=0.45),
+        # quantile_normalize: smallest baseline value whose cumulative
+        # count crosses the row's rank — integer cross-multiplication.
+        "quantile_normalize": """
+            WITH h AS (
+                SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2
+            ), cum AS (
+                SELECT grp, v, c,
+                       SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cg,
+                       SUM(c) OVER (PARTITION BY grp) AS ng
+                FROM h
+            ), base AS (
+                SELECT v AS w, cg AS cb, ng AS nb FROM cum
+                WHERE grp = 'src0'
+            )
+            SELECT grp AS source, v AS n_chars, c AS n,
+                   (SELECT MIN(b.w) FROM base b
+                    WHERE b.cb * cum.ng >= cum.cg * b.nb) AS normalized
+            FROM cum ORDER BY source, n_chars
+        """,
         # span_corruption: masked runs via gaps-and-islands; strings
         # must be byte-identical (same md5 keying, same sentinels).
         "span_corruption": f"""

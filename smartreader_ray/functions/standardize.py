@@ -439,3 +439,81 @@ def impute_median(ds, key_col: str, value_col: str):
         return b.set_column(i, value_col, out)
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def quantile_normalize_by(ds, group_col: str, value_col: str,
+                          baseline: str):
+    """Quantile normalization against a baseline group: every value is
+    mapped to the BASELINE group's value at the same cumulative rank —
+    the feature-prep standard for making per-source score
+    distributions comparable (microarray lineage) before a global
+    threshold is applied.
+
+    Exactness without floats: with c_g(v) = # values <= v in group g
+    and n_g = |g|, the normalized value is the smallest baseline value
+    w with c_b(w) * n_g >= c_g(v) * n_b — integer cross-multiplication
+    in place of a rank-fraction comparison, so the gate is hash-exact
+    and the output is a baseline DATA value.
+
+    Ray shape: ONE (group, value) count exchange (distinct-values x
+    blocks rows); the cumulative walk + searchsorted mapping runs on
+    the histogram-sized aggregate in a single block. Returns the
+    mapping table (group, value, n, normalized) sorted — joinable back
+    to rows with a broadcast when per-row output is needed.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "grp": b.column(group_col).cast(pa.string()),
+            "value": b.column(value_col).cast(pa.float64()),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+        g = t.group_by(["grp", "value"]).aggregate([("n", "sum")])
+        return g.rename_columns(["grp", "value", "n"])
+
+    hist = (ds.select_columns([group_col, value_col])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["grp", "value"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    def normalize(b: pa.Table) -> pa.Table:
+        grp = np.asarray(b.column("grp").to_pylist())
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        cnt = b.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((val, grp))
+        grp, val, cnt = grp[order], val[order], cnt[order]
+        out_norm = np.empty(len(val), dtype=np.float64)
+        # per-group cumulative counts (groups are contiguous after sort)
+        uniq, starts = np.unique(grp, return_index=True)
+        bounds = dict(zip(uniq, starts))
+        if baseline not in bounds:
+            raise ValueError(f"quantile_normalize_by: baseline group "
+                             f"{baseline!r} absent from input")
+        ends = dict(zip(uniq, list(starts[1:]) + [len(grp)]))
+        cums = {}
+        for g in uniq:
+            s, e = bounds[g], ends[g]
+            cums[g] = np.cumsum(cnt[s:e])
+        b_s, b_e = bounds[baseline], ends[baseline]
+        bw = val[b_s:b_e]
+        bc = cums[baseline]
+        nb = int(bc[-1])
+        for g in uniq:
+            s, e = bounds[g], ends[g]
+            cg = cums[g]
+            ng = int(cg[-1])
+            # smallest baseline w with cb*ng >= cg*nb
+            idx = np.searchsorted(bc * ng, cg * nb, side="left")
+            out_norm[s:e] = bw[np.minimum(idx, len(bw) - 1)]
+        return pa.table({
+            group_col: pa.array(grp, type=pa.string()),
+            value_col: pa.array(val, type=pa.float64()),
+            "n": pa.array(cnt, type=pa.int64()),
+            "normalized": pa.array(out_norm, type=pa.float64()),
+        })
+
+    return (hist.repartition(1)
+            .map_batches(normalize, batch_format="pyarrow")
+            .sort([group_col, value_col]))
