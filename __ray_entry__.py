@@ -776,6 +776,44 @@ def _q_quality_gate(sf_dir: str):
     return docs.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_gopher_gate(sf_dir: str):
+    """Gopher-style document-quality rule cascade (`functions/textstats.py:
+    gopher_rules` — Rae et al. 2021 Table A1 shape): five rules evaluated
+    in fixed order with EXACT cross-multiplied integer comparisons (no
+    float thresholds), one stateless vectorized map_batches pass — the
+    verdict column is the first failing rule or "pass". Scale shape:
+    embarrassingly parallel scan; only (doc_id, n_words, verdict) rows
+    leave each block."""
+    import ray.data
+
+    from smartreader_ray.functions.textstats import gopher_rules
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return docs.map_batches(gopher_rules, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR-shaped importance selection (`functions/sampling.py:
+    dsir_select` — Xie et al. 2023): hashed-unigram (md5 % 256 buckets)
+    log-likelihood-ratio scoring of every doc against the lang='en'
+    target slice, integer bucket weights floor(1e6·ln(·)) stamped once
+    on the driver (256 rows), per-doc score an order-independent int64
+    sum, partial top-k reduce. Two streaming passes; the histogram
+    exchange is bucket-count-sized, never corpus-sized."""
+    import ray.data
+
+    from smartreader_ray.functions.sampling import dsir_select
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return dsir_select(docs, target_lang="en", n_buckets=256, k=100)
+
+
 def _q_warc_extract(sf_dir: str):
     """WARC → extraction round trip (the crawl-format ingestion leg):
     documents are wrapped as pages, written into per-record-gzipped WARC
@@ -4573,6 +4611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_segment": _q_top_orders_by_segment,
         "warc_extract": _q_warc_extract,
         "quality_gate": _q_quality_gate,
+        "gopher_gate": _q_gopher_gate,
+        "dsir_select": _q_dsir_select,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5123,6 +5163,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(tok) AS BIGINT) AS n_tokens
             FROM g GROUP BY pack_id
+        """,
+        # gopher_gate: replay the integer rule cascade — two-level
+        # (doc, tok) grouping, then the fixed-order CASE; every
+        # comparison is cross-multiplied integers, no float thresholds.
+        "gopher_gate": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, a[i] AS tok
+                FROM base, UNNEST(generate_series(1, len(a))) AS t(i)
+            ),
+            pt AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY doc_id, tok
+            ),
+            per AS (
+                SELECT doc_id,
+                       SUM(c) AS n,
+                       SUM(length(tok) * c) AS sum_len,
+                       COALESCE(SUM(c) FILTER (
+                           regexp_matches(tok, '[a-zA-Z]')), 0) AS n_alpha,
+                       CAST(count(*) FILTER (tok IN
+                           ('a','and','be','have','in','of','that',
+                            'the','to','with')) AS BIGINT) AS n_stop,
+                       MAX(c) AS max_cnt
+                FROM pt GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   CASE
+                     WHEN n < 50 OR n > 100000 THEN 'word_count'
+                     WHEN sum_len < 3 * n OR sum_len > 10 * n
+                          THEN 'mean_word_length'
+                     WHEN 5 * n_alpha < 4 * n THEN 'alpha_words'
+                     WHEN n_stop < 2 THEN 'stopwords'
+                     WHEN 5 * max_cnt > n THEN 'repetition'
+                     ELSE 'pass'
+                   END AS verdict
+            FROM per ORDER BY doc_id
+        """,
+        # dsir_select: identical md5 bucket hash, identical single-
+        # expression ln (libm both sides) floored to integer microunits,
+        # order-independent integer doc scores, same (score DESC, doc_id)
+        # top-100 cut.
+        "dsir_select": """
+            WITH base AS (
+                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
+                           % 256 AS bucket
+                FROM base, UNNEST(generate_series(1, len(a))) AS t(i)
+            ),
+            cr AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY bucket
+            ),
+            ct AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                FROM toks WHERE lang = 'en' GROUP BY bucket
+            ),
+            nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM toks WHERE lang = 'en'),
+            w AS (
+                SELECT cr.bucket,
+                       CAST(FLOOR(1000000.0 * ln(
+                           CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                           * CAST(nr.n + 256 AS DOUBLE)
+                           / (CAST(cr.c + 1 AS DOUBLE)
+                              * CAST(nt.n + 256 AS DOUBLE))
+                       )) AS BIGINT) AS w
+                FROM cr LEFT JOIN ct USING (bucket), nr, nt
+            ),
+            db AS (
+                SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY doc_id, bucket
+            )
+            SELECT db.doc_id,
+                   CAST(SUM(db.c * w.w) AS BIGINT) AS score
+            FROM db JOIN w USING (bucket)
+            GROUP BY db.doc_id
+            ORDER BY score DESC, db.doc_id
+            LIMIT 100
         """,
         "quality_gate": """
             WITH med AS (

@@ -252,7 +252,7 @@ def run_main() -> dict:
         "cdc_reprocess_chain", "mad_outliers", "user_paths",
         "profile_lineitem", "sort_bounds", "latest_version",
         "shot_boundaries", "interval_overlap", "engagement_chain",
-        "pivot_roundtrip",
+        "pivot_roundtrip", "gopher_gate", "dsir_select",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

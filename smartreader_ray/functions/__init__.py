@@ -45,7 +45,8 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
-from .sampling import temperature_mix, mix_threshold_hex, stratified_sample, weighted_mix
+from .sampling import (dsir_select, temperature_mix, mix_threshold_hex,
+                       stratified_sample, weighted_mix)
 from .sketch import (
     approx_distinct,
     approx_distinct_by,
@@ -59,6 +60,7 @@ from .windows import sessionize, sliding_window, tumbling_window
 from .textstats import (
     bpe_token_stats,
     doc_fingerprint,
+    gopher_rules,
     language_id,
     quality_stats,
     token_stats,
@@ -187,4 +189,6 @@ __all__ = [
     "cooccurrence_window",
     "late_events",
     "range_partition_by_quantiles",
+    "gopher_rules",
+    "dsir_select",
 ]

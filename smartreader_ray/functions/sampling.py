@@ -291,3 +291,120 @@ def priority_sample(ds, weight_col: str, id_col: str = "doc_id",
             .map_batches(cut, batch_format="pyarrow")
             .sort(key=["priority", id_col], descending=[True, False])
             .limit(k))
+
+
+def dsir_select(ds, target_lang: str = "en", n_buckets: int = 256,
+                k: int = 100, text_col: str = "text",
+                lang_col: str = "lang", id_col: str = "doc_id"):
+    """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper): score
+    every document by the log-likelihood ratio of its hashed-unigram
+    features under the TARGET distribution (docs with ``lang_col ==
+    target_lang``) vs the RAW distribution (whole corpus), then keep the
+    top ``k``.
+
+    Engine-reproducible by construction:
+    - bucket(token) = int(md5(token)[:15], 16) % n_buckets — the repo's
+      standard cross-engine hash (DuckDB replays it).
+    - per-bucket weight w[b] = floor(1e6 · ln((c_t[b]+1)·(N_r+B) /
+      ((c_r[b]+1)·(N_t+B)))) stamped as an INT64 once per bucket (libm
+      ``math.log`` on exactly-representable integer operands, identical
+      expression order in the SQL oracle; floor, never banker's round).
+    - doc score = Σ_tokens w[bucket] — an order-independent integer sum,
+      so the float math never touches corpus-sized data.
+
+    Scale shape: two streaming passes. Pass 1 emits one (bucket,
+    c_raw, c_target) histogram of ``n_buckets`` rows PER BLOCK (partial
+    combine) into a groupby-sum whose result is bucket-count-sized; the
+    weight table is built on the driver (B rows) and broadcast via
+    closure capture. Pass 2 is a stateless scoring map + the partial
+    top-k reduce from ``functions/topk.py`` — only (doc_id, score) rows
+    reach the final sort, ≤ k per block.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    B = int(n_buckets)
+
+    def _buckets_for(flat: pa.Array) -> np.ndarray:
+        """md5 bucket per token, hashing each DISTINCT token once."""
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        vb = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+             for t in vocab),
+            dtype=np.int64, count=len(vocab))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return vb[codes] if len(codes) else np.zeros(0, np.int64)
+
+    def _tokens(b: pa.Table):
+        text = pc.cast(b.column(text_col), pa.string())
+        filled = pc.coalesce(text, pa.scalar("", type=pa.string()))
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(filled), " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return toks.flatten(), np.repeat(
+            np.arange(len(lens), dtype=np.int64), lens)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens(b)
+        bk = _buckets_for(flat)
+        is_t = pc.equal(
+            b.column(lang_col), target_lang).to_numpy(zero_copy_only=False)
+        tok_t = is_t[row_idx]
+        return pa.Table.from_pydict({
+            "bucket": pa.array(np.arange(B, dtype=np.int64)),
+            "c_raw": pa.array(np.bincount(bk, minlength=B)[:B]
+                              .astype(np.int64)),
+            "c_target": pa.array(
+                np.bincount(bk[tok_t], minlength=B)[:B].astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    hist = (ds.select_columns([text_col, lang_col])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("c_raw", alias_name="c_raw"),
+                       Sum("c_target", alias_name="c_target"))
+            .take_all())
+    c_raw = np.zeros(B, np.int64)
+    c_tgt = np.zeros(B, np.int64)
+    for r in hist:
+        c_raw[r["bucket"]] = r["c_raw"]
+        c_tgt[r["bucket"]] = r["c_target"]
+    n_raw, n_tgt = int(c_raw.sum()), int(c_tgt.sum())
+
+    w = np.fromiter(
+        (math.floor(1_000_000.0 * math.log(
+            float(ct + 1) * float(n_raw + B)
+            / (float(cr + 1) * float(n_tgt + B))))
+         for ct, cr in zip(c_tgt.tolist(), c_raw.tolist())),
+        dtype=np.int64, count=B)
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, row_idx = _tokens(b)
+        bk = _buckets_for(flat)
+        s = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(s, row_idx, w[bk])
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "score": pa.array(s, type=pa.int64()),
+        })
+
+    def local_cut(b: pa.Table) -> pa.Table:
+        if b.num_rows > k:
+            idx = pc.select_k_unstable(
+                b, k=k, sort_keys=[("score", "descending"),
+                                   (id_col, "ascending")])
+            b = b.take(idx)
+        return b
+
+    return (ds.select_columns([id_col, text_col, lang_col])
+            .map_batches(score, batch_format="pyarrow")
+            .map_batches(local_cut, batch_format="pyarrow")
+            .sort(key=["score", id_col], descending=[True, False])
+            .limit(k))

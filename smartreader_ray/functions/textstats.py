@@ -272,3 +272,96 @@ def doc_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fingerprint": pa.array(fps, type=pa.uint64()),
         }
     )
+
+
+#: Gopher-style stopword probe set (Rae et al. 2021, Table A1 uses
+#: {the, be, to, of, and, that, have, with}; we keep the published set
+#: plus "a"/"in" so short Latin-script docs have a fair chance).
+_GOPHER_STOPWORDS = (
+    "a", "and", "be", "have", "in", "of", "that", "the", "to", "with",
+)
+
+#: rule names in evaluation order — first failure wins
+_GOPHER_RULES = (
+    "word_count", "mean_word_length", "alpha_words", "stopwords",
+    "repetition",
+)
+
+
+def gopher_rules(batch: pa.Table, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> pa.Table:
+    """Gopher-style document-quality rule cascade (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — public paper), evaluated with
+    EXACT integer arithmetic so the verdict is engine-reproducible:
+
+    1. ``word_count``       — n_words outside [min_words, max_words]
+    2. ``mean_word_length`` — Σ|w| outside [3·n, 10·n]  (mean ∉ [3, 10])
+    3. ``alpha_words``      — 5·(#words containing a letter) < 4·n  (<80 %)
+    4. ``stopwords``        — fewer than 2 DISTINCT probe stopwords
+    5. ``repetition``       — 5·max_word_count > n  (top word > 20 %)
+
+    The paper's symbol/bullet/ellipsis line rules need line structure
+    this interleaved-span corpus doesn't carry (single-line text spans,
+    no C4-style newlines) and are intentionally omitted — documented
+    here rather than silently degenerate.
+
+    Output: (doc_id, n_words, verdict) with verdict = first failing
+    rule name or "pass". All ratios are cross-multiplied integer
+    comparisons — no float thresholds, so the DuckDB oracle replays the
+    cascade exactly. Vectorized: one Arrow tokenize + dictionary-encode,
+    numpy reduceat/lexsort run-length kernels; no per-token Python.
+    """
+    from .ngrams import _tokens_flat
+
+    flat, row_idx, lens = _tokens_flat(batch, text_col)
+    n = batch.num_rows
+    n_words = lens.astype(np.int64)
+
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_len = np.bincount(row_idx, weights=flat_len, minlength=n).astype(np.int64)
+
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False)
+    n_alpha = np.bincount(row_idx, weights=alpha, minlength=n).astype(np.int64)
+
+    stop_distinct = np.zeros(n, dtype=np.int64)
+    for sw in _GOPHER_STOPWORDS:
+        eq = pc.equal(flat, sw).to_numpy(zero_copy_only=False)
+        present = np.zeros(n, dtype=bool)
+        present[row_idx[eq]] = True
+        stop_distinct += present
+
+    # max single-word count per row: run lengths over (row, token-code)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, row_idx))
+        r_s, c_s = row_idx[order], codes[order]
+        new_run = np.r_[True, (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.r_[run_starts, len(c_s)])
+        run_rows = r_s[run_starts]
+        max_cnt = np.zeros(n, dtype=np.int64)
+        np.maximum.at(max_cnt, run_rows, run_lens)
+    else:
+        max_cnt = np.zeros(n, dtype=np.int64)
+
+    fails = np.stack([
+        (n_words < min_words) | (n_words > max_words),
+        (sum_len < 3 * n_words) | (sum_len > 10 * n_words),
+        5 * n_alpha < 4 * n_words,
+        stop_distinct < 2,
+        5 * max_cnt > n_words,
+    ])
+    # first failing rule index, else "pass"
+    any_fail = fails.any(axis=0)
+    first = np.argmax(fails, axis=0)
+    names = np.array(_GOPHER_RULES + ("pass",))
+    verdict = names[np.where(any_fail, first, len(_GOPHER_RULES))]
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(n_words, type=pa.int64()),
+        "verdict": pa.array(verdict.tolist(), type=pa.string()),
+    })
