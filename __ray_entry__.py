@@ -814,6 +814,43 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(docs, target_lang="en", n_buckets=256, k=100)
 
 
+def _q_dsir_gopher_chain(sf_dir: str):
+    """Composed curation chain #14: Gopher rule gate → DSIR importance
+    selection over the SURVIVORS (target distribution = surviving
+    lang='en' docs) → per-language rollup of the top-50 selection
+    (n_docs + Σscore). The gate is fused into one vectorized pass
+    (verdict computed and filtered in the same batch function); the
+    gated corpus is materialized once because DSIR's two passes would
+    otherwise re-run the gate per consumer. Everything downstream of
+    the gate exchanges only bucket-histogram / k-sized rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from smartreader_ray.functions.sampling import dsir_select
+    from smartreader_ray.functions.textstats import gopher_rules
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        verdict = gopher_rules(b).column("verdict")
+        return b.filter(pc.equal(verdict, "pass"))
+
+    gated = docs.map_batches(
+        gate, batch_format="pyarrow"
+    ).materialize()  # consumed twice by DSIR (histogram + scoring pass)
+    sel = dsir_select(gated, target_lang="en", n_buckets=256, k=50,
+                      carry_cols=("lang",))
+    return (sel.groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("score", alias_name="sum_score"))
+            .sort("lang"))
+
+
 def _q_warc_extract(sf_dir: str):
     """WARC → extraction round trip (the crawl-format ingestion leg):
     documents are wrapped as pages, written into per-record-gzipped WARC
@@ -4613,6 +4650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": _q_quality_gate,
         "gopher_gate": _q_gopher_gate,
         "dsir_select": _q_dsir_select,
+        "dsir_gopher_chain": _q_dsir_gopher_chain,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5250,6 +5288,88 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY db.doc_id
             ORDER BY score DESC, db.doc_id
             LIMIT 100
+        """,
+        # dsir_gopher_chain: full replay — gopher cascade filters the
+        # corpus, DSIR weights are refit on the survivors (target =
+        # surviving en docs), top-50 by (score DESC, doc_id), per-lang
+        # rollup. Same md5 buckets / floored-ln integer weights.
+        "dsir_gopher_chain": """
+            WITH base AS (
+                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            toks0 AS (
+                SELECT doc_id, a[i] AS tok
+                FROM base, UNNEST(generate_series(1, len(a))) AS t(i)
+            ),
+            pt AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                FROM toks0 GROUP BY doc_id, tok
+            ),
+            per AS (
+                SELECT doc_id,
+                       SUM(c) AS n,
+                       SUM(length(tok) * c) AS sum_len,
+                       COALESCE(SUM(c) FILTER (
+                           regexp_matches(tok, '[a-zA-Z]')), 0) AS n_alpha,
+                       CAST(count(*) FILTER (tok IN
+                           ('a','and','be','have','in','of','that',
+                            'the','to','with')) AS BIGINT) AS n_stop,
+                       MAX(c) AS max_cnt
+                FROM pt GROUP BY doc_id
+            ),
+            surv AS (
+                SELECT b.doc_id, b.lang, b.a
+                FROM base b JOIN per p USING (doc_id)
+                WHERE NOT (p.n < 50 OR p.n > 100000)
+                  AND NOT (p.sum_len < 3 * p.n OR p.sum_len > 10 * p.n)
+                  AND NOT (5 * p.n_alpha < 4 * p.n)
+                  AND NOT (p.n_stop < 2)
+                  AND NOT (5 * p.max_cnt > p.n)
+            ),
+            toks AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5(a[i]), 1, 15) AS BIGINT)
+                           % 256 AS bucket
+                FROM surv, UNNEST(generate_series(1, len(a))) AS t(i)
+            ),
+            cr AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY bucket
+            ),
+            ct AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                FROM toks WHERE lang = 'en' GROUP BY bucket
+            ),
+            nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM toks WHERE lang = 'en'),
+            w AS (
+                SELECT cr.bucket,
+                       CAST(FLOOR(1000000.0 * ln(
+                           CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                           * CAST(nr.n + 256 AS DOUBLE)
+                           / (CAST(cr.c + 1 AS DOUBLE)
+                              * CAST(nt.n + 256 AS DOUBLE))
+                       )) AS BIGINT) AS w
+                FROM cr LEFT JOIN ct USING (bucket), nr, nt
+            ),
+            db AS (
+                SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY doc_id, lang, bucket
+            ),
+            sc AS (
+                SELECT db.doc_id, db.lang,
+                       CAST(SUM(db.c * w.w) AS BIGINT) AS score
+                FROM db JOIN w USING (bucket)
+                GROUP BY db.doc_id, db.lang
+            ),
+            top AS (
+                SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(score) AS BIGINT) AS sum_score
+            FROM top GROUP BY lang ORDER BY lang
         """,
         "quality_gate": """
             WITH med AS (

@@ -295,7 +295,8 @@ def priority_sample(ds, weight_col: str, id_col: str = "doc_id",
 
 def dsir_select(ds, target_lang: str = "en", n_buckets: int = 256,
                 k: int = 100, text_col: str = "text",
-                lang_col: str = "lang", id_col: str = "doc_id"):
+                lang_col: str = "lang", id_col: str = "doc_id",
+                carry_cols: tuple = ()):
     """DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — public paper): score
     every document by the log-likelihood ratio of its hashed-unigram
@@ -390,10 +391,11 @@ def dsir_select(ds, target_lang: str = "en", n_buckets: int = 256,
         bk = _buckets_for(flat)
         s = np.zeros(b.num_rows, dtype=np.int64)
         np.add.at(s, row_idx, w[bk])
-        return pa.Table.from_pydict({
-            id_col: b.column(id_col),
-            "score": pa.array(s, type=pa.int64()),
-        })
+        cols = {id_col: b.column(id_col),
+                "score": pa.array(s, type=pa.int64())}
+        for c in carry_cols:
+            cols[c] = b.column(c)
+        return pa.Table.from_pydict(cols)
 
     def local_cut(b: pa.Table) -> pa.Table:
         if b.num_rows > k:
@@ -403,7 +405,9 @@ def dsir_select(ds, target_lang: str = "en", n_buckets: int = 256,
             b = b.take(idx)
         return b
 
-    return (ds.select_columns([id_col, text_col, lang_col])
+    keep = [id_col, text_col, lang_col]
+    keep += [c for c in carry_cols if c not in keep]
+    return (ds.select_columns(keep)
             .map_batches(score, batch_format="pyarrow")
             .map_batches(local_cut, batch_format="pyarrow")
             .sort(key=["score", id_col], descending=[True, False])
