@@ -814,6 +814,36 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(docs, target_lang="en", n_buckets=256, k=100)
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch permutation (`functions/sampling.py:
+    epoch_shuffle`): global 1-based position under md5(seed:id) ranking,
+    computed by the TeraSort-shape global_rank (samples + range counts
+    on the driver, one range exchange). Oracle: ROW_NUMBER() OVER the
+    identical composed key."""
+    import ray.data
+
+    from smartreader_ray.functions.sampling import epoch_shuffle
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return epoch_shuffle(docs, seed="ep1", num_parts=32)
+
+
+def _q_ngram_novelty(sf_dir: str):
+    """Per-document novel-8-gram counts (`functions/dedup.py:
+    ngram_novelty`): spans ship as md5-derived int64 keys (identical
+    hash in the oracle), per-block (key, doc) pre-combine, doc-sized
+    rollup, scan-side zero union for sub-window docs."""
+    import ray.data
+
+    from smartreader_ray.functions.dedup import ngram_novelty
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return ngram_novelty(docs, window=8)
+
+
 def _q_dsir_gopher_chain(sf_dir: str):
     """Composed curation chain #14: Gopher rule gate → DSIR importance
     selection over the SURVIVORS (target distribution = surviving
@@ -4651,6 +4681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_gate": _q_gopher_gate,
         "dsir_select": _q_dsir_select,
         "dsir_gopher_chain": _q_dsir_gopher_chain,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "ngram_novelty": _q_ngram_novelty,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5288,6 +5320,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY db.doc_id
             ORDER BY score DESC, db.doc_id
             LIMIT 100
+        """,
+        # epoch_shuffle: ROW_NUMBER over the identical composed key
+        # (36 md5 bits << 27 | id). substr start is 1-based; 9 hex
+        # digits = 36 bits, exactly the engine's hexdigest()[:9].
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                       CAST('0x' || substr(md5('ep1:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 9) AS BIGINT)
+                       * 134217728 + doc_id) AS BIGINT) AS pos
+            FROM documents
+        """,
+        # ngram_novelty: identical md5-int64 window keys; min-doc
+        # ownership; occurrence-counted novelty; LEFT JOIN restores
+        # sub-window docs as zeros.
+        "ngram_novelty": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                           array_to_string(a[i:i+7], ' ')), 1, 15)
+                           AS BIGINT) AS k
+                FROM base, UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            ),
+            dw AS (
+                SELECT k, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM w GROUP BY k, doc_id
+            ),
+            fd AS (SELECT k, min(doc_id) AS first_doc FROM dw GROUP BY k),
+            nv AS (
+                SELECT dw.doc_id,
+                       SUM(dw.c) AS n_win,
+                       COALESCE(SUM(dw.c) FILTER (
+                           dw.doc_id = fd.first_doc), 0) AS n_novel
+                FROM dw JOIN fd USING (k) GROUP BY dw.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(nv.n_win, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
+            FROM documents d LEFT JOIN nv USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # dsir_gopher_chain: full replay — gopher cascade filters the
         # corpus, DSIR weights are refit on the survivors (target =

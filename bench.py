@@ -253,7 +253,7 @@ def run_main() -> dict:
         "profile_lineitem", "sort_bounds", "latest_version",
         "shot_boundaries", "interval_overlap", "engagement_chain",
         "pivot_roundtrip", "gopher_gate", "dsir_select",
-        "dsir_gopher_chain",
+        "dsir_gopher_chain", "epoch_shuffle", "ngram_novelty",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

@@ -18,6 +18,7 @@ from .dedup import (
     minhash_dedup,
     minhash_lsh_candidates,
     ngram_jaccard,
+    ngram_novelty,
     ngram_jaccard_pairs,
     passage_star_edges,
     simhash_batch,
@@ -45,8 +46,8 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
-from .sampling import (dsir_select, temperature_mix, mix_threshold_hex,
-                       stratified_sample, weighted_mix)
+from .sampling import (dsir_select, epoch_shuffle, temperature_mix,
+                       mix_threshold_hex, stratified_sample, weighted_mix)
 from .sketch import (
     approx_distinct,
     approx_distinct_by,
@@ -191,4 +192,6 @@ __all__ = [
     "range_partition_by_quantiles",
     "gopher_rules",
     "dsir_select",
+    "epoch_shuffle",
+    "ngram_novelty",
 ]

@@ -1372,3 +1372,85 @@ def longest_common_runs(ds, window: int = 8, text_col: str = "text",
         .groupby(["doc_a", "doc_b"])
         .map_groups(max_run, batch_format="pyarrow")
     )
+
+
+def ngram_novelty(ds, window: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Memorization / novelty scan (the per-document companion of
+    ``duplicate_passages`` — Lee et al.'s substring-dedup family): for
+    every document, how many of its ``window``-token spans (counted per
+    OCCURRENCE) are first seen in THIS document, i.e. no smaller-id
+    document contains the span. ``n_novel / n_windows`` is the "novel
+    n-gram ratio" used to rank training shards by redundancy and to
+    scan for verbatim memorization sources.
+
+    Scale shape: window TEXT never crosses an exchange — windows ship
+    as md5-derived int64 keys (the SQL oracle applies the IDENTICAL
+    hash, so parity survives even a key collision); per-block
+    (key, doc) counts are pre-combined before the key-grouped exchange;
+    the novelty rollup exchanges doc-count-sized rows; zero rows for
+    sub-window docs come from a scan-side union, not a driver join.
+    A non-oracle deployment would swap the md5 loop for the vectorized
+    ``_hash64`` used by ``_duplicate_passages_hashed``.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        id_type = batch.schema.field(id_col).type
+        md5 = hashlib.md5
+        out_k: list[int] = []
+        out_id: list[int] = []
+        out_c: list[int] = []
+        for doc_id, t in zip(ids.tolist(), texts):
+            toks = _passage_tokens(t, window)
+            if not toks:
+                continue
+            counts: dict[str, int] = {}
+            for i in range(len(toks) - window + 1):
+                w = " ".join(toks[i:i + window])
+                counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                out_k.append(
+                    int(md5(w.encode()).hexdigest()[:15], 16))
+                out_id.append(doc_id)
+                out_c.append(c)
+        return pa.Table.from_pydict({
+            "k": pa.array(out_k, type=pa.int64()),
+            id_col: pa.array(out_id, type=id_type),
+            "c": pa.array(out_c, type=pa.int64()),
+        })
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        novel = np.where(ids == ids.min(), c, 0).astype(np.int64)
+        return pa.Table.from_pydict({
+            id_col: group.column(id_col),
+            "c": pa.array(c),
+            "novel": pa.array(novel),
+        })
+
+    contrib = (ds.select_columns([id_col, text_col])
+               .map_batches(emit, batch_format="pyarrow")
+               .groupby("k")
+               .map_groups(per_key, batch_format="pyarrow"))
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col),
+            "c": pa.array(z),
+            "novel": pa.array(z),
+        })
+
+    base = ds.select_columns([id_col]).map_batches(
+        zeros, batch_format="pyarrow")
+    return (contrib.union(base)
+            .groupby(id_col)
+            .aggregate(Sum("c", alias_name="n_windows"),
+                       Sum("novel", alias_name="n_novel"))
+            .sort(id_col))

@@ -412,3 +412,56 @@ def dsir_select(ds, target_lang: str = "en", n_buckets: int = 256,
             .map_batches(local_cut, batch_format="pyarrow")
             .sort(key=["score", id_col], descending=[True, False])
             .limit(k))
+
+
+def epoch_shuffle(ds, seed: str = "ep1", id_col: str = "doc_id",
+                  num_parts: int = 64):
+    """Deterministic global training-epoch permutation: every row gets
+    an explicit 1-based ``pos`` — its rank under the keyed hash
+    ``md5(f"{seed}:{id}")`` — so any engine (and any rerun) materializes
+    the SAME shuffle order for a given seed, the property epoch
+    reproducibility and mid-epoch resume both need. Changing ``seed``
+    gives an independent permutation per epoch.
+
+    The sort key is the UNIQUE int64 composition ``(hash36 << 27) | id``
+    (36 hash bits, 27 id bits), ranked by the TeraSort-shape
+    ``global_rank`` — per-block samples → driver range bounds → ONE
+    range exchange; only samples and the range-count table touch the
+    driver. Ids ≥ 2^27 raise loudly: at larger id domains compose the
+    epoch key per shard and rank shard-locally (hierarchical shuffle)
+    instead of silently truncating.
+    """
+    import pyarrow.compute as pc
+
+    from .reshape import global_rank
+
+    md5 = hashlib.md5
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 27)):
+            raise ValueError(
+                "epoch_shuffle: id outside [0, 2^27) — use a "
+                "hierarchical per-shard shuffle at this id scale")
+        h = np.fromiter(
+            (int(md5(f"{seed}:{i}".encode()).hexdigest()[:9], 16)
+             for i in ids.tolist()),
+            dtype=np.int64, count=len(ids))
+        k = (h << np.int64(27)) | ids
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "__ek": pa.array(k, type=pa.int64()),
+        })
+
+    ranked = global_rank(
+        ds.select_columns([id_col]).map_batches(key, batch_format="pyarrow"),
+        "__ek", num_parts=num_parts)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "pos": b.column("rn"),
+        })
+
+    return ranked.map_batches(out, batch_format="pyarrow")

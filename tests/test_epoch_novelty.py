@@ -1,0 +1,79 @@
+"""epoch_shuffle permutation and ngram_novelty memorization scan."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def test_epoch_shuffle_is_seeded_permutation(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.sampling import epoch_shuffle
+
+    t = pa.table({"doc_id": pa.array(range(50), type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = epoch_shuffle(ds, seed="s1", num_parts=8).take_all()
+    by_pos = sorted((r["pos"], r["doc_id"]) for r in out)
+    assert [p for p, _ in by_pos] == list(range(1, 51))
+    # matches a direct md5 ranking
+    expect = sorted(
+        range(50),
+        key=lambda i: (int(hashlib.md5(f"s1:{i}".encode())
+                           .hexdigest()[:9], 16) << 27) | i)
+    assert [d for _, d in by_pos] == expect
+    # a different seed gives a different permutation
+    out2 = epoch_shuffle(ds, seed="s2", num_parts=8).take_all()
+    by_pos2 = sorted((r["pos"], r["doc_id"]) for r in out2)
+    assert [d for _, d in by_pos2] != [d for _, d in by_pos]
+
+
+def test_epoch_shuffle_rejects_oversized_ids(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.sampling import epoch_shuffle
+
+    t = pa.table({"doc_id": pa.array([1, 1 << 27], type=pa.int64())})
+    with pytest.raises(Exception, match="2\\^27|hierarchical"):
+        epoch_shuffle(ray.data.from_arrow(t)).take_all()
+
+
+def test_ngram_novelty_counts(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.dedup import ngram_novelty
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "a b c d e f g h i",      # windows a..h, b..i — both novel
+            "a b c d e f g h",        # window a..h seen in doc 1
+            "x y",                    # too short -> zeros
+            "a b c d e f g h a b c d e f g h",  # repeats + overlap spans
+        ],
+    })
+    out = ngram_novelty(ray.data.from_arrow(t).repartition(3)).take_all()
+    rows = {r["doc_id"]: (r["n_windows"], r["n_novel"]) for r in out}
+    assert rows[1] == (2, 2)
+    assert rows[2] == (1, 0)
+    assert rows[3] == (0, 0)
+    # doc 4: 9 windows total, none novel for the 2 occurrences of
+    # "a..h" (doc 1 owns it); the 7 bridging windows are novel
+    assert rows[4] == (9, 7)
+
+
+def test_ngram_novelty_partitioning_invariance(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.dedup import ngram_novelty
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{(i + j) % 6}" for j in range(12))}
+            for i in range(30)]
+    outs = []
+    for parts in (1, 4, 9):
+        ds = ray.data.from_items(rows).repartition(parts)
+        outs.append(sorted(
+            (r["doc_id"], r["n_windows"], r["n_novel"])
+            for r in ngram_novelty(ds).take_all()))
+    assert outs[0] == outs[1] == outs[2]
