@@ -1386,71 +1386,112 @@ def ngram_novelty(ds, window: int = 8, text_col: str = "text",
 
     Scale shape: window TEXT never crosses an exchange — windows ship
     as md5-derived int64 keys (the SQL oracle applies the IDENTICAL
-    hash, so parity survives even a key collision); per-block
-    (key, doc) counts are pre-combined before the key-grouped exchange;
-    the novelty rollup exchanges doc-count-sized rows; zero rows for
-    sub-window docs come from a scan-side union, not a driver join.
-    A non-oracle deployment would swap the md5 loop for the vectorized
-    ``_hash64`` used by ``_duplicate_passages_hashed``.
+    hash, so parity survives even a key collision). The first-seen
+    owner AND its occurrence count ride ONE vectorized
+    ``groupby(key).min`` as the packed composite ``doc_id·2²¹ + c``
+    (doc_id dominates, so MIN picks the smallest doc and carries its
+    count) — per-distinct-key ``map_groups`` would spawn a Python call
+    per window and is the known near-unique-key pathology. Per-block
+    (key, doc) counts pre-combine before the exchange; ``n_windows``
+    never touches the key exchange at all (it is ``len(tokens)−w+1``,
+    a scan-side per-doc count). Bounds are loud: doc_id < 2⁴², in-doc
+    window occurrences < 2²¹.
     """
     import hashlib
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Min, Sum
+
+    C_BITS = 21
 
     def emit(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        id_type = batch.schema.field(id_col).type
         md5 = hashlib.md5
+        # block-level memo: boilerplate windows repeat across docs, and
+        # md5-of-text is the per-window cost — hash each distinct
+        # window once per block
+        hash_of: dict[str, int] = {}
         out_k: list[int] = []
-        out_id: list[int] = []
-        out_c: list[int] = []
+        out_m: list[int] = []
         for doc_id, t in zip(ids.tolist(), texts):
-            toks = _passage_tokens(t, window)
-            if not toks:
+            if not (0 <= doc_id < (1 << 42)):
+                raise ValueError(
+                    "ngram_novelty: doc_id outside [0, 2^42) breaks the "
+                    "min-composite packing")
+            body = (t or "").strip()
+            toks = body.split(" ")
+            if len(toks) < window:
                 continue
+            # consecutive split(' ') tokens are separated by EXACTLY one
+            # space in the source, so the joined window equals a direct
+            # slice of the trimmed text — no per-window str join
+            starts = [0]
+            app = starts.append
+            pos = 0
+            for tok in toks:
+                pos += len(tok) + 1
+                app(pos)
             counts: dict[str, int] = {}
             for i in range(len(toks) - window + 1):
-                w = " ".join(toks[i:i + window])
+                w = body[starts[i]:starts[i + window] - 1]
                 counts[w] = counts.get(w, 0) + 1
+            base = doc_id << C_BITS
             for w, c in counts.items():
-                out_k.append(
-                    int(md5(w.encode()).hexdigest()[:15], 16))
-                out_id.append(doc_id)
-                out_c.append(c)
+                if c >= (1 << C_BITS):
+                    raise ValueError(
+                        "ngram_novelty: >2^21 in-doc occurrences of one "
+                        "window breaks the min-composite packing")
+                h = hash_of.get(w)
+                if h is None:
+                    h = int(md5(w.encode()).hexdigest()[:15], 16)
+                    hash_of[w] = h
+                out_k.append(h)
+                out_m.append(base | c)
         return pa.Table.from_pydict({
             "k": pa.array(out_k, type=pa.int64()),
-            id_col: pa.array(out_id, type=id_type),
-            "c": pa.array(out_c, type=pa.int64()),
+            "m": pa.array(out_m, type=pa.int64()),
         })
 
-    def per_key(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-        novel = np.where(ids == ids.min(), c, 0).astype(np.int64)
+    owners = (ds.select_columns([id_col, text_col])
+              .map_batches(emit, batch_format="pyarrow")
+              .groupby("k")
+              .aggregate(Min("m", alias_name="m")))
+
+    def decompose(b: pa.Table) -> pa.Table:
+        m = b.column("m").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict({
-            id_col: group.column(id_col),
-            "c": pa.array(c),
-            "novel": pa.array(novel),
+            id_col: pa.array(m >> C_BITS, type=pa.int64()),
+            "novel": pa.array(m & ((1 << C_BITS) - 1), type=pa.int64()),
         })
 
-    contrib = (ds.select_columns([id_col, text_col])
-               .map_batches(emit, batch_format="pyarrow")
-               .groupby("k")
-               .map_groups(per_key, batch_format="pyarrow"))
+    novel = owners.map_batches(decompose, batch_format="pyarrow")
 
-    def zeros(batch: pa.Table) -> pa.Table:
+    def totals(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_win = [max(len((t or "").strip().split(" ")) - window + 1, 0)
+                 for t in texts]
         z = np.zeros(batch.num_rows, dtype=np.int64)
         return pa.Table.from_pydict({
-            id_col: batch.column(id_col),
-            "c": pa.array(z),
+            id_col: pa.array(
+                batch.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64), type=pa.int64()),
+            "n_windows": pa.array(n_win, type=pa.int64()),
             "novel": pa.array(z),
         })
 
-    base = ds.select_columns([id_col]).map_batches(
-        zeros, batch_format="pyarrow")
-    return (contrib.union(base)
+    base = (ds.select_columns([id_col, text_col])
+            .map_batches(totals, batch_format="pyarrow"))
+
+    def pad(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "n_windows": pa.array(z),
+            "novel": b.column("novel"),
+        })
+
+    return (base.union(novel.map_batches(pad, batch_format="pyarrow"))
             .groupby(id_col)
-            .aggregate(Sum("c", alias_name="n_windows"),
+            .aggregate(Sum("n_windows", alias_name="n_windows"),
                        Sum("novel", alias_name="n_novel"))
             .sort(id_col))
