@@ -814,6 +814,21 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(docs, target_lang="en", n_buckets=256, k=100)
 
 
+def _q_bitext_mine(sf_dir: str):
+    """Margin-criterion bitext mining (`functions/similarity.py:
+    bitext_mine` — CCMatrix/LASER shape): label-0 vectors mined against
+    broadcast label-1 side, top-2 target neighbors + mutual-top-1 flag,
+    one streaming matmul pass per direction, zero exchange. Floats
+    dropped from the output (rank contract shared with ann_topk)."""
+    import ray.data
+
+    from smartreader_ray.functions.similarity import bitext_mine
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+    return bitext_mine(emb, src_label=0, tgt_label=1)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic training-epoch permutation (`functions/sampling.py:
     epoch_shuffle`): global 1-based position under md5(seed:id) ranking,
@@ -4683,6 +4698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_gopher_chain": _q_dsir_gopher_chain,
         "epoch_shuffle": _q_epoch_shuffle,
         "ngram_novelty": _q_ngram_novelty,
+        "bitext_mine": _q_bitext_mine,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5320,6 +5336,40 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY db.doc_id
             ORDER BY score DESC, db.doc_id
             LIMIT 100
+        """,
+        # bitext_mine: both mining directions replayed as ROW_NUMBER
+        # over list_cosine_similarity; floats never reach the output.
+        "bitext_mine": """
+            WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE label = 0),
+            b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE label = 1),
+            ab AS (
+                SELECT a.vec_id AS src, b.vec_id AS tgt,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.e, b.e)
+                                    DESC, b.vec_id) AS rn
+                FROM a CROSS JOIN b
+            ),
+            top AS (
+                SELECT src,
+                       MAX(tgt) FILTER (rn = 1) AS best_tgt,
+                       MAX(tgt) FILTER (rn = 2) AS second_tgt
+                FROM ab WHERE rn <= 2 GROUP BY src
+            ),
+            ba AS (
+                SELECT tgt, src AS best_src FROM (
+                    SELECT b.vec_id AS tgt, a.vec_id AS src,
+                           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(a.e, b.e)
+                                        DESC, a.vec_id) AS rn
+                    FROM a CROSS JOIN b
+                ) WHERE rn = 1
+            )
+            SELECT top.src AS src_id, top.best_tgt, top.second_tgt,
+                   (ba.best_src = top.src) AS mutual
+            FROM top JOIN ba ON ba.tgt = top.best_tgt
+            ORDER BY src_id
         """,
         # epoch_shuffle: ROW_NUMBER over the identical composed key
         # (36 md5 bits << 27 | id). substr start is 1-based; 9 hex

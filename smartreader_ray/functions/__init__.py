@@ -42,6 +42,7 @@ from .similarity import (
     ann_ivf,
     ann_ivf_bucketed,
     ann_topk,
+    bitext_mine,
     embedding_neardup,
     ivf_build_index,
     kmeans_centroids,
@@ -194,4 +195,5 @@ __all__ = [
     "dsir_select",
     "epoch_shuffle",
     "ngram_novelty",
+    "bitext_mine",
 ]

@@ -993,3 +993,84 @@ def semantic_dedup(ds, k_clusters: int = 8, tau: float = 0.45,
 
     return assigned.map_batches(out, batch_format="pyarrow").sort(
         id_col)
+
+
+def bitext_mine(ds, src_label: int = 0, tgt_label: int = 1,
+                id_col: str = "vec_id", label_col: str = "label"):
+    """Margin-criterion bitext mining (the CCMatrix / LASER shape,
+    Schwenk et al. — public papers): for every SOURCE-side vector, its
+    top-1 and top-2 cosine neighbors on the TARGET side, plus the
+    ``mutual`` flag (source is also its best target's best source) that
+    the mining pipelines use as the alignment acceptance test. Output
+    columns are ids/ranks only — float similarities are dropped exactly
+    as in ``ann_topk`` (rank order is stable unless two sims collide
+    within double rounding; same contract as the other ANN oracles).
+
+    Scale shape: the TARGET side is the broadcast side — its normalized
+    matrix, ids, AND its per-vector best-source map ship once via
+    ``ray.put`` and every source block streams against them (one
+    matmul + argpartition per block, no exchange at all). The
+    back-direction top-1 is computed by the same streaming pass over
+    target blocks against the broadcast SOURCE matrix. Assumption (the
+    same one the matrix broadcast already makes): ONE side fits the
+    object store — mine the smaller language into the larger. When
+    neither side fits, the named fallback is partial per-block top-k +
+    ``groupby(src)`` merge and a distributed semi-join for mutuality.
+    """
+    import ray
+
+    def side(label):
+        return (ds.select_columns([id_col, "embedding", label_col])
+                .filter(expr=f"{label_col} == {label}"))
+
+    def collect(side_ds):
+        ids_parts, mats = [], []
+        for b in side_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            ids_parts.append(
+                b.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+            mats.append(_normalize(_embeddings_matrix(b)))
+        if not ids_parts:
+            return np.zeros(0, np.int64), np.zeros((0, 1))
+        return np.concatenate(ids_parts), np.vstack(mats)
+
+    # broadcastable sides (documented assumption above)
+    tgt_ids, tgt_mat = collect(side(tgt_label))
+    src_ids, src_mat = collect(side(src_label))
+    if len(tgt_ids) < 2 or len(src_ids) == 0:
+        raise ValueError("bitext_mine: need >=2 target and >=1 source vectors")
+
+    def top_against(q_mat, q_ids, base_mat, base_ids, k):
+        sims = q_mat @ base_mat.T  # (Q, N)
+        # total order (sim DESC, id ASC): lexsort over each row
+        order = np.lexsort((base_ids[None, :].repeat(len(q_ids), 0),
+                            -sims), axis=1)[:, :k]
+        return base_ids[order]  # (Q, k) neighbor ids
+
+    # back direction: best source per target, as a broadcast dict
+    back = top_against(tgt_mat, tgt_ids, src_mat, src_ids, 1)[:, 0]
+    best_src_of = {int(t): int(s) for t, s in zip(tgt_ids, back)}
+
+    tgt_ref = ray.put((tgt_ids, tgt_mat, best_src_of))
+
+    def mine(batch: pa.Table) -> pa.Table:
+        b_ids, b_mat, b_best = ray.get(tgt_ref)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_embeddings_matrix(batch))
+        nb = top_against(mat, ids, b_mat, b_ids, 2)
+        best, second = nb[:, 0], nb[:, 1]
+        mutual = np.fromiter(
+            (b_best[int(t)] == int(s) for s, t in zip(ids, best)),
+            dtype=bool, count=len(ids))
+        return pa.Table.from_pydict({
+            "src_id": pa.array(ids, type=pa.int64()),
+            "best_tgt": pa.array(best, type=pa.int64()),
+            "second_tgt": pa.array(second, type=pa.int64()),
+            "mutual": pa.array(mutual, type=pa.bool_()),
+        })
+
+    return side(src_label).map_batches(
+        mine, batch_format="pyarrow").sort("src_id")
