@@ -814,6 +814,96 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(docs, target_lang="en", n_buckets=256, k=100)
 
 
+def _q_sitemap_gate(sf_dir: str):
+    """Sitemap-discovery round trip (`sources/sitemap.py` — the crawl
+    leg between robots politeness and WARC ingestion): deterministic
+    per-host urlset blobs are BUILT from the documents table (7 hosts,
+    one groupby-host map_groups), validated against a sitemapindex of
+    their locs, RE-PARSED by the from-scratch namespace-tolerant XML
+    parser, then gated by RFC 9309 robots rules (longest-prefix, Allow
+    wins ties — /doc/12* allowed inside disallowed /doc/1*) and a
+    lastmod freshness cutoff. The oracle replays the URL/lastmod
+    arithmetic and the gate directly off doc_id — any writer/parser
+    asymmetry breaks the hash (the warc_extract pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.robots import (parse_robots_txt,
+                                                  robots_gate)
+    from smartreader_ray.sources.sitemap import (make_sitemap,
+                                                 make_sitemap_index,
+                                                 parse_sitemap)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def stamp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        host = [f"ex{i % 7}.org" for i in ids.tolist()]
+        url = [f"https://ex{i % 7}.org/doc/{i}" for i in ids.tolist()]
+        lastmod = [f"2024-{1 + (i % 12):02d}-{1 + (i % 28):02d}"
+                   for i in ids.tolist()]
+        return pa.Table.from_pydict({
+            "host": pa.array(host, type=pa.string()),
+            "url": pa.array(url, type=pa.string()),
+            "lastmod": pa.array(lastmod, type=pa.string()),
+        })
+
+    def to_blob(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("url", "ascending")])
+        g = g.take(order)
+        entries = list(zip(g.column("url").to_pylist(),
+                           g.column("lastmod").to_pylist()))
+        return pa.Table.from_pydict({
+            "host": g.column("host").slice(0, 1),
+            "payload": pa.array([make_sitemap(entries)],
+                                type=pa.binary()),
+        })
+
+    blobs = (docs.map_batches(stamp, batch_format="pyarrow")
+             .groupby("host")
+             .map_groups(to_blob, batch_format="pyarrow")
+             .materialize())  # 7 rows; consumed for index check + parse
+
+    # two-level discovery: the index must enumerate exactly the blobs
+    hosts = sorted(r["host"] for r in blobs.select_columns(["host"])
+                   .take_all())
+    index = make_sitemap_index(
+        [f"https://{h}/sitemap.xml" for h in hosts])
+    kind, children = parse_sitemap(index)
+    assert kind == "sitemapindex" and len(children) == len(hosts)
+
+    def parse_blob(b: pa.Table) -> pa.Table:
+        out_h, out_u, out_m, out_p = [], [], [], []
+        for h, payload in zip(b.column("host").to_pylist(),
+                              b.column("payload").to_pylist()):
+            k, entries = parse_sitemap(payload)
+            if k != "urlset":
+                continue  # error row policy: skip non-urlset children
+            for loc, lastmod in entries:
+                out_h.append(h)
+                out_u.append(loc)
+                out_m.append(lastmod or "")
+                out_p.append(loc.split(".org", 1)[1])
+        return pa.Table.from_pydict({
+            "host": pa.array(out_h, type=pa.string()),
+            "url": pa.array(out_u, type=pa.string()),
+            "lastmod": pa.array(out_m, type=pa.string()),
+            "path": pa.array(out_p, type=pa.string()),
+        })
+
+    rules = parse_robots_txt(
+        "User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n")
+    gated = robots_gate(
+        blobs.map_batches(parse_blob, batch_format="pyarrow"),
+        {h: rules for h in hosts})
+    return (gated.filter(
+        expr="allowed == True and lastmod >= '2024-07-01'")
+        .select_columns(["host", "url", "lastmod"])
+        .sort("url"))
+
+
 def _q_bitext_mine(sf_dir: str):
     """Margin-criterion bitext mining (`functions/similarity.py:
     bitext_mine` — CCMatrix/LASER shape): label-0 vectors mined against
@@ -4699,6 +4789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
+        "sitemap_gate": _q_sitemap_gate,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5336,6 +5427,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY db.doc_id
             ORDER BY score DESC, db.doc_id
             LIMIT 100
+        """,
+        # sitemap_gate: the URL/lastmod arithmetic and the RFC 9309
+        # longest-prefix gate replayed directly off doc_id — the engine
+        # side must survive the XML writer→parser round trip to match.
+        "sitemap_gate": """
+            WITH u AS (
+                SELECT 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                           AS host,
+                       'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.org/doc/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       printf('2024-%02d-%02d',
+                              1 + (doc_id % 12),
+                              1 + (doc_id % 28)) AS lastmod,
+                       '/doc/' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            )
+            SELECT host, url, lastmod FROM u
+            WHERE (CASE WHEN path LIKE '/doc/12%' THEN TRUE
+                        WHEN path LIKE '/doc/1%' THEN FALSE
+                        ELSE TRUE END)
+              AND lastmod >= '2024-07-01'
+            ORDER BY url
         """,
         # bitext_mine: both mining directions replayed as ROW_NUMBER
         # over list_cosine_similarity; floats never reach the output.
