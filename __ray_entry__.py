@@ -814,6 +814,36 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(docs, target_lang="en", n_buckets=256, k=100)
 
 
+def _sitemap_gated(sf_dir: str):
+    """Shared builder for the sitemap chains: build→index-validate→
+    re-parse→robots-gate→freshness-filter; see `_q_sitemap_gate`."""
+    return _q_sitemap_gate(sf_dir)
+
+
+def _q_crawl_budget_chain(sf_dir: str):
+    """Composed crawl chain #17: sitemap discovery survivors → per-host
+    frontier size → Hamilton apportionment of 1000 fetch slots
+    (`functions/reshape.py: largest_remainder_alloc` — exact integer
+    quotas summing to the budget, remainder ties broken by host). The
+    crawl story end to end: discover → gate → budget."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions.reshape import largest_remainder_alloc
+
+    gated = _sitemap_gated(sf_dir)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.Table.from_pydict({
+            "host": b.column("host"),
+            "w": pa.array(np.ones(b.num_rows), type=pa.float64()),
+        })
+
+    weighted = gated.map_batches(weigh, batch_format="pyarrow")
+    return largest_remainder_alloc(
+        weighted, "host", "w", total_units=1000).sort("host")
+
+
 def _q_sitemap_gate(sf_dir: str):
     """Sitemap-discovery round trip (`sources/sitemap.py` — the crawl
     leg between robots politeness and WARC ingestion): deterministic
@@ -4790,6 +4820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
+        "crawl_budget_chain": _q_crawl_budget_chain,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5450,6 +5481,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE TRUE END)
               AND lastmod >= '2024-07-01'
             ORDER BY url
+        """,
+        # crawl_budget_chain: sitemap gate CTE -> per-host counts (100
+        # cents/url, mirroring the engine's unit weights) -> Hamilton
+        # replay (base + largest remainders), END-TO-END one statement.
+        "crawl_budget_chain": """
+            WITH u AS (
+                SELECT 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                           AS host,
+                       printf('2024-%02d-%02d',
+                              1 + (doc_id % 12),
+                              1 + (doc_id % 28)) AS lastmod,
+                       '/doc/' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            ), kept AS (
+                SELECT host FROM u
+                WHERE (CASE WHEN path LIKE '/doc/12%' THEN TRUE
+                            WHEN path LIKE '/doc/1%' THEN FALSE
+                            ELSE TRUE END)
+                  AND lastmod >= '2024-07-01'
+            ), w AS (
+                SELECT host,
+                       CAST(count(*) * 100 AS BIGINT) AS weight_cents
+                FROM kept GROUP BY host
+            ), t AS (
+                SELECT SUM(weight_cents) AS tw, 1000 AS units FROM w
+            ), b AS (
+                SELECT host, weight_cents,
+                       units * weight_cents // tw AS base,
+                       units * weight_cents % tw AS rem
+                FROM w, t
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host)
+                           AS rk,
+                       (SELECT units FROM t) - SUM(base) OVER ()
+                           AS leftover
+                FROM b
+            )
+            SELECT host, CAST(weight_cents AS BIGINT) AS weight_cents,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                        END AS BIGINT) AS alloc
+            FROM r ORDER BY host
         """,
         # bitext_mine: both mining directions replayed as ROW_NUMBER
         # over list_cosine_similarity; floats never reach the output.
