@@ -631,6 +631,65 @@ def _q_lm_perplexity(sf_dir: str):
     )
 
 
+def _q_curriculum_chain(sf_dir: str):
+    """Composed chain #18 — curriculum ordering: bigram-LM difficulty
+    (integer OOV-rate proxy ``n_oov·10⁶ // (n_trans+1)``, exact floor
+    division on the same sufficient statistics `lm_perplexity` gates)
+    → GLOBAL easy-first rank via the TeraSort-shape `global_rank` over
+    the unique composed key ``difficulty·2³³ + doc_id`` → 8 NTILE
+    curriculum buckets by pure integer arithmetic. Per-doc output
+    (doc_id, pos, bucket) is the actual training-order artifact a
+    curriculum loader consumes. Docs with < 2 tokens drop (same
+    convention as lm_perplexity); loud int64-composition guards."""
+    import numpy as np
+    import pyarrow as pa
+
+    from smartreader_ray.functions import lm_score, train_bigram_lm
+    from smartreader_ray.functions.reshape import global_rank
+
+    docs = _docs(sf_dir)
+
+    def held_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 10 == 0) & (ids < 25_000)))
+
+    model = train_bigram_lm(
+        docs.map_batches(held_filter, batch_format="pyarrow"))
+    scored = lm_score(docs, model)
+
+    def key(b: pa.Table) -> pa.Table:
+        oov = b.column("n_oov").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nt = b.column("n_trans").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        score = oov * 1_000_000 // (nt + 1)
+        if len(ids) and (ids.max() >= (1 << 33) or
+                         score.max() >= (1 << 30)):
+            raise ValueError("curriculum key composition out of range")
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "__ck": pa.array((score << 33) | ids, type=pa.int64()),
+        })
+
+    keyed = scored.map_batches(key, batch_format="pyarrow")
+    n = keyed.count()
+    ranked = global_rank(keyed, "__ck", num_parts=32)
+
+    def out(b: pa.Table) -> pa.Table:
+        pos = b.column("rn").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        bucket = (pos - 1) * 8 // n + 1
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "pos": pa.array(pos, type=pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+        })
+
+    return ranked.map_batches(out, batch_format="pyarrow")
+
+
 def _q_lm_perplexity_by_lang(sf_dir: str):
     """The actual CCNet shape: one bigram LM per LANGUAGE, trained on
     the same fixed held-in slice keyed by lang (one distributed count
@@ -4821,6 +4880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
         "crawl_budget_chain": _q_crawl_budget_chain,
+        "curriculum_chain": _q_curriculum_chain,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5721,6 +5781,54 @@ def oracle_sql() -> dict[str, str]:
         # lm_perplexity: replay the bigram LM's training counts off the
         # same held-in slice and re-derive each doc's integer sufficient
         # statistics; docs with < 2 tokens drop out of both sides.
+        # curriculum_chain: the lm_perplexity stat replay extended by
+        # the integer difficulty, ROW_NUMBER easy-first rank over the
+        # identical composed key, and NTILE-by-arithmetic buckets.
+        "curriculum_chain": """
+            WITH held AS (
+                SELECT string_split(trim(text), ' ') AS a
+                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
+            ),
+            tr_h AS (
+                SELECT a[i] AS w1, a[i+1] AS w2
+                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c FROM tr_h GROUP BY w1, w2),
+            alld AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            j AS (
+                SELECT tr.doc_id, COALESCE(c2.c, 0) AS cc2
+                FROM tr LEFT JOIN c2 ON tr.w1 = c2.w1 AND tr.w2 = c2.w2
+            ),
+            stats AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_trans,
+                       CAST(SUM(CASE WHEN cc2 = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_oov
+                FROM j GROUP BY doc_id
+            ),
+            k AS (
+                SELECT doc_id,
+                       (n_oov * 1000000 // (n_trans + 1)) AS score
+                FROM stats
+            ),
+            r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY
+                           score * 8589934592 + doc_id) AS pos,
+                       COUNT(*) OVER () AS n
+                FROM k
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST((pos - 1) * 8 // n + 1 AS BIGINT) AS bucket
+            FROM r
+        """,
         "lm_perplexity": """
             WITH held AS (
                 SELECT string_split(trim(text), ' ') AS a
