@@ -631,6 +631,72 @@ def _q_lm_perplexity(sf_dir: str):
     )
 
 
+def _q_padding_plan(sf_dir: str):
+    """Length-sorted batching plan (the sorted/bucketed-batching move
+    every seq2seq/LLM trainer uses to cut padding waste): docs ranked
+    globally by (n_tokens, doc_id) via the TeraSort-shape
+    `global_rank`, grouped into fixed-size batches of 32 consecutive
+    ranks, and each batch summarized as (batch_id, n_docs, max_len,
+    padding_waste = n·max − Σlen) — all exact int64. The plan TABLE is
+    the artifact a dataloader consumes; waste here is provably minimal
+    for contiguous batches of a sorted order. Token counts are the
+    whitespace ``string_split`` count (SQL-replayable)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from smartreader_ray.functions.reshape import global_rank
+
+    docs = _docs(sf_dir)
+
+    def lens(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))), " ")
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(ids) and (ids.max() >= (1 << 33) or n.max() >= (1 << 30)):
+            raise ValueError("padding_plan key composition out of range")
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "__lk": pa.array((n << 33) | ids, type=pa.int64()),
+        })
+
+    ranked = global_rank(
+        docs.map_batches(lens, batch_format="pyarrow"), "__lk",
+        num_parts=32)
+
+    def to_batch(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.Table.from_pydict({
+            "batch_id": pa.array((rn - 1) // 32, type=pa.int64()),
+            "n_tokens": b.column("n_tokens"),
+        })
+
+    return (ranked.map_batches(to_batch, batch_format="pyarrow")
+            .groupby("batch_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Max("n_tokens", alias_name="max_len"),
+                       Sum("n_tokens", alias_name="sum_len"))
+            .map_batches(lambda b: pa.Table.from_pydict({
+                "batch_id": b.column("batch_id"),
+                "n_docs": b.column("n_docs"),
+                "max_len": b.column("max_len"),
+                "padding_waste": pa.array(
+                    b.column("n_docs").to_numpy(zero_copy_only=False)
+                    * b.column("max_len").to_numpy(zero_copy_only=False)
+                    - b.column("sum_len").to_numpy(zero_copy_only=False),
+                    type=pa.int64()),
+            }), batch_format="pyarrow")
+            .sort("batch_id"))
+
+
 def _q_curriculum_chain(sf_dir: str):
     """Composed chain #18 — curriculum ordering: bigram-LM difficulty
     (integer OOV-rate proxy ``n_oov·10⁶ // (n_trans+1)``, exact floor
@@ -4881,6 +4947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_gate": _q_sitemap_gate,
         "crawl_budget_chain": _q_crawl_budget_chain,
         "curriculum_chain": _q_curriculum_chain,
+        "padding_plan": _q_padding_plan,
         "window_agg": _q_window_agg,
         "orders_by_nation": _q_orders_by_nation,
         "orders_by_segment": _q_orders_by_segment,
@@ -5781,6 +5848,27 @@ def oracle_sql() -> dict[str, str]:
         # lm_perplexity: replay the bigram LM's training counts off the
         # same held-in slice and re-derive each doc's integer sufficient
         # statistics; docs with < 2 tokens drop out of both sides.
+        # padding_plan: identical composed sort key, batch = rank//32,
+        # per-batch integer rollup.
+        "padding_plan": """
+            WITH l AS (
+                SELECT doc_id,
+                       CAST(len(string_split(trim(text), ' '))
+                            AS BIGINT) AS n
+                FROM documents
+            ),
+            r AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY
+                           n * 8589934592 + doc_id) AS rn
+                FROM l
+            )
+            SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(MAX(n) AS BIGINT) AS max_len,
+                   CAST(count(*) * MAX(n) - SUM(n) AS BIGINT)
+                       AS padding_waste
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
         # curriculum_chain: the lm_perplexity stat replay extended by
         # the integer difficulty, ROW_NUMBER easy-first rank over the
         # identical composed key, and NTILE-by-arithmetic buckets.
