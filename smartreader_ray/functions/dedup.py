@@ -643,6 +643,30 @@ def _passage_tokens(t: str | None, window: int) -> list[str]:
     return toks if len(toks) >= window else []
 
 
+def _doc_window_set(t: str | None, window: int) -> list[str]:
+    """DISTINCT ``window``-token spans of one doc, in first-seen order.
+
+    Windows are direct SLICES of the trimmed text: consecutive
+    ``split(' ')`` tokens are separated by exactly one space in the
+    source, so the ``' '.join`` of a token run equals the substring
+    between the first token's start and the last token's end — no
+    per-window join allocation."""
+    body = (t or "").strip()
+    toks = body.split(" ")
+    if len(toks) < window:
+        return []
+    starts = [0]
+    app = starts.append
+    pos = 0
+    for tok in toks:
+        pos += len(tok) + 1
+        app(pos)
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - window + 1):
+        seen.setdefault(body[starts[i]:starts[i + window] - 1])
+    return list(seen)
+
+
 def _window_emitter(window: int, text_col: str):
     """Batch fn: one (win, doc_id) row per DISTINCT window per doc —
     within-doc dedup happens here, BEFORE the exchange."""
@@ -653,16 +677,9 @@ def _window_emitter(window: int, text_col: str):
         id_type = batch.schema.field("doc_id").type
         wins, out_ids = [], []
         for doc_id, t in zip(ids, texts):
-            toks = _passage_tokens(t, window)
-            if not toks:
-                continue
-            seen = set()
-            for i in range(len(toks) - window + 1):
-                w = " ".join(toks[i:i + window])
-                if w not in seen:
-                    seen.add(w)
-                    wins.append(w)
-                    out_ids.append(doc_id)
+            ws = _doc_window_set(t, window)
+            wins.extend(ws)
+            out_ids.extend([doc_id] * len(ws))
         return pa.Table.from_pydict(
             {
                 "win": pa.array(wins, type=pa.string()),
@@ -729,11 +746,7 @@ def _duplicate_passages_hashed(ds, window: int, min_docs: int,
     import ray
 
     def doc_windows(doc_id, t):
-        toks = _passage_tokens(t, window)
-        if not toks:
-            return []
-        return list({" ".join(toks[i:i + window])
-                     for i in range(len(toks) - window + 1)})
+        return _doc_window_set(t, window)
 
     def emit_hashes(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
