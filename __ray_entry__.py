@@ -1074,6 +1074,22 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_balanced_interleave(sf_dir: str):
+    """Language-balanced round-robin training order
+    (`functions/sampling.py: balanced_interleave`): md5-random rank
+    within each language, then round-robin interleave across languages
+    — two chained TeraSort global_rank passes, langs-sized broadcasts
+    only. Oracle: partitioned + global ROW_NUMBER replay."""
+    import ray.data
+
+    from smartreader_ray.functions.sampling import balanced_interleave
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    return balanced_interleave(docs, seed="bi", num_parts=32)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic training-epoch permutation (`functions/sampling.py:
     epoch_shuffle`): global 1-based position under md5(seed:id) ranking,
@@ -4942,6 +4958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "dsir_gopher_chain": _q_dsir_gopher_chain,
         "epoch_shuffle": _q_epoch_shuffle,
+        "balanced_interleave": _q_balanced_interleave,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -5683,6 +5700,27 @@ def oracle_sql() -> dict[str, str]:
                    (ba.best_src = top.src) AS mutual
             FROM top JOIN ba ON ba.tgt = top.best_tgt
             ORDER BY src_id
+        """,
+        # balanced_interleave: per-lang md5 rank then (rank, lang)
+        # global order — exactly the engine's two composed-key ranks.
+        "balanced_interleave": """
+            WITH l AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5('bi:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 9) AS BIGINT)
+                           AS h
+                FROM documents
+            ),
+            rl AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY h, doc_id) AS ril
+                FROM l
+            )
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ril, lang)
+                        AS BIGINT) AS pos
+            FROM rl
         """,
         # epoch_shuffle: ROW_NUMBER over the identical composed key
         # (36 md5 bits << 27 | id). substr start is 1-based; 9 hex

@@ -255,7 +255,7 @@ def run_main() -> dict:
         "pivot_roundtrip", "gopher_gate", "dsir_select",
         "dsir_gopher_chain", "epoch_shuffle", "ngram_novelty",
         "bitext_mine", "sitemap_gate", "crawl_budget_chain",
-        "curriculum_chain", "padding_plan",
+        "curriculum_chain", "padding_plan", "balanced_interleave",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

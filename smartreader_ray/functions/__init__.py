@@ -47,8 +47,9 @@ from .similarity import (
     ivf_build_index,
     kmeans_centroids,
 )
-from .sampling import (dsir_select, epoch_shuffle, temperature_mix,
-                       mix_threshold_hex, stratified_sample, weighted_mix)
+from .sampling import (balanced_interleave, dsir_select, epoch_shuffle,
+                       temperature_mix, mix_threshold_hex,
+                       stratified_sample, weighted_mix)
 from .sketch import (
     approx_distinct,
     approx_distinct_by,
@@ -196,4 +197,5 @@ __all__ = [
     "epoch_shuffle",
     "ngram_novelty",
     "bitext_mine",
+    "balanced_interleave",
 ]

@@ -465,3 +465,92 @@ def epoch_shuffle(ds, seed: str = "ep1", id_col: str = "doc_id",
         })
 
     return ranked.map_batches(out, batch_format="pyarrow")
+
+
+def balanced_interleave(ds, seed: str = "bi", id_col: str = "doc_id",
+                        lang_col: str = "lang", num_parts: int = 32):
+    """Language-balanced deterministic training order: rows are ranked
+    md5-random WITHIN each language, then interleaved round-robin
+    across languages (every consecutive |langs|-row stripe holds ≤ 1
+    doc per language until a language runs dry) — the multilingual
+    training-order move that stops a dominant language from front-
+    loading an epoch, reproducible across engines/reruns like
+    :func:`epoch_shuffle`.
+
+    Two TeraSort-shape `global_rank` passes, zero driver-side data:
+    (1) rank over the lang-major key ``lang_idx·2⁶⁰ | h36·2²⁴ | id`` —
+    per-language rank falls out by subtracting the language's
+    prefix-count offset (a langs-sized broadcast from the same count
+    table that assigns lang_idx); (2) rank over ``rank_in_lang·2⁴ |
+    lang_idx`` for the contiguous interleave position. Loud guards:
+    ids < 2²⁴ and < 16 languages per composition (hierarchical
+    per-shard interleave is the named alternative above those bounds).
+    """
+    import pyarrow.compute as pc
+
+    from .reshape import global_rank
+
+    md5 = hashlib.md5
+
+    counts = ds.groupby(lang_col).count().to_pandas()
+    langs = sorted(counts[lang_col].tolist())
+    if len(langs) >= 16:
+        raise ValueError("balanced_interleave: >=16 languages — use a "
+                         "hierarchical per-shard interleave")
+    lang_idx = {lg: i for i, lg in enumerate(langs)}
+    n_of = dict(zip(counts[lang_col], counts["count()"]))
+    offsets, acc = {}, 0
+    for lg in langs:
+        offsets[lg] = acc
+        acc += int(n_of[lg])
+    off_by_idx = np.array([offsets[lg] for lg in langs], dtype=np.int64)
+
+    def key1(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 24)):
+            raise ValueError("balanced_interleave: id outside [0, 2^24) "
+                             "— use a hierarchical per-shard interleave")
+        li = np.fromiter((lang_idx[lg] for lg in
+                          b.column(lang_col).to_pylist()),
+                         dtype=np.int64, count=b.num_rows)
+        h = np.fromiter(
+            (int(md5(f"{seed}:{i}".encode()).hexdigest()[:9], 16)
+             for i in ids.tolist()),
+            dtype=np.int64, count=len(ids))
+        k = (li << np.int64(60)) | (h << np.int64(24)) | ids
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, type=pa.int64()),
+            "__li": pa.array(li, type=pa.int64()),
+            "__k1": pa.array(k, type=pa.int64()),
+        })
+
+    r1 = global_rank(ds.select_columns([id_col, lang_col])
+                     .map_batches(key1, batch_format="pyarrow"),
+                     "__k1", num_parts=num_parts)
+
+    def key2(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        li = b.column("__li").to_numpy(zero_copy_only=False)
+        ril = rn - off_by_idx[li]
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "__li": b.column("__li"),
+            "__k2": pa.array((ril << np.int64(4)) | li, type=pa.int64()),
+        })
+
+    r2 = global_rank(r1.map_batches(key2, batch_format="pyarrow"),
+                     "__k2", num_parts=num_parts)
+
+    lang_arr = pa.array(langs, type=pa.string())
+
+    def out(b: pa.Table) -> pa.Table:
+        li = b.column("__li").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "lang": pc.take(lang_arr, pa.array(li, type=pa.int64())),
+            "pos": b.column("rn"),
+        })
+
+    return r2.map_batches(out, batch_format="pyarrow")

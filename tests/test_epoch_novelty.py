@@ -77,3 +77,36 @@ def test_ngram_novelty_partitioning_invariance(ray_session):
             (r["doc_id"], r["n_windows"], r["n_novel"])
             for r in ngram_novelty(ds).take_all()))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_balanced_interleave_round_robin(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.sampling import balanced_interleave
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3] if i < 30
+             else "en"} for i in range(40)]
+    out = balanced_interleave(
+        ray.data.from_items(rows).repartition(5)).take_all()
+    by_pos = sorted((r["pos"], r["lang"], r["doc_id"]) for r in out)
+    assert [p for p, _, _ in by_pos] == list(range(1, 41))
+    # while every language has supply, each stripe of 3 is one of each
+    for s in range(10):
+        stripe = {l for _, l, _ in by_pos[3 * s:3 * s + 3]}
+        assert stripe == {"en", "de", "fr"}
+    # the dominant language fills the tail
+    assert all(l == "en" for _, l, _ in by_pos[30:])
+
+
+def test_balanced_interleave_partitioning_invariance(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.sampling import balanced_interleave
+
+    rows = [{"doc_id": i, "lang": ["en", "zh"][i % 2]} for i in range(24)]
+    outs = []
+    for parts in (1, 3, 6):
+        ds = ray.data.from_items(rows).repartition(parts)
+        outs.append(sorted((r["pos"], r["doc_id"]) for r in
+                           balanced_interleave(ds).take_all()))
+    assert outs[0] == outs[1] == outs[2]
