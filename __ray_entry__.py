@@ -1074,6 +1074,46 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_hrw_resharding(sf_dir: str):
+    """HRW elasticity audit: assign every doc at 8 AND 9 shards
+    (`functions/sampling.py: rendezvous_shards` twice — pure per-row
+    hashing, shuffle-free), roll up per old shard (n_keys, n_moved) —
+    the minimal-movement proof as a QUERY artifact: every moved key's
+    new home is shard 8, and the expected move fraction is 1/9. The
+    capacity-planning check you run before growing a stateful shard
+    set online."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    from smartreader_ray.functions.sampling import rendezvous_shards
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    both = rendezvous_shards(
+        rendezvous_shards(ds, 8, out_col="shard8"), 9, out_col="shard9")
+
+    def partial(b: pa.Table) -> pa.Table:
+        s8 = b.column("shard8").to_numpy(zero_copy_only=False)
+        s9 = b.column("shard9").to_numpy(zero_copy_only=False)
+        moved = (s8 != s9)
+        # minimal movement: a moved key can only have moved TO shard 8
+        if bool((s9[moved] != 8).any()):
+            raise AssertionError("HRW minimal-movement violated")
+        return pa.Table.from_pydict({
+            "shard": pa.array(s8, type=pa.int64()),
+            "moved": pa.array(moved.astype(np.int64), type=pa.int64()),
+        })
+
+    return (both.map_batches(partial, batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Count(alias_name="n_keys"),
+                       Sum("moved", alias_name="n_moved"))
+            .sort("shard"))
+
+
 def _q_balanced_interleave(sf_dir: str):
     """Language-balanced round-robin training order
     (`functions/sampling.py: balanced_interleave`): md5-random rank
@@ -4959,6 +4999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_gopher_chain": _q_dsir_gopher_chain,
         "epoch_shuffle": _q_epoch_shuffle,
         "balanced_interleave": _q_balanced_interleave,
+        "hrw_resharding": _q_hrw_resharding,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -6828,6 +6869,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # hrw_resharding: both assignments replayed with the identical
+        # per-(id, shard) md5 argmax; moved = winner differs at 9.
+        "hrw_resharding": """
+            WITH w8 AS (
+                SELECT doc_id, s.s AS shard,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(s.s AS VARCHAR)),
+                                     1, 8) DESC, s.s) AS rn
+                FROM documents CROSS JOIN generate_series(0, 7) s(s)
+            ),
+            w9 AS (
+                SELECT doc_id, s.s AS shard,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(s.s AS VARCHAR)),
+                                     1, 8) DESC, s.s) AS rn
+                FROM documents CROSS JOIN generate_series(0, 8) s(s)
+            ),
+            j AS (
+                SELECT a.doc_id, a.shard AS s8, b.shard AS s9
+                FROM (SELECT doc_id, shard FROM w8 WHERE rn = 1) a
+                JOIN (SELECT doc_id, shard FROM w9 WHERE rn = 1) b
+                USING (doc_id)
+            )
+            SELECT CAST(s8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_moved
+            FROM j GROUP BY s8 ORDER BY s8
+        """,
         "rendezvous_shards": """
             WITH a AS (
                 SELECT doc_id, lang, s.s AS shard,
