@@ -1074,6 +1074,66 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Tokenizer vocab budgeting: the smallest frequency-ranked
+    vocabulary covering 50 / 90 / 99 / 99.9 % of token OCCURRENCES —
+    the curve that sizes a tokenizer (or an OOV budget) before
+    training. Distributed shape: per-block term-count partials →
+    groupby(term) sum (vocab-sized exchange, the same regime as
+    tfidf's) → ONE vocab-sized block computes the (cf DESC, term ASC)
+    cumulative — the only single-block step, bounded by vocabulary,
+    never corpus. All comparisons are cross-multiplied integers
+    (cum·1000 ≥ permille·total)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    docs = _docs(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))), " ")
+        flat = toks.combine_chunks().flatten()
+        vc = flat.value_counts()
+        return pa.Table.from_pydict({
+            "term": vc.field("values"),
+            "cf": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("cf", alias_name="cf")))
+
+    def curve(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("cf", "descending"), ("term", "ascending")])
+        cf = b.take(order).column("cf").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(cf)
+        total = int(cum[-1]) if len(cum) else 0
+        out_p, out_k, out_c = [], [], []
+        for permille in (500, 900, 990, 999):
+            k = int(np.searchsorted(cum * 1000, permille * total,
+                                    side="left")) + 1
+            out_p.append(permille)
+            out_k.append(k)
+            out_c.append(int(cum[k - 1]) if len(cum) else 0)
+        return pa.Table.from_pydict({
+            "coverage_permille": pa.array(out_p, type=pa.int64()),
+            "vocab_size": pa.array(out_k, type=pa.int64()),
+            "covered_tokens": pa.array(out_c, type=pa.int64()),
+        })
+
+    return (counts.repartition(1)  # vocab-sized by construction
+            .map_batches(curve, batch_format="pyarrow")
+            .sort("coverage_permille"))
+
+
 def _q_hrw_resharding(sf_dir: str):
     """HRW elasticity audit: assign every doc at 8 AND 9 shards
     (`functions/sampling.py: rendezvous_shards` twice — pure per-row
@@ -5000,6 +5060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "balanced_interleave": _q_balanced_interleave,
         "hrw_resharding": _q_hrw_resharding,
+        "vocab_coverage": _q_vocab_coverage,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -6869,6 +6930,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # vocab_coverage: frequency-ranked cumulative coverage replay;
+        # min rank where cum*1000 >= permille*total, integer-exact.
+        "vocab_coverage": """
+            WITH base AS (
+                SELECT string_split(trim(text), ' ') AS a FROM documents
+            ),
+            t AS (
+                SELECT a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                  FROM t GROUP BY term),
+            r AS (
+                SELECT cf, term,
+                       SUM(cf) OVER (ORDER BY cf DESC, term
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS k,
+                       SUM(cf) OVER () AS total
+                FROM c
+            ),
+            p AS (SELECT * FROM (VALUES (500), (900), (990), (999))
+                  v(permille)),
+            sel AS (
+                SELECT p.permille, MIN(r.k) AS vocab_size
+                FROM p JOIN r ON r.cum * 1000 >= p.permille * r.total
+                GROUP BY p.permille
+            )
+            SELECT CAST(sel.permille AS BIGINT) AS coverage_permille,
+                   CAST(sel.vocab_size AS BIGINT) AS vocab_size,
+                   CAST(r.cum AS BIGINT) AS covered_tokens
+            FROM sel JOIN r ON r.k = sel.vocab_size
+            ORDER BY 1
+        """,
         # hrw_resharding: both assignments replayed with the identical
         # per-(id, shard) md5 argmax; moved = winner differs at 9.
         "hrw_resharding": """
