@@ -1074,6 +1074,96 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair
+    (a < b), how many DISTINCT normalized contents appear in both —
+    the inter-source leakage map that decides which sources need
+    cross-dedup before mixing. "Content" here is the exact-dedup
+    5-token prefix key (`dedup_key_batch` — full-content equality
+    yields an empty matrix on this corpus; shared PREFIXES are the
+    boilerplate signal). Engine groups by the vectorized FNV-1a hash
+    of the key, the oracle by the key string — equivalent modulo
+    collisions, the `fingerprint_dedup` contract.
+
+    No per-group Python anywhere: (fp, source_idx) rows are
+    block-deduped, globally deduped by a two-key groupby count, folded
+    to one mask row per fp via SUM (each bit present at most once per
+    fp after the dedup, so SUM == OR; loud <63-source bound), and
+    mask→pair expansion is a stateless map. Exchanges are
+    fingerprint-count-sized, payloads never move."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    from smartreader_ray.functions.dedup import _hash64, dedup_key_batch
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    sources = sorted(r["source"] for r in
+                     docs.groupby("source").count()
+                     .select_columns(["source"]).take_all())
+    if len(sources) >= 63:
+        raise ValueError("source_overlap: >=63 sources — widen the "
+                         "mask to multiple int64 lanes")
+    idx_of = {s: i for i, s in enumerate(sources)}
+
+    def keyed(b: pa.Table) -> pa.Table:
+        keys = dedup_key_batch(b).column("dup_key").to_pylist()
+        fp = _hash64(keys).astype(np.int64)
+        src = np.fromiter((idx_of[s] for s in
+                           b.column("source").to_pylist()),
+                          dtype=np.int64, count=b.num_rows)
+        # block-level dedup before the exchange
+        u = np.unique(np.stack([fp, src], axis=1), axis=0)
+        return pa.Table.from_pydict({
+            "fp": pa.array(u[:, 0], type=pa.int64()),
+            "src": pa.array(u[:, 1], type=pa.int64()),
+        })
+
+    masks = (docs.map_batches(keyed, batch_format="pyarrow")
+             .groupby(["fp", "src"])
+             .aggregate(Count(alias_name="_n"))
+             .map_batches(lambda b: pa.Table.from_pydict({
+                 "fp": b.column("fp"),
+                 "mask": pa.array(
+                     np.int64(1) << b.column("src").to_numpy(
+                         zero_copy_only=False).astype(np.int64),
+                     type=pa.int64()),
+             }), batch_format="pyarrow")
+             .groupby("fp")
+             .aggregate(Sum("mask", alias_name="mask")))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        out_k = []
+        for m in b.column("mask").to_numpy(zero_copy_only=False).tolist():
+            bits = [i for i in range(len(sources)) if m >> i & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    out_k.append(bits[x] * 64 + bits[y])
+        return pa.Table.from_pydict({
+            "pk": pa.array(out_k, type=pa.int64()),
+        })
+
+    src_arr = np.array(sources)
+
+    def name(b: pa.Table) -> pa.Table:
+        pk = b.column("pk").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "source_a": pa.array(src_arr[pk // 64], type=pa.string()),
+            "source_b": pa.array(src_arr[pk % 64], type=pa.string()),
+            "n_shared": b.column("n_shared"),
+        })
+
+    return (masks.map_batches(pairs, batch_format="pyarrow")
+            .groupby("pk")
+            .aggregate(Count(alias_name="n_shared"))
+            .map_batches(name, batch_format="pyarrow")
+            .sort(["source_a", "source_b"]))
+
+
 def _q_vocab_coverage(sf_dir: str):
     """Tokenizer vocab budgeting: the smallest frequency-ranked
     vocabulary covering 50 / 90 / 99 / 99.9 % of token OCCURRENCES —
@@ -5061,6 +5151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_interleave": _q_balanced_interleave,
         "hrw_resharding": _q_hrw_resharding,
         "vocab_coverage": _q_vocab_coverage,
+        "source_overlap": _q_source_overlap,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -6930,6 +7021,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # source_overlap: distinct (5-token prefix key, source) pairs
+        # self-joined with source_a < source_b (string order == the
+        # engine's sorted-index order).
+        "source_overlap": r"""
+            WITH g AS (
+                SELECT DISTINCT
+                       array_to_string((string_split_regex(trim(text),
+                           '\s+'))[1:5], ' ') AS nt,
+                       source
+                FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b
+              ON a.nt = b.nt AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         # vocab_coverage: frequency-ranked cumulative coverage replay;
         # min rank where cum*1000 >= permille*total, integer-exact.
         "vocab_coverage": """

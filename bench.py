@@ -256,7 +256,7 @@ def run_main() -> dict:
         "dsir_gopher_chain", "epoch_shuffle", "ngram_novelty",
         "bitext_mine", "sitemap_gate", "crawl_budget_chain",
         "curriculum_chain", "padding_plan", "balanced_interleave",
-        "hrw_resharding", "vocab_coverage",
+        "hrw_resharding", "vocab_coverage", "source_overlap",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
