@@ -1074,6 +1074,56 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_benford_audit(sf_dir: str):
+    """Benford first-significant-digit audit over lineitem prices —
+    the classic fabricated-data / ETL-corruption screen: per digit
+    1–9, the observed count plus the Benford expectation
+    ``ln((d+1)/d)/ln(10)`` (ONE shared libm expression, the pmi_pairs
+    float contract). Counts are exact int64 over cents; the digit is
+    extracted by a log-step vectorized integer divide (≤ 12 numpy
+    passes), 9-row partials per block, digit-sized exchange."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        x = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        x = x[x > 0]
+        while len(x) and x.max() >= 10:
+            m = x >= 10
+            x[m] //= 10
+        counts = np.bincount(x, minlength=10)[1:10]
+        return pa.Table.from_pydict({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit")
+           .aggregate(Sum("n", alias_name="n")))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        d = b.column("digit").to_numpy(zero_copy_only=False)
+        exp = [math.log((dd + 1.0) / dd) / math.log(10.0)
+               for dd in d.tolist()]
+        return pa.Table.from_pydict({
+            "digit": b.column("digit"),
+            "n": b.column("n"),
+            "benford_p": pa.array(exp, type=pa.float64()),
+        })
+
+    return agg.map_batches(stamp, batch_format="pyarrow").sort("digit")
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every source pair
     (a < b), how many DISTINCT normalized contents appear in both —
@@ -5152,6 +5202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hrw_resharding": _q_hrw_resharding,
         "vocab_coverage": _q_vocab_coverage,
         "source_overlap": _q_source_overlap,
+        "benford_audit": _q_benford_audit,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7021,6 +7072,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # benford_audit: first digit of the cents integer via string
+        # head; expectation as the identical single ln expression.
+        "benford_audit": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(FLOOR(
+                           CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM lineitem
+                WHERE l_extendedprice > 0
+            ),
+            c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY digit)
+            SELECT g.d AS digit, COALESCE(c.n, 0) AS n,
+                   ln((g.d + 1.0) / g.d) / ln(10.0) AS benford_p
+            FROM generate_series(1, 9) g(d)
+            LEFT JOIN c ON c.digit = g.d
+            ORDER BY 1
+        """,
         # source_overlap: distinct (5-token prefix key, source) pairs
         # self-joined with source_a < source_b (string order == the
         # engine's sorted-index order).
