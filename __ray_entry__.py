@@ -1074,6 +1074,18 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (`functions/ngrams.py: bm25_search`) for
+    the two-term query ["spark", "merge"]: integer tf/len/df
+    sufficient stats, driver-side libm idf (term-count-sized), the
+    score's float tree written identically on both sides (explicit
+    left-assoc term sum, constant-folded (1.2+1.0)/(1.0-0.75) literals
+    so k1+1 and 1-b are bit-identical), partial top-20 reduce."""
+    from smartreader_ray.functions.ngrams import bm25_search
+
+    return bm25_search(_docs(sf_dir), ["spark", "merge"], k=20)
+
+
 def _q_benford_audit(sf_dir: str):
     """Benford first-significant-digit audit over lineitem prices —
     the classic fabricated-data / ETL-corruption screen: per digit
@@ -5203,6 +5215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "source_overlap": _q_source_overlap,
         "benford_audit": _q_benford_audit,
+        "bm25_search": _q_bm25_search,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7072,6 +7085,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # bm25_search: the identical float tree — constant-foldable
+        # (1.2+1.0)/(1.0-0.75) instead of 2.2/0.25 literals, explicit
+        # two-term sum (never SUM()), same ln shape.
+        "bm25_search": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            pd AS (
+                SELECT doc_id, CAST(len(a) AS BIGINT) AS len,
+                       CAST(len(list_filter(a, x -> x = 'spark'))
+                            AS BIGINT) AS tf0,
+                       CAST(len(list_filter(a, x -> x = 'merge'))
+                            AS BIGINT) AS tf1
+                FROM base
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(SUM(len) AS DOUBLE) AS sl,
+                       CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                       CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1
+                FROM pd
+            ),
+            sc AS (
+                SELECT doc_id,
+                       ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                         * ((tf0 * (1.2 + 1.0))
+                            / (tf0 + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (len / (sl / n)))))
+                     + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * ((tf1 * (1.2 + 1.0))
+                            / (tf1 + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (len / (sl / n)))))
+                           AS score
+                FROM pd, tot WHERE tf0 > 0 OR tf1 > 0
+            )
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
         # benford_audit: first digit of the cents integer via string
         # head; expectation as the identical single ln expression.
         "benford_audit": """

@@ -68,8 +68,8 @@ from .textstats import (
     quality_stats,
     token_stats,
 )
-from .ngrams import (bigram_counts, cooccurrence_window, term_doc_freq,
-                     tfidf_top_terms)
+from .ngrams import (bigram_counts, bm25_search, cooccurrence_window,
+                     term_doc_freq, tfidf_top_terms)
 from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
@@ -198,4 +198,5 @@ __all__ = [
     "ngram_novelty",
     "bitext_mine",
     "balanced_interleave",
+    "bm25_search",
 ]

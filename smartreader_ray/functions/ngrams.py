@@ -629,3 +629,105 @@ def boolean_search(ds, must, must_not=(), doc_col: str = "doc_id",
     return (ds.select_columns([doc_col, text_col])
             .map_batches(filt, batch_format="pyarrow")
             .sort(doc_col))
+
+
+def bm25_search(ds, terms, k: int = 20, doc_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75):
+    """BM25 ranked retrieval (Robertson–Spärck Jones, the standard IR
+    scoring function) for a small fixed term list — the ranked
+    companion of :func:`boolean_search`, engine-reproducible to the
+    last float bit:
+
+    - integer sufficient statistics only cross the corpus: per-doc
+      term frequencies + doc length (one vectorized tokenize +
+      equality kernel per term, block-local), corpus totals (N, Σlen)
+      and per-term document frequencies from ONE aggregate pass;
+    - idf_t = ln(1 + (N − df + 0.5)/(df + 0.5)) via libm ``math.log``
+      (the pmi_pairs contract) on the driver, term-count-sized;
+    - score = Σ_terms idf_t · (tf·(k1+1)) / (tf + k1·(1−b + b·(len/avg)))
+      with the term sum written as an EXPLICIT left-assoc chain (never
+      a SUM aggregate — float reduction order must be fixed), every
+      elementwise op correctly rounded identically by numpy and SQL;
+    - docs matching no term never leave their block; partial top-k
+      reduce, final sort over ≤ k·blocks rows by (score DESC, id).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    terms = list(terms)
+    if not terms or len(terms) > 8:
+        raise ValueError("bm25_search: 1..8 query terms")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, row_idx, lens = _tokens_flat(batch, text_col)
+        n = batch.num_rows
+        cols = {
+            doc_col: batch.column(doc_col),
+            "len": pa.array(lens.astype(np.int64)),
+        }
+        for j, t in enumerate(terms):
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(row_idx[eq], minlength=n).astype(np.int64))
+        return pa.Table.from_pydict(cols)
+
+    per_doc = ds.select_columns([doc_col, text_col]).map_batches(
+        stats, batch_format="pyarrow").materialize()  # consumed twice
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        cols = {"n_docs": pa.array([b.num_rows], type=pa.int64()),
+                "sum_len": pa.array(
+                    [int(b.column("len").to_numpy(
+                        zero_copy_only=False).sum())], type=pa.int64())}
+        for j in range(len(terms)):
+            tf = b.column(f"tf{j}").to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = pa.array([int((tf > 0).sum())],
+                                      type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    tot_aggs = [Sum("n_docs", alias_name="n_docs"),
+                Sum("sum_len", alias_name="sum_len")]
+    tot_aggs += [Sum(f"df{j}", alias_name=f"df{j}")
+                 for j in range(len(terms))]
+    tot = (per_doc.map_batches(df_partial, batch_format="pyarrow")
+           .aggregate(*tot_aggs))
+    n_docs, sum_len = float(tot["n_docs"]), float(tot["sum_len"])
+    avg_len = sum_len / n_docs
+    idf = [math.log(1.0 + (n_docs - float(tot[f"df{j}"]) + 0.5)
+                    / (float(tot[f"df{j}"]) + 0.5))
+           for j in range(len(terms))]
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def score(batch: pa.Table) -> pa.Table:
+        L = batch.column("len").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        norm = k1 * (one_minus_b + b * (L / avg_len))
+        s = None
+        any_tf = np.zeros(batch.num_rows, dtype=bool)
+        for j in range(len(terms)):
+            tf = batch.column(f"tf{j}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            any_tf |= tf > 0
+            sj = idf[j] * ((tf * k1p1) / (tf + norm))
+            s = sj if s is None else s + sj  # fixed left-assoc order
+        keep = pa.array(any_tf)
+        out = pa.Table.from_pydict({
+            doc_col: batch.column(doc_col),
+            "score": pa.array(s, type=pa.float64()),
+        })
+        return out.filter(keep)
+
+    def local_cut(b: pa.Table) -> pa.Table:
+        if b.num_rows > k:
+            idx = pc.select_k_unstable(
+                b, k=k, sort_keys=[("score", "descending"),
+                                   (doc_col, "ascending")])
+            b = b.take(idx)
+        return b
+
+    return (per_doc.map_batches(score, batch_format="pyarrow")
+            .map_batches(local_cut, batch_format="pyarrow")
+            .sort(key=["score", doc_col], descending=[True, False])
+            .limit(k))

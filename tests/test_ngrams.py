@@ -264,3 +264,47 @@ def test_pmi_scores_bruteforce(ray_session):
     # frequently-together tokens score above independents
     by_pair = {(r["a"], r["b"]): r["pmi"] for r in got}
     assert by_pair[("x", "y")] > 0  # x,y only ever co-occur
+
+
+def test_bm25_search_matches_brute_force(ray_session):
+    import math
+
+    import ray.data
+
+    rows = [
+        {"doc_id": 1, "text": "spark merge spark table"},
+        {"doc_id": 2, "text": "merge join order"},
+        {"doc_id": 3, "text": "spark spark spark spark"},
+        {"doc_id": 4, "text": "window filter group"},
+        {"doc_id": 5, "text": "spark merge"},
+    ]
+    from smartreader_ray.functions.ngrams import bm25_search
+
+    out = bm25_search(ray.data.from_items(rows).repartition(3),
+                      ["spark", "merge"], k=5).take_all()
+
+    # brute force, same expression shape
+    terms = ["spark", "merge"]
+    docs = {r["doc_id"]: r["text"].split(" ") for r in rows}
+    n = float(len(docs))
+    avg = sum(len(t) for t in docs.values()) / n
+    dfs = [float(sum(1 for t in docs.values() if term in t))
+           for term in terms]
+    idf = [math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in dfs]
+    exp = {}
+    for d, toks in docs.items():
+        L = float(len(toks))
+        norm = 1.2 * ((1.0 - 0.75) + 0.75 * (L / avg))
+        s = None
+        hit = False
+        for j, term in enumerate(terms):
+            tf = float(toks.count(term))
+            hit = hit or tf > 0
+            sj = idf[j] * ((tf * (1.2 + 1.0)) / (tf + norm))
+            s = sj if s is None else s + sj
+        if hit:
+            exp[d] = s
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["doc_id"], r["score"]) for r in out] == want
+    # doc 4 matches nothing and must be absent
+    assert 4 not in {r["doc_id"] for r in out}
