@@ -739,7 +739,10 @@ def _q_curriculum_chain(sf_dir: str):
             "__ck": pa.array((score << 33) | ids, type=pa.int64()),
         })
 
-    keyed = scored.map_batches(key, batch_format="pyarrow")
+    # materialize the THIN (doc_id, __ck) table: three consumers
+    # (count, rank sampling, rank stamping) would otherwise re-run the
+    # whole actor-pool LM scoring pass each
+    keyed = scored.map_batches(key, batch_format="pyarrow").materialize()
     n = keyed.count()
     ranked = global_rank(keyed, "__ck", num_parts=32)
 
@@ -1072,6 +1075,87 @@ def _q_bitext_mine(sf_dir: str):
     emb = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"))
     return bitext_mine(emb, src_label=0, tgt_label=1)
+
+
+def _q_term_drift(sf_dir: str):
+    """Vocabulary-drift screen between corpus halves (the train/eval
+    distribution-mismatch check): per term, occurrence counts in the
+    doc_id-lower half vs upper half and the 2×2 χ² statistic, for the
+    50 highest-total terms. Integer sufficient statistics cross the
+    (vocab-sized) exchange; χ² is stamped on the 50-row top-k only,
+    as ONE shared IEEE expression tree (the pmi_pairs float
+    contract): e1 = t·T1/(T1+T2); chi2 = (c1−e1)²/e1 + (c2−e2)²/e2
+    with explicit left-assoc addition."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    docs = _docs(sf_dir)
+    half = docs.count() // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))), " ")
+        toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        lo = np.repeat(ids < half, lens)
+        import pandas as pd
+        df = pd.DataFrame({"term": flat.to_pandas(),
+                           "c1": lo.astype(np.int64),
+                           "c2": (~lo).astype(np.int64)})
+        g = df.groupby("term", sort=False).sum().reset_index()
+        return pa.Table.from_pydict({
+            "term": pa.array(g["term"], type=pa.string()),
+            "c1": pa.array(g["c1"].to_numpy(), type=pa.int64()),
+            "c2": pa.array(g["c2"].to_numpy(), type=pa.int64()),
+        })
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("c1", alias_name="c1"),
+                         Sum("c2", alias_name="c2")))
+    tot = counts.aggregate(Sum("c1", alias_name="t1"),
+                           Sum("c2", alias_name="t2"))
+    t1, t2 = float(tot["t1"]), float(tot["t2"])
+
+    def local_cut(b: pa.Table) -> pa.Table:
+        tot_c = pc.add(b.column("c1"), b.column("c2"))
+        b = b.append_column("__t", tot_c)
+        if b.num_rows > 50:
+            idx = pc.select_k_unstable(
+                b, k=50, sort_keys=[("__t", "descending"),
+                                    ("term", "ascending")])
+            b = b.take(idx)
+        return b
+
+    top = (counts.map_batches(local_cut, batch_format="pyarrow")
+           .sort(key=["__t", "term"], descending=[True, False])
+           .limit(50))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        c1 = b.column("c1").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c2 = b.column("c2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        t = c1 + c2
+        e1 = t * t1 / (t1 + t2)
+        e2 = t * t2 / (t1 + t2)
+        chi2 = (c1 - e1) * (c1 - e1) / e1 + (c2 - e2) * (c2 - e2) / e2
+        return pa.Table.from_pydict({
+            "term": b.column("term"),
+            "c1": b.column("c1"),
+            "c2": b.column("c2"),
+            "chi2": pa.array(chi2, type=pa.float64()),
+        })
+
+    return top.map_batches(stamp, batch_format="pyarrow")
 
 
 def _q_bm25_search(sf_dir: str):
@@ -5216,6 +5300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "benford_audit": _q_benford_audit,
         "bm25_search": _q_bm25_search,
+        "term_drift": _q_term_drift,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7085,6 +7170,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # term_drift: integer half-counts, identical single χ² tree on
+        # the 50-row top-k only.
+        "term_drift": """
+            WITH n AS (SELECT count(*) // 2 AS h FROM documents),
+            base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (
+                SELECT term,
+                       CAST(count(*) FILTER (doc_id <
+                           (SELECT h FROM n)) AS BIGINT) AS c1,
+                       CAST(count(*) FILTER (doc_id >=
+                           (SELECT h FROM n)) AS BIGINT) AS c2
+                FROM tok GROUP BY term
+            ),
+            t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS t1,
+                         CAST(SUM(c2) AS DOUBLE) AS t2 FROM c),
+            top AS (SELECT * FROM c
+                    ORDER BY (c1 + c2) DESC, term LIMIT 50),
+            sel AS (
+                SELECT term, c1, c2,
+                       CAST(c1 + c2 AS DOUBLE) * t1 / (t1 + t2) AS e1,
+                       CAST(c1 + c2 AS DOUBLE) * t2 / (t1 + t2) AS e2
+                FROM top, t
+            )
+            SELECT term, c1, c2,
+                   (c1 - e1) * (c1 - e1) / e1
+                 + (c2 - e2) * (c2 - e2) / e2 AS chi2
+            FROM sel
+        """,
         # bm25_search: the identical float tree — constant-foldable
         # (1.2+1.0)/(1.0-0.75) instead of 2.2/0.25 literals, explicit
         # two-term sum (never SUM()), same ln shape.
