@@ -1077,6 +1077,59 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Composed chain #19 — hybrid retrieval with Reciprocal-Rank
+    Fusion (Cormack et al., the standard BM25 ⊕ vector fusion): the
+    lexical system is `bm25_search` (["spark","merge"], top-50 ranks),
+    the vector system is exact cosine top-50 against the broadcast
+    query vector (vec_id 0; vec_id ≡ doc_id in this corpus), and
+    RRF = 1/(60+r_lex) + 1/(60+r_vec) with missing-system terms 0 —
+    an EXPLICIT two-term float sum on integer ranks (the bm25
+    contract), fused driver-side over the two k-sized rank tables
+    (the ann_topk merge pattern; both inputs are ≤ 50 rows by
+    construction). Top-20 by (rrf DESC, doc_id)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import bm25_search
+    from smartreader_ray.functions.similarity import ann_topk
+
+    docs = _docs(sf_dir)
+    lex = bm25_search(docs, ["spark", "merge"], k=50).take_all()
+    lex_rank = {r["doc_id"]: i + 1 for i, r in enumerate(lex)}
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = None
+    for b in (emb.filter(expr="vec_id == 0")
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows:
+            qvec = np.asarray(b.column("embedding")[0].as_py(),
+                              dtype=np.float64)
+            break
+    vec = ann_topk(emb, qvec.reshape(1, -1), k=50)
+    vec_rank = {v: i + 1 for i, v in
+                enumerate(vec.column("vec_id").to_pylist())}
+
+    ids = sorted(set(lex_rank) | set(vec_rank))
+    rrf = []
+    for d in ids:
+        s = 0.0
+        if d in lex_rank:
+            s = s + 1.0 / (60.0 + lex_rank[d])
+        if d in vec_rank:
+            s = s + 1.0 / (60.0 + vec_rank[d])
+        rrf.append((d, s))
+    rrf.sort(key=lambda t: (-t[1], t[0]))
+    top = rrf[:20]
+    return pa.Table.from_pydict({
+        "doc_id": pa.array([d for d, _ in top], type=pa.int64()),
+        "rrf": pa.array([s for _, s in top], type=pa.float64()),
+    })
+
+
 def _q_term_drift(sf_dir: str):
     """Vocabulary-drift screen between corpus halves (the train/eval
     distribution-mismatch check): per term, occurrence counts in the
@@ -5301,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": _q_benford_audit,
         "bm25_search": _q_bm25_search,
         "term_drift": _q_term_drift,
+        "hybrid_search": _q_hybrid_search,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7170,6 +7224,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # hybrid_search: bm25 CTE + cosine CTE, both ranked by
+        # ROW_NUMBER, FULL OUTER fuse, identical two-term RRF sum.
+        "hybrid_search": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            pd AS (
+                SELECT doc_id, CAST(len(a) AS BIGINT) AS len,
+                       CAST(len(list_filter(a, x -> x = 'spark'))
+                            AS BIGINT) AS tf0,
+                       CAST(len(list_filter(a, x -> x = 'merge'))
+                            AS BIGINT) AS tf1
+                FROM base
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(SUM(len) AS DOUBLE) AS sl,
+                       CAST(count(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                       CAST(count(*) FILTER (tf1 > 0) AS DOUBLE) AS df1
+                FROM pd
+            ),
+            sc AS (
+                SELECT doc_id,
+                       ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                         * ((tf0 * (1.2 + 1.0))
+                            / (tf0 + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (len / (sl / n)))))
+                     + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * ((tf1 * (1.2 + 1.0))
+                            / (tf1 + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * (len / (sl / n)))))
+                           AS score
+                FROM pd, tot WHERE tf0 > 0 OR tf1 > 0
+            ),
+            lex AS (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id) AS rl
+                FROM sc
+            ),
+            lex50 AS (SELECT * FROM lex WHERE rl <= 50),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            vec AS (
+                SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (
+                    ORDER BY list_cosine_similarity(q.qe,
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rv
+                FROM embeddings e, q
+            ),
+            vec50 AS (SELECT * FROM vec WHERE rv <= 50),
+            u AS (
+                SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                       l.rl, v.rv
+                FROM lex50 l FULL OUTER JOIN vec50 v
+                  ON l.doc_id = v.doc_id
+            )
+            SELECT doc_id,
+                   COALESCE(1.0 / (60.0 + rl), 0.0)
+                 + COALESCE(1.0 / (60.0 + rv), 0.0) AS rrf
+            FROM u ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
         # term_drift: integer half-counts, identical single χ² tree on
         # the 50-row top-k only.
         "term_drift": """

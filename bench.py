@@ -257,7 +257,7 @@ def run_main() -> dict:
         "bitext_mine", "sitemap_gate", "crawl_budget_chain",
         "curriculum_chain", "padding_plan", "balanced_interleave",
         "hrw_resharding", "vocab_coverage", "source_overlap",
-        "benford_audit", "bm25_search", "term_drift",
+        "benford_audit", "bm25_search", "term_drift", "hybrid_search",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
