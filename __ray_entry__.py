@@ -1077,6 +1077,53 @@ def _q_bitext_mine(sf_dir: str):
     return bitext_mine(emb, src_label=0, tgt_label=1)
 
 
+def _q_blocklist_rates(sf_dir: str):
+    """Content-policy blocklist screening (the C4 "bad words" step) as
+    the per-source audit artifact: a doc is BLOCKED iff any whitespace
+    token equals a blocklist entry (token-equality, not substring — no
+    Scunthorpe false positives), rolled up per source as (n_docs,
+    n_blocked). One vectorized tokenize + ONE is_in kernel per block
+    (the blocklist ships inside the closure — pattern-count-
+    independent), per-block (source, n, blocked) partials, source-sized
+    exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    blocklist = pa.array(["dup", "slow"], type=pa.string())
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))), " ")
+        toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(toks.flatten(), value_set=blocklist).to_numpy(
+            zero_copy_only=False)
+        row = np.repeat(np.arange(len(lens)), lens)
+        blocked = np.zeros(b.num_rows, dtype=bool)
+        blocked[row[hit]] = True
+        return pa.Table.from_pydict({
+            "source": b.column("source"),
+            "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_blocked": pa.array(blocked.astype(np.int64)),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_blocked", alias_name="n_blocked"))
+            .sort("source"))
+
+
 def _q_hybrid_search(sf_dir: str):
     """Composed chain #19 — hybrid retrieval with Reciprocal-Rank
     Fusion (Cormack et al., the standard BM25 ⊕ vector fusion): the
@@ -5355,6 +5402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "term_drift": _q_term_drift,
         "hybrid_search": _q_hybrid_search,
+        "blocklist_rates": _q_blocklist_rates,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7224,6 +7272,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rendezvous_shards: argmax over the salted md5s via a
         # DESC-ordered row_number, ties to the lowest shard id.
+        # blocklist_rates: token-equality screen via list_has_any.
+        "blocklist_rates": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (list_has_any(
+                       string_split(trim(text), ' '),
+                       ['dup', 'slow'])) AS BIGINT) AS n_blocked
+            FROM documents GROUP BY source ORDER BY source
+        """,
         # hybrid_search: bm25 CTE + cosine CTE, both ranked by
         # ROW_NUMBER, FULL OUTER fuse, identical two-term RRF sum.
         "hybrid_search": """
