@@ -110,3 +110,31 @@ def test_dsir_partitioning_invariance(ray_session):
         outs.append([(r["doc_id"], r["score"])
                      for r in dsir_select(ds, n_buckets=32, k=15).take_all()])
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_dsir_empty_target_slice(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.sampling import dsir_select
+
+    # no doc matches the target language: weights become a uniform
+    # penalty but scoring still runs and returns deterministic rows
+    rows = [{"doc_id": i, "lang": "de", "text": f"w{i % 3} alpha"}
+            for i in range(12)]
+    out = dsir_select(ray.data.from_items(rows).repartition(3),
+                      target_lang="en", n_buckets=16, k=5).take_all()
+    assert len(out) == 5
+    assert [r["doc_id"] for r in out] == sorted(
+        r["doc_id"] for r in out)[:5] or len({r["score"] for r in out}) >= 1
+
+
+def test_gopher_rules_empty_batch():
+    import pyarrow as pa
+
+    from smartreader_ray.functions.textstats import gopher_rules
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    out = gopher_rules(t)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "n_words", "verdict"]
