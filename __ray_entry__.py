@@ -1124,6 +1124,44 @@ def _q_blocklist_rates(sf_dir: str):
             .sort("source"))
 
 
+def _q_source_risk_rank(sf_dir: str):
+    """Composed chain #20 — confidence-adjusted source risk ranking:
+    the per-source blocklist rates (`blocklist_rates`) ranked by the
+    WILSON LOWER BOUND of the blocked proportion (z = 1.96) — the
+    standard small-sample-safe ranking (a 1/2 source never outranks a
+    40/100 source). The bound is ONE shared IEEE expression tree on
+    exact integer counts (sqrt is correctly rounded in both engines;
+    z², z²/2, z²/4 written as explicit products so both sides fold the
+    same constants), stamped on the source-count-sized rollup only.
+    Output ordered worst-first by (wilson_lb DESC, source)."""
+    import math
+
+    import pyarrow as pa
+
+    rates = _q_blocklist_rates(sf_dir)
+
+    def stamp(b: pa.Table) -> pa.Table:
+        z = 1.96
+        out = []
+        for n, k in zip(b.column("n_docs").to_pylist(),
+                        b.column("n_blocked").to_pylist()):
+            nf, p = float(n), float(k) / float(n)
+            lb = ((p + z * z / (2.0 * nf)
+                   - z * math.sqrt((p * (1.0 - p)
+                                    + z * z / (4.0 * nf)) / nf))
+                  / (1.0 + z * z / nf))
+            out.append(lb)
+        return pa.Table.from_pydict({
+            "source": b.column("source"),
+            "n_docs": b.column("n_docs"),
+            "n_blocked": b.column("n_blocked"),
+            "wilson_lb": pa.array(out, type=pa.float64()),
+        })
+
+    return (rates.map_batches(stamp, batch_format="pyarrow")
+            .sort(key=["wilson_lb", "source"], descending=[True, False]))
+
+
 def _q_hybrid_search(sf_dir: str):
     """Composed chain #19 — hybrid retrieval with Reciprocal-Rank
     Fusion (Cormack et al., the standard BM25 ⊕ vector fusion): the
@@ -5403,6 +5441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_drift": _q_term_drift,
         "hybrid_search": _q_hybrid_search,
         "blocklist_rates": _q_blocklist_rates,
+        "source_risk_rank": _q_source_risk_rank,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7279,6 +7318,30 @@ def oracle_sql() -> dict[str, str]:
                        string_split(trim(text), ' '),
                        ['dup', 'slow'])) AS BIGINT) AS n_blocked
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # source_risk_rank: the identical Wilson-lower-bound tree on
+        # the blocklist rollup; sqrt correctly rounded both engines.
+        "source_risk_rank": """
+            WITH r AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(*) FILTER (list_has_any(
+                           string_split(trim(text), ' '),
+                           ['dup', 'slow'])) AS BIGINT) AS n_blocked
+                FROM documents GROUP BY source
+            ),
+            w AS (
+                SELECT source, n_docs, n_blocked,
+                       CAST(n_blocked AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE) AS p,
+                       CAST(n_docs AS DOUBLE) AS nf
+                FROM r
+            )
+            SELECT source, n_docs, n_blocked,
+                   (p + 1.96 * 1.96 / (2.0 * nf)
+                    - 1.96 * sqrt((p * (1.0 - p)
+                                   + 1.96 * 1.96 / (4.0 * nf)) / nf))
+                   / (1.0 + 1.96 * 1.96 / nf) AS wilson_lb
+            FROM w ORDER BY wilson_lb DESC, source
         """,
         # hybrid_search: bm25 CTE + cosine CTE, both ranked by
         # ROW_NUMBER, FULL OUTER fuse, identical two-term RRF sum.

@@ -258,7 +258,7 @@ def run_main() -> dict:
         "curriculum_chain", "padding_plan", "balanced_interleave",
         "hrw_resharding", "vocab_coverage", "source_overlap",
         "benford_audit", "bm25_search", "term_drift", "hybrid_search",
-        "blocklist_rates",
+        "blocklist_rates", "source_risk_rank",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
