@@ -1124,6 +1124,114 @@ def _q_blocklist_rates(sf_dir: str):
             .sort("source"))
 
 
+def _q_novelty_decay(sf_dir: str):
+    """Corpus-saturation curve: the novel-8-gram ratio per doc-id
+    decile — how fast a GROWING corpus stops contributing new spans
+    (the go/no-go signal for 'keep crawling this source?'). Rides
+    `ngram_novelty`; the decile rollup carries exact integer sums, and
+    the ratio is ONE division stamped on ten rows."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    nv = _q_ngram_novelty(sf_dir)
+    n = nv.count()
+
+    def decile(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # doc ids are dense 0..n-1 in this corpus; rank == id + 1
+        d = ids * 10 // n + 1
+        return pa.Table.from_pydict({
+            "decile": pa.array(np.minimum(d, 10), type=pa.int64()),
+            "n_windows": b.column("n_windows"),
+            "n_novel": b.column("n_novel"),
+        })
+
+    agg = (nv.map_batches(decile, batch_format="pyarrow")
+           .groupby("decile")
+           .aggregate(Sum("n_windows", alias_name="n_windows"),
+                      Sum("n_novel", alias_name="n_novel")))
+
+    def ratio(b: pa.Table) -> pa.Table:
+        w = b.column("n_windows").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nn = b.column("n_novel").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return b.append_column(
+            "novel_ratio", pa.array(nn / w, type=pa.float64()))
+
+    return agg.map_batches(ratio, batch_format="pyarrow").sort("decile")
+
+
+def _q_source_entropy(sf_dir: str):
+    """Per-source token-distribution entropy — the lexical-diversity
+    metric behind 'is this source templated junk?': H ≈ Σ_terms
+    floor(10⁹ · (c/N) · ln(N/c)) in NANO-NATS, an ORDER-INDEPENDENT
+    integer sum (the DSIR floored-ln trick — a float Σ −p·ln p would
+    be summation-order-dependent and unhashable across engines).
+    Per-(source, term) counts are the only exchange (vocab × sources);
+    the per-term float tree is evaluated once per distinct count pair
+    and floored before any aggregation."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(
+                pc.coalesce(pc.cast(b.column("text"), pa.string()),
+                            pa.scalar("", type=pa.string()))), " ")
+        toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b.column("source").to_pylist(),
+                                   dtype=object), lens)
+        df = pd.DataFrame({"source": src,
+                           "term": toks.flatten().to_pandas()})
+        g = df.groupby(["source", "term"], sort=False).size().reset_index()
+        return pa.Table.from_pydict({
+            "source": pa.array(g["source"], type=pa.string()),
+            "term": pa.array(g["term"], type=pa.string()),
+            "c": pa.array(g[0].to_numpy(), type=pa.int64()),
+        })
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "term"])
+              .aggregate(Sum("c", alias_name="c"))).materialize()
+    totals = {r["source"]: r["c"] for r in
+              counts.groupby("source")
+              .aggregate(Sum("c", alias_name="c")).take_all()}
+
+    def nano_nats(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        cs = b.column("c").to_pylist()
+        vals = [math.floor(1_000_000_000.0
+                           * (float(c) / float(totals[s]))
+                           * math.log(float(totals[s]) / float(c)))
+                for s, c in zip(srcs, cs)]
+        return pa.Table.from_pydict({
+            "source": b.column("source"),
+            "h": pa.array(vals, type=pa.int64()),
+            "n_terms": pa.array([1] * b.num_rows, type=pa.int64()),
+        })
+
+    return (counts.map_batches(nano_nats, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("h", alias_name="entropy_nanonats"),
+                       Sum("n_terms", alias_name="n_distinct_terms"))
+            .sort("source"))
+
+
 def _q_source_risk_rank(sf_dir: str):
     """Composed chain #20 — confidence-adjusted source risk ranking:
     the per-source blocklist rates (`blocklist_rates`) ranked by the
@@ -5442,6 +5550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _q_hybrid_search,
         "blocklist_rates": _q_blocklist_rates,
         "source_risk_rank": _q_source_risk_rank,
+        "novelty_decay": _q_novelty_decay,
+        "source_entropy": _q_source_entropy,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7318,6 +7428,74 @@ def oracle_sql() -> dict[str, str]:
                        string_split(trim(text), ' '),
                        ['dup', 'slow'])) AS BIGINT) AS n_blocked
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # novelty_decay: the ngram_novelty replay rolled to deciles.
+        "novelty_decay": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                           array_to_string(a[i:i+7], ' ')), 1, 15)
+                           AS BIGINT) AS k
+                FROM base, UNNEST(generate_series(1, len(a) - 7)) AS t(i)
+            ),
+            dw AS (
+                SELECT k, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM w GROUP BY k, doc_id
+            ),
+            fd AS (SELECT k, min(doc_id) AS first_doc FROM dw GROUP BY k),
+            nv AS (
+                SELECT dw.doc_id,
+                       SUM(dw.c) AS n_win,
+                       COALESCE(SUM(dw.c) FILTER (
+                           dw.doc_id = fd.first_doc), 0) AS n_novel
+                FROM dw JOIN fd USING (k) GROUP BY dw.doc_id
+            ),
+            nvq AS (
+                SELECT d.doc_id,
+                       COALESCE(nv.n_win, 0) AS n_windows,
+                       COALESCE(nv.n_novel, 0) AS n_novel
+                FROM documents d LEFT JOIN nv USING (doc_id)
+            ),
+            cnt AS (SELECT count(*) AS n FROM documents),
+            dec AS (
+                SELECT LEAST(doc_id * 10 // (SELECT n FROM cnt) + 1,
+                             10) AS decile,
+                       n_windows, n_novel
+                FROM nvq
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+                   CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+                   CAST(SUM(n_novel) AS DOUBLE)
+                       / CAST(SUM(n_windows) AS DOUBLE) AS novel_ratio
+            FROM dec GROUP BY decile ORDER BY decile
+        """,
+        # source_entropy: the identical floored nano-nat terms summed
+        # as integers (order-independent by construction).
+        "source_entropy": """
+            WITH base AS (
+                SELECT source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY source, term),
+            t AS (SELECT source, SUM(c) AS n FROM c GROUP BY source)
+            SELECT c.source,
+                   CAST(SUM(CAST(FLOOR(1000000000.0
+                       * (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       * ln(CAST(t.n AS DOUBLE) / CAST(c.c AS DOUBLE)))
+                       AS BIGINT)) AS BIGINT) AS entropy_nanonats,
+                   CAST(count(*) AS BIGINT) AS n_distinct_terms
+            FROM c JOIN t USING (source)
+            GROUP BY c.source ORDER BY c.source
         """,
         # source_risk_rank: the identical Wilson-lower-bound tree on
         # the blocklist rollup; sqrt correctly rounded both engines.

@@ -259,6 +259,7 @@ def run_main() -> dict:
         "hrw_resharding", "vocab_coverage", "source_overlap",
         "benford_audit", "bm25_search", "term_drift", "hybrid_search",
         "blocklist_rates", "source_risk_rank",
+        "novelty_decay", "source_entropy",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
