@@ -5460,6 +5460,40 @@ def _q_dq_fingerprint_chain(sf_dir: str):
         ts_cols=("o_orderdate",))
 
 
+def _q_simpson_diversity(sf_dir: str):
+    """Per-source lexical concentration (`functions/ngrams.py:
+    simpson_concentration`): the exact integer ingredients of the
+    Simpson index — n_tokens, n_terms, Σc² per source. All-int64
+    output so the hash is engine-independent; token semantics match
+    source_entropy (single-space split of trimmed text, empties kept).
+    """
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import simpson_concentration
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"])
+    return simpson_concentration(docs)
+
+
+def _q_lru_hits(sf_dir: str):
+    """Per-user LRU cache audit (`functions/windows.py: lru_audit`):
+    replay each user's event_type stream (ts, event_id order) against
+    a capacity-2 LRU; classify hit / cold miss / capacity miss. The
+    oracle recomputes via the Mattson stack-distance identity (hit ⇔
+    < capacity distinct keys strictly between consecutive accesses).
+    """
+    import ray.data
+
+    from smartreader_ray.functions.windows import lru_audit
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return lru_audit(events, capacity=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -5552,6 +5586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_risk_rank": _q_source_risk_rank,
         "novelty_decay": _q_novelty_decay,
         "source_entropy": _q_source_entropy,
+        "simpson_diversity": _q_simpson_diversity,
+        "lru_hits": _q_lru_hits,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7496,6 +7532,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_distinct_terms
             FROM c JOIN t USING (source)
             GROUP BY c.source ORDER BY c.source
+        """,
+        # simpson_diversity: all-integer Simpson ingredients — same
+        # token semantics as source_entropy (empties kept).
+        "simpson_diversity": """
+            WITH base AS (
+                SELECT source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY source, term)
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_sq
+            FROM c GROUP BY source ORDER BY source
+        """,
+        # lru_hits: Mattson stack-distance identity — an access hits a
+        # capacity-C LRU iff fewer than C distinct keys were accessed
+        # strictly between the previous access of the same key and now.
+        "lru_hits": """
+            WITH e AS (
+                SELECT user_id, event_type AS k,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS seq
+                FROM events
+            ),
+            p AS (
+                SELECT user_id, k, seq,
+                       lag(seq) OVER (
+                           PARTITION BY user_id, k ORDER BY seq) AS prev
+                FROM e
+            ),
+            d AS (
+                SELECT p.user_id, p.prev,
+                       CASE WHEN p.prev IS NULL THEN NULL ELSE (
+                           SELECT count(DISTINCT m.k) FROM e m
+                           WHERE m.user_id = p.user_id
+                             AND m.seq > p.prev AND m.seq < p.seq
+                       ) END AS dist
+                FROM p
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (prev IS NOT NULL AND dist < 2)
+                        AS BIGINT) AS hits,
+                   CAST(count(*) FILTER (prev IS NULL)
+                        AS BIGINT) AS cold_misses,
+                   CAST(count(*) FILTER (prev IS NOT NULL AND dist >= 2)
+                        AS BIGINT) AS capacity_misses
+            FROM d GROUP BY user_id ORDER BY user_id
         """,
         # source_risk_rank: the identical Wilson-lower-bound tree on
         # the blocklist rollup; sqrt correctly rounded both engines.

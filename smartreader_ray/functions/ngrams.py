@@ -731,3 +731,71 @@ def bm25_search(ds, terms, k: int = 20, doc_col: str = "doc_id",
             .map_batches(local_cut, batch_format="pyarrow")
             .sort(key=["score", doc_col], descending=[True, False])
             .limit(k))
+
+
+def simpson_concentration(ds, text_col: str = "text",
+                          source_col: str = "source"):
+    """Per-source lexical concentration: the exact integer ingredients
+    of the Simpson index λ = Σ_t (c_t/N)² — a templated-junk detector
+    that complements entropy (high λ = few terms dominate the source).
+
+    Returns one row per source: ``n_tokens`` (N = Σ c_t), ``n_terms``
+    (distinct terms), ``sum_sq`` (Σ c_t²) — all EXACT int64, so the
+    value hash is engine-independent (λ itself is the caller's ratio;
+    comparisons should cross-multiply, e.g. λ > 1/K ⇔ K·sum_sq > N²).
+    Token semantics match ``source_entropy``: single-space split of the
+    trimmed text, empty tokens kept (``string_split(trim(text), ' ')``).
+
+    Ray shape: per-block (source, term) pandas precombine →
+    groupby(source, term) Sum (the only vocab-sized exchange) → per-block
+    squaring → groupby(source) Sum over a source-sized table. Overflow
+    regime: Σc² < 2⁶³ holds while no single source-term count exceeds
+    ~3e9; counts are int64 and the squaring block would wrap silently
+    beyond that, so it raises if any c > 3_000_000_000.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.cast(b.column(text_col), pa.string())
+        filled = pc.coalesce(text, pa.scalar("", type=pa.string()))
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(filled), " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(
+            np.asarray(b.column(source_col).to_pylist(), dtype=object), lens)
+        df = pd.DataFrame({"source": src,
+                           "term": toks.flatten().to_pandas()})
+        g = df.groupby(["source", "term"], sort=False).size().reset_index()
+        return pa.Table.from_pydict({
+            "source": pa.array(g["source"], type=pa.string()),
+            "term": pa.array(g["term"], type=pa.string()),
+            "c": pa.array(g[0].to_numpy(), type=pa.int64()),
+        })
+
+    counts = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def square(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        if c.size and int(c.max()) > 3_000_000_000:
+            raise OverflowError(
+                "simpson_concentration: a source-term count exceeds 3e9; "
+                "Σc² would wrap int64 — shard the source first")
+        return pa.Table.from_pydict({
+            "source": b.column("source"),
+            "c": b.column("c"),
+            "c2": pa.array(c * c, type=pa.int64()),
+        })
+
+    rolled = (
+        counts.map_batches(square, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("c", alias_name="n_tokens"),
+                   Count(alias_name="n_terms"),
+                   Sum("c2", alias_name="sum_sq"))
+    )
+    return rolled.sort("source")

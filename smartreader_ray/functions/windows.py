@@ -1637,3 +1637,75 @@ def ohlc_bars(ds, key_col: str = "event_type", ts_col: str = "ts",
 
     return agg.map_batches(decode, batch_format="pyarrow").sort(
         [key_col, "window_us"])
+
+
+def lru_audit(ds, capacity: int = 2, user_col: str = "user_id",
+              key_col: str = "event_type", ts_col: str = "ts",
+              order_col: str = "event_id"):
+    """Per-user LRU cache simulation over the event stream: replay each
+    user's accesses in (ts, order) sequence against an LRU cache of
+    ``capacity`` keys and classify every access as hit / cold miss
+    (first touch of the key) / capacity miss (key was evicted). The
+    working-set/locality audit used to size feature caches or pick a
+    shard-affinity policy from real access logs.
+
+    Returns one row per user: ``user_id, n_events, hits, cold_misses,
+    capacity_misses`` — exact integers (a hit is equivalent to "fewer
+    than ``capacity`` distinct keys accessed strictly between the
+    previous access of this key and now", the Mattson stack-distance
+    identity, which is what a SQL oracle can recompute).
+
+    Ray shape: one column-pruned shuffle keyed by ``user_col``; the
+    per-group kernel is a sequential replay by construction (LRU
+    eviction is order-dependent state), so the loop is the algorithm —
+    parallelism is across users, state is O(capacity + distinct keys
+    per user), and nothing touches the driver.
+    """
+    from collections import OrderedDict
+
+    if capacity < 1:
+        raise ValueError("lru_audit: capacity must be >= 1")
+
+    def per_user(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        utype = group.schema.field(user_col).type
+        if n == 0:
+            return pa.Table.from_pydict({
+                "user_id": pa.array([], type=utype),
+                "n_events": pa.array([], type=pa.int64()),
+                "hits": pa.array([], type=pa.int64()),
+                "cold_misses": pa.array([], type=pa.int64()),
+                "capacity_misses": pa.array([], type=pa.int64()),
+            })
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        order = group.column(order_col).to_numpy(zero_copy_only=False)
+        keys = group.column(key_col).to_pylist()
+        cache: OrderedDict = OrderedDict()
+        seen: set = set()
+        hits = cold = evicted = 0
+        for i in np.lexsort((order, ts)):
+            k = keys[i]
+            if k in cache:
+                hits += 1
+                cache.move_to_end(k)
+            else:
+                if k in seen:
+                    evicted += 1
+                else:
+                    cold += 1
+                    seen.add(k)
+                cache[k] = True
+                if len(cache) > capacity:
+                    cache.popitem(last=False)
+        return pa.Table.from_pydict({
+            "user_id": pa.array([group.column(user_col)[0].as_py()],
+                                type=utype),
+            "n_events": pa.array([n], type=pa.int64()),
+            "hits": pa.array([hits], type=pa.int64()),
+            "cold_misses": pa.array([cold], type=pa.int64()),
+            "capacity_misses": pa.array([evicted], type=pa.int64()),
+        })
+
+    pruned = ds.select_columns([user_col, key_col, ts_col, order_col])
+    return pruned.groupby(user_col).map_groups(
+        per_user, batch_format="pyarrow")
