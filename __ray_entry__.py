@@ -5494,6 +5494,56 @@ def _q_lru_hits(sf_dir: str):
     return lru_audit(events, capacity=2)
 
 
+def _q_diversity_mix_chain(sf_dir: str):
+    """Composed chain #21: templated-source purge → diversity-weighted
+    sampling budget. Simpson concentration (`functions/ngrams.py:
+    simpson_concentration`) → gate sources whose effective term count
+    n²/Σc² is at least 29.4 (integer cross-multiplied: 10·n² ≥ 294·Σc²
+    — no float threshold) → Gini–Simpson diversity in ppm via integer
+    floor-div ((n²−Σc²)·10⁶ // n²) → effective-diverse-token weight
+    (n·ppm // 10⁶) → Hamilton apportionment (`functions/reshape.py:
+    largest_remainder_alloc`) of a 100k-sample budget across the
+    survivors. Every step is int64-exact (guarded: n²·10⁶ wraps int64
+    past n ≈ 3e6 tokens/source, raised loudly — shard the source
+    first), so the chain hashes identically in both engines."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import simpson_concentration
+    from smartreader_ray.functions.reshape import largest_remainder_alloc
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"])
+    conc = simpson_concentration(docs)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ss = b.column("sum_sq").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if n.size and int(n.max()) > 2_900_000:
+            raise OverflowError(
+                "diversity_mix_chain: n_tokens²·10⁶ would wrap int64 "
+                "for a source over ~2.9e6 tokens — shard the source")
+        n2 = n * n
+        keep = 10 * n2 >= 294 * ss
+        ppm = np.where(n2 > 0, (n2 - ss) * 1_000_000 // np.maximum(n2, 1),
+                       0)
+        w = n * ppm // 1_000_000
+        out = pa.table({
+            "source": b.column("source"),
+            "w": pa.array(w.astype(np.float64), type=pa.float64()),
+        })
+        return out.filter(pa.array(keep & (n > 0)))
+
+    weighted = conc.map_batches(weigh, batch_format="pyarrow")
+    return largest_remainder_alloc(
+        weighted, "source", "w", total_units=100_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -5588,6 +5638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_entropy": _q_source_entropy,
         "simpson_diversity": _q_simpson_diversity,
         "lru_hits": _q_lru_hits,
+        "diversity_mix_chain": _q_diversity_mix_chain,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7587,6 +7638,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (prev IS NOT NULL AND dist >= 2)
                         AS BIGINT) AS capacity_misses
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        # diversity_mix_chain: Simpson gate (integer cross-multiplied)
+        # → ppm diversity via integer floor-div → Hamilton allocation,
+        # the same all-BIGINT tree as crawl_budget_chain.
+        "diversity_mix_chain": """
+            WITH base AS (
+                SELECT source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY source, term),
+            s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                         CAST(SUM(c * c) AS BIGINT) AS ss
+                  FROM c GROUP BY source),
+            g AS (SELECT source, n, ss, n * n AS n2 FROM s
+                  WHERE 10 * n * n >= 294 * ss AND n > 0),
+            w AS (SELECT source,
+                         CAST((n * (((n2 - ss) * 1000000) // n2))
+                              // 1000000 * 100 AS BIGINT) AS weight_cents
+                  FROM g),
+            t AS (SELECT SUM(weight_cents) AS tw, 100000 AS units FROM w),
+            b AS (
+                SELECT source, weight_cents,
+                       units * weight_cents // tw AS base,
+                       units * weight_cents % tw AS rem
+                FROM w, t
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                           AS rk,
+                       (SELECT units FROM t) - SUM(base) OVER ()
+                           AS leftover
+                FROM b
+            )
+            SELECT source, CAST(weight_cents AS BIGINT) AS weight_cents,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                        END AS BIGINT) AS alloc
+            FROM r ORDER BY source
         """,
         # source_risk_rank: the identical Wilson-lower-bound tree on
         # the blocklist rollup; sqrt correctly rounded both engines.

@@ -95,3 +95,15 @@ def test_simpson_partition_invariant(ray_session):
     b = simpson_concentration(docs.repartition(11)).to_pandas() \
         .reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_diversity_mix_chain_invariants(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry._q_diversity_mix_chain("/root/testdata/sf0.001").to_pandas()
+    # gate keeps 13 of 20 sources at sf0.001; budget sums exactly
+    assert len(out) == 13
+    assert out.alloc.sum() == 100_000
+    assert (out.alloc >= 0).all() and out.source.is_unique
