@@ -1508,3 +1508,58 @@ def ngram_novelty(ds, window: int = 8, text_col: str = "text",
             .aggregate(Sum("n_windows", alias_name="n_windows"),
                        Sum("novel", alias_name="n_novel"))
             .sort(id_col))
+
+
+def priority_dedup(ds, priority_col: str, key_tokens: int = 5,
+                   doc_col: str = "doc_id"):
+    """Provenance-priority corpus merge: per dedup key (first
+    ``key_tokens`` whitespace tokens, the ``exact_dedup`` key), keep
+    the copy from the HIGHEST-priority source (lowest ``priority_col``
+    value), ties broken by min doc id — the standard multi-source
+    union where curated sources beat web scrape on content collision.
+
+    One vectorized pass packs (priority, doc_id) into a single int64
+    composite ``priority·2⁴² + doc_id`` so the winner is a plain Min
+    aggregate: only (dup_key, composite) shuffles, Min/Count pre-combine
+    per block, and the winner's BOTH fields come back from one exchange
+    (the ngram_novelty packed-ownership pattern). Guarded: requires
+    0 ≤ priority < 2²⁰ and 0 ≤ doc_id < 2⁴², raised loudly otherwise.
+
+    Returns (dup_key, keep_priority, keep_doc_id, n_dups).
+    """
+    from ray.data.aggregate import Count, Min
+
+    _SHIFT = 1 << 42
+
+    def pack(b: pa.Table) -> pa.Table:
+        b = dedup_key_batch(b, key_tokens)
+        pri = b.column(priority_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = b.column(doc_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if pri.size and (int(pri.min()) < 0 or int(pri.max()) >= (1 << 20)):
+            raise OverflowError(
+                "priority_dedup: priority must be in [0, 2^20)")
+        if doc.size and (int(doc.min()) < 0 or int(doc.max()) >= _SHIFT):
+            raise OverflowError(
+                "priority_dedup: doc_id must be in [0, 2^42)")
+        return pa.table({
+            "dup_key": b.column("dup_key"),
+            "comp": pa.array(pri * _SHIFT + doc, type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(pack, batch_format="pyarrow")
+           .groupby("dup_key")
+           .aggregate(Min("comp", alias_name="comp"),
+                      Count(alias_name="n_dups")))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        comp = b.column("comp").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dup_key": b.column("dup_key"),
+            "keep_priority": pa.array(comp // _SHIFT, type=pa.int64()),
+            "keep_doc_id": pa.array(comp % _SHIFT, type=pa.int64()),
+            "n_dups": b.column("n_dups"),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

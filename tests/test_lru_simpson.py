@@ -107,3 +107,32 @@ def test_diversity_mix_chain_invariants(ray_session):
     assert len(out) == 13
     assert out.alloc.sum() == 100_000
     assert (out.alloc >= 0).all() and out.source.is_unique
+
+
+def test_priority_dedup_hand_computed(ray_session):
+    from smartreader_ray.functions.dedup import priority_dedup
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 3, 7, 99], type=pa.int64()),
+        "text": ["a b c d e f", "a b c d e XX", "a b c d e",
+                 "other text here one two"],
+        "priority": pa.array([5, 2, 2, 1], type=pa.int64()),
+    }))
+    out = priority_dedup(docs, "priority").to_pandas() \
+        .set_index("dup_key")
+    # key "a b c d e": min priority 2 held by doc 3 and doc 7 → doc 3
+    r = out.loc["a b c d e"]
+    assert (r.keep_priority, r.keep_doc_id, r.n_dups) == (2, 3, 3)
+    assert out.loc["other text here one two"].keep_doc_id == 99
+
+
+def test_priority_dedup_guards(ray_session):
+    from smartreader_ray.functions.dedup import priority_dedup
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": ["x"],
+        "priority": pa.array([1 << 20], type=pa.int64()),
+    }))
+    with pytest.raises(Exception):
+        priority_dedup(docs, "priority").to_pandas()
