@@ -5572,6 +5572,23 @@ def _q_priority_dedup(sf_dir: str):
         "priority")
 
 
+def _q_mrc_curve(sf_dir: str):
+    """Miss-ratio curve (`functions/windows.py: mrc_curve`): hits/misses
+    an LRU of capacity 1..4 would score over every user's event_type
+    stream, from ONE replay pass per user (LRU inclusion property: hit
+    at C ⇔ stack distance < C). The oracle recomputes each event's
+    stack distance by the same Mattson identity as lru_hits, then reads
+    all four capacities off the distance histogram."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import mrc_curve
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return mrc_curve(events, max_capacity=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -5668,6 +5685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lru_hits": _q_lru_hits,
         "diversity_mix_chain": _q_diversity_mix_chain,
         "priority_dedup": _q_priority_dedup,
+        "mrc_curve": _q_mrc_curve,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7709,6 +7727,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
                         END AS BIGINT) AS alloc
             FROM r ORDER BY source
+        """,
+        # mrc_curve: stack-distance histogram read at capacities 1..4
+        # — same Mattson identity as lru_hits, cross-joined with the
+        # capacity grid.
+        "mrc_curve": """
+            WITH e AS (
+                SELECT user_id, event_type AS k,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS seq
+                FROM events
+            ),
+            p AS (
+                SELECT user_id, k, seq,
+                       lag(seq) OVER (
+                           PARTITION BY user_id, k ORDER BY seq) AS prev
+                FROM e
+            ),
+            d AS (
+                SELECT CASE WHEN p.prev IS NULL THEN NULL ELSE (
+                           SELECT count(DISTINCT m.k) FROM e m
+                           WHERE m.user_id = p.user_id
+                             AND m.seq > p.prev AND m.seq < p.seq
+                       ) END AS dist
+                FROM p
+            ),
+            caps AS (SELECT unnest(generate_series(1, 4)) AS capacity)
+            SELECT CAST(capacity AS BIGINT) AS capacity,
+                   CAST(count(*) FILTER (dist IS NOT NULL
+                        AND dist < capacity) AS BIGINT) AS hits,
+                   CAST(count(*) FILTER (dist IS NULL
+                        OR dist >= capacity) AS BIGINT) AS misses
+            FROM caps CROSS JOIN d
+            GROUP BY capacity ORDER BY capacity
         """,
         # priority_dedup: the packed-composite Min replayed in SQL —
         # MIN(pri·2⁴² + doc_id) then integer unpack.

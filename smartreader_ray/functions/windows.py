@@ -1709,3 +1709,79 @@ def lru_audit(ds, capacity: int = 2, user_col: str = "user_id",
     pruned = ds.select_columns([user_col, key_col, ts_col, order_col])
     return pruned.groupby(user_col).map_groups(
         per_user, batch_format="pyarrow")
+
+
+def mrc_curve(ds, max_capacity: int = 4, user_col: str = "user_id",
+              key_col: str = "event_type", ts_col: str = "ts",
+              order_col: str = "event_id"):
+    """Mattson miss-ratio curve: hits an LRU of capacity C would score
+    for EVERY C in 1..``max_capacity``, from one replay pass — the
+    cache-sizing curve (`lru_audit` answers one capacity; this answers
+    them all, exploiting LRU's inclusion property: hit at C ⇔ stack
+    distance < C, so one distance histogram yields the whole curve).
+
+    Returns one row per capacity: ``capacity, hits, misses`` summed
+    over all users (misses include cold first-touches, which no finite
+    LRU can serve).
+
+    Ray shape: shuffle keyed by ``user_col``; each group replays its
+    sequence once maintaining an LRU stack of at most ``max_capacity``
+    keys (distances beyond it are clamped — they miss at every measured
+    capacity), emits a (max_capacity+1)-bin histogram; a tiny fixed-size
+    groupby Sum merges the histograms and a single-block finish turns
+    counts into the cumulative curve. Exchange size: (capacities+1) ×
+    users rows, never events.
+    """
+    from ray.data.aggregate import Sum
+
+    if max_capacity < 1:
+        raise ValueError("mrc_curve: max_capacity must be >= 1")
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        order = group.column(order_col).to_numpy(zero_copy_only=False)
+        keys = group.column(key_col).to_pylist()
+        # hist[d] = accesses at stack distance d (d = #distinct keys
+        # since previous touch of this key); hist[max_capacity] pools
+        # distances >= max_capacity AND cold misses — both miss at
+        # every capacity we report.
+        hist = np.zeros(max_capacity + 1, dtype=np.int64)
+        stack: list = []  # most-recent-first, clamped to max_capacity
+        for i in np.lexsort((order, ts)):
+            k = keys[i]
+            try:
+                d = stack.index(k)  # O(max_capacity) scan
+                hist[d] += 1
+                del stack[d]
+            except ValueError:
+                hist[max_capacity] += 1
+            stack.insert(0, k)
+            if len(stack) > max_capacity:
+                stack.pop()
+        return pa.Table.from_pydict({
+            "d": pa.array(np.arange(max_capacity + 1), type=pa.int64()),
+            "n": pa.array(hist, type=pa.int64()),
+        })
+
+    pruned = ds.select_columns([user_col, key_col, ts_col, order_col])
+    merged = (pruned.groupby(user_col)
+              .map_groups(per_user, batch_format="pyarrow")
+              .groupby("d")
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        full = np.zeros(max_capacity + 1, dtype=np.int64)
+        full[d] = n
+        total = int(full.sum())
+        hits = np.cumsum(full)[:-1]  # hits at C = Σ_{d<C} hist[d]
+        return pa.Table.from_pydict({
+            "capacity": pa.array(np.arange(1, max_capacity + 1),
+                                 type=pa.int64()),
+            "hits": pa.array(hits, type=pa.int64()),
+            "misses": pa.array(total - hits, type=pa.int64()),
+        })
+
+    # (max_capacity+1)-row aggregate: one block by construction
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow")

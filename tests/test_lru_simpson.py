@@ -136,3 +136,32 @@ def test_priority_dedup_guards(ray_session):
     }))
     with pytest.raises(Exception):
         priority_dedup(docs, "priority").to_pandas()
+
+
+def test_mrc_hand_computed(ray_session):
+    from smartreader_ray.functions.windows import mrc_curve
+
+    # single user, a b a c b b a (distances: -,-,1,-,2,0,2)
+    seq = ["a", "b", "a", "c", "b", "b", "a"]
+    rows = [(1, i, i, k) for i, k in enumerate(seq)]
+    out = mrc_curve(_events(rows), max_capacity=3).to_pandas() \
+        .set_index("capacity")
+    # hist: d0=1, d1=1, d2=2, pooled(cold)=3
+    assert out.hits.tolist() == [1, 2, 4]
+    assert out.misses.tolist() == [6, 5, 3]
+
+
+def test_mrc_matches_lru_audit(ray_session):
+    from smartreader_ray.functions.windows import lru_audit, mrc_curve
+
+    rows = []
+    for u in range(5):
+        for i in range(40):
+            rows.append((u, i, u * 1000 + i, f"k{(i * i + u) % 6}"))
+    ev = _events(rows)
+    mrc = mrc_curve(ev, max_capacity=4).to_pandas().set_index("capacity")
+    audit = lru_audit(ev, capacity=2).to_pandas()
+    assert mrc.loc[2, "hits"] == audit.hits.sum()
+    # inclusion property: hits monotone nondecreasing in capacity
+    assert mrc.hits.is_monotonic_increasing
+    assert ((mrc.hits + mrc.misses) == len(rows)).all()
