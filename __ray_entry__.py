@@ -5589,6 +5589,23 @@ def _q_mrc_curve(sf_dir: str):
     return mrc_curve(events, max_capacity=4)
 
 
+def _q_source_cosine(sf_dir: str):
+    """Inter-source lexical similarity matrix (`functions/ngrams.py:
+    source_cosine`): exact int64 term-count dot products + squared
+    norms for every source pair, with the float cosine stamped as one
+    shared IEEE tree (int→double casts, product, sqrt, divide — all
+    correctly rounded identically in both engines). One vocab-sized
+    exchange then a single Cᵀ·C matmul block."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import source_cosine
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"])
+    return source_cosine(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -5686,6 +5703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_mix_chain": _q_diversity_mix_chain,
         "priority_dedup": _q_priority_dedup,
         "mrc_curve": _q_mrc_curve,
+        "source_cosine": _q_source_cosine,
         "ngram_novelty": _q_ngram_novelty,
         "bitext_mine": _q_bitext_mine,
         "sitemap_gate": _q_sitemap_gate,
@@ -7761,6 +7779,42 @@ def oracle_sql() -> dict[str, str]:
                         OR dist >= capacity) AS BIGINT) AS misses
             FROM caps CROSS JOIN d
             GROUP BY capacity ORDER BY capacity
+        """,
+        # source_cosine: exact integer dots/norms via term self-join,
+        # full pair grid so zero-overlap pairs still appear; float
+        # cosine is the identical IEEE cast/product/sqrt/divide tree.
+        "source_cosine": """
+            WITH base AS (
+                SELECT source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY source, term),
+            n AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+                  FROM c GROUP BY source),
+            p AS (SELECT na.source AS source_a, nb.source AS source_b,
+                         na.n2 AS na2, nb.n2 AS nb2
+                  FROM n na JOIN n nb ON na.source < nb.source),
+            dots AS (
+                SELECT a.source AS sa, b.source AS sb,
+                       CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                FROM c a JOIN c b
+                  ON a.term = b.term AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT p.source_a, p.source_b,
+                   CAST(COALESCE(dots.dot, 0) AS BIGINT) AS dot,
+                   p.na2, p.nb2,
+                   CAST(COALESCE(dots.dot, 0) AS DOUBLE)
+                       / sqrt(CAST(p.na2 AS DOUBLE)
+                              * CAST(p.nb2 AS DOUBLE)) AS cosine
+            FROM p LEFT JOIN dots
+              ON dots.sa = p.source_a AND dots.sb = p.source_b
+            ORDER BY p.source_a, p.source_b
         """,
         # priority_dedup: the packed-composite Min replayed in SQL —
         # MIN(pri·2⁴² + doc_id) then integer unpack.

@@ -799,3 +799,99 @@ def simpson_concentration(ds, text_col: str = "text",
                    Sum("c2", alias_name="sum_sq"))
     )
     return rolled.sort("source")
+
+
+def source_cosine(ds, text_col: str = "text", source_col: str = "source",
+                  max_vocab_block: int = 5_000_000):
+    """Inter-source lexical similarity matrix: for every source pair
+    (a < b), the EXACT int64 dot product of their term-count vectors
+    (Σ_t c_a·c_b) plus each side's squared norm — the
+    which-sources-are-near-duplicates-of-each-other rollup that
+    complements `source_overlap` (shared prefix keys) and `term_drift`
+    (χ² on one split). A float ``cosine`` is stamped on the pair-sized
+    output as ONE shared IEEE tree (dot / sqrt(na2·nb2), products of
+    exactly-representable ints, sqrt correctly rounded — identical in
+    both engines).
+
+    Ray shape: per-block (source, term) pandas precombine →
+    groupby(source, term) Sum (the vocab×sources exchange, same as
+    ``simpson_concentration``) → ONE vocab-sized pivot block where a
+    single numpy Cᵀ·C matmul yields all pairs at once (the tfidf /
+    vocab_coverage single-block regime — bounded by |vocab|·|sources|,
+    never by rows; loud guard at ``max_vocab_block`` naming the
+    term-keyed pair-emission alternative). Token semantics match
+    ``source_entropy`` (single-space split of trimmed text, empties
+    kept). Overflow: Σ_t c_a·c_b ≤ √(Σc_a²·Σc_b²) — guarded via the
+    same >3e9 per-count bound as simpson_concentration.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.cast(b.column(text_col), pa.string())
+        filled = pc.coalesce(text, pa.scalar("", type=pa.string()))
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(filled), " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(
+            np.asarray(b.column(source_col).to_pylist(), dtype=object), lens)
+        df = pd.DataFrame({"source": src,
+                           "term": toks.flatten().to_pandas()})
+        g = df.groupby(["source", "term"], sort=False).size().reset_index()
+        return pa.Table.from_pydict({
+            "source": pa.array(g["source"], type=pa.string()),
+            "term": pa.array(g["term"], type=pa.string()),
+            "c": pa.array(g[0].to_numpy(), type=pa.int64()),
+        })
+
+    counts = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def pairwise(b: pa.Table) -> pa.Table:
+        if b.num_rows > max_vocab_block:
+            raise MemoryError(
+                f"source_cosine: {b.num_rows} (source, term) rows exceed "
+                f"max_vocab_block={max_vocab_block}; use a term-keyed "
+                "pair-emission path (emit c_a·c_b per term, groupby pair)")
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        if c.size and int(c.max()) > 3_000_000_000:
+            raise OverflowError(
+                "source_cosine: a source-term count exceeds 3e9; the dot "
+                "product would wrap int64 — shard the source first")
+        df = pd.DataFrame({
+            "source": b.column("source").to_pylist(),
+            "term": b.column("term").to_pylist(),
+            "c": c,
+        })
+        mat = df.pivot_table(index="term", columns="source", values="c",
+                             aggfunc="sum", fill_value=0)
+        sources = list(mat.columns)
+        M = mat.to_numpy(dtype=np.int64)
+        dots = M.T @ M  # (S, S) exact int64
+        rows = []
+        for i in range(len(sources)):
+            for j in range(i + 1, len(sources)):
+                dot = int(dots[i, j])
+                na2, nb2 = int(dots[i, i]), int(dots[j, j])
+                cos = (dot / math.sqrt(float(na2) * float(nb2))
+                       if na2 and nb2 else 0.0)
+                rows.append((sources[i], sources[j], dot, na2, nb2, cos))
+        return pa.Table.from_pydict({
+            "source_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "source_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "dot": pa.array([r[2] for r in rows], type=pa.int64()),
+            "na2": pa.array([r[3] for r in rows], type=pa.int64()),
+            "nb2": pa.array([r[4] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r[5] for r in rows], type=pa.float64()),
+        })
+
+    # vocab-sized by construction: repartition(1) so the matmul sees
+    # every (source, term) row in one block
+    return (counts.repartition(1)
+            .map_batches(pairwise, batch_format="pyarrow")
+            .sort(["source_a", "source_b"]))

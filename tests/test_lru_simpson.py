@@ -165,3 +165,36 @@ def test_mrc_matches_lru_audit(ray_session):
     # inclusion property: hits monotone nondecreasing in capacity
     assert mrc.hits.is_monotonic_increasing
     assert ((mrc.hits + mrc.misses) == len(rows)).all()
+
+
+def test_source_cosine_hand_computed(ray_session):
+    import math
+
+    from smartreader_ray.functions.ngrams import source_cosine
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": ["a", "a", "b", "c"],
+        "text": ["x x y", "x", "x y y", "z"],
+    }))
+    out = source_cosine(docs).to_pandas().set_index(
+        ["source_a", "source_b"])
+    # a: x=3, y=1 (na2=10); b: x=1, y=2 (nb2=5); c: z=1
+    r = out.loc[("a", "b")]
+    assert (r["dot"], r["na2"], r["nb2"]) == (5, 10, 5)
+    assert r["cosine"] == 5 / math.sqrt(50.0)
+    # zero-overlap pair still present with dot 0
+    ac = out.loc[("a", "c")]
+    assert ac["dot"] == 0 and ac["cosine"] == 0.0
+    assert len(out) == 3
+
+
+def test_source_cosine_partition_invariant(ray_session):
+    from smartreader_ray.functions.ngrams import source_cosine
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": [f"s{i % 4}" for i in range(40)],
+        "text": [f"t{i % 6} t{i % 3} t{i % 6}" for i in range(40)],
+    }))
+    a = source_cosine(docs).to_pandas().reset_index(drop=True)
+    b = source_cosine(docs.repartition(9)).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
