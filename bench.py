@@ -260,6 +260,8 @@ def run_main() -> dict:
         "benford_audit", "bm25_search", "term_drift", "hybrid_search",
         "blocklist_rates", "source_risk_rank",
         "novelty_decay", "source_entropy",
+        "simpson_diversity", "lru_hits", "mrc_curve",
+        "priority_dedup", "diversity_mix_chain", "source_cosine",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
