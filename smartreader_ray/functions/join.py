@@ -29,6 +29,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def compacted(ds, target_rows_per_block: int = 65_536):
+    """Materialize ``ds`` and, when its block layout is pathologically
+    fragmented (block count far above rows/target), coalesce with one
+    ``repartition`` — a union- or shuffle-heavy chain can leave a small
+    table scattered over hundreds of near-empty blocks, and every
+    downstream map op then pays one TASK per near-empty block (pure
+    scheduling overhead). At 100 TB blocks are full-sized and this is a
+    straight materialize; the repartition branch only fires on the
+    tiny-table pathology it exists for."""
+    m = ds.materialize()
+    rows = m.count()
+    nb = m.num_blocks()
+    want = max(1, -(-rows // target_rows_per_block))
+    if nb > 4 * want:
+        return m.repartition(want).materialize()
+    return m
+
+
 def broadcast_join(ds, small, key: str, value_cols: list[str],
                    small_key: Optional[str] = None, concurrency=(1, 8)):
     """Enrich ``ds`` with ``value_cols`` from the small side.
@@ -75,12 +93,16 @@ def broadcast_join(ds, small, key: str, value_cols: list[str],
 def hash_join(left, right, left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               max_pairs_per_key: int = 10_000_000, how: str = "inner",
-              salt: int = 1):
+              salt: int = 1, num_partitions: int = 64):
     """Distributed equi-join of two big Datasets.
 
     Both sides are pruned to ``key + cols``, packed into one struct
-    column each, tagged, unioned, and grouped by the (stringified) key;
-    each group emits the left×right cross product. Output columns:
+    column each, tagged, unioned, and hash-partitioned on the key
+    (``__part = hash64(key) % num_partitions``); ONE vectorized kernel
+    per partition sorts its rows by key and emits every key's
+    left×right cross product with numpy run-length arithmetic — no
+    per-distinct-key Python (the round-4 pathology: near-unique keys
+    meant millions of per-group UDF calls). Output columns:
     ``left_cols + right_cols`` (caller must make them disjoint).
 
     ``how``: "inner" (default), "left" (unmatched left rows kept with
@@ -147,9 +169,12 @@ def hash_join(left, right, left_key: str, right_key: str,
                     pa.array(sv.astype("U"), type=pa.string()),
                     "\x1f",
                 )
+            parts = (_key_hash_u64(keys)
+                     % np.uint64(num_partitions)).astype(np.int64)
             return pa.Table.from_pydict(
                 {
                     "__key": keys,
+                    "__part": pa.array(parts),
                     "__side": pa.array([side] * n, type=pa.int8()),
                     "__left": payload if side == 0 else pa.nulls(
                         n, type=_struct_type(left)
@@ -190,61 +215,99 @@ def hash_join(left, right, left_key: str, right_key: str,
             [pa.nulls(0, type=f.type) for f in out_types], names=out_names
         )
 
-    def emit(group: pa.Table) -> pa.Table:
+    def emit_part(group: pa.Table) -> pa.Table:
+        """One call per hash partition: sort by key, find key runs, emit
+        every run's cross product (plus the mode's unmatched rows) with
+        pure numpy index arithmetic — zero per-key Python."""
         import numpy as np
 
-        sides = group.column("__side").to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(sides == 0)
-        r_idx = np.flatnonzero(sides == 1)
-        if how == "left_anti":
-            if len(r_idx) or not len(l_idx):
-                return _empty()
-            l_struct = group.column("__left").combine_chunks().take(
-                pa.array(l_idx, type=pa.int64())
-            )
-            return pa.Table.from_arrays(
-                [l_struct.field(c) for c in left_cols], names=left_cols
-            )
-        if how in ("left", "full_outer") and len(l_idx) and not len(r_idx):
-            l_struct = group.column("__left").combine_chunks().take(
-                pa.array(l_idx, type=pa.int64())
-            )
-            return pa.Table.from_arrays(
-                [l_struct.field(c) for c in left_cols]
-                + [pa.nulls(len(l_idx), type=f.type) for f in right_type],
-                names=left_cols + right_cols,
-            )
-        if how in ("right", "full_outer") and len(r_idx) and not len(l_idx):
-            r_struct = group.column("__right").combine_chunks().take(
-                pa.array(r_idx, type=pa.int64())
-            )
-            return pa.Table.from_arrays(
-                [pa.nulls(len(r_idx), type=f.type) for f in left_type]
-                + [r_struct.field(c) for c in right_cols],
-                names=left_cols + right_cols,
-            )
-        n_pairs = len(l_idx) * len(r_idx)
-        if n_pairs == 0:
+        n = group.num_rows
+        if n == 0:
             return _empty()
-        if n_pairs > max_pairs_per_key:
-            raise ValueError(
-                f"hash_join: key {group.column('__key')[0].as_py()!r} would "
-                f"emit {n_pairs} pairs (> {max_pairs_per_key}); salt the key "
-                "or broadcast the smaller side"
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("__key", "ascending"), ("__side", "ascending")],
+        )
+        g = group.take(order)
+        k = g.column("__key").combine_chunks()
+        sides = g.column("__side").to_numpy(zero_copy_only=False)
+        if n > 1:
+            neq = pc.not_equal(k.slice(1, n - 1), k.slice(0, n - 1))
+            change = np.flatnonzero(
+                pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+            ).astype(np.int64) + 1
+        else:
+            change = np.empty(0, dtype=np.int64)
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        runs = ends - starts
+        cs = np.concatenate(([0], np.cumsum(sides == 0, dtype=np.int64)))
+        nl = cs[ends] - cs[starts]        # left rows lead each run
+        nr = runs - nl
+        l_struct = g.column("__left").combine_chunks()
+        r_struct = g.column("__right").combine_chunks()
+
+        if how == "left_anti":
+            rows = np.flatnonzero(np.repeat(nr == 0, runs))
+            if not len(rows):
+                return _empty()
+            ls = l_struct.take(pa.array(rows, type=pa.int64()))
+            return pa.Table.from_arrays(
+                [ls.field(c) for c in left_cols], names=left_cols
             )
-        li = np.repeat(l_idx.astype(np.int64), len(r_idx))
-        ri = np.tile(r_idx.astype(np.int64), len(l_idx))
-        l_struct = group.column("__left").combine_chunks().take(pa.array(li))
-        r_struct = group.column("__right").combine_chunks().take(pa.array(ri))
-        arrays = [l_struct.field(c) for c in left_cols] + [
-            r_struct.field(c) for c in right_cols
-        ]
-        return pa.Table.from_arrays(arrays, names=left_cols + right_cols)
+
+        out_parts: list[pa.Table] = []
+        m = (nl > 0) & (nr > 0)
+        if m.any():
+            ppk = nl[m] * nr[m]
+            mx = int(ppk.max())
+            if mx > max_pairs_per_key:
+                run = np.flatnonzero(m)[int(ppk.argmax())]
+                raise ValueError(
+                    f"hash_join: key {k[int(starts[run])].as_py()!r} would "
+                    f"emit {mx} pairs (> {max_pairs_per_key}); salt the key "
+                    "or broadcast the smaller side"
+                )
+            tot = int(ppk.sum())
+            kp = np.repeat(np.arange(len(ppk), dtype=np.int64), ppk)
+            base = np.concatenate(([0], np.cumsum(ppk)))[:-1]
+            j = np.arange(tot, dtype=np.int64) - base[kp]
+            nr_m = nr[m]
+            li = starts[m][kp] + j // nr_m[kp]
+            ri = (starts[m] + nl[m])[kp] + j % nr_m[kp]
+            ls = l_struct.take(pa.array(li))
+            rs = r_struct.take(pa.array(ri))
+            out_parts.append(pa.Table.from_arrays(
+                [ls.field(c) for c in left_cols]
+                + [rs.field(c) for c in right_cols],
+                names=left_cols + right_cols,
+            ))
+        if how in ("left", "full_outer"):
+            rows = np.flatnonzero(np.repeat((nr == 0) & (nl > 0), runs))
+            if len(rows):
+                ls = l_struct.take(pa.array(rows, type=pa.int64()))
+                out_parts.append(pa.Table.from_arrays(
+                    [ls.field(c) for c in left_cols]
+                    + [pa.nulls(len(rows), type=f.type) for f in right_type],
+                    names=left_cols + right_cols,
+                ))
+        if how in ("right", "full_outer"):
+            rows = np.flatnonzero(np.repeat(nl == 0, runs))
+            if len(rows):
+                rs = r_struct.take(pa.array(rows, type=pa.int64()))
+                out_parts.append(pa.Table.from_arrays(
+                    [pa.nulls(len(rows), type=f.type) for f in left_type]
+                    + [rs.field(c) for c in right_cols],
+                    names=left_cols + right_cols,
+                ))
+        if not out_parts:
+            return _empty()
+        return pa.concat_tables(out_parts)
 
     joined = (
         l_packed.union(r_packed)
-        .groupby("__key")
-        .map_groups(emit, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit_part, batch_format="pyarrow")
     )
 
     # null-key rows never enter the exchange; outer-ish modes keep them
@@ -283,7 +346,8 @@ def range_join(left, right, by: str, on: str,
                lower, upper, include_lower: bool = True,
                include_upper: bool = True, mode: str = "pairs",
                count_name: str = "n_matches",
-               max_pairs_per_key: int = 10_000_000):
+               max_pairs_per_key: int = 10_000_000,
+               num_partitions: int = 64):
     """Distributed band/interval join: for every left row, the right rows
     (same ``by`` key) whose ``on`` lies within ``[left.on + lower,
     left.on + upper]`` (bounds in the column's native units — e.g.
@@ -332,8 +396,12 @@ def range_join(left, right, by: str, on: str,
                         pc.is_valid(batch.column(on)))
             )
             n = batch.num_rows
+            keys = pc.cast(batch.column(by), pa.string())
+            parts = (_key_hash_u64(keys)
+                     % np.uint64(num_partitions)).astype(np.int64)
             cols = {
-                "__key": pc.cast(batch.column(by), pa.string()),
+                "__key": keys,
+                "__part": pa.array(parts),
                 "__on": batch.column(on),
                 "__side": pa.array([side] * n, type=pa.int8()),
             }
@@ -374,51 +442,97 @@ def range_join(left, right, by: str, on: str,
     pair_names = left_cols + right_cols
     pair_types = [t for _, t in l_types] + [t for _, t in r_types]
 
-    def emit(group: pa.Table) -> pa.Table:
-        sides = group.column("__side").to_numpy(zero_copy_only=False)
-        lt = group.filter(pa.array(sides == 0))
-        rt = group.filter(pa.array(sides == 1))
-        if lt.num_rows == 0:
+    def emit_part(group: pa.Table) -> pa.Table:
+        """One call per hash partition: sort by (key, side, on), then
+        per key run two searchsorted probes over the run's right slice;
+        pair/count indices accumulate into flat arrays and ONE take
+        builds the output — no per-key group-UDF dispatch."""
+        n = group.num_rows
+        if n == 0:
             return _empty(*((count_names, count_types) if mode == "count"
                             else (pair_names, pair_types)))
-        if rt.num_rows == 0:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("__key", "ascending"), ("__side", "ascending"),
+                       ("__on", "ascending")],
+        )
+        g = group.take(order)
+        k = g.column("__key").combine_chunks()
+        sides = g.column("__side").to_numpy(zero_copy_only=False)
+        if n > 1:
+            neq = pc.not_equal(k.slice(1, n - 1), k.slice(0, n - 1))
+            change = np.flatnonzero(
+                pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+            ).astype(np.int64) + 1
+        else:
+            change = np.empty(0, dtype=np.int64)
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        runs = ends - starts
+        cs = np.concatenate(([0], np.cumsum(sides == 0, dtype=np.int64)))
+        nl = cs[ends] - cs[starts]        # left rows lead each run
+        nr = runs - nl
+        on_all = _on_i64(g.column("__on"))
+
+        l_rows_acc: list = []
+        cnt_acc: list = []
+        ri_acc: list = []
+        for r in range(len(runs)):
+            nlr = int(nl[r])
+            if nlr == 0:
+                continue
+            s = int(starts[r])
+            r_lo, r_hi = s + nlr, int(ends[r])
+            l_on = on_all[s:s + nlr]
+            if r_hi == r_lo:
+                if mode == "count":
+                    l_rows_acc.append(np.arange(s, s + nlr, dtype=np.int64))
+                    cnt_acc.append(np.zeros(nlr, dtype=np.int64))
+                continue
+            r_on = on_all[r_lo:r_hi]
+            lo = (np.zeros(nlr, dtype=np.int64) if lower is None else
+                  np.searchsorted(r_on, l_on + int(lower),
+                                  side="left" if include_lower else "right"))
+            hi = (np.full(nlr, len(r_on), dtype=np.int64) if upper is None
+                  else np.searchsorted(r_on, l_on + int(upper),
+                                       side="right" if include_upper
+                                       else "left"))
+            counts = np.maximum(hi - lo, 0)
+            l_rows_acc.append(np.arange(s, s + nlr, dtype=np.int64))
             if mode == "count":
-                out = {c: lt.column(c) for c in left_cols}
-                out[count_name] = pa.array(
-                    np.zeros(lt.num_rows, dtype=np.int64)
+                cnt_acc.append(counts.astype(np.int64))
+                continue
+            total = int(counts.sum())
+            if total > max_pairs_per_key:
+                raise ValueError(
+                    f"range_join: key {k[s].as_py()!r} would emit {total} "
+                    f"pairs (> {max_pairs_per_key}); narrow the band or use "
+                    "mode='count'"
                 )
-                return pa.Table.from_pydict(out)
-            return _empty(pair_names, pair_types)
-        order = pc.sort_indices(rt, sort_keys=[("__on", "ascending")])
-        rt = rt.take(order)
-        r_on = _on_i64(rt.column("__on"))
-        l_on = _on_i64(lt.column("__on"))
-        lo = (np.zeros(len(l_on), dtype=np.int64) if lower is None else
-              np.searchsorted(r_on, l_on + int(lower),
-                              side="left" if include_lower else "right"))
-        hi = (np.full(len(l_on), len(r_on), dtype=np.int64) if upper is None
-              else np.searchsorted(r_on, l_on + int(upper),
-                                   side="right" if include_upper else "left"))
-        counts = np.maximum(hi - lo, 0)
+            cnt_acc.append(counts)
+            if total:
+                cc = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                ri_acc.append(
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(cc, counts) + np.repeat(lo, counts) + r_lo)
+
+        if not l_rows_acc:
+            return _empty(*((count_names, count_types) if mode == "count"
+                            else (pair_names, pair_types)))
+        l_rows = np.concatenate(l_rows_acc)
+        counts_all = np.concatenate(cnt_acc) if cnt_acc else \
+            np.zeros(len(l_rows), dtype=np.int64)
         if mode == "count":
+            lt = g.take(pa.array(l_rows))
             out = {c: lt.column(c) for c in left_cols}
-            out[count_name] = pa.array(counts.astype(np.int64))
+            out[count_name] = pa.array(counts_all.astype(np.int64))
             return pa.Table.from_pydict(out)
-        total = int(counts.sum())
-        if total == 0:
+        if not ri_acc:
             return _empty(pair_names, pair_types)
-        if total > max_pairs_per_key:
-            raise ValueError(
-                f"range_join: key {group.column('__key')[0].as_py()!r} would "
-                f"emit {total} pairs (> {max_pairs_per_key}); narrow the band "
-                "or use mode='count'"
-            )
-        li = np.repeat(np.arange(len(l_on), dtype=np.int64), counts)
-        cc = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        ri = np.arange(total, dtype=np.int64) - np.repeat(cc, counts) + \
-            np.repeat(lo, counts)
-        lt2 = lt.take(pa.array(li))
-        rt2 = rt.take(pa.array(ri))
+        li = np.repeat(l_rows, counts_all)
+        ri = np.concatenate(ri_acc)
+        lt2 = g.take(pa.array(li))
+        rt2 = g.take(pa.array(ri))
         arrays = [lt2.column(c).combine_chunks() for c in left_cols] + [
             rt2.column(c).combine_chunks() for c in right_cols
         ]
@@ -426,8 +540,8 @@ def range_join(left, right, by: str, on: str,
 
     matched = (
         l_packed.union(r_packed)
-        .groupby("__key")
-        .map_groups(emit, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit_part, batch_format="pyarrow")
     )
     if mode != "count":
         return matched
@@ -451,7 +565,8 @@ def range_join(left, right, by: str, on: str,
 
 def asof_join(left, right, by: str, on: str,
               left_cols: list[str], right_cols: list[str],
-              direction: str = "backward", allow_equal: bool = True):
+              direction: str = "backward", allow_equal: bool = True,
+              num_partitions: int = 64):
     """Distributed as-of join: for every left row, the single right row
     with the greatest ``on`` ≤ left's ``on`` (direction="backward"; with
     "forward", the least ``on`` ≥ left's) sharing the same ``by`` key.
@@ -490,9 +605,15 @@ def asof_join(left, right, by: str, on: str,
                 pc.and_(pc.is_valid(batch.column(by)),
                         pc.is_valid(batch.column(on)))
             )
+            import numpy as np
+
             n = batch.num_rows
+            keys = pc.cast(batch.column(by), pa.string())
+            parts = (_key_hash_u64(keys)
+                     % np.uint64(num_partitions)).astype(np.int64)
             cols = {
-                "__key": pc.cast(batch.column(by), pa.string()),
+                "__key": keys,
+                "__part": pa.array(parts),
                 "__on": batch.column(on),
                 "__side": pa.array([side] * n, type=pa.int8()),
             }
@@ -517,53 +638,92 @@ def asof_join(left, right, by: str, on: str,
 
     import numpy as np
 
-    def emit(group: pa.Table) -> pa.Table:
-        sides = group.column("__side").to_numpy(zero_copy_only=False)
-        lt = group.filter(pa.array(sides == 0))
-        rt = group.filter(pa.array(sides == 1))
-        if lt.num_rows == 0:
+    def emit_part(group: pa.Table) -> pa.Table:
+        """One call per hash partition: sort by (key, side, on [, right
+        payload tie-breakers]) so each key run holds its left rows then
+        its on-sorted right rows; per run the match is one searchsorted
+        over numpy slices, with match indices accumulated into flat
+        arrays and ONE take per output column — no per-key group-UDF
+        dispatch. Tie rule (preserved from the per-key kernel): among
+        equal __on right rows, backward matches pick the LARGEST payload
+        tuple (searchsorted side="right" lands past the last tied row),
+        forward matches the smallest."""
+        n = group.num_rows
+        if n == 0:
             return pa.Table.from_arrays(
                 [pa.nulls(0, type=t) for _, t in l_types + r_types],
                 names=left_cols + right_cols,
             )
-        out = {c: lt.column(c) for c in left_cols}
-        if rt.num_rows == 0:
-            for c, t in r_types:
-                out[c] = pa.nulls(lt.num_rows, type=t)
-            return pa.Table.from_pydict(out)
-        # sort by __on with the right payload columns as tie-breakers so
-        # duplicate (by, on) right rows resolve reproducibly regardless
-        # of block arrival order. Tie rule: among equal __on, backward
-        # matches pick the LARGEST payload tuple (searchsorted
-        # side="right" lands past the last tied row), forward matches
-        # the smallest.
         order = pc.sort_indices(
-            rt,
-            sort_keys=[("__on", "ascending")]
+            group,
+            sort_keys=[("__key", "ascending"), ("__side", "ascending"),
+                       ("__on", "ascending")]
             + [(c, "ascending") for c in right_cols],
         )
-        rt = rt.take(order)
-        r_on = rt.column("__on").to_numpy(zero_copy_only=False)
-        l_on = lt.column("__on").to_numpy(zero_copy_only=False)
-        if direction == "backward":
-            idx = np.searchsorted(
-                r_on, l_on, side="right" if allow_equal else "left"
-            ) - 1
-            valid = idx >= 0
+        g = group.take(order)
+        k = g.column("__key").combine_chunks()
+        sides = g.column("__side").to_numpy(zero_copy_only=False)
+        if n > 1:
+            neq = pc.not_equal(k.slice(1, n - 1), k.slice(0, n - 1))
+            change = np.flatnonzero(
+                pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+            ).astype(np.int64) + 1
         else:
-            idx = np.searchsorted(
-                r_on, l_on, side="left" if allow_equal else "right"
+            change = np.empty(0, dtype=np.int64)
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        runs = ends - starts
+        cs = np.concatenate(([0], np.cumsum(sides == 0, dtype=np.int64)))
+        nl = cs[ends] - cs[starts]        # left rows lead each run
+        on_all = g.column("__on").to_numpy(zero_copy_only=False)
+
+        l_rows_acc: list = []
+        take_acc: list = []
+        valid_acc: list = []
+        for r in range(len(runs)):
+            nlr = int(nl[r])
+            if nlr == 0:
+                continue
+            s = int(starts[r])
+            r_lo, r_hi = s + nlr, int(ends[r])
+            l_rows_acc.append(np.arange(s, s + nlr, dtype=np.int64))
+            if r_hi == r_lo:
+                take_acc.append(np.zeros(nlr, dtype=np.int64))
+                valid_acc.append(np.zeros(nlr, dtype=bool))
+                continue
+            r_on = on_all[r_lo:r_hi]
+            l_on = on_all[s:s + nlr]
+            if direction == "backward":
+                idx = np.searchsorted(
+                    r_on, l_on, side="right" if allow_equal else "left"
+                ) - 1
+                valid = idx >= 0
+            else:
+                idx = np.searchsorted(
+                    r_on, l_on, side="left" if allow_equal else "right"
+                )
+                valid = idx < len(r_on)
+            take_acc.append(np.where(valid, idx, 0) + r_lo)
+            valid_acc.append(valid)
+
+        if not l_rows_acc:
+            return pa.Table.from_arrays(
+                [pa.nulls(0, type=t) for _, t in l_types + r_types],
+                names=left_cols + right_cols,
             )
-            valid = idx < len(r_on)
-        take_idx = pa.array(np.where(valid, idx, 0), mask=~valid)
+        l_rows = pa.array(np.concatenate(l_rows_acc))
+        tk = np.concatenate(take_acc)
+        vd = np.concatenate(valid_acc)
+        take_idx = pa.array(tk, mask=~vd)
+        out = {c: g.column(c).take(l_rows) for c in left_cols}
         for c in right_cols:
-            out[c] = rt.column(c).take(take_idx)
+            out[c] = g.column(c).take(take_idx)
         return pa.Table.from_pydict(out)
 
     matched = (
         l_packed.union(r_packed)
-        .groupby("__key")
-        .map_groups(emit, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit_part, batch_format="pyarrow")
     )
 
     # left-outer: left rows with a null by/on never entered the exchange;
@@ -870,8 +1030,11 @@ def scd2_apply(history, snapshot, id_col: str, attr_cols: list[str],
     # consumed twice (closed + current) — materialize once, or every
     # downstream read re-executes the whole upstream apply chain; the
     # empty seed gives the lazy filters a KNOWN schema (an all-current
-    # history has zero closed rows and vice versa)
-    history = history.materialize()
+    # history has zero closed rows and vice versa). compacted(): a
+    # freshly-applied history arrives fragmented into join-shuffle-many
+    # near-empty blocks — coalescing once halves the NEXT apply's task
+    # count chain-wide
+    history = compacted(history)
     htypes = dict(zip(history.schema().names, history.schema().types))
     hseed = ray.data.from_arrow(pa.Table.from_arrays(
         [pa.nulls(0, type=htypes[c]) for c in hist_cols],
