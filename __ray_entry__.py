@@ -198,11 +198,18 @@ def _q_fingerprint(sf_dir: str):
     from smartreader_ray.functions import doc_fingerprint
 
     def fp(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         out = doc_fingerprint(batch)
+        # engine carries int64 two's-complement; display the UNSIGNED
+        # decimal (stable across the r5 int64 reinterpretation)
+        u = out.column("fingerprint").to_numpy(
+            zero_copy_only=False).view(np.uint64)
         return pa.Table.from_pydict(
             {
                 "doc_id": out.column("doc_id"),
-                "fingerprint": out.column("fingerprint").cast(pa.string()),
+                "fingerprint": pa.array([str(v) for v in u],
+                                        type=pa.string()),
             }
         )
 
@@ -1134,7 +1141,11 @@ def _q_novelty_decay(sf_dir: str):
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
-    nv = _q_ngram_novelty(sf_dir)
+    # the novelty table is thin (doc_id, n_windows, n_novel) but its
+    # LINEAGE is the full window-hash emit + groupby-Min exchange —
+    # materialize before the two consumers below (count + decile
+    # rollup), or Ray re-executes that whole replay per consumer
+    nv = _q_ngram_novelty(sf_dir).materialize()
     n = nv.count()
 
     def decile(b: pa.Table) -> pa.Table:
@@ -1366,7 +1377,10 @@ def _q_term_drift(sf_dir: str):
     counts = (docs.map_batches(partial, batch_format="pyarrow")
               .groupby("term")
               .aggregate(Sum("c1", alias_name="c1"),
-                         Sum("c2", alias_name="c2")))
+                         Sum("c2", alias_name="c2"))
+              ).materialize()  # vocab-sized; consumed twice (totals +
+    # top-k cut) — without this each consumer re-runs the tokenize +
+    # groupby exchange over the full corpus
     tot = counts.aggregate(Sum("c1", alias_name="t1"),
                            Sum("c2", alias_name="t2"))
     t1, t2 = float(tot["t1"]), float(tot["t2"])

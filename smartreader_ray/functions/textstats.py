@@ -266,10 +266,15 @@ def doc_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             prod = _fp_scratch("prod", n, np.uint64)
             np.multiply(data, pows[n - 1 :: -1], out=prod)
             fps[i] = _FP_SEED * pows[n - 1] * _FP_PRIME + prod.sum()
+    # two's-complement int64 reinterpretation of the 64-bit hash: the
+    # SAME bits, but pandas/Ray aggregate exchanges handle int64
+    # natively (a uint64 > 2^63 forces a per-block pickle fallback in
+    # Ray's groupby), and every consumer that needs the unsigned value
+    # views back losslessly (.astype/.view(np.uint64))
     return pa.Table.from_pydict(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(fps, type=pa.uint64()),
+            "fingerprint": pa.array(fps.view(np.int64), type=pa.int64()),
         }
     )
 
