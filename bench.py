@@ -411,6 +411,51 @@ def run_stats() -> None:
     print(out.stats())
 
 
+def _emit_report(report: dict) -> None:
+    """Print the report so the LAST stdout line is a compact (<~1.5 KB)
+    JSON the driver can parse from a bounded capture window.
+
+    Rounds 3-4 lesson: the external driver keeps only the final ~2000
+    characters of bench output — once the per-query dict outgrew that,
+    the captured tail began mid-line and the driver recorded
+    ``"parsed": null``. So: the FULL report (every query timing) is
+    written to ``BENCH/bench_full.json`` (repo-local, committed with
+    the round) and echoed as chunked ``queries_part`` lines for humans;
+    the final line carries totals, headline queries, throughput,
+    sentinel, the 5 slowest queries, and a pointer to the full file.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo, "BENCH", "bench_full.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+    except OSError:
+        full_path = None
+
+    compact = dict(report)
+    queries = compact.pop("queries", None)
+    if queries:
+        items = list(queries.items())
+        for i in range(0, len(items), 60):
+            print(json.dumps(
+                {"queries_part": i // 60 + 1,
+                 "queries": dict(items[i:i + 60])},
+                separators=(",", ":")))
+        headline = {k: queries[k] for k in
+                    ("extract_fixture_corpus", "extract_documents")
+                    if k in queries}
+        slowest = dict(sorted(items, key=lambda kv: -kv[1])[:5])
+        compact["n_queries"] = len(queries)
+        compact["queries"] = headline
+        compact["slowest"] = slowest
+    if full_path:
+        compact["queries_file"] = os.path.relpath(full_path, repo)
+    line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
+
+
 def main() -> None:
     import ray
 
@@ -430,9 +475,10 @@ def main() -> None:
         return
     else:
         report = run_main()
-    print(json.dumps(report))
     if ray.is_initialized():
-        ray.shutdown()
+        ray.shutdown()  # BEFORE the final print: no late Ray log line
+        # may land after (or interleave into) the driver-parsed JSON
+    _emit_report(report)
 
 
 if __name__ == "__main__":

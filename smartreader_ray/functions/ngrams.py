@@ -784,7 +784,8 @@ def simpson_concentration(ds, text_col: str = "text",
         if c.size and int(c.max()) > 3_000_000_000:
             raise OverflowError(
                 "simpson_concentration: a source-term count exceeds 3e9; "
-                "Σc² would wrap int64 — shard the source first")
+                "its c² product alone would wrap int64 — shard the "
+                "source first")
         return pa.Table.from_pydict({
             "source": b.column("source"),
             "c": b.column("c"),
@@ -798,7 +799,23 @@ def simpson_concentration(ds, text_col: str = "text",
                    Count(alias_name="n_terms"),
                    Sum("c2", alias_name="sum_sq"))
     )
-    return rolled.sort("source")
+
+    def check_totals(b: pa.Table) -> pa.Table:
+        # the SAFE invariant is the per-source token total N ≤ 3e9
+        # (sum_sq ≤ N², so N ≤ 3.03e9 certifies the int64 Σc² never
+        # wrapped — ADVICE r4: bounding each per-term count does NOT
+        # bound the sum of their squares). n_tokens itself is an exact
+        # int64 far from its own bound, so checking it post-rollup is
+        # sound.
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        if n.size and int(n.max()) > 3_000_000_000:
+            raise OverflowError(
+                "simpson_concentration: a source's token total exceeds "
+                "3e9 — Σc² (≤ N²) can wrap int64; shard the source first")
+        return b
+
+    return rolled.map_batches(
+        check_totals, batch_format="pyarrow").sort("source")
 
 
 def source_cosine(ds, text_col: str = "text", source_col: str = "source",
@@ -821,8 +838,10 @@ def source_cosine(ds, text_col: str = "text", source_col: str = "source",
     never by rows; loud guard at ``max_vocab_block`` naming the
     term-keyed pair-emission alternative). Token semantics match
     ``source_entropy`` (single-space split of trimmed text, empties
-    kept). Overflow: Σ_t c_a·c_b ≤ √(Σc_a²·Σc_b²) — guarded via the
-    same >3e9 per-count bound as simpson_concentration.
+    kept). Overflow: every dot/norm accumulation is ≤ N_a·N_b for
+    per-source token totals N — guarded on N ≤ 3e9 per source (the
+    same invariant as simpson_concentration; a per-term-count bound
+    would NOT bound the accumulation).
     """
     import math
 
@@ -859,10 +878,6 @@ def source_cosine(ds, text_col: str = "text", source_col: str = "source",
                 f"max_vocab_block={max_vocab_block}; use a term-keyed "
                 "pair-emission path (emit c_a·c_b per term, groupby pair)")
         c = b.column("c").to_numpy(zero_copy_only=False)
-        if c.size and int(c.max()) > 3_000_000_000:
-            raise OverflowError(
-                "source_cosine: a source-term count exceeds 3e9; the dot "
-                "product would wrap int64 — shard the source first")
         df = pd.DataFrame({
             "source": b.column("source").to_pylist(),
             "term": b.column("term").to_pylist(),
@@ -872,6 +887,16 @@ def source_cosine(ds, text_col: str = "text", source_col: str = "source",
                              aggfunc="sum", fill_value=0)
         sources = list(mat.columns)
         M = mat.to_numpy(dtype=np.int64)
+        # the SAFE invariant is each source's token total N ≤ 3e9:
+        # every dot/norm accumulation is ≤ N_a·N_b ≤ 9.0e18 < 2⁶³
+        # (ADVICE r4: bounding per-term counts does not bound the
+        # Cᵀ·C accumulation)
+        totals = M.sum(axis=0)
+        if totals.size and int(totals.max()) > 3_000_000_000:
+            raise OverflowError(
+                "source_cosine: a source's token total exceeds 3e9; the "
+                "dot accumulation (≤ N_a·N_b) can wrap int64 — shard "
+                "the source first")
         dots = M.T @ M  # (S, S) exact int64
         rows = []
         for i in range(len(sources)):

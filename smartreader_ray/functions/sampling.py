@@ -482,9 +482,13 @@ def balanced_interleave(ds, seed: str = "bi", id_col: str = "doc_id",
     per-language rank falls out by subtracting the language's
     prefix-count offset (a langs-sized broadcast from the same count
     table that assigns lang_idx); (2) rank over ``rank_in_lang·2⁴ |
-    lang_idx`` for the contiguous interleave position. Loud guards:
-    ids < 2²⁴ and < 16 languages per composition (hierarchical
-    per-shard interleave is the named alternative above those bounds).
+    lang_idx`` for the contiguous interleave position. The lang-major
+    key is composed in uint64 and sign-bit-flipped to an
+    order-isomorphic int64 (4+36+24 bits fill all 64 — a signed
+    ``li << 60`` would wrap for lang index ≥ 8, ADVICE r4). Loud
+    guards: ids < 2²⁴ and ≤ 16 languages per composition
+    (hierarchical per-shard interleave is the named alternative above
+    those bounds).
     """
     import pyarrow.compute as pc
 
@@ -494,9 +498,10 @@ def balanced_interleave(ds, seed: str = "bi", id_col: str = "doc_id",
 
     counts = ds.groupby(lang_col).count().to_pandas()
     langs = sorted(counts[lang_col].tolist())
-    if len(langs) >= 16:
-        raise ValueError("balanced_interleave: >=16 languages — use a "
-                         "hierarchical per-shard interleave")
+    if len(langs) > 16:
+        raise ValueError("balanced_interleave: >16 languages (lang "
+                         "index needs >4 bits) — use a hierarchical "
+                         "per-shard interleave")
     lang_idx = {lg: i for i, lg in enumerate(langs)}
     n_of = dict(zip(counts[lang_col], counts["count()"]))
     offsets, acc = {}, 0
@@ -518,7 +523,15 @@ def balanced_interleave(ds, seed: str = "bi", id_col: str = "doc_id",
             (int(md5(f"{seed}:{i}".encode()).hexdigest()[:9], 16)
              for i in ids.tolist()),
             dtype=np.int64, count=len(ids))
-        k = (li << np.int64(60)) | (h << np.int64(24)) | ids
+        # compose in uint64 (li=4 bits | h=36 | id=24 = 64 bits: li≥8
+        # would wrap a signed shift — ADVICE r4), then flip the sign
+        # bit: (u ^ 2⁶³) viewed as int64 is order-ISOMORPHIC to the
+        # unsigned composite, so global_rank's int64 sort preserves
+        # the (lang, h, id) order for all 16 language slots
+        u = ((li.astype(np.uint64) << np.uint64(60))
+             | (h.astype(np.uint64) << np.uint64(24))
+             | ids.astype(np.uint64))
+        k = (u ^ np.uint64(1 << 63)).view(np.int64)
         return pa.Table.from_pydict({
             id_col: pa.array(ids, type=pa.int64()),
             "__li": pa.array(li, type=pa.int64()),

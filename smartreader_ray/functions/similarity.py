@@ -1006,16 +1006,21 @@ def bitext_mine(ds, src_label: int = 0, tgt_label: int = 1,
     as in ``ann_topk`` (rank order is stable unless two sims collide
     within double rounding; same contract as the other ANN oracles).
 
-    Scale shape: the TARGET side is the broadcast side — its normalized
-    matrix, ids, AND its per-vector best-source map ship once via
-    ``ray.put`` and every source block streams against them (one
-    matmul + argpartition per block, no exchange at all). The
-    back-direction top-1 is computed by the same streaming pass over
-    target blocks against the broadcast SOURCE matrix. Assumption (the
-    same one the matrix broadcast already makes): ONE side fits the
-    object store — mine the smaller language into the larger. When
-    neither side fits, the named fallback is partial per-block top-k +
-    ``groupby(src)`` merge and a distributed semi-join for mutuality.
+    Scale shape: the forward direction streams — the TARGET side's
+    normalized matrix, ids, and per-vector best-source map ship once
+    via ``ray.put`` and every source block runs one matmul +
+    argpartition against them, no exchange. The BACK direction (best
+    source per target) is computed up front with BOTH sides
+    driver-resident: one driver matmul of the collected source matrix
+    against the collected target matrix. Assumption, stated honestly
+    (ADVICE r4 — an earlier docstring claimed only the target side was
+    held): BOTH embedding matrices fit in driver memory; mine the
+    smaller language pair-half into the larger to minimize the
+    broadcast. When that fails, the named fallback is per-source-block
+    partial best-per-target rows (float sims mapped through the
+    monotone IEEE-754 sortable-int transform) reduced by a
+    ``groupby(tgt)`` Min exchange, plus per-block top-k +
+    ``groupby(src)`` merge for the forward direction.
     """
     import ray
 

@@ -107,10 +107,7 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
     )
     n_keys = totals.count()
     if n_keys > broadcast_keys_max:
-        raise NotImplementedError(
-            f"{n_keys} keys exceed broadcast bound {broadcast_keys_max}; "
-            "use a hash-shuffle join of rows against moments instead"
-        )
+        return _zscore_join_path(ds, totals, key_col, value_col, round_to)
     moments = totals.to_pandas()
     _check_int_totals(moments["ss"].to_numpy(dtype=np.int64),
                       moments["ss_f"].to_numpy(dtype=np.float64), "Σx²")
@@ -140,6 +137,59 @@ def zscore_by(ds, key_col: str, value_col: str, round_to: int = 6,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _zscore_join_path(ds, totals, key_col: str, value_col: str,
+                      round_to: int):
+    """Scale regime of :func:`zscore_by`, for key cardinalities past the
+    broadcast bound: overflow-check the moment totals DISTRIBUTED (per
+    totals block — the checksum gate is per-key, no driver collect),
+    then hash-shuffle join the rows against the key-sized moment table
+    and stamp z per joined batch with the IDENTICAL double expression
+    tree as the broadcast path (same oracle contract). Row order is not
+    preserved (the join exchange hash-partitions); z values are
+    bit-equal."""
+    from .join import hash_join
+
+    def checked(b: pa.Table) -> pa.Table:
+        _check_int_totals(
+            b.column("ss").to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column("ss_f").to_numpy(zero_copy_only=False), "Σx²")
+        return pa.table({
+            "__zk": b.column(key_col),
+            "__zn": pc.cast(b.column("n"), pa.int64()),
+            "__zs": pc.cast(b.column("s"), pa.int64()),
+            "__zss": pc.cast(b.column("ss"), pa.int64()),
+        })
+
+    mom = totals.map_batches(checked, batch_format="pyarrow")
+    out_cols = list(ds.schema().names)
+    joined = hash_join(
+        ds, mom, left_key=key_col, right_key="__zk",
+        left_cols=out_cols, right_cols=["__zn", "__zs", "__zss"],
+        how="left",  # null-key rows keep null moments → null z, the
+        # same verdict the broadcast path's map-miss produces
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.column("__zn").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = batch.column("__zs").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ss = batch.column("__zss").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        x = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.round((x - mean) / np.sqrt(var), round_to)
+        z[~(var > 0)] = np.nan
+        return batch.select(out_cols).append_column(
+            "z", pa.array(z, type=pa.float64(), from_pandas=True)
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 def _comoment_partials(key_col: str, x_col: str, y_col: str):

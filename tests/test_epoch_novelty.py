@@ -98,6 +98,41 @@ def test_balanced_interleave_round_robin(ray_session):
     assert all(l == "en" for _, l, _ in by_pos[30:])
 
 
+def test_balanced_interleave_many_langs(ray_session):
+    """12 languages — lang index ≥ 8 used to wrap the signed ``li <<
+    60`` composite silently (ADVICE r4); the uint64/sign-flip
+    composition must keep the exact (lang-balanced md5) order. Verified
+    against an independent pandas replay of the documented semantics:
+    md5-rank within language, then round-robin by (rank, lang)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from smartreader_ray.functions.sampling import balanced_interleave
+
+    langs = [f"lang{i:02d}" for i in range(12)]
+    rows = [{"doc_id": i, "lang": langs[i % 12]} for i in range(96)]
+    out = balanced_interleave(
+        ray.data.from_items(rows).repartition(4), seed="bi").take_all()
+    got = {r["doc_id"]: r["pos"] for r in out}
+
+    df = pd.DataFrame(rows)
+    df["h"] = [int(hashlib.md5(f"bi:{i}".encode()).hexdigest()[:9], 16)
+               for i in df["doc_id"]]
+    df["ril"] = df.sort_values(["h", "doc_id"]).groupby("lang").cumcount()
+    df = df.sort_values(["ril", "lang"]).reset_index(drop=True)
+    want = {int(r.doc_id): i + 1 for i, r in df.iterrows()}
+    assert got == want
+
+    # 17 languages exceeds the 4-bit lang slot — must refuse loudly
+    import pytest
+
+    rows17 = [{"doc_id": i, "lang": f"l{i % 17}"} for i in range(34)]
+    with pytest.raises(Exception, match="16 lang"):
+        balanced_interleave(ray.data.from_items(rows17)).take_all()
+
+
 def test_balanced_interleave_partitioning_invariance(ray_session):
     import ray.data
 
