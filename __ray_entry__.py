@@ -5931,6 +5931,105 @@ def oracle_sql() -> dict[str, str]:
         return (f"substr({u},1,1) || substr(replace(substr({coll},2),"
                 f"'0','') || '000', 1, 3)")
 
+    # --- MinHash / SimHash / fingerprint replay (dedup.py:_hash64,
+    # MinHasher, simhash64, textstats.doc_fingerprint) -----------------
+    # All integer ops: FNV-1a over ASCII bytes, (a*h+b) wrapped mod 2^64
+    # then mod the Mersenne prime 2^61-1, the band-key FNV fold +
+    # splitmix64 avalanche. DuckDB replays them exactly with HUGEINT
+    # arithmetic — every mod-2^64 is a bitwise mask (& 2^64-1) and the
+    # Mersenne mod is the shift-add fold, because HUGEINT ``%`` is
+    # 128-bit division and ~40x slower than the bit ops.
+    _FNV_OFFSET = 14695981039346656037
+    _FNV_PRIME = 1099511628211
+    _MASK64 = 18446744073709551615
+    _MERS61 = 2305843009213693951
+
+    def _fnv_sql(col: str) -> str:
+        return (
+            f"list_reduce(list_prepend({_FNV_OFFSET}::HUGEINT,"
+            f" list_transform(string_split({col}, ''), c -> ord(c)::HUGEINT)),"
+            f" (h, c) -> ((xor(h::UBIGINT, c::UBIGINT)::HUGEINT"
+            f" * {_FNV_PRIME}::HUGEINT) & {_MASK64}::HUGEINT))"
+        )
+
+    def _mulmod64_sql(xcol: str, const: int) -> str:
+        # (xcol * const) mod 2^64, constant split into 32-bit halves so
+        # no intermediate exceeds 2^96 (HUGEINT is SIGNED 128-bit)
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (
+            f"((({xcol}::HUGEINT * {lo}::HUGEINT) + ((({xcol}::HUGEINT"
+            f" * {hi}::HUGEINT) & 4294967295::HUGEINT) * 4294967296::HUGEINT))"
+            f" & {_MASK64}::HUGEINT)::UBIGINT"
+        )
+
+    def _grams_ctes(ngram: int) -> str:
+        # replay dedup._token_ngrams: lowercase whitespace split; docs
+        # shorter than n tokens yield the single full-join gram
+        return f"""
+        toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+                 FROM documents),
+        grams AS (SELECT doc_id, unnest(CASE WHEN len(t) < {ngram}
+              THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+{ngram - 1}], ' ')
+                    FOR i IN range(1, len(t) - {ngram - 2})] END) AS g
+              FROM toks)"""
+
+    def _minhash_ctes(ngram: int = 3, num_hashes: int = 128,
+                      bands: int = 16, seed: int = 42) -> str:
+        # the engine's (a, b) hash-family parameters are deterministic
+        # from the seed (dedup.MinHasher.__init__); embed them as
+        # literals so the SQL replays the same family
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        a = rng.randint(1, _MERS61, size=num_hashes, dtype=np.uint64)
+        b = rng.randint(0, _MERS61, size=num_hashes, dtype=np.uint64)
+        a_list = ",".join(str(int(x)) for x in a)
+        b_list = ",".join(str(int(x)) for x in b)
+        rows = num_hashes // bands
+        # NOTE: replays the UNCAPPED bucket pairing — exact as long as
+        # no LSH bucket exceeds DEFAULT_MAX_BUCKET (at the oracle's
+        # sf0.01 the largest bucket has 3 members vs the 128 cap)
+        return (_grams_ctes(ngram) + f""",
+        docg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
+        ghash AS MATERIALIZED (SELECT g, {_fnv_sql('g')} AS h
+                               FROM (SELECT DISTINCT g FROM docg)),
+        ab AS (SELECT unnest(range({num_hashes})) AS fn,
+                      unnest([{a_list}]::HUGEINT[]) AS a,
+                      unnest([{b_list}]::HUGEINT[]) AS b),
+        hv AS MATERIALIZED (
+          SELECT h, fn,
+                 CASE WHEN y >= {_MERS61} THEN y - {_MERS61} ELSE y END AS v
+          FROM (SELECT h, fn, (x >> 61) + (x & {_MERS61}::HUGEINT) AS y
+                FROM (SELECT h, fn, (((a * h) & {_MASK64}::HUGEINT) + b)
+                             & {_MASK64}::HUGEINT AS x FROM ab, ghash))),
+        mins AS MATERIALIZED (
+          SELECT d.doc_id, hv.fn, min(hv.v) AS mv
+          FROM docg d JOIN ghash USING (g) JOIN hv USING (h)
+          GROUP BY 1, 2),
+        bkeys AS MATERIALIZED (
+          SELECT doc_id,
+                 xor(k5, {_mulmod64_sql('band', 0x9E3779B97F4A7C15)}) AS key
+          FROM (SELECT doc_id, band, xor(k4, k4 >> 31) AS k5 FROM
+            (SELECT doc_id, band,
+                    {_mulmod64_sql('k3', 0x94D049BB133111EB)} AS k4 FROM
+              (SELECT doc_id, band, xor(k2, k2 >> 27) AS k3 FROM
+                (SELECT doc_id, band,
+                        {_mulmod64_sql('k1', 0xBF58476D1CE4E5B9)} AS k2 FROM
+                  (SELECT doc_id, band, xor(k0, k0 >> 30) AS k1 FROM
+                    (SELECT doc_id, fn // {rows} AS band,
+                      list_reduce(list_prepend({_FNV_OFFSET}::HUGEINT,
+                          list(mv ORDER BY fn)),
+                        (h, c) -> ((xor(h::UBIGINT, c::UBIGINT)::HUGEINT
+                          * {_FNV_PRIME}::HUGEINT)
+                          & {_MASK64}::HUGEINT))::UBIGINT AS k0
+                     FROM mins GROUP BY doc_id, band)))))) ),
+        cpairs AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+          FROM bkeys a JOIN bkeys b
+            ON a.key = b.key AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)""")
+
     return {
         "weighted_mix": f"""
             SELECT source, doc_id FROM documents
@@ -6010,6 +6109,82 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "minhash_candidates": "WITH " + _minhash_ctes() + """
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   CAST(n_bands AS BIGINT) AS n_bands
+            FROM cpairs ORDER BY doc_a, doc_b
+        """,
+        # candidates -> exact n-gram-Jaccard verify: |A∩B| and |A∪B| are
+        # exact small ints; the quotient is ONE IEEE division both sides
+        # (dedup.ngram_jaccard) -> bit-identical doubles
+        "minhash_dedup": "WITH " + _minhash_ctes() + """,
+            nset AS (SELECT doc_id, count(*) AS ns FROM docg GROUP BY doc_id),
+            inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
+              FROM cpairs p
+              JOIN docg x ON x.doc_id = p.doc_a
+              JOIN docg y ON y.doc_id = p.doc_b AND y.g = x.g
+              GROUP BY 1, 2)
+            SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+                   CAST(p.doc_b AS BIGINT) AS doc_b,
+              CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                / CAST(na.ns + nb.ns - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard,
+              (CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                / CAST(na.ns + nb.ns - COALESCE(i.ni, 0) AS DOUBLE)) >= 0.5
+                AS is_dup
+            FROM cpairs p
+            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN nset na ON na.doc_id = p.doc_a
+            JOIN nset nb ON nb.doc_id = p.doc_b
+            ORDER BY doc_a, doc_b
+        """,
+        # simhash: per-bit majority votes over the gram MULTISET
+        # (dedup.simhash64, ngram=2), 4x16-bit pigeonhole bands, exact
+        # hamming verify (uncapped pairing — same bucket-size caveat)
+        "simhash_neardup": "WITH " + _grams_ctes(2) + f""",
+            gcnt AS MATERIALIZED (SELECT doc_id, g, count(*) AS m
+                                  FROM grams GROUP BY 1, 2),
+            ghash AS MATERIALIZED (SELECT g, {_fnv_sql('g')}::UBIGINT AS h
+                                   FROM (SELECT DISTINCT g FROM gcnt)),
+            gch AS MATERIALIZED (SELECT doc_id, h, m
+                                 FROM gcnt JOIN ghash USING (g)),
+            tot AS (SELECT doc_id, sum(m) AS n FROM gch GROUP BY doc_id),
+            votes AS MATERIALIZED (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (h >> bit::INTEGER) & 1 = 1
+                         THEN m ELSE 0 END) AS ones
+              FROM gch, (SELECT unnest(range(64)) AS bit) GROUP BY 1, 2),
+            sims AS MATERIALIZED (
+              SELECT v.doc_id,
+                     COALESCE(sum(CASE WHEN 2 * v.ones - t.n > 0
+                         THEN (1::UBIGINT << v.bit::INTEGER)::HUGEINT
+                         ELSE 0 END), 0)::UBIGINT AS sim
+              FROM votes v JOIN tot t USING (doc_id) GROUP BY v.doc_id),
+            chunks AS MATERIALIZED (
+              SELECT doc_id, sim, c, (sim >> (16 * c)::INTEGER) & 65535 AS piece
+              FROM sims, (SELECT unnest(range(4)) AS c))
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   CAST(min(bit_count(xor(a.sim, b.sim))) AS INTEGER)
+                       AS hamming_min
+            FROM chunks a JOIN chunks b
+              ON a.c = b.c AND a.piece = b.piece AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        # Rabin-Karp rolling fingerprint (textstats.doc_fingerprint):
+        # fold h = h*p + byte mod 2^64 from the seed; the query renders
+        # the unsigned decimal, so render the HUGEINT fold directly
+        "doc_fingerprint": f"""
+            SELECT doc_id, CAST(list_reduce(
+                list_prepend(1469598103934665603::HUGEINT,
+                  list_transform(string_split(trim(lower(text)), ''),
+                                 c -> ord(c)::HUGEINT)),
+                (h, b) -> ((h * {_FNV_PRIME}::HUGEINT + b)
+                           & {_MASK64}::HUGEINT)
+              ) AS VARCHAR) AS fingerprint
+            FROM documents ORDER BY doc_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -9976,8 +10151,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(cents) AS BIGINT) FROM b
             ) ORDER BY o_orderstatus, o_orderpriority
         """,
-        # extract_fixtures, language_id, doc_fingerprint, minhash_candidates,
-        # minhash_dedup, simhash_neardup, embed_neardup_lsh, ann_ivf,
-        # media_meta: not SQL-expressible (readability heuristics / hash
-        # families / approximate index / decode stage) → rows-only.
+        # extract_fixtures, language_id, embed_neardup_lsh, ann_ivf,
+        # media_meta: not SQL-expressible (readability heuristics /
+        # approximate index / decode stage) → rows-only.
     }

@@ -265,7 +265,13 @@ class MinHasher:
                                  self.bands))
         return pa.Table.from_pydict(
             {
-                "band_key": pa.array(keys.reshape(-1), type=pa.uint64()),
+                # two's-complement int64 view of the uint64 key: the SAME
+                # bits (grouping is bijective either way), but the groupby
+                # exchange handles int64 natively — a uint64 > 2^63 forces
+                # Ray's per-block pandas pickle fallback (same fix as
+                # textstats.doc_fingerprint)
+                "band_key": pa.array(keys.reshape(-1).view(np.int64),
+                                     type=pa.int64()),
                 "doc_id": pc.take(batch.column("doc_id"), idx),
             }
         )
@@ -362,17 +368,24 @@ def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2,
     )
 
     def band(batch: pa.Table) -> pa.Table:
-        doc_ids, keys, sims = [], [], []
-        for doc_id, sim in zip(
-            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
-        ):
-            for chunk in range(4):
-                piece = (sim >> (16 * chunk)) & 0xFFFF
-                doc_ids.append(doc_id)
-                keys.append(f"{chunk}:{piece:04x}")
-                sims.append(sim)
+        """One (band_key, doc_id, simhash) row per 16-bit chunk —
+        vectorized numpy, int64 columns end-to-end (uint64 values would
+        force the groupby exchange's pandas pickle fallback)."""
+        sims = batch.column("simhash").to_numpy(zero_copy_only=False)
+        if sims.dtype != np.uint64:
+            sims = sims.view(np.uint64)
+        B = len(sims)
+        chunk = np.tile(np.arange(4, dtype=np.uint64), B)
+        rep = np.repeat(sims, 4)
+        piece = (rep >> (chunk * np.uint64(16))) & np.uint64(0xFFFF)
+        key = (chunk.astype(np.int64) << 16) | piece.astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(B, dtype=np.int64), 4))
         return pa.Table.from_pydict(
-            {"band_key": keys, "doc_id": doc_ids, "simhash": pa.array(sims, type=pa.uint64())}
+            {
+                "band_key": pa.array(key, type=pa.int64()),
+                "doc_id": pc.take(batch.column("doc_id"), idx),
+                "simhash": pa.array(rep.view(np.int64), type=pa.int64()),
+            }
         )
 
     banded = hashed.map_batches(band, batch_format="pyarrow")
@@ -391,7 +404,11 @@ def simhash_neardup(ds, max_hamming: int = 3, ngram: int = 2,
         for sub in _capped_subgroups(rows, max_bucket, salt, key=lambda r: r[0]):
             for i in range(len(sub)):
                 for j in range(i + 1, len(sub)):
-                    d = int(sub[i][1] ^ sub[j][1]).bit_count()
+                    # simhashes ride as int64 two's complement; mask the
+                    # XOR back to the unsigned 64-bit value before the
+                    # popcount (bit_count of a negative int counts |x|)
+                    d = ((sub[i][1] ^ sub[j][1])
+                         & 0xFFFFFFFFFFFFFFFF).bit_count()
                     if d <= max_hamming:
                         out_a.append(sub[i][0])
                         out_b.append(sub[j][0])
@@ -472,7 +489,11 @@ def verify_candidate_pairs(docs_ds, pairs, ngram: int = 3, threshold: float = 0.
             {
                 "doc_a": pa.array([a]),
                 "doc_b": pa.array([b]),
-                "jaccard": pa.array([round(j, 6)], type=pa.float64()),
+                "jaccard": pa.array([j], type=pa.float64()),  # RAW
+                # quotient: one IEEE division of exact ints is
+                # bit-replayable by the SQL oracle; Python
+                # round(j, 6) (banker's) is not
+
                 "is_dup": pa.array([j >= threshold], type=pa.bool_()),
             }
         )
@@ -571,7 +592,11 @@ def verify_candidate_pairs_distributed(docs_ds, cands_ds, ngram: int = 3,
             {
                 "doc_a": group.column("doc_a").slice(0, 1),
                 "doc_b": group.column("doc_b").slice(0, 1),
-                "jaccard": pa.array([round(j, 6)], type=pa.float64()),
+                "jaccard": pa.array([j], type=pa.float64()),  # RAW
+                # quotient: one IEEE division of exact ints is
+                # bit-replayable by the SQL oracle; Python
+                # round(j, 6) (banker's) is not
+
                 "is_dup": pa.array([j >= threshold], type=pa.bool_()),
             }
         )

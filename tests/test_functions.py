@@ -215,8 +215,10 @@ def test_verify_candidate_pairs(ray_session):
     out = verify_candidate_pairs(ds, [(1, 2), (1, 3)], ngram=3, threshold=0.5)
     rows = {(r["doc_a"], r["doc_b"]): r for r in out.take_all()}
     assert set(rows) == {(1, 2), (1, 3)}
-    # jaccard matches the scalar reference implementation exactly
-    assert abs(rows[(1, 2)]["jaccard"] - round(ngram_jaccard(docs[1], docs[2], 3), 6)) < 1e-9
+    # jaccard matches the scalar reference implementation exactly (the
+    # raw IEEE quotient — r5 dropped the Python round(j, 6), which the
+    # SQL oracle cannot replay)
+    assert rows[(1, 2)]["jaccard"] == ngram_jaccard(docs[1], docs[2], 3)
     assert rows[(1, 2)]["is_dup"]
     assert not rows[(1, 3)]["is_dup"]
 
