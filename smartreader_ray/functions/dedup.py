@@ -973,7 +973,8 @@ def passage_star_edges(ds, window: int = 8, text_col: str = "text"):
 def label_propagation_components(edges, col_a: str = "doc_a",
                                  col_b: str = "doc_b",
                                  max_rounds: int = 50,
-                                 broadcast_labels_max: int = 2_000_000):
+                                 broadcast_labels_max: int = 2_000_000,
+                                 stats: dict | None = None):
     """Distributed connected components: iterative min-label propagation
     — the scale path ``connected_components`` names for edge lists past
     driver memory. Each round every node takes the min of its own label
@@ -997,8 +998,16 @@ def label_propagation_components(edges, col_a: str = "doc_a",
       state was the cost, not round count — this graph converges in one
       round).
     - **distributed** (beyond the bound): per-round ``hash_join`` of
-      labels onto the symmetric edge list + groupby-min, label-sum
-      fixpoint — nothing driver-sized anywhere.
+      labels onto the symmetric edge list + groupby-min, then a
+      POINTER-JUMP self-join (label ← label(label); sound because
+      label(l) ≤ l always — labels only decrease) so chain length
+      halves every round and convergence is O(log diameter) Ray
+      rounds, not O(diameter); label-sum fixpoint — nothing
+      driver-sized anywhere.
+
+    ``stats``, if given, is filled with ``{"regime", "rounds"}`` —
+    the forced-regime tests assert rounds ≤ ⌈log₂ d⌉+1 on a path
+    graph of diameter d.
 
     The symmetric edge list is repartitioned to match its actual size
     (``~500k`` edge rows per block) so fixpoint rounds don't pay
@@ -1073,6 +1082,12 @@ def label_propagation_components(edges, col_a: str = "doc_a",
                 d[x], x = r, d[x]
         return d
 
+    if stats is not None:
+        stats["regime"] = (
+            "broadcast" if n_nodes <= broadcast_labels_max else "distributed"
+        )
+        stats["rounds"] = 0
+
     if n_nodes <= broadcast_labels_max:
         lbl = compress(
             {n: l
@@ -1082,6 +1097,8 @@ def label_propagation_components(edges, col_a: str = "doc_a",
                              b.column("label").to_pylist())}
         )
         for _ in range(max_rounds):
+            if stats is not None:
+                stats["rounds"] += 1
             lbl_ref = ray.put(lbl)
 
             def relabel(b: pa.Table) -> pa.Table:
@@ -1131,11 +1148,19 @@ def label_propagation_components(edges, col_a: str = "doc_a",
             except Exception:
                 return None  # non-numeric ids: run to max_rounds
 
+        # shuffle width sized to the edge list, not hash_join's 64-part
+        # default — a tiny forced-regime graph shouldn't pay 64-partition
+        # exchanges per round, and a 100-TB edge list wants more than 64
+        n_parts = max(2, -(-n_edge_rows // 500_000))
+
         prev_sum = label_sum(labels)
         for _ in range(max_rounds):
+            if stats is not None:
+                stats["rounds"] += 1
             # neighbor messages: (dst's src partner, label of dst)
             msgs = hash_join(
-                sym_edges, labels, "dst", "node", ["src"], ["label"]
+                sym_edges, labels, "dst", "node", ["src"], ["label"],
+                num_partitions=n_parts,
             ).map_batches(
                 lambda b: pa.Table.from_pydict(
                     {"node": b.column("src"), "label": b.column("label")}
@@ -1150,8 +1175,26 @@ def label_propagation_components(edges, col_a: str = "doc_a",
                 .union(msgs)
                 .groupby("node")
                 .aggregate(Min("label", alias_name="label"))
+                # materialized because the pointer-jump self-join consumes
+                # it TWICE — un-materialized, the whole msgs-join + groupby
+                # chain would re-execute per side
                 .materialize()
             )
+            # pointer jump: label ← label(label). Every label is itself
+            # a node of the label table (it is the min over a set of
+            # endpoint ids, attained at some endpoint), so this inner
+            # self-join is total, and label(l) ≤ l means it only ever
+            # decreases — remaining chain length halves per round, so
+            # the loop converges in O(log diameter) rounds instead of
+            # O(diameter) (VERDICT r4 #7).
+            # repartition (cheap coalesce, no shuffle) bounds the block
+            # count at n_parts per round — union+sort+join otherwise
+            # COMPOUND the block count ~4× per round, which measured as
+            # exponential per-round wall time even on a 64-node graph
+            labels = hash_join(
+                labels, labels, "label", "node", ["node"], ["label"],
+                num_partitions=n_parts,
+            ).repartition(n_parts).materialize()
             cur = label_sum(labels)
             if cur is not None and cur == prev_sum:
                 break

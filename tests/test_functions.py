@@ -1021,6 +1021,29 @@ def test_label_propagation_deep_chain(ray_session):
     assert uf == lp and set(lp.values()) == {0}
 
 
+def test_label_propagation_distributed_pointer_jump(ray_session):
+    # forced distributed regime on a diameter-63 path graph: the
+    # pointer-jump self-join (label ← label(label)) must converge in
+    # ≤ ⌈log₂ d⌉+1 Ray rounds, not O(d) (VERDICT r4 #7)
+    import math
+
+    import ray.data
+
+    from smartreader_ray.functions import label_propagation_components
+
+    d = 63
+    edges = [{"doc_a": i, "doc_b": i + 1} for i in range(d)]
+    ds = ray.data.from_items(edges).repartition(3)
+    stats: dict = {}
+    lp = {r["doc_id"]: r["cluster_id"]
+          for r in label_propagation_components(
+              ds, broadcast_labels_max=0, stats=stats).take_all()}
+    assert set(lp.values()) == {0} and len(lp) == d + 1
+    assert stats["regime"] == "distributed"
+    # +1 for the fixpoint-detection round (label sum unchanged)
+    assert stats["rounds"] <= math.ceil(math.log2(d)) + 1, stats
+
+
 # ---------------------------------------------------------------------------
 # Round 3: range join, sliding windows, pivot, exact distinct, jaccard pairs
 # ---------------------------------------------------------------------------
