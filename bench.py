@@ -420,9 +420,11 @@ def _emit_report(report: dict) -> None:
     the captured tail began mid-line and the driver recorded
     ``"parsed": null``. So: the FULL report (every query timing) is
     written to ``BENCH/bench_full.json`` (repo-local, committed with
-    the round) and echoed as chunked ``queries_part`` lines for humans;
-    the final line carries totals, headline queries, throughput,
-    sentinel, the 5 slowest queries, and a pointer to the full file.
+    the round); stdout carries ONLY the compact final line — nothing
+    else that a tail-scanning parser could mistake for (or truncate
+    into) the report JSON. The line carries totals, headline queries,
+    throughput, sentinel, the 5 slowest queries, and a pointer to the
+    full file, and is asserted under the 2000-char capture window.
     """
     repo = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(repo, "BENCH", "bench_full.json")
@@ -437,11 +439,6 @@ def _emit_report(report: dict) -> None:
     queries = compact.pop("queries", None)
     if queries:
         items = list(queries.items())
-        for i in range(0, len(items), 60):
-            print(json.dumps(
-                {"queries_part": i // 60 + 1,
-                 "queries": dict(items[i:i + 60])},
-                separators=(",", ":")))
         headline = {k: queries[k] for k in
                     ("extract_fixture_corpus", "extract_documents")
                     if k in queries}
@@ -452,6 +449,14 @@ def _emit_report(report: dict) -> None:
     if full_path:
         compact["queries_file"] = os.path.relpath(full_path, repo)
     line = json.dumps(compact, separators=(",", ":"))
+    # hard bound: the driver's capture window is ~2000 chars — a line
+    # that outgrows it silently becomes "parsed": null again. Shed the
+    # optional fields in usefulness order before ever printing long.
+    for victim in ("slowest", "queries", "sentinel", "throughput"):
+        if len(line) <= 1800:
+            break
+        compact.pop(victim, None)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
 
