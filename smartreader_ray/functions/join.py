@@ -132,21 +132,33 @@ def hash_join(left, right, left_key: str, right_key: str,
     if overlap:
         raise ValueError(f"output column collision: {sorted(overlap)}")
 
+    # schema() on a lazy Dataset can trigger upstream execution — fetch
+    # each side's schema exactly ONCE and derive everything from it
+    lschema, rschema = left.schema(), right.schema()
     # keep the NATIVE key type when both sides agree — an int64 key
     # ships 8 bytes/row across the all-to-all where its decimal string
     # ships up to 20; cast to string only to reconcile mismatched types
-    lk_type = dict(zip(left.schema().names, left.schema().types))[left_key]
-    rk_type = dict(zip(right.schema().names, right.schema().types))[right_key]
+    lk_type = dict(zip(lschema.names, lschema.types))[left_key]
+    rk_type = dict(zip(rschema.names, rschema.types))[right_key]
     key_type = lk_type if lk_type == rk_type else pa.string()
 
+    # SQL semantics: a NULL key matches NOTHING (not even another NULL).
+    # Modes that must KEEP unmatched null-key rows route them to one
+    # reserved partition inside the SAME pack pass (``__part = -1``)
+    # instead of re-reading the whole input in a second null-extraction
+    # leg — at 100 TB an outer join must not scan its inputs twice.
+    NULL_PART = -1
+    need_left_nulls = how in ("left", "left_anti", "full_outer")
+    need_right_nulls = how in ("right", "full_outer")
+
     def pack(key_col, cols, side):
+        keep_nulls = need_left_nulls if side == 0 else need_right_nulls
+
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
 
-            # SQL semantics: a NULL key matches NOTHING (not even another
-            # NULL) — drop null-key rows from the exchange; the modes that
-            # keep unmatched rows re-emit them via the null branches below
-            batch = batch.filter(pc.is_valid(batch.column(key_col)))
+            if not keep_nulls:
+                batch = batch.filter(pc.is_valid(batch.column(key_col)))
             if salt > 1 and side == 1:
                 # replicate the right side once per sub-key
                 idx = pa.array(
@@ -171,27 +183,32 @@ def hash_join(left, right, left_key: str, right_key: str,
                 )
             parts = (_key_hash_u64(keys)
                      % np.uint64(num_partitions)).astype(np.int64)
+            if keep_nulls:
+                isnull = pc.is_null(keys).to_numpy(zero_copy_only=False)
+                if isnull.any():
+                    parts = np.where(isnull, NULL_PART, parts)
             return pa.Table.from_pydict(
                 {
                     "__key": keys,
                     "__part": pa.array(parts),
                     "__side": pa.array([side] * n, type=pa.int8()),
                     "__left": payload if side == 0 else pa.nulls(
-                        n, type=_struct_type(left)
+                        n, type=left_type
                     ),
                     "__right": payload if side == 1 else pa.nulls(
-                        n, type=_struct_type(right)
+                        n, type=right_type
                     ),
                 }
             )
 
         return fn
 
-    def _struct_type(ds):
-        schema = ds.schema()
+    def _struct_type(schema, cols):
         types = dict(zip(schema.names, schema.types))
-        cols = left_cols if ds is left else right_cols
         return pa.struct([pa.field(c, types[c]) for c in cols])
+
+    left_type = _struct_type(lschema, left_cols)
+    right_type = _struct_type(rschema, right_cols)
 
     l_sel = [left_key] + [c for c in left_cols if c != left_key]
     r_sel = [right_key] + [c for c in right_cols if c != right_key]
@@ -201,9 +218,6 @@ def hash_join(left, right, left_key: str, right_key: str,
     r_packed = right.select_columns(r_sel).map_batches(
         pack(right_key, right_cols, 1), batch_format="pyarrow"
     )
-
-    left_type = _struct_type(left)
-    right_type = _struct_type(right)
 
     out_names = left_cols if how == "left_anti" else left_cols + right_cols
     out_types = list(left_type) if how == "left_anti" else (
@@ -224,6 +238,28 @@ def hash_join(left, right, left_key: str, right_key: str,
         n = group.num_rows
         if n == 0:
             return _empty()
+        if group.column("__part")[0].as_py() == NULL_PART:
+            # the reserved null-key partition: only sides whose unmatched
+            # rows this mode keeps ever route here — emit them as
+            # unmatched (nulls opposite), exactly like SQL outer joins
+            sides_np = group.column("__side").to_numpy(zero_copy_only=False)
+            chunks: list[pa.Table] = []
+            ln = group.column("__left").combine_chunks().filter(
+                pa.array(sides_np == 0))
+            if len(ln):
+                arrays = [ln.field(c) for c in left_cols]
+                if how != "left_anti":
+                    arrays += [pa.nulls(len(ln), type=f.type)
+                               for f in right_type]
+                chunks.append(pa.Table.from_arrays(arrays, names=out_names))
+            rn = group.column("__right").combine_chunks().filter(
+                pa.array(sides_np == 1))
+            if len(rn):
+                chunks.append(pa.Table.from_arrays(
+                    [pa.nulls(len(rn), type=f.type) for f in left_type]
+                    + [rn.field(c) for c in right_cols],
+                    names=out_names))
+            return pa.concat_tables(chunks) if chunks else _empty()
         order = pc.sort_indices(
             group,
             sort_keys=[("__key", "ascending"), ("__side", "ascending")],
@@ -304,41 +340,13 @@ def hash_join(left, right, left_key: str, right_key: str,
             return _empty()
         return pa.concat_tables(out_parts)
 
-    joined = (
+    # one groupby, one pass: null-key rows travel the same exchange in
+    # their reserved partition — no second scan of either input
+    return (
         l_packed.union(r_packed)
         .groupby("__part")
         .map_groups(emit_part, batch_format="pyarrow")
     )
-
-    # null-key rows never enter the exchange; outer-ish modes keep them
-    # as unmatched rows (nulls opposite), exactly like SQL outer joins
-    if how in ("left", "left_anti", "full_outer"):
-        def l_null_out(batch: pa.Table) -> pa.Table:
-            b = batch.filter(pc.is_null(batch.column(left_key)))
-            arrays = [b.column(c) for c in left_cols]
-            if how != "left_anti":
-                arrays += [pa.nulls(b.num_rows, type=f.type)
-                           for f in right_type]
-            return pa.Table.from_arrays(arrays, names=out_names)
-
-        joined = joined.union(
-            left.select_columns(l_sel).map_batches(
-                l_null_out, batch_format="pyarrow"
-            )
-        )
-    if how in ("right", "full_outer"):
-        def r_null_out(batch: pa.Table) -> pa.Table:
-            b = batch.filter(pc.is_null(batch.column(right_key)))
-            arrays = [pa.nulls(b.num_rows, type=f.type) for f in left_type]
-            arrays += [b.column(c) for c in right_cols]
-            return pa.Table.from_arrays(arrays, names=out_names)
-
-        joined = joined.union(
-            right.select_columns(r_sel).map_batches(
-                r_null_out, batch_format="pyarrow"
-            )
-        )
-    return joined
 
 
 def range_join(left, right, by: str, on: str,
