@@ -391,22 +391,30 @@ def range_join(left, right, by: str, on: str,
     r_types = _types(right, right_cols) if mode == "pairs" else []
     r_keep = right_cols if mode == "pairs" else []
 
+    NULL_PART = -1
+
     def pack(side):
         mine = left_cols if side == 0 else r_keep
         theirs = r_types if side == 0 else l_types
+        # SQL semantics: null by/on can never produce a match. count
+        # mode is left-outer, so LEFT null rows ride the same exchange
+        # in a reserved partition (count 0) instead of a second scan of
+        # the input; every other side/mode just drops them.
+        keep_nulls = side == 0 and mode == "count"
 
         def fn(batch: pa.Table) -> pa.Table:
-            # SQL semantics: null by/on can never produce a match — keep
-            # them out of the exchange (outer-ish modes re-emit left
-            # nulls unmatched via a bypass branch)
-            batch = batch.filter(
-                pc.and_(pc.is_valid(batch.column(by)),
-                        pc.is_valid(batch.column(on)))
-            )
+            valid = pc.and_(pc.is_valid(batch.column(by)),
+                            pc.is_valid(batch.column(on)))
+            if not keep_nulls:
+                batch = batch.filter(valid)
             n = batch.num_rows
             keys = pc.cast(batch.column(by), pa.string())
             parts = (_key_hash_u64(keys)
                      % np.uint64(num_partitions)).astype(np.int64)
+            if keep_nulls:
+                bad = pc.invert(valid).to_numpy(zero_copy_only=False)
+                if bad.any():
+                    parts = np.where(bad, NULL_PART, parts)
             cols = {
                 "__key": keys,
                 "__part": pa.array(parts),
@@ -459,6 +467,12 @@ def range_join(left, right, by: str, on: str,
         if n == 0:
             return _empty(*((count_names, count_types) if mode == "count"
                             else (pair_names, pair_types)))
+        if group.column("__part")[0].as_py() == NULL_PART:
+            # reserved null-by/on partition (count mode only): one row
+            # per left row with zero matches
+            out = {c: group.column(c) for c in left_cols}
+            out[count_name] = pa.array(np.zeros(n, dtype=np.int64))
+            return pa.Table.from_pydict(out)
         order = pc.sort_indices(
             group,
             sort_keys=[("__key", "ascending"), ("__side", "ascending"),
@@ -546,28 +560,12 @@ def range_join(left, right, by: str, on: str,
         ]
         return pa.Table.from_arrays(arrays, names=pair_names)
 
-    matched = (
+    # one pass: count mode's left-outer null rows travel the exchange in
+    # their reserved partition — no second scan of the left input
+    return (
         l_packed.union(r_packed)
         .groupby("__part")
         .map_groups(emit_part, batch_format="pyarrow")
-    )
-    if mode != "count":
-        return matched
-
-    # count mode is left-outer (one row per LEFT row): left rows with a
-    # null by/on never entered the exchange — emit them with count 0
-    def l_null_out(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        b = batch.filter(
-            pc.or_(pc.is_null(batch.column(by)), pc.is_null(batch.column(on)))
-        )
-        out = {c: b.column(c) for c in left_cols}
-        out[count_name] = pa.array(np.zeros(b.num_rows, dtype=np.int64))
-        return pa.Table.from_pydict(out)
-
-    return matched.union(
-        prune(left, left_cols).map_batches(l_null_out, batch_format="pyarrow")
     )
 
 
@@ -601,24 +599,31 @@ def asof_join(left, right, by: str, on: str,
     l_types = _types(left, left_cols)
     r_types = _types(right, right_cols)
 
+    NULL_PART = -1
+
     def pack(side):
         mine = left_cols if side == 0 else right_cols
         theirs_types = r_types if side == 0 else l_types
 
         def fn(batch: pa.Table) -> pa.Table:
-            # SQL semantics: null by/on can never produce a match — keep
-            # them out of the exchange (outer-ish modes re-emit left
-            # nulls unmatched via a bypass branch)
-            batch = batch.filter(
-                pc.and_(pc.is_valid(batch.column(by)),
-                        pc.is_valid(batch.column(on)))
-            )
+            # SQL semantics: null by/on can never produce a match. The
+            # join is left-outer, so LEFT null rows ride the exchange in
+            # a reserved partition (right columns stay null) instead of
+            # a second scan of the input; right null rows just drop.
             import numpy as np
 
+            valid = pc.and_(pc.is_valid(batch.column(by)),
+                            pc.is_valid(batch.column(on)))
+            if side == 1:
+                batch = batch.filter(valid)
             n = batch.num_rows
             keys = pc.cast(batch.column(by), pa.string())
             parts = (_key_hash_u64(keys)
                      % np.uint64(num_partitions)).astype(np.int64)
+            if side == 0:
+                bad = pc.invert(valid).to_numpy(zero_copy_only=False)
+                if bad.any():
+                    parts = np.where(bad, NULL_PART, parts)
             cols = {
                 "__key": keys,
                 "__part": pa.array(parts),
@@ -662,6 +667,10 @@ def asof_join(left, right, by: str, on: str,
                 [pa.nulls(0, type=t) for _, t in l_types + r_types],
                 names=left_cols + right_cols,
             )
+        if group.column("__part")[0].as_py() == NULL_PART:
+            # reserved null-by/on partition: left rows only, and their
+            # right columns are already null in the packed layout
+            return group.select(left_cols + right_cols)
         order = pc.sort_indices(
             group,
             sort_keys=[("__key", "ascending"), ("__side", "ascending"),
@@ -728,25 +737,12 @@ def asof_join(left, right, by: str, on: str,
             out[c] = g.column(c).take(take_idx)
         return pa.Table.from_pydict(out)
 
-    matched = (
+    # one pass: left-outer null rows travel the exchange in their
+    # reserved partition — no second scan of the left input
+    return (
         l_packed.union(r_packed)
         .groupby("__part")
         .map_groups(emit_part, batch_format="pyarrow")
-    )
-
-    # left-outer: left rows with a null by/on never entered the exchange;
-    # emit them with null right columns, like any unmatched left row
-    def l_null_out(batch: pa.Table) -> pa.Table:
-        b = batch.filter(
-            pc.or_(pc.is_null(batch.column(by)), pc.is_null(batch.column(on)))
-        )
-        arrays = [b.column(c) for c in left_cols] + [
-            pa.nulls(b.num_rows, type=t) for _, t in r_types
-        ]
-        return pa.Table.from_arrays(arrays, names=left_cols + right_cols)
-
-    return matched.union(
-        prune(left, left_cols).map_batches(l_null_out, batch_format="pyarrow")
     )
 
 
