@@ -834,6 +834,30 @@ def _q_lm_gate_chain(sf_dir: str):
     )
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per-language
+    bigram LM on the fixed held-in slice, per-doc code length as an
+    order-independent int64 micro-nat sum (the DSIR stamp discipline —
+    `functions/lm.py: _MbitsScorerBy`), then each language's docs bucket
+    into perplexity terciles via ONE TeraSort-shape global_rank over the
+    lang-major composite key. The canonical LM-based curation step;
+    fully hash-gated (stamps, sums, integer rank key and tercile are
+    all SQL-replayable)."""
+    import pyarrow as pa
+
+    from smartreader_ray.functions.lm import ccnet_head_middle_tail
+
+    docs = _docs(sf_dir)
+
+    def held_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 10 == 0) & (ids < 25_000)))
+
+    return ccnet_head_middle_tail(
+        docs, docs.map_batches(held_filter, batch_format="pyarrow")
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals. The oracle compares the exact
     integer counts (distinct tokens, top-bigram count); the float
@@ -5656,6 +5680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "lm_perplexity_by_lang": _q_lm_perplexity_by_lang,
         "lm_gate_chain": _q_lm_gate_chain,
+        "ccnet_buckets": _q_ccnet_buckets,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -7002,6 +7027,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_oov) AS BIGINT) AS total_oov
             FROM stats WHERE 4 * n_oov <= n_trans
             GROUP BY lang
+        """,
+        # ccnet_buckets: replay the per-lang add-one bigram code lengths
+        # as stamped int64 micro-nats (FLOOR(1e6*ln(float division)) —
+        # the DSIR stamp discipline, bit-identical to the engine's libm
+        # math.log), sum per doc, integer rank key, tercile by
+        # row_number within lang.
+        "ccnet_buckets": """
+            WITH held AS (
+                SELECT lang, string_split(trim(text), ' ') AS a
+                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
+            ),
+            tr_h AS (
+                SELECT lang, a[i] AS w1, a[i+1] AS w2
+                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            c2 AS (SELECT lang, w1, w2, COUNT(*) AS c
+                   FROM tr_h GROUP BY lang, w1, w2),
+            c1 AS (SELECT lang, w1, COUNT(*) AS c
+                   FROM tr_h GROUP BY lang, w1),
+            v AS (SELECT lang, COUNT(DISTINCT w1) + 1 AS vv
+                  FROM tr_h GROUP BY lang),
+            alld AS (
+                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            j AS (
+                SELECT tr.doc_id, tr.lang,
+                       COALESCE(c2.c, 0) AS cc2,
+                       COALESCE(c1.c, 0) AS cc1,
+                       COALESCE(v.vv, 1) AS vv
+                FROM tr
+                LEFT JOIN c2 ON tr.lang = c2.lang AND tr.w1 = c2.w1
+                            AND tr.w2 = c2.w2
+                LEFT JOIN c1 ON tr.lang = c1.lang AND tr.w1 = c1.w1
+                LEFT JOIN v ON tr.lang = v.lang
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_trans,
+                       CAST(SUM(CAST(FLOOR(1000000.0 * ln(
+                           CAST(cc1 + vv AS DOUBLE)
+                           / CAST(cc2 + 1 AS DOUBLE))) AS BIGINT))
+                           AS BIGINT) AS mbits
+                FROM j GROUP BY doc_id, lang
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (mbits * 100) // n_trans, doc_id
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS nl
+                FROM s
+            )
+            SELECT doc_id, lang, n_trans, mbits,
+                   CASE (3 * (rn - 1)) // nl
+                       WHEN 0 THEN 'head'
+                       WHEN 1 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+            FROM r
         """,
         # substring_lcs: a shared token run of length L >= 8 appears as
         # exactly L-7 consecutive 8-token window matches on one

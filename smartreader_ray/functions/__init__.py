@@ -6,7 +6,7 @@ rules: pre-aggregate inside map_batches before any groupby; broadcast
 small sides with ray.put; vectorize with numpy/pyarrow.compute.
 """
 
-from .lm import lm_score, train_bigram_lm
+from .lm import ccnet_head_middle_tail, lm_score, train_bigram_lm
 from .dedup import (
     connected_components,
     label_propagation_components,
@@ -96,6 +96,7 @@ __all__ = [
     "longest_common_runs",
     "lm_score",
     "train_bigram_lm",
+    "ccnet_head_middle_tail",
     "connected_components",
     "label_propagation_components",
     "passage_clusters",

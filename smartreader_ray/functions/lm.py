@@ -327,3 +327,178 @@ def lm_perplexity_reference(held_texts: list[str], text: str) -> float | None:
     logs = [math.log2((c2.get((a, b), 0) + 1) / (c1.get(a, 0) + V))
             for a, b in zip(toks[:-1], toks[1:])]
     return round(-sum(logs) / len(logs), 6)
+
+
+class _MbitsScorerBy:
+    """Actor-pool stage for :func:`ccnet_head_middle_tail`: resolves the
+    broadcast ``{lang: model}`` map once per worker and pre-stamps every
+    known bigram's code length as an INT64 micro-nat weight
+    ``floor(1e6 · ln((c1[w1]+V)/(c2[w1,w2]+1)))`` (libm ``math.log`` on
+    an explicit float division, floor — the DSIR stamp discipline, so
+    the SQL oracle replays it bit-for-bit with
+    ``FLOOR(1000000.0*ln(CAST(cc1+V AS DOUBLE)/CAST(cc2+1 AS
+    DOUBLE)))``). Per doc the score is an order-independent integer sum
+    of stamps — the float math never touches corpus-sized data."""
+
+    def __init__(self, models_ref):
+        import math
+
+        import ray
+
+        models = ray.get(models_ref)
+        self.stamp: dict = {}   # lang -> {(w1,w2): micro-nats}
+        self.pfx: dict = {}     # lang -> {w1: micro-nats of an OOV w2}
+        self.oov: dict = {}     # lang -> micro-nats of an OOV w1
+        for k, m in models.items():
+            c2, c1, V = m["c2"], m["c1"], m["V"]
+            self.stamp[k] = {
+                bg: math.floor(1_000_000.0 * math.log(
+                    float(c1[bg[0]] + V) / float(n + 1)))
+                for bg, n in c2.items()}
+            self.pfx[k] = {
+                a: math.floor(1_000_000.0 * math.log(float(n + V) / 1.0))
+                for a, n in c1.items()}
+            self.oov[k] = math.floor(
+                1_000_000.0 * math.log(float(V) / 1.0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key_name = batch.column_names[1]
+        ids, ks, n_tr, mb = [], [], [], []
+        for doc_id, k, t in zip(batch.column("doc_id").to_pylist(),
+                                batch.column(key_name).to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _tokens(t)
+            if len(toks) < 2:
+                continue  # no transitions — mirrors the SQL inner join
+            st = self.stamp.get(k, {})
+            pf = self.pfx.get(k, {})
+            ov = self.oov.get(k, 0)
+            s = 0
+            for a, b in zip(toks[:-1], toks[1:]):
+                w = st.get((a, b))
+                if w is None:
+                    w = pf.get(a, ov)
+                s += w
+            ids.append(doc_id)
+            ks.append(k)
+            n_tr.append(len(toks) - 1)
+            mb.append(s)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids,
+                               type=batch.schema.field("doc_id").type),
+            key_name: pa.array(ks, type=pa.string()),
+            "n_trans": pa.array(n_tr, type=pa.int64()),
+            "mbits": pa.array(mb, type=pa.int64()),
+        })
+
+
+def ccnet_head_middle_tail(ds, held, key_col: str = "lang",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_parts: int = 32, concurrency=(1, 4),
+                           batch_size: int = 64):
+    """CCNet's head/middle/tail quality split (Wenzek et al. 2020,
+    public paper): train one bigram LM per language on the held-in
+    slice, score every document's total smoothed code length, and
+    bucket each language's documents into perplexity terciles — head =
+    most in-distribution third, tail = least. The canonical CCNet
+    curation step this engine's LM family builds toward.
+
+    Exactness: per-transition code lengths are stamped int64 micro-nats
+    (:class:`_MbitsScorerBy`), the per-doc score is their integer sum,
+    the ranking key is the integer ``mbits·100 // n_trans`` (mean
+    centi-micro-nats per transition, floored), and ties break on
+    ``id_col`` — every step is SQL-replayable, so the whole output is
+    hash-gated.
+
+    Scale shape: one distributed count pass for the models
+    (vocab²-bounded broadcast, see :func:`train_bigram_lm_by`), one
+    scoring map over an actor pool, then the tercile rank rides ONE
+    TeraSort-shape :func:`~smartreader_ray.functions.reshape.global_rank`
+    over the lang-major composite ``li·2⁶⁰ | key·2²⁴ | id`` (the
+    proven ``balanced_interleave`` layout; per-language rank falls out
+    by subtracting the language's prefix-count offset, a langs-sized
+    broadcast). Loud guards: ≤ 16 languages, ids < 2²⁴, key < 2³⁶.
+    The scored table (4 thin columns) is materialized once because the
+    offset count and the rank both consume it.
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    from .reshape import global_rank
+
+    models = train_bigram_lm_by(held, key_col=key_col, text_col=text_col)
+    models_ref = ray.put(models)
+    scored = ds.select_columns([id_col, key_col, text_col]).map_batches(
+        _MbitsScorerBy,
+        fn_constructor_args=(models_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    ).materialize()  # thin (id, lang, n_trans, mbits); consumed twice
+
+    counts = scored.groupby(key_col).count().to_pandas()
+    langs = sorted(counts[key_col].tolist())
+    if len(langs) > 16:
+        raise ValueError("ccnet_head_middle_tail: >16 languages (lang "
+                         "index needs >4 bits) — bucket per shard "
+                         "hierarchically instead")
+    lang_idx = {lg: i for i, lg in enumerate(langs)}
+    n_of = dict(zip(counts[key_col], counts["count()"]))
+    offsets, acc = {}, 0
+    for lg in langs:
+        offsets[lg] = acc
+        acc += int(n_of[lg])
+    off_by_idx = np.array([offsets[lg] for lg in langs], dtype=np.int64)
+    n_by_idx = np.array([int(n_of[lg]) for lg in langs], dtype=np.int64)
+
+    def key1(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 24)):
+            raise ValueError("ccnet_head_middle_tail: id outside "
+                             "[0, 2^24) — bucket per shard instead")
+        mb = b.column("mbits").to_numpy(zero_copy_only=False)
+        nt = b.column("n_trans").to_numpy(zero_copy_only=False)
+        key = (mb * 100) // nt
+        if len(key) and key.max() >= (1 << 36):
+            raise ValueError("ccnet_head_middle_tail: rank key >= 2^36")
+        li = np.fromiter((lang_idx[lg] for lg in
+                          b.column(key_col).to_pylist()),
+                         dtype=np.int64, count=b.num_rows)
+        # uint64 composite + sign-bit flip → order-isomorphic int64
+        # (the balanced_interleave layout: 4 | 36 | 24 bits)
+        u = ((li.astype(np.uint64) << np.uint64(60))
+             | (key.astype(np.uint64) << np.uint64(24))
+             | ids.astype(np.uint64))
+        k = (u ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, type=pa.int64()),
+            "__li": pa.array(li, type=pa.int64()),
+            "n_trans": b.column("n_trans"),
+            "mbits": b.column("mbits"),
+            "__k1": pa.array(k, type=pa.int64()),
+        })
+
+    r1 = global_rank(scored.map_batches(key1, batch_format="pyarrow"),
+                     "__k1", num_parts=num_parts)
+
+    lang_arr = pa.array(langs, type=pa.string())
+    bucket_arr = pa.array(["head", "middle", "tail"], type=pa.string())
+
+    def out(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        li = b.column("__li").to_numpy(zero_copy_only=False)
+        rn = b.column("rn").to_numpy(zero_copy_only=False)
+        ril = rn - off_by_idx[li]          # 1-based rank within lang
+        tercile = (3 * (ril - 1)) // n_by_idx[li]
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            key_col: pc.take(lang_arr, pa.array(li, type=pa.int64())),
+            "n_trans": b.column("n_trans"),
+            "mbits": b.column("mbits"),
+            "bucket": pc.take(bucket_arr,
+                              pa.array(tercile, type=pa.int64())),
+        })
+
+    return r1.map_batches(out, batch_format="pyarrow")

@@ -115,3 +115,52 @@ def test_per_lang_models_isolated(ray_session):
     )
     r = lm_score_by(stray, models).take_all()[0]
     assert r["n_oov"] == 3 and r["sum_prefix_c"] == 0
+
+
+def test_ccnet_buckets_terciles_and_invariance(ray_session):
+    import math
+
+    import ray.data
+
+    from smartreader_ray.functions.lm import ccnet_head_middle_tail
+
+    # 6 en docs of increasing OOV-ness vs a tiny held set, 3 de docs
+    held = [
+        {"doc_id": 100, "lang": "en", "text": "a b a b a b a b"},
+        {"doc_id": 101, "lang": "de", "text": "x y x y x y"},
+    ]
+    rows = [
+        {"doc_id": 0, "lang": "en", "text": "a b a b"},     # in-model
+        {"doc_id": 1, "lang": "en", "text": "a b a q"},
+        {"doc_id": 2, "lang": "en", "text": "a q a q"},
+        {"doc_id": 3, "lang": "en", "text": "q q a b"},
+        {"doc_id": 4, "lang": "en", "text": "q q q b"},
+        {"doc_id": 5, "lang": "en", "text": "q q q q"},     # all OOV
+        {"doc_id": 6, "lang": "de", "text": "x y x y"},
+        {"doc_id": 7, "lang": "de", "text": "x q x y"},
+        {"doc_id": 8, "lang": "de", "text": "q q q q"},
+    ]
+
+    def run(parts):
+        ds = ray.data.from_items(rows).repartition(parts)
+        hd = ray.data.from_items(held).repartition(2)
+        out = ccnet_head_middle_tail(ds, hd, num_parts=4).take_all()
+        return {r["doc_id"]: (r["lang"], r["bucket"], r["mbits"],
+                              r["n_trans"]) for r in out}
+
+    got = run(1)
+    # per-lang terciles: en 6 docs -> 2/2/2, de 3 docs -> 1/1/1, in
+    # increasing code-length (decreasing quality) order
+    # hand-ranked by stamped key (mbits*100//n_trans): doc0 35.9M,
+    # doc3 84.5M, doc1 89.6M, doc4 = doc5 109.9M (doc_id tiebreak),
+    # doc2 166.3M
+    assert [got[i][1] for i in range(6)] == [
+        "head", "middle", "tail", "head", "middle", "tail"]
+    assert [got[i][1] for i in (6, 7, 8)] == ["head", "middle", "tail"]
+    # stamp exactness: doc 0 replays by hand against the held-en model
+    # c2: (a,b)=4 (b,a)=3; c1: a=4 b=3; V=3
+    w_ab = math.floor(1e6 * math.log((4 + 3) / (4 + 1)))
+    w_ba = math.floor(1e6 * math.log((3 + 3) / (3 + 1)))
+    assert got[0][2] == 2 * w_ab + w_ba and got[0][3] == 3
+    # partitioning invariance
+    assert got == run(4)
