@@ -858,6 +858,22 @@ def _q_ccnet_buckets(sf_dir: str):
     )
 
 
+def _q_zipf_fit(sf_dir: str):
+    """Per-source Zipf-law slope (`functions/ngrams.py: zipf_fit`):
+    OLS of ln(freq) on ln(rank) over each source's term-frequency
+    table, with all ln values stamped as int64 milli-nats and the fit
+    ingredients as exact integer sums — the whole row, float slope
+    included (closed form on the ints, round 6), is hash-gated."""
+    from smartreader_ray.functions import zipf_fit
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"])
+    return zipf_fit(docs)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals. The oracle compares the exact
     integer counts (distinct tokens, top-bigram count); the float
@@ -5681,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_by_lang": _q_lm_perplexity_by_lang,
         "lm_gate_chain": _q_lm_gate_chain,
         "ccnet_buckets": _q_ccnet_buckets,
+        "zipf_fit": _q_zipf_fit,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -7091,6 +7108,54 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 1 THEN 'middle'
                        ELSE 'tail' END AS bucket
             FROM r
+        """,
+        # zipf_fit: stamp ln(rank)/ln(count) as int64 milli-nats
+        # (FLOOR(1000*ln(...)) — libm both sides), sum the OLS
+        # ingredients as exact ints, closed-form slope rounded to 6.
+        "zipf_fit": """
+            WITH base AS (
+                SELECT source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tok AS (
+                SELECT source, a[i] AS term
+                FROM base, UNNEST(generate_series(1, len(a))) AS u(i)
+            ),
+            c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY source, term),
+            r AS (
+                SELECT source, c,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY c DESC, term) AS rk
+                FROM c
+            ),
+            st AS (
+                SELECT source, c,
+                       CAST(FLOOR(1000.0 * ln(CAST(rk AS DOUBLE)))
+                            AS BIGINT) AS x,
+                       CAST(FLOOR(1000.0 * ln(CAST(c AS DOUBLE)))
+                            AS BIGINT) AS y
+                FROM r
+            ),
+            s AS (
+                SELECT source,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_terms,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM st GROUP BY source
+            )
+            SELECT source, n_tokens, n_terms, sx, sy, sxx, sxy,
+                   CASE WHEN n_terms < 2 THEN NULL ELSE round(
+                       (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   END AS slope
+            FROM s
         """,
         # substring_lcs: a shared token run of length L >= 8 appears as
         # exactly L-7 consecutive 8-token window matches on one

@@ -69,7 +69,7 @@ from .textstats import (
     token_stats,
 )
 from .ngrams import (bigram_counts, bm25_search, cooccurrence_window,
-                     term_doc_freq, tfidf_top_terms)
+                     term_doc_freq, tfidf_top_terms, zipf_fit)
 from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
@@ -97,6 +97,7 @@ __all__ = [
     "lm_score",
     "train_bigram_lm",
     "ccnet_head_middle_tail",
+    "zipf_fit",
     "connected_components",
     "label_propagation_components",
     "passage_clusters",

@@ -920,3 +920,108 @@ def source_cosine(ds, text_col: str = "text", source_col: str = "source",
     return (counts.repartition(1)
             .map_batches(pairwise, batch_format="pyarrow")
             .sort(["source_a", "source_b"]))
+
+
+def zipf_fit(ds, text_col: str = "text", source_col: str = "source",
+             scale: int = 1000):
+    """Per-source Zipf-law fit: OLS slope of ln(frequency) on ln(rank)
+    over the source's term-frequency table — natural text sits near
+    slope −1 (Zipf 1949, public); templated/machine junk drifts far
+    from it, making the slope a cheap per-source quality audit beside
+    ``simpson_concentration`` and ``source_entropy``.
+
+    Exactness: ln values are stamped as int64 milli-nats
+    (``floor(scale·ln(v))``, libm ``math.log`` — the DSIR stamp
+    discipline) and the OLS ingredients are their order-independent
+    integer sums: per source ``n_terms, sx=Σx, sy=Σy, sxx=Σx², sxy=Σxy``
+    with x = stamp(rank), y = stamp(count), rank by (count desc, term).
+    ``slope`` is the closed form on those ints rounded to 6 — the SQL
+    oracle replays every step. Overflow regime: stamps ≤ scale·ln(3e9)
+    ≈ 2.2e4, so Σx² fits int64 to ~1.9e10 terms/source; loud guard at
+    1e9 (shard the source past that).
+
+    Ray shape: the same per-block (source, term) precombine →
+    groupby(source, term) Sum vocab-sized exchange as
+    ``simpson_concentration``, then ONE vectorized ``map_groups`` call
+    per source over its vocab-sized count table (sources are few; the
+    documented partitioning assumption is one source's vocabulary fits
+    a group task).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.cast(b.column(text_col), pa.string())
+        filled = pc.coalesce(text, pa.scalar("", type=pa.string()))
+        toks = pc.split_pattern(
+            pc.utf8_trim_whitespace(filled), " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(
+            np.asarray(b.column(source_col).to_pylist(), dtype=object), lens)
+        df = pd.DataFrame({"source": src,
+                           "term": toks.flatten().to_pandas()})
+        g = df.groupby(["source", "term"], sort=False).size().reset_index()
+        return pa.Table.from_pydict({
+            "source": pa.array(g["source"], type=pa.string()),
+            "term": pa.array(g["term"], type=pa.string()),
+            "c": pa.array(g[0].to_numpy(), type=pa.int64()),
+        })
+
+    counts = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    fscale = float(scale)
+
+    def fit(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("c", "descending"), ("term", "ascending")])
+        c = group.take(order).column("c").to_numpy(zero_copy_only=False)
+        n = len(c)
+        if n == 0:
+            return pa.Table.from_pydict({
+                "source": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_terms": pa.array([], type=pa.int64()),
+                "sx": pa.array([], type=pa.int64()),
+                "sy": pa.array([], type=pa.int64()),
+                "sxx": pa.array([], type=pa.int64()),
+                "sxy": pa.array([], type=pa.int64()),
+                "slope": pa.array([], type=pa.float64()),
+            })
+        if n > 1_000_000_000 or int(c.max()) > 3_000_000_000:
+            raise OverflowError(
+                "zipf_fit: source vocabulary or a term count exceeds the "
+                "int64-exact stamp-sum regime — shard the source first")
+        # libm stamps (scalar math.log, never np.log: vectorized log can
+        # differ from libm in the last ulp and flip a floor)
+        x = np.fromiter(
+            (math.floor(fscale * math.log(float(r)))
+             for r in range(1, n + 1)), dtype=np.int64, count=n)
+        y = np.fromiter(
+            (math.floor(fscale * math.log(float(v)))
+             for v in c.tolist()), dtype=np.int64, count=n)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        if n < 2:
+            slope = None
+        else:
+            den = float(n) * float(sxx) - float(sx) * float(sx)
+            slope = round(
+                (float(n) * float(sxy) - float(sx) * float(sy)) / den, 6)
+        return pa.Table.from_pydict({
+            "source": group.column("source").slice(0, 1),
+            "n_tokens": pa.array([int(c.sum())], type=pa.int64()),
+            "n_terms": pa.array([n], type=pa.int64()),
+            "sx": pa.array([sx], type=pa.int64()),
+            "sy": pa.array([sy], type=pa.int64()),
+            "sxx": pa.array([sxx], type=pa.int64()),
+            "sxy": pa.array([sxy], type=pa.int64()),
+            "slope": pa.array([slope], type=pa.float64()),
+        })
+
+    return counts.groupby("source").map_groups(fit, batch_format="pyarrow")

@@ -308,3 +308,39 @@ def test_bm25_search_matches_brute_force(ray_session):
     assert [(r["doc_id"], r["score"]) for r in out] == want
     # doc 4 matches nothing and must be absent
     assert 4 not in {r["doc_id"] for r in out}
+
+
+def test_zipf_fit_hand_and_invariance(ray_session):
+    import math
+
+    import ray.data
+
+    from smartreader_ray.functions import zipf_fit
+
+    rows = [
+        {"source": "s1", "text": "a a a b b c"},
+        {"source": "s1", "text": "a b"},
+        {"source": "s2", "text": "z"},
+    ]
+
+    def run(parts):
+        return {r["source"]: r for r in zipf_fit(
+            ray.data.from_items(rows).repartition(parts)).take_all()}
+
+    got = run(1)
+    # s1 counts: a=4, b=3, c=1 -> ranks 1,2,3
+    x = [math.floor(1000.0 * math.log(float(r))) for r in (1, 2, 3)]
+    y = [math.floor(1000.0 * math.log(float(v))) for v in (4, 3, 1)]
+    s1 = got["s1"]
+    assert s1["n_tokens"] == 8 and s1["n_terms"] == 3
+    assert s1["sx"] == sum(x) and s1["sy"] == sum(y)
+    assert s1["sxx"] == sum(v * v for v in x)
+    assert s1["sxy"] == sum(a * b for a, b in zip(x, y))
+    n = 3
+    den = float(n) * float(s1["sxx"]) - float(s1["sx"]) * float(s1["sx"])
+    exp = round((float(n) * float(s1["sxy"])
+                 - float(s1["sx"]) * float(s1["sy"])) / den, 6)
+    assert s1["slope"] == exp and exp < 0       # Zipf slope is negative
+    # single-term source: slope undefined
+    assert got["s2"]["n_terms"] == 1 and got["s2"]["slope"] is None
+    assert got == run(3)
