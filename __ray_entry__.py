@@ -289,6 +289,33 @@ def _q_ann_ivf_bucketed(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def _q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining (`functions/similarity.py:
+    hard_negatives`): for each of the first 20 vectors, the top-3
+    most-cosine-similar vectors with a DIFFERENT label — broadcast
+    anchors, masked per-block matmul, partial top-k. Hash gate on
+    (query_id, vec_id, rank) like ann_topk."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from smartreader_ray.functions import hard_negatives
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    rows = sorted(zip(t.column("vec_id").to_pylist(),
+                      t.column("embedding").to_pylist(),
+                      t.column("label").to_pylist()))[:20]
+    qm = np.asarray([r[1] for r in rows], dtype=np.float64)
+    ql = np.asarray([r[2] for r in rows], dtype=np.int64)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    out = hard_negatives(ds, qm, ql, k=3)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_simhash(sf_dir: str):
     from smartreader_ray.functions import simhash_neardup
 
@@ -5698,6 +5725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_gate_chain": _q_lm_gate_chain,
         "ccnet_buckets": _q_ccnet_buckets,
         "zipf_fit": _q_zipf_fit,
+        "hard_negatives": _q_hard_negatives,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -7108,6 +7136,25 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 1 THEN 'middle'
                        ELSE 'tail' END AS bucket
             FROM r
+        """,
+        # hard_negatives: different-label top-3 by cosine, rank ties on
+        # vec_id — the ann_topk compare shape with a label mask.
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS ql,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM q JOIN embeddings e ON e.label <> q.ql
+            ) WHERE rank <= 3
         """,
         # zipf_fit: stamp ln(rank)/ln(count) as int64 milli-nats
         # (FLOOR(1000*ln(...)) — libm both sides), sum the OLS

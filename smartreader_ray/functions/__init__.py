@@ -44,6 +44,7 @@ from .similarity import (
     ann_topk,
     bitext_mine,
     embedding_neardup,
+    hard_negatives,
     ivf_build_index,
     kmeans_centroids,
 )
@@ -98,6 +99,7 @@ __all__ = [
     "train_bigram_lm",
     "ccnet_head_middle_tail",
     "zipf_fit",
+    "hard_negatives",
     "connected_components",
     "label_propagation_components",
     "passage_clusters",

@@ -1079,3 +1079,96 @@ def bitext_mine(ds, src_label: int = 0, tgt_label: int = 1,
 
     return side(src_label).map_batches(
         mine, batch_format="pyarrow").sort("src_id")
+
+
+class _HardNegPartial:
+    """Per-batch partial top-k of DIFFERENT-label neighbors against a
+    broadcast (queries, labels) pair — the masking twin of
+    :class:`_TopKPartial`."""
+
+    def __init__(self, queries_ref, qlabels_ref, k: int):
+        import ray
+
+        self.queries = _normalize(
+            np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.qlabels = np.asarray(ray.get(qlabels_ref), dtype=np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_embeddings_matrix(batch))
+        sims = self.queries @ mat.T  # (Q, B)
+        labels = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # a same-label column can never be a hard negative (this also
+        # removes the query's own row)
+        sims[self.qlabels[:, None] == labels[None, :]] = -np.inf
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = (np.argpartition(-row, k - 1)[:k]
+                   if k < len(row) else np.arange(len(row)))
+            for i in idx:
+                if row[i] == -np.inf:
+                    continue
+                out_q.append(qi)
+                out_v.append(int(vec_ids[i]))
+                out_s.append(float(row[i]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def hard_negatives(ds, query_matrix: np.ndarray, query_labels: np.ndarray,
+                   k: int = 3, round_to: int = 6):
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-k most-similar vectors whose ``label`` DIFFERS from
+    the anchor's — the standard in-batch-negatives upgrade (mine the
+    near-misses, not random negatives). Returns (query_id, vec_id, sim,
+    rank) ordered by (query_id, −sim, vec_id), deterministic under ties.
+
+    Same scale shape as :func:`ann_topk`: broadcast the (Q×d) anchor
+    matrix + Q labels once via ``ray.put``, one masked matmul per block
+    (partial top-k per block, ≤ Q·k rows leave any block), tiny driver
+    heap merge. Q is small by construction; for large Q switch the merge
+    to groupby(query_id) top-k as named in ``ann_topk``.
+    """
+    import ray
+
+    queries_ref = ray.put(np.asarray(query_matrix, dtype=np.float64))
+    qlabels_ref = ray.put(np.asarray(query_labels, dtype=np.int64))
+    partials = ds.map_batches(
+        _HardNegPartial,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref,
+                                   qlabels_ref=qlabels_ref, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    heaps: dict[int, list] = {}
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for q, v, s in zip(batch.column("query_id").to_pylist(),
+                           batch.column("vec_id").to_pylist(),
+                           batch.column("sim").to_pylist()):
+            heap = heaps.setdefault(q, [])
+            item = (s, -v)  # tie-break: smaller vec_id wins
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for q in sorted(heaps):
+        ranked = sorted(heaps[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negv) in enumerate(ranked, start=1):
+            out_q.append(q)
+            out_v.append(-negv)
+            out_s.append(round(s, round_to))
+            out_r.append(rank)
+    return pa.Table.from_pydict({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "sim": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })

@@ -200,3 +200,31 @@ class TestPQADCTopK:
         with pytest.raises(ValueError, match="queries must be"):
             pq_adc_topk(ray.data.from_arrow(t), np.zeros((2, 8)),
                         np.zeros(8), n_subspaces=2)
+
+
+def test_hard_negatives_masks_same_label(ray_session):
+    import numpy as np
+    import ray.data
+
+    from smartreader_ray.functions import hard_negatives
+
+    # anchor 0 (label 0) is nearly identical to vec 1 (label 0 — must be
+    # masked) and close to vec 2 (label 1 — the true hard negative)
+    vecs = [
+        {"vec_id": 0, "embedding": [1.0, 0.0], "label": 0},
+        {"vec_id": 1, "embedding": [0.999, 0.01], "label": 0},
+        {"vec_id": 2, "embedding": [0.9, 0.1], "label": 1},
+        {"vec_id": 3, "embedding": [0.0, 1.0], "label": 1},
+        {"vec_id": 4, "embedding": [-1.0, 0.0], "label": 2},
+    ]
+
+    def run(parts):
+        ds = ray.data.from_items(vecs).repartition(parts)
+        t = hard_negatives(
+            ds, np.array([[1.0, 0.0]]), np.array([0]), k=2)
+        return list(zip(t.column("vec_id").to_pylist(),
+                        t.column("rank").to_pylist()))
+
+    got = run(1)
+    assert got == [(2, 1), (3, 2)]      # never vec 1 (same label) / self
+    assert got == run(3)                # partitioning invariance
