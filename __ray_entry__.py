@@ -885,6 +885,22 @@ def _q_ccnet_buckets(sf_dir: str):
     )
 
 
+def _q_source_crossent(sf_dir: str):
+    """Cross-source LM divergence matrix (`functions/lm.py:
+    source_crossent`): total stamped code length of each source's
+    transitions under every source's bigram model — one distributed
+    (source, w1, w2) count pass, driver-side vocab²-bounded math,
+    every cell an exact int64 the oracle replays."""
+    import ray.data
+
+    from smartreader_ray.functions import source_crossent
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"])
+    return source_crossent(docs)
+
+
 def _q_zipf_fit(sf_dir: str):
     """Per-source Zipf-law slope (`functions/ngrams.py: zipf_fit`):
     OLS of ln(freq) on ln(rank) over each source's term-frequency
@@ -5726,6 +5742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "zipf_fit": _q_zipf_fit,
         "hard_negatives": _q_hard_negatives,
+        "source_crossent": _q_source_crossent,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -7136,6 +7153,45 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 1 THEN 'middle'
                        ELSE 'tail' END AS bucket
             FROM r
+        """,
+        # source_crossent: every source's transition counts scored under
+        # every source's add-one bigram model with the stamped micro-nat
+        # discipline (FLOOR(1e6*ln(float division)), libm both sides).
+        "source_crossent": """
+            WITH alld AS (
+                SELECT source, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT source, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            tc AS (SELECT source AS dsrc, w1, w2,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM tr GROUP BY source, w1, w2),
+            c2 AS (SELECT source AS msrc, w1, w2, COUNT(*) AS c
+                   FROM tr GROUP BY source, w1, w2),
+            c1 AS (SELECT source AS msrc, w1, COUNT(*) AS c
+                   FROM tr GROUP BY source, w1),
+            v AS (SELECT source AS msrc, COUNT(DISTINCT w1) + 1 AS vv
+                  FROM tr GROUP BY source),
+            x AS (
+                SELECT tc.dsrc, v.msrc, tc.cnt,
+                       COALESCE(c2.c, 0) AS cc2,
+                       COALESCE(c1.c, 0) AS cc1,
+                       v.vv
+                FROM tc CROSS JOIN v
+                LEFT JOIN c2 ON c2.msrc = v.msrc AND c2.w1 = tc.w1
+                            AND c2.w2 = tc.w2
+                LEFT JOIN c1 ON c1.msrc = v.msrc AND c1.w1 = tc.w1
+            )
+            SELECT dsrc AS data_source, msrc AS model_source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_trans,
+                   CAST(SUM(cnt * CAST(FLOOR(1000000.0 * ln(
+                       CAST(cc1 + vv AS DOUBLE)
+                       / CAST(cc2 + 1 AS DOUBLE))) AS BIGINT))
+                       AS BIGINT) AS mbits
+            FROM x GROUP BY dsrc, msrc
         """,
         # hard_negatives: different-label top-3 by cosine, rank ties on
         # vec_id — the ann_topk compare shape with a label mask.

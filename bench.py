@@ -262,7 +262,7 @@ def run_main() -> dict:
         "novelty_decay", "source_entropy",
         "simpson_diversity", "lru_hits", "mrc_curve",
         "priority_dedup", "diversity_mix_chain", "source_cosine",
-        "ccnet_buckets", "zipf_fit", "hard_negatives",
+        "ccnet_buckets", "zipf_fit", "hard_negatives", "source_crossent",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

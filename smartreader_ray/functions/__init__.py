@@ -6,7 +6,8 @@ rules: pre-aggregate inside map_batches before any groupby; broadcast
 small sides with ray.put; vectorize with numpy/pyarrow.compute.
 """
 
-from .lm import ccnet_head_middle_tail, lm_score, train_bigram_lm
+from .lm import (ccnet_head_middle_tail, lm_score, source_crossent,
+                 train_bigram_lm)
 from .dedup import (
     connected_components,
     label_propagation_components,
@@ -100,6 +101,7 @@ __all__ = [
     "ccnet_head_middle_tail",
     "zipf_fit",
     "hard_negatives",
+    "source_crossent",
     "connected_components",
     "label_propagation_components",
     "passage_clusters",

@@ -502,3 +502,63 @@ def ccnet_head_middle_tail(ds, held, key_col: str = "lang",
         })
 
     return r1.map_batches(out, batch_format="pyarrow")
+
+
+def source_crossent(ds, key_col: str = "source", text_col: str = "text"):
+    """Cross-source LM divergence matrix: for every (data source d,
+    model source m) pair, the total stamped code length of d's
+    transitions under m's add-one bigram model — the "which sources are
+    distributionally similar / which mixture components are redundant"
+    audit (rows with small off-diagonal mbits/n_trans are
+    near-duplicates in distribution; the diagonal is training code
+    length). Complements ``source_cosine`` (surface lexical overlap)
+    with sequential structure.
+
+    ONE distributed count pass (the same (key, w1, w2) exchange as
+    :func:`train_bigram_lm_by`); everything after is driver-side math
+    on the vocab²-bounded count dicts — the per-pair sum
+    ``Σ_bg cnt_d(bg) · stamp_m(bg)`` never touches corpus-sized data.
+    Stamps are the DSIR/:class:`_MbitsScorerBy` int64 micro-nats
+    (libm ``math.log`` on an explicit float division, floor), so every
+    cell is an exact integer the SQL oracle replays. Output: one row
+    per (data_source, model_source) with ``n_trans`` (d's transition
+    count) and ``mbits``.
+    """
+    import math
+
+    models = train_bigram_lm_by(ds, key_col=key_col, text_col=text_col)
+    srcs = sorted(models)
+    stamp: dict = {}
+    pfx: dict = {}
+    oov: dict = {}
+    for k in srcs:
+        m = models[k]
+        c2, c1, V = m["c2"], m["c1"], m["V"]
+        stamp[k] = {bg: math.floor(1_000_000.0 * math.log(
+            float(c1[bg[0]] + V) / float(n + 1))) for bg, n in c2.items()}
+        pfx[k] = {a: math.floor(1_000_000.0 * math.log(
+            float(n + V) / 1.0)) for a, n in c1.items()}
+        oov[k] = math.floor(1_000_000.0 * math.log(float(V) / 1.0))
+
+    d_col, m_col, nt_col, mb_col = [], [], [], []
+    for d in srcs:
+        c2d = models[d]["c2"]
+        n_tr = sum(c2d.values())
+        for m in srcs:
+            st, pf, ov = stamp[m], pfx[m], oov[m]
+            s = 0
+            for bg, cnt in c2d.items():
+                w = st.get(bg)
+                if w is None:
+                    w = pf.get(bg[0], ov)
+                s += cnt * w
+            d_col.append(d)
+            m_col.append(m)
+            nt_col.append(n_tr)
+            mb_col.append(s)
+    return pa.Table.from_pydict({
+        "data_source": pa.array(d_col, type=pa.string()),
+        "model_source": pa.array(m_col, type=pa.string()),
+        "n_trans": pa.array(nt_col, type=pa.int64()),
+        "mbits": pa.array(mb_col, type=pa.int64()),
+    })

@@ -164,3 +164,40 @@ def test_ccnet_buckets_terciles_and_invariance(ray_session):
     assert got[0][2] == 2 * w_ab + w_ba and got[0][3] == 3
     # partitioning invariance
     assert got == run(4)
+
+
+def test_source_crossent_diagonal_minimal(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import source_crossent
+
+    rows = [
+        {"source": "s1", "text": "a b a b a b"},
+        {"source": "s2", "text": "x y x y x y"},
+        {"source": "s3", "text": "a b a b x y"},
+    ]
+
+    def run(parts):
+        t = source_crossent(ray.data.from_items(rows).repartition(parts))
+        return {(d, m): (n, b) for d, m, n, b in zip(
+            t.column("data_source").to_pylist(),
+            t.column("model_source").to_pylist(),
+            t.column("n_trans").to_pylist(),
+            t.column("mbits").to_pylist())}
+
+    got = run(1)
+    assert len(got) == 9
+    # hand-replay the s1 diagonal: transitions (a,b)x3 (b,a)x2,
+    # c1: a=3 b=2, V=3
+    import math
+
+    w_ab = math.floor(1e6 * math.log((3 + 3) / (3 + 1)))
+    w_ba = math.floor(1e6 * math.log((2 + 3) / (2 + 1)))
+    assert got[("s1", "s1")] == (5, 3 * w_ab + 2 * w_ba)
+    # s1 data under s2's model: every transition OOV-prefix (a,b not in
+    # s2's vocab), stamp = floor(1e6*ln(V)) with V=3
+    assert got[("s1", "s2")][1] == 5 * math.floor(1e6 * math.log(3.0))
+    # s3 shares bigrams with s1 but none with s2 — s1's model codes s3
+    # shorter than s2's (all-OOV) model does
+    assert got[("s3", "s1")][1] < got[("s3", "s2")][1]
+    assert got == run(3)
