@@ -885,6 +885,32 @@ def _q_ccnet_buckets(sf_dir: str):
     )
 
 
+def _q_ccnet_keep_chain(sf_dir: str):
+    """Composed chain #22: the full CCNet curation move — per-lang LM
+    tercile bucketing (`ccnet_buckets`) → DROP the tail tercile → the
+    kept corpus per language (docs, transitions, total code length).
+    One streaming filter + rollup over the bucket stage; ONE SQL
+    statement as oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    buckets = _q_ccnet_buckets(sf_dir)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.not_equal(b.column("bucket"), pa.scalar("tail"))
+        ).select(["lang", "n_trans", "mbits"])
+
+    return (
+        buckets.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_trans", alias_name="total_trans"),
+                   Sum("mbits", alias_name="total_mbits"))
+    )
+
+
 def _q_source_crossent(sf_dir: str):
     """Cross-source LM divergence matrix (`functions/lm.py:
     source_crossent`): total stamped code length of each source's
@@ -5743,6 +5769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "hard_negatives": _q_hard_negatives,
         "source_crossent": _q_source_crossent,
+        "ccnet_keep_chain": _q_ccnet_keep_chain,
         "pack_sequences": _q_pack_sequences,
         "asof_purchase": _q_asof_purchase,
         "value_quantiles": _q_value_quantiles,
@@ -5913,6 +5940,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_sales": _q_cube_sales,
         "hourly_profile": _q_hourly_profile,
     }
+
+
+# Shared CTE chain for the ccnet_buckets / ccnet_keep_chain oracles:
+# per-lang held-slice bigram counts -> stamped micro-nat code lengths
+# -> per-doc integer sums -> within-lang rank (the engine replays the
+# identical stamps via libm math.log — see functions/lm.py).
+_CCNET_CTES = """
+            WITH held AS (
+                SELECT lang, string_split(trim(text), ' ') AS a
+                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
+            ),
+            tr_h AS (
+                SELECT lang, a[i] AS w1, a[i+1] AS w2
+                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            c2 AS (SELECT lang, w1, w2, COUNT(*) AS c
+                   FROM tr_h GROUP BY lang, w1, w2),
+            c1 AS (SELECT lang, w1, COUNT(*) AS c
+                   FROM tr_h GROUP BY lang, w1),
+            v AS (SELECT lang, COUNT(DISTINCT w1) + 1 AS vv
+                  FROM tr_h GROUP BY lang),
+            alld AS (
+                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            tr AS (
+                SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2
+                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+            ),
+            j AS (
+                SELECT tr.doc_id, tr.lang,
+                       COALESCE(c2.c, 0) AS cc2,
+                       COALESCE(c1.c, 0) AS cc1,
+                       COALESCE(v.vv, 1) AS vv
+                FROM tr
+                LEFT JOIN c2 ON tr.lang = c2.lang AND tr.w1 = c2.w1
+                            AND tr.w2 = c2.w2
+                LEFT JOIN c1 ON tr.lang = c1.lang AND tr.w1 = c1.w1
+                LEFT JOIN v ON tr.lang = v.lang
+            ),
+            s AS (
+                SELECT doc_id, lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_trans,
+                       CAST(SUM(CAST(FLOOR(1000000.0 * ln(
+                           CAST(cc1 + vv AS DOUBLE)
+                           / CAST(cc2 + 1 AS DOUBLE))) AS BIGINT))
+                           AS BIGINT) AS mbits
+                FROM j GROUP BY doc_id, lang
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (mbits * 100) // n_trans, doc_id
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS nl
+                FROM s
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7094,65 +7180,32 @@ def oracle_sql() -> dict[str, str]:
         # as stamped int64 micro-nats (FLOOR(1e6*ln(float division)) —
         # the DSIR stamp discipline, bit-identical to the engine's libm
         # math.log), sum per doc, integer rank key, tercile by
-        # row_number within lang.
-        "ccnet_buckets": """
-            WITH held AS (
-                SELECT lang, string_split(trim(text), ' ') AS a
-                FROM documents WHERE doc_id % 10 = 0 AND doc_id < 25000
-            ),
-            tr_h AS (
-                SELECT lang, a[i] AS w1, a[i+1] AS w2
-                FROM held, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
-            ),
-            c2 AS (SELECT lang, w1, w2, COUNT(*) AS c
-                   FROM tr_h GROUP BY lang, w1, w2),
-            c1 AS (SELECT lang, w1, COUNT(*) AS c
-                   FROM tr_h GROUP BY lang, w1),
-            v AS (SELECT lang, COUNT(DISTINCT w1) + 1 AS vv
-                  FROM tr_h GROUP BY lang),
-            alld AS (
-                SELECT doc_id, lang, string_split(trim(text), ' ') AS a
-                FROM documents
-            ),
-            tr AS (
-                SELECT doc_id, lang, a[i] AS w1, a[i+1] AS w2
-                FROM alld, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
-            ),
-            j AS (
-                SELECT tr.doc_id, tr.lang,
-                       COALESCE(c2.c, 0) AS cc2,
-                       COALESCE(c1.c, 0) AS cc1,
-                       COALESCE(v.vv, 1) AS vv
-                FROM tr
-                LEFT JOIN c2 ON tr.lang = c2.lang AND tr.w1 = c2.w1
-                            AND tr.w2 = c2.w2
-                LEFT JOIN c1 ON tr.lang = c1.lang AND tr.w1 = c1.w1
-                LEFT JOIN v ON tr.lang = v.lang
-            ),
-            s AS (
-                SELECT doc_id, lang,
-                       CAST(COUNT(*) AS BIGINT) AS n_trans,
-                       CAST(SUM(CAST(FLOOR(1000000.0 * ln(
-                           CAST(cc1 + vv AS DOUBLE)
-                           / CAST(cc2 + 1 AS DOUBLE))) AS BIGINT))
-                           AS BIGINT) AS mbits
-                FROM j GROUP BY doc_id, lang
-            ),
-            r AS (
-                SELECT *,
-                       row_number() OVER (
-                           PARTITION BY lang
-                           ORDER BY (mbits * 100) // n_trans, doc_id
-                       ) AS rn,
-                       COUNT(*) OVER (PARTITION BY lang) AS nl
-                FROM s
-            )
+        # row_number within lang. (_CCNET_CTES shared with
+        # ccnet_keep_chain below — one definition, two consumers.)
+        "ccnet_buckets": _CCNET_CTES + """
             SELECT doc_id, lang, n_trans, mbits,
                    CASE (3 * (rn - 1)) // nl
                        WHEN 0 THEN 'head'
                        WHEN 1 THEN 'middle'
                        ELSE 'tail' END AS bucket
             FROM r
+        """,
+        # ccnet_keep_chain: drop the tail tercile, roll up the kept
+        # corpus per language.
+        "ccnet_keep_chain": _CCNET_CTES + """
+            , b AS (
+                SELECT lang, n_trans, mbits,
+                       CASE (3 * (rn - 1)) // nl
+                           WHEN 0 THEN 'head'
+                           WHEN 1 THEN 'middle'
+                           ELSE 'tail' END AS bucket
+                FROM r
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_trans) AS BIGINT) AS total_trans,
+                   CAST(SUM(mbits) AS BIGINT) AS total_mbits
+            FROM b WHERE bucket <> 'tail' GROUP BY lang
         """,
         # source_crossent: every source's transition counts scored under
         # every source's add-one bigram model with the stamped micro-nat
