@@ -383,13 +383,24 @@ def range_join(left, right, by: str, on: str,
     if overlap and mode == "pairs":
         raise ValueError(f"output column collision: {sorted(overlap)}")
 
-    def _types(ds, cols):
-        m = dict(zip(ds.schema().names, ds.schema().types))
+    # fetch each side's schema exactly once (schema() on a lazy Dataset
+    # can trigger execution)
+    lschema, rschema = left.schema(), right.schema()
+
+    def _types(schema, cols):
+        m = dict(zip(schema.names, schema.types))
         return [(c, m[c]) for c in cols]
 
-    l_types = _types(left, left_cols)
-    r_types = _types(right, right_cols) if mode == "pairs" else []
+    l_types = _types(lschema, left_cols)
+    r_types = _types(rschema, right_cols) if mode == "pairs" else []
     r_keep = right_cols if mode == "pairs" else []
+
+    # keep the NATIVE key type when both sides agree — an int64 key
+    # ships 8 bytes/row and sorts in-register; string only reconciles
+    # mismatched types (same rule as hash_join)
+    lb = dict(zip(lschema.names, lschema.types))[by]
+    rb = dict(zip(rschema.names, rschema.types))[by]
+    key_type = lb if lb == rb else pa.string()
 
     NULL_PART = -1
 
@@ -408,7 +419,7 @@ def range_join(left, right, by: str, on: str,
             if not keep_nulls:
                 batch = batch.filter(valid)
             n = batch.num_rows
-            keys = pc.cast(batch.column(by), pa.string())
+            keys = pc.cast(batch.column(by), key_type)
             parts = (_key_hash_u64(keys)
                      % np.uint64(num_partitions)).astype(np.int64)
             if keep_nulls:
@@ -591,13 +602,22 @@ def asof_join(left, right, by: str, on: str,
     if overlap:
         raise ValueError(f"output column collision: {sorted(overlap)}")
 
-    def _types(ds, cols):
-        schema = ds.schema()
+    # fetch each side's schema exactly once (schema() on a lazy Dataset
+    # can trigger execution)
+    lschema, rschema = left.schema(), right.schema()
+
+    def _types(schema, cols):
         m = dict(zip(schema.names, schema.types))
         return [(c, m[c]) for c in cols]
 
-    l_types = _types(left, left_cols)
-    r_types = _types(right, right_cols)
+    l_types = _types(lschema, left_cols)
+    r_types = _types(rschema, right_cols)
+
+    # keep the NATIVE key type when both sides agree (same rule as
+    # hash_join/range_join); string only reconciles mismatched types
+    lb = dict(zip(lschema.names, lschema.types))[by]
+    rb = dict(zip(rschema.names, rschema.types))[by]
+    key_type = lb if lb == rb else pa.string()
 
     NULL_PART = -1
 
@@ -617,7 +637,7 @@ def asof_join(left, right, by: str, on: str,
             if side == 1:
                 batch = batch.filter(valid)
             n = batch.num_rows
-            keys = pc.cast(batch.column(by), pa.string())
+            keys = pc.cast(batch.column(by), key_type)
             parts = (_key_hash_u64(keys)
                      % np.uint64(num_partitions)).astype(np.int64)
             if side == 0:
