@@ -429,7 +429,10 @@ def _emit_report(report: dict) -> None:
     full file, and is asserted under the 2000-char capture window.
     """
     repo = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(repo, "BENCH", "bench_full.json")
+    # a --scaling report has no per-query dict — keep it in its own file
+    # so it can never clobber the full per-query artifact
+    name = "bench_full.json" if report.get("queries") else "scaling.json"
+    full_path = os.path.join(repo, "BENCH", name)
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
         with open(full_path, "w") as f:
