@@ -4965,19 +4965,15 @@ def _q_audio_autocorr(sf_dir: str):
     return feats.map_batches(thin, batch_format="pyarrow")
 
 
-def _q_caption_pairs(sf_dir: str):
-    """Interleaved text⇄media alignment (`spanio.py:
-    caption_pairs_batch`): every media span paired with its caption —
-    own alt text, else nearest non-empty text span (preceding wins
-    ties). The span table is synthesized deterministically from
-    `documents` (5-token text chunks, an image after every 3rd chunk,
-    a leading image when doc_id%4==0, planted alts) so the oracle can
-    rebuild the identical interleaving and replay the pairing with
-    IGNORE-NULLS windows."""
+def _synth_interleaved_spans():
+    """Deterministic (doc_id, spans) synthesis from `documents` —
+    5-token text chunks, an image after every 3rd chunk, a leading
+    image when doc_id%4==0, planted alts — shared by `caption_pairs`
+    and `interleave_audit` so their oracles can rebuild the identical
+    interleaving (the shared `_SPAN_CTES` SQL prefix)."""
     import pyarrow as pa
-    import ray.data
 
-    from smartreader_ray.spanio import caption_pairs_batch, make_span
+    from smartreader_ray.spanio import make_span
 
     def synth(batch: pa.Table) -> pa.Table:
         rows_doc, rows_spans = [], []
@@ -5005,13 +5001,49 @@ def _q_caption_pairs(sf_dir: str):
             "spans": pa.array(rows_spans),
         })
 
+    return synth
+
+
+def _q_caption_pairs(sf_dir: str):
+    """Interleaved text⇄media alignment (`spanio.py:
+    caption_pairs_batch`): every media span paired with its caption —
+    own alt text, else nearest non-empty text span (preceding wins
+    ties), over the shared deterministic span synthesis
+    (`_synth_interleaved_spans`) so the oracle replays the pairing
+    with IGNORE-NULLS windows."""
+    import ray.data
+
+    from smartreader_ray.spanio import caption_pairs_batch
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )
-    return (ds.map_batches(synth, batch_format="pyarrow")
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
             .map_batches(caption_pairs_batch, batch_format="pyarrow")
             .sort(["doc_id", "offset"]))
+
+
+def _q_interleave_audit(sf_dir: str):
+    """Per-document modality-balance audit (`spanio.py:
+    interleave_stats_batch`): text/media span counts + kind
+    ALTERNATIONS along the span order — the MMC4-style interleaving
+    statistic, fully vectorized over the Arrow list column (one
+    flatten + offsets pass, boundary-safe adjacent compare). Runs on
+    the same deterministic span synthesis as `caption_pairs`; every
+    output column is an exact int64."""
+    import ray.data
+
+    from smartreader_ray.spanio import interleave_stats_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(interleave_stats_batch, batch_format="pyarrow"))
 
 
 def _q_markov_debounced_chain(sf_dir: str):
@@ -5909,6 +5941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_gini": _q_key_gini,
         "audio_autocorr": _q_audio_autocorr,
         "caption_pairs": _q_caption_pairs,
+        "interleave_audit": _q_interleave_audit,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -5998,6 +6031,51 @@ _CCNET_CTES = """
                        COUNT(*) OVER (PARTITION BY lang) AS nl
                 FROM s
             )
+"""
+
+# Shared CTE prefix rebuilding `_synth_interleaved_spans`'s
+# deterministic interleaving in SQL (text chunk offset =
+# lead + j + (j+1)//3; image after chunk j%3==1 at offset+1; leading
+# image at offset 0 when doc_id%4==0; alt planted when (doc_id+j)%5==0)
+# — consumed by the `caption_pairs` and `interleave_audit` oracles.
+_SPAN_CTES = """
+    WITH base AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS a
+        FROM documents
+    ), m AS (
+        SELECT doc_id, a, len(a) AS ntok,
+               CAST(CEIL(len(a) / 5.0) AS BIGINT) AS nc,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS lead
+        FROM base
+    ), chunks AS (
+        SELECT doc_id, t.j AS j,
+               array_to_string(a[t.j * 5 + 1 :
+                                 LEAST(t.j * 5 + 5, ntok)],
+                               ' ') AS ctext,
+               lead + t.j + (t.j + 1) // 3 AS off
+        FROM m, unnest(generate_series(0, nc - 1)) AS t(j)
+    ), imgs AS (
+        SELECT doc_id,
+               'img://' || CAST(doc_id AS VARCHAR) || '/0'
+                   AS media_ref,
+               0 AS off, '' AS alt
+        FROM m WHERE lead = 1
+        UNION ALL
+        SELECT doc_id,
+               'img://' || CAST(doc_id AS VARCHAR) || '/'
+                   || CAST(j + 1 AS VARCHAR),
+               off + 1,
+               CASE WHEN (doc_id + j) % 5 = 0
+                    THEN 'fig ' || CAST(j + 1 AS VARCHAR)
+                    ELSE '' END
+        FROM chunks WHERE j % 3 = 1
+    ), allspans AS (
+        SELECT doc_id, off, 'text' AS kind, ctext AS txt,
+               CAST(NULL AS VARCHAR) AS media_ref
+        FROM chunks
+        UNION ALL
+        SELECT doc_id, off, 'image', alt, media_ref FROM imgs
+    )
 """
 
 
@@ -9654,48 +9732,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN a USING (doc_id) JOIN l1 USING (doc_id)
                  JOIN l2 USING (doc_id) JOIN l4 USING (doc_id)
         """,
-        # caption_pairs: rebuild the deterministic interleaving (text
-        # chunk offset = lead + j + (j+1)//3; image after chunk j%3==1
-        # at offset+1; leading image at 0 when doc_id%4=0) and replay
-        # the nearest-text pairing with IGNORE NULLS windows.
-        "caption_pairs": """
-            WITH base AS (
-                SELECT doc_id, string_split(trim(text), ' ') AS a
-                FROM documents
-            ), m AS (
-                SELECT doc_id, a, len(a) AS ntok,
-                       CAST(CEIL(len(a) / 5.0) AS BIGINT) AS nc,
-                       CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS lead
-                FROM base
-            ), chunks AS (
-                SELECT doc_id, t.j AS j,
-                       array_to_string(a[t.j * 5 + 1 :
-                                         LEAST(t.j * 5 + 5, ntok)],
-                                       ' ') AS ctext,
-                       lead + t.j + (t.j + 1) // 3 AS off
-                FROM m, unnest(generate_series(0, nc - 1)) AS t(j)
-            ), imgs AS (
-                SELECT doc_id,
-                       'img://' || CAST(doc_id AS VARCHAR) || '/0'
-                           AS media_ref,
-                       0 AS off, '' AS alt
-                FROM m WHERE lead = 1
-                UNION ALL
-                SELECT doc_id,
-                       'img://' || CAST(doc_id AS VARCHAR) || '/'
-                           || CAST(j + 1 AS VARCHAR),
-                       off + 1,
-                       CASE WHEN (doc_id + j) % 5 = 0
-                            THEN 'fig ' || CAST(j + 1 AS VARCHAR)
-                            ELSE '' END
-                FROM chunks WHERE j % 3 = 1
-            ), allspans AS (
-                SELECT doc_id, off, 'text' AS kind, ctext AS txt,
-                       CAST(NULL AS VARCHAR) AS media_ref
-                FROM chunks
-                UNION ALL
-                SELECT doc_id, off, 'image', alt, media_ref FROM imgs
-            ), w AS (
+        # caption_pairs: rebuild the deterministic interleaving
+        # (shared _SPAN_CTES prefix) and replay the nearest-text
+        # pairing with IGNORE NULLS windows.
+        "caption_pairs": _SPAN_CTES + """
+            , w AS (
                 SELECT *,
                        last_value(CASE WHEN kind = 'text' THEN txt END
                                   IGNORE NULLS) OVER pw AS ptxt,
@@ -9733,6 +9774,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -1 END AS BIGINT) AS distance
             FROM w WHERE kind = 'image'
             ORDER BY doc_id, "offset"
+        """,
+        # interleave_audit: same span synthesis; alternation = adjacent
+        # spans (by offset, per doc) whose text-vs-media class differs.
+        "interleave_audit": _SPAN_CTES + """
+            , k AS (
+                SELECT doc_id,
+                       CASE WHEN kind = 'text' THEN 1 ELSE 0 END AS it,
+                       lag(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY off)
+                           AS prev_t
+                FROM allspans
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(it) AS BIGINT) AS n_text,
+                   CAST(COUNT(*) - SUM(it) AS BIGINT) AS n_media,
+                   CAST(COALESCE(SUM(CASE WHEN prev_t IS NOT NULL
+                                          AND prev_t <> it
+                                     THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_alt
+            FROM k GROUP BY doc_id
         """,
         # markov_debounced_chain: debounce CTE (same rule as the
         # debounce oracle) -> lag over survivors -> p >= 0.15 gate.

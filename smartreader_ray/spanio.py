@@ -226,3 +226,56 @@ def caption_pairs_batch(article_batch) -> "pa.Table":
         "caption_src": pa.array(o_src, type=pa.string()),
         "distance": pa.array(o_dist, type=pa.int64()),
     })
+
+
+def interleave_stats_batch(article_batch) -> "pa.Table":
+    """Per-document modality-balance audit over an interleaved
+    ``(doc_id, spans)`` row: text/media span counts and the number of
+    kind ALTERNATIONS along the span order (adjacent spans of differing
+    text-vs-media class) — the MMC4-style interleaving statistic a
+    multimodal training mix is tuned on (a doc with images clumped at
+    the end trains differently from one with the same images woven
+    through the text).
+
+    Fully vectorized over the Arrow list column: one flatten + offsets
+    pass, boundary-safe adjacent compare via the list offsets — no
+    per-span Python. Batch-level function for
+    ``map_batches(..., batch_format="pyarrow")``; output one row per
+    document: (doc_id, n_spans, n_text, n_media, n_alt).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = article_batch.column("spans").combine_chunks()
+    # offsets into the flattened child array, robust to a sliced batch
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = spans.flatten()
+    kinds = flat.field("kind")
+    is_text = pc.equal(kinds, "text").to_numpy(zero_copy_only=False)
+    # spans are ordered by construction (flatten emits offset order);
+    # alternation = adjacent pair whose text-vs-media class differs,
+    # masked at document boundaries
+    n = len(is_text)
+    if n > 1:
+        diff = is_text[1:] != is_text[:-1]
+    else:
+        diff = np.zeros(0, dtype=bool)
+    # position i in `diff` compares flat span i and i+1 — kill pairs
+    # that straddle a document boundary (i+1 == some offsets[k])
+    cum = np.concatenate(([0], np.cumsum(diff, dtype=np.int64)))
+    starts = offsets[:-1] - offsets[0]
+    ends = offsets[1:] - offsets[0]
+    # per-doc alternations = cum[end-1] - cum[start] for non-empty docs
+    n_spans = ends - starts
+    n_alt = np.where(n_spans > 1,
+                     cum[np.maximum(ends - 1, 0)] - cum[starts], 0)
+    cum_t = np.concatenate(([0], np.cumsum(is_text, dtype=np.int64)))
+    n_text = cum_t[ends] - cum_t[starts]
+    return pa.table({
+        "doc_id": article_batch.column("doc_id"),
+        "n_spans": pa.array(n_spans, type=pa.int64()),
+        "n_text": pa.array(n_text, type=pa.int64()),
+        "n_media": pa.array(n_spans - n_text, type=pa.int64()),
+        "n_alt": pa.array(n_alt, type=pa.int64()),
+    })

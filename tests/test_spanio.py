@@ -116,3 +116,50 @@ def test_caption_pairs_on_real_extraction():
     assert rows["b.png"]["caption_src"] in ("prev", "next")
     assert rows["b.png"]["caption"] in ("middle text", "closing text")
     assert rows["b.png"]["doc_id"] == "d1"  # string doc ids preserved
+
+
+def test_interleave_stats_vectorized_matches_naive():
+    """interleave_stats_batch == a per-row Python reference, including
+    doc-boundary masking, empty docs, and sliced batches."""
+    import pyarrow as pa
+
+    from smartreader_ray.spanio import interleave_stats_batch, make_span
+
+    def doc(kinds):
+        return [make_span(k, "t" if k == "text" else "",
+                          "" if k == "text" else "m.png", i)
+                for i, k in enumerate(kinds)]
+
+    docs = [
+        ["text", "image", "text", "text", "image"],  # 4 alternations? t/i,i/t,t/t,t/i -> 3
+        ["image"],                                    # single span, 0 alt
+        [],                                           # empty doc
+        ["text", "text"],                             # 0 alt
+        ["image", "text", "image", "text"],           # 3 alt
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(list(range(len(docs))), type=pa.int64()),
+        "spans": pa.array([doc(k) for k in docs],
+                          type=pa.list_(pa.struct([
+                              ("kind", pa.string()),
+                              ("text", pa.string()),
+                              ("media_ref", pa.string()),
+                              ("offset", pa.int64()),
+                          ]))),
+    })
+
+    def naive(kinds):
+        it = [k == "text" for k in kinds]
+        alt = sum(1 for a, b in zip(it, it[1:]) if a != b)
+        return (len(kinds), sum(it), len(kinds) - sum(it), alt)
+
+    for sl in (batch, batch.slice(1), batch.slice(2, 2)):
+        out = {r["doc_id"]: r for r in
+               interleave_stats_batch(sl).to_pylist()}
+        ids = sl.column("doc_id").to_pylist()
+        assert set(out) == set(ids)
+        for did in ids:
+            ns, nt, nm, na = naive(docs[did])
+            r = out[did]
+            assert (r["n_spans"], r["n_text"], r["n_media"],
+                    r["n_alt"]) == (ns, nt, nm, na), did
