@@ -5046,6 +5046,149 @@ def _q_interleave_audit(sf_dir: str):
             .map_batches(interleave_stats_batch, batch_format="pyarrow"))
 
 
+def _q_mm_pack(sf_dir: str):
+    """Multimodal sequence packing (`spanio.py:pack_spans_batch`):
+    assign every interleaved span to a fixed 256-token training
+    sequence — text spans cost their token count, each image costs a
+    64-token patch budget (the Flamingo/MMC4 packing step between
+    extraction and batching). Prefix-packing boundary rule
+    (seq = exclusive-cumsum // budget) so the assignment is closed-form
+    and the oracle replays it with one window SUM; per-doc, zero
+    shuffle — the whole operator is two map_batches."""
+    import ray.data
+
+    from smartreader_ray.spanio import pack_spans_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(pack_spans_batch, batch_format="pyarrow")
+            .sort(["doc_id", "seq_idx"]))
+
+
+def _q_media_url_dedup(sf_dir: str):
+    """Cross-document media dedup (the LAION/MMC4 'same CDN asset on
+    many pages' screen): canonicalize every media_ref to its asset
+    bucket — deterministic (doc·31 + k·17) % 1000 stand-in for URL
+    canonicalization, k parsed from the ref path — and keep the FIRST
+    occurrence corpus-wide (min (doc_id, offset), packed into ONE int64
+    so winner doc + offset + count all come from a single Min/Sum
+    exchange of ≤1000 bucket rows; loud 2²⁰/2⁴² pack bounds — the
+    priority_dedup composite pattern)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    import ray.data
+
+    def partial(b: pa.Table) -> pa.Table:
+        spans = b.column("spans").combine_chunks()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        flat = spans.flatten()
+        doc_rep = np.repeat(
+            b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64),
+            offsets[1:] - offsets[:-1])
+        is_media = pc.invert(pc.equal(flat.field("kind"),
+                                      "text")).to_numpy(
+            zero_copy_only=False)
+        refs = flat.field("media_ref").to_pandas()[is_media]
+        doc = doc_rep[is_media]
+        off = flat.field("offset").to_numpy(
+            zero_copy_only=False).astype(np.int64)[is_media]
+        # ref = 'img://{doc}/{k}' — k is the path tail
+        k = refs.str.rsplit("/", n=1).str[-1].astype(np.int64).to_numpy()
+        assert (off < (1 << 20)).all() and (doc < (1 << 42)).all(), \
+            "media_url_dedup pack bounds exceeded"
+        bucket = (doc * 31 + k * 17) % 1000
+        packed = doc * (1 << 20) + off
+        import pandas as pd
+        g = (pd.DataFrame({"asset_bucket": bucket, "packed": packed})
+             .groupby("asset_bucket", sort=False)
+             .agg(packed=("packed", "min"), n_refs=("packed", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    agg = (ds.map_batches(_synth_interleaved_spans(),
+                          batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("asset_bucket")
+           .aggregate(Min("packed", alias_name="packed"),
+                      Sum("n_refs", alias_name="n_refs")))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        packed = b.column("packed").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "asset_bucket": b.column("asset_bucket"),
+            "winner_doc": pa.array(packed >> 20, type=pa.int64()),
+            "winner_offset": pa.array(packed & ((1 << 20) - 1),
+                                      type=pa.int64()),
+            "n_refs": pc.cast(b.column("n_refs"), pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow").sort(
+        "asset_bucket")
+
+
+def _q_interleave_gate_chain(sf_dir: str):
+    """Composed chain #23: modality-gated curation — interleave stats
+    per doc (`interleave_stats_batch`) with the source carried through
+    the 1:1 synthesis, gate on 'well-interleaved multimodal doc'
+    (n_media ≥ 1 AND n_text ≥ 2·n_media AND n_alt ≥ n_media — images
+    woven through text, not clumped), then a per-source keep rollup.
+    Stats + gate are stateless map_batches; the only exchange is
+    source-sized integer partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    from smartreader_ray.spanio import interleave_stats_batch
+
+    synth = _synth_interleaved_spans()
+
+    def partial(b: pa.Table) -> pa.Table:
+        stats = interleave_stats_batch(synth(b))  # row-aligned 1:1
+        nm = stats.column("n_media").to_numpy(zero_copy_only=False)
+        nt = stats.column("n_text").to_numpy(zero_copy_only=False)
+        na = stats.column("n_alt").to_numpy(zero_copy_only=False)
+        keep = (nm >= 1) & (nt >= 2 * nm) & (na >= nm)
+        import pandas as pd
+        g = (pd.DataFrame({
+                "source": b.column("source").to_pandas(),
+                "n_docs": np.ones(len(nm), np.int64),
+                "n_kept": keep.astype(np.int64),
+                "media_kept": np.where(keep, nm, 0),
+                "alt_kept": np.where(keep, na, 0),
+            })
+            .groupby("source", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_kept", alias_name="n_kept"),
+                       Sum("media_kept", alias_name="media_kept"),
+                       Sum("alt_kept", alias_name="alt_kept"))
+            .sort("source"))
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -5942,6 +6085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_autocorr": _q_audio_autocorr,
         "caption_pairs": _q_caption_pairs,
         "interleave_audit": _q_interleave_audit,
+        "mm_pack": _q_mm_pack,
+        "media_url_dedup": _q_media_url_dedup,
+        "interleave_gate_chain": _q_interleave_gate_chain,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6075,6 +6221,29 @@ _SPAN_CTES = """
         FROM chunks
         UNION ALL
         SELECT doc_id, off, 'image', alt, media_ref FROM imgs
+    )
+"""
+
+# Shared stats suffix: per-doc modality counts + kind alternations over
+# the synthesized interleaving — consumed by the `interleave_audit` and
+# `interleave_gate_chain` oracles so the two cannot drift.
+_SPAN_STATS_CTES = _SPAN_CTES + """
+    , k AS (
+        SELECT doc_id,
+               CASE WHEN kind = 'text' THEN 1 ELSE 0 END AS it,
+               lag(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY off) AS prev_t
+        FROM allspans
+    ), stats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(it) AS BIGINT) AS n_text,
+               CAST(COUNT(*) - SUM(it) AS BIGINT) AS n_media,
+               CAST(COALESCE(SUM(CASE WHEN prev_t IS NOT NULL
+                                      AND prev_t <> it
+                                 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_alt
+        FROM k GROUP BY doc_id
     )
 """
 
@@ -9777,24 +9946,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         # interleave_audit: same span synthesis; alternation = adjacent
         # spans (by offset, per doc) whose text-vs-media class differs.
-        "interleave_audit": _SPAN_CTES + """
-            , k AS (
-                SELECT doc_id,
-                       CASE WHEN kind = 'text' THEN 1 ELSE 0 END AS it,
-                       lag(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY off)
-                           AS prev_t
+        "interleave_audit": _SPAN_STATS_CTES + """
+            SELECT * FROM stats
+        """,
+        # mm_pack: replay the prefix-packing rule — seq_idx = window
+        # SUM of preceding costs // 256 (text cost = token count,
+        # image cost = 64) — then the per-(doc, seq) rollup.
+        "mm_pack": _SPAN_CTES + """
+            , c AS (
+                SELECT doc_id, off,
+                       CASE WHEN kind = 'text'
+                            THEN len(string_split(txt, ' '))
+                            ELSE 64 END AS cost,
+                       CASE WHEN kind = 'text'
+                            THEN len(string_split(txt, ' '))
+                            ELSE 0 END AS tok,
+                       CASE WHEN kind = 'text' THEN 0 ELSE 1 END AS is_m
                 FROM allspans
+            ), s AS (
+                SELECT *,
+                       COALESCE(SUM(cost) OVER (
+                           PARTITION BY doc_id ORDER BY off
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) // 256
+                           AS seq_idx
+                FROM c
             )
-            SELECT doc_id,
+            SELECT doc_id, CAST(seq_idx AS BIGINT) AS seq_idx,
                    CAST(COUNT(*) AS BIGINT) AS n_spans,
-                   CAST(SUM(it) AS BIGINT) AS n_text,
-                   CAST(COUNT(*) - SUM(it) AS BIGINT) AS n_media,
-                   CAST(COALESCE(SUM(CASE WHEN prev_t IS NOT NULL
-                                          AND prev_t <> it
-                                     THEN 1 ELSE 0 END), 0)
-                        AS BIGINT) AS n_alt
-            FROM k GROUP BY doc_id
+                   CAST(SUM(tok) AS BIGINT) AS n_text_tokens,
+                   CAST(SUM(is_m) AS BIGINT) AS n_media,
+                   CAST(SUM(cost) AS BIGINT) AS cost
+            FROM s GROUP BY doc_id, seq_idx
+            ORDER BY doc_id, seq_idx
+        """,
+        # media_url_dedup: canonical asset bucket from (doc, k) parsed
+        # out of the ref path; first occurrence via MIN of the packed
+        # (doc << 20 | offset) composite — the priority_dedup unpack.
+        "media_url_dedup": _SPAN_CTES + """
+            , media AS (
+                SELECT doc_id,
+                       CAST(string_split(media_ref, '/')[4] AS BIGINT)
+                           AS k,
+                       off
+                FROM allspans WHERE kind = 'image'
+            ), b AS (
+                SELECT (doc_id * 31 + k * 17) % 1000 AS asset_bucket,
+                       doc_id * 1048576 + off AS packed
+                FROM media
+            )
+            SELECT CAST(asset_bucket AS BIGINT) AS asset_bucket,
+                   CAST(MIN(packed) // 1048576 AS BIGINT) AS winner_doc,
+                   CAST(MIN(packed) % 1048576 AS BIGINT)
+                       AS winner_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM b GROUP BY asset_bucket ORDER BY asset_bucket
+        """,
+        # interleave_gate_chain: shared stats CTE -> well-interleaved
+        # gate -> per-source keep rollup (chain #23).
+        "interleave_gate_chain": _SPAN_STATS_CTES + """
+            , gated AS (
+                SELECT s.doc_id, d.source, s.n_media, s.n_alt,
+                       CASE WHEN s.n_media >= 1
+                                 AND s.n_text >= 2 * s.n_media
+                                 AND s.n_alt >= s.n_media
+                            THEN 1 ELSE 0 END AS keep
+                FROM stats s JOIN documents d ON s.doc_id = d.doc_id
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(SUM(keep * n_media) AS BIGINT) AS media_kept,
+                   CAST(SUM(keep * n_alt) AS BIGINT) AS alt_kept
+            FROM gated GROUP BY source ORDER BY source
         """,
         # markov_debounced_chain: debounce CTE (same rule as the
         # debounce oracle) -> lag over survivors -> p >= 0.15 gate.

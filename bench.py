@@ -263,7 +263,8 @@ def run_main() -> dict:
         "simpson_diversity", "lru_hits", "mrc_curve",
         "priority_dedup", "diversity_mix_chain", "source_cosine",
         "ccnet_buckets", "zipf_fit", "hard_negatives", "source_crossent",
-        "ccnet_keep_chain",
+        "ccnet_keep_chain", "caption_pairs", "interleave_audit",
+        "mm_pack", "media_url_dedup", "interleave_gate_chain",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

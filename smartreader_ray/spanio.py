@@ -279,3 +279,83 @@ def interleave_stats_batch(article_batch) -> "pa.Table":
         "n_media": pa.array(n_spans - n_text, type=pa.int64()),
         "n_alt": pa.array(n_alt, type=pa.int64()),
     })
+
+
+def pack_spans_batch(article_batch, budget: int = 256,
+                     media_cost: int = 64) -> "pa.Table":
+    """Multimodal sequence packing over interleaved ``(doc_id, spans)``
+    rows: assign every span to a fixed-budget training sequence where a
+    TEXT span costs its whitespace-token count and a MEDIA span costs a
+    fixed ``media_cost`` token patch budget (the vision-token cost of
+    one image in an interleaved-multimodal batch, à la Flamingo/MMC4
+    packing).
+
+    Boundary rule is **prefix packing**: a span belongs to the sequence
+    its FIRST token falls in — ``seq_idx = (sum of costs of preceding
+    spans in the doc) // budget`` — so a sequence can overflow by at
+    most one span but the assignment is closed-form (one cumulative sum,
+    SQL-replayable), unlike greedy never-split packing which needs
+    sequential state. Documents never share a sequence (packing is
+    per-doc; cross-doc concat is a shuffle-order question, not a
+    per-row one).
+
+    Fully vectorized: one flatten + offsets pass, token counts via ONE
+    ``count_substring_regex(\\S+)`` kernel, per-doc exclusive cumsum by
+    offset arithmetic, segment rollup via ``np.add.reduceat`` — no
+    per-span Python. Output one row per (doc_id, seq_idx): n_spans,
+    n_text_tokens, n_media, cost.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = article_batch.column("spans").combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1] - offsets[0]
+    ends = offsets[1:] - offsets[0]
+    flat = spans.flatten()
+    is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+        zero_copy_only=False)
+    tok = pc.count_substring_regex(
+        pc.coalesce(flat.field("text"), pa.scalar("", type=pa.string())),
+        r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+    tok = np.where(is_text, tok, 0)
+    cost = np.where(is_text, tok, np.int64(media_cost))
+    # per-doc EXCLUSIVE cumsum: global running sum minus the doc's base
+    cum = np.concatenate(([0], np.cumsum(cost, dtype=np.int64)))
+    excl = cum[:-1]                       # cost of everything before span i
+    n_spans_doc = ends - starts
+    doc_base = np.repeat(excl[starts[n_spans_doc > 0]]
+                         if len(starts) else np.zeros(0, np.int64),
+                         n_spans_doc[n_spans_doc > 0])
+    seq = np.zeros(len(cost), dtype=np.int64)
+    if len(cost):
+        seq = (excl - doc_base) // np.int64(budget)
+    # segment boundaries: doc start OR seq change within the doc
+    doc_first = np.zeros(len(cost), dtype=bool)
+    doc_first[starts[n_spans_doc > 0]] = True
+    new_seg = doc_first.copy()
+    if len(cost) > 1:
+        new_seg[1:] |= (seq[1:] != seq[:-1]) & ~doc_first[1:]
+    seg_starts = np.flatnonzero(new_seg)
+    doc_idx_per_span = np.repeat(np.arange(len(n_spans_doc)), n_spans_doc)
+    if len(seg_starts):
+        out_doc_idx = doc_idx_per_span[seg_starts]
+        out_seq = seq[seg_starts]
+        out_n = np.add.reduceat(np.ones(len(cost), np.int64), seg_starts)
+        out_tok = np.add.reduceat(tok, seg_starts)
+        out_media = np.add.reduceat((~is_text).astype(np.int64), seg_starts)
+        out_cost = np.add.reduceat(cost, seg_starts)
+    else:
+        out_doc_idx = np.zeros(0, np.int64)
+        out_seq = out_n = out_tok = out_media = out_cost = np.zeros(
+            0, np.int64)
+    return pa.table({
+        "doc_id": article_batch.column("doc_id").combine_chunks().take(
+            pa.array(out_doc_idx, type=pa.int64())),
+        "seq_idx": pa.array(out_seq, type=pa.int64()),
+        "n_spans": pa.array(out_n, type=pa.int64()),
+        "n_text_tokens": pa.array(out_tok, type=pa.int64()),
+        "n_media": pa.array(out_media, type=pa.int64()),
+        "cost": pa.array(out_cost, type=pa.int64()),
+    })

@@ -163,3 +163,61 @@ def test_interleave_stats_vectorized_matches_naive():
             r = out[did]
             assert (r["n_spans"], r["n_text"], r["n_media"],
                     r["n_alt"]) == (ns, nt, nm, na), did
+
+
+def test_pack_spans_vectorized_matches_naive():
+    """pack_spans_batch == a per-row Python replay of the prefix-packing
+    rule, including doc boundaries, empty docs, sliced batches, and a
+    span overflowing the budget."""
+    import pyarrow as pa
+
+    from smartreader_ray.spanio import make_span, pack_spans_batch
+
+    BUDGET, MCOST = 10, 4
+
+    def span(kind, ntok):
+        if kind == "text":
+            return make_span("text", " ".join(["w"] * ntok), "", 0)
+        return make_span("image", "", "m.png", 0)
+
+    docs = [
+        [("text", 3), ("image", 0), ("text", 6), ("text", 12),
+         ("image", 0), ("text", 1)],        # crosses budgets, overflow span
+        [("image", 0)],                      # single media
+        [],                                  # empty doc
+        [("text", 25)],                      # one span >> budget
+        [("text", 2), ("text", 2), ("image", 0), ("image", 0),
+         ("text", 5)],
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(list(range(len(docs))), type=pa.int64()),
+        "spans": pa.array(
+            [[span(k, n) for k, n in d] for d in docs],
+            type=pa.list_(pa.struct([
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int64()),
+            ]))),
+    })
+
+    def naive(d):
+        out, run = {}, 0
+        for k, n in d:
+            cost = n if k == "text" else MCOST
+            s = run // BUDGET
+            run += cost
+            ns, nt, nm, c = out.get(s, (0, 0, 0, 0))
+            out[s] = (ns + 1, nt + (n if k == "text" else 0),
+                      nm + (0 if k == "text" else 1), c + cost)
+        return out
+
+    for sl in (batch, batch.slice(1), batch.slice(2, 2)):
+        res = pack_spans_batch(sl, budget=BUDGET, media_cost=MCOST)
+        got = {}
+        for r in res.to_pylist():
+            got.setdefault(r["doc_id"], {})[r["seq_idx"]] = (
+                r["n_spans"], r["n_text_tokens"], r["n_media"], r["cost"])
+        ids = sl.column("doc_id").to_pylist()
+        exp = {d: naive(docs[d]) for d in ids if docs[d]}
+        assert got == exp
