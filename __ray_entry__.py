@@ -5189,6 +5189,48 @@ def _q_interleave_gate_chain(sf_dir: str):
             .sort("source"))
 
 
+def _q_mm_minhash_dedup(sf_dir: str):
+    """Interleaved (multimodal) near-dedup: MinHash-LSH candidates +
+    exact n-gram-Jaccard verify over the MULTIMODAL token stream —
+    text tokens and media_refs interleaved in span order — so two
+    pages sharing prose but differing image sets score below the
+    text-only duplicate threshold (and media-only mirrors still pair).
+    Rides the stock MinHasher / minhash_dedup kernels unchanged; the
+    only new code is the vectorized span→token-stream join (one
+    if_else + binary_join over the list offsets, zero per-span
+    Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smartreader_ray.functions import minhash_dedup
+
+    def mm_text(b: pa.Table) -> pa.Table:
+        spans = b.column("spans").combine_chunks()
+        off = spans.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        flat = spans.flatten()
+        toks = pc.if_else(pc.equal(flat.field("kind"), "text"),
+                          flat.field("text"), flat.field("media_ref"))
+        lists = pa.ListArray.from_arrays(
+            pa.array(off - off[0], type=pa.int32()), toks)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.binary_join(lists, " "),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    mm = (ds.map_batches(_synth_interleaved_spans(),
+                         batch_format="pyarrow")
+          .map_batches(mm_text, batch_format="pyarrow"))
+    return minhash_dedup(mm, threshold=0.5)
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6088,6 +6130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_pack": _q_mm_pack,
         "media_url_dedup": _q_media_url_dedup,
         "interleave_gate_chain": _q_interleave_gate_chain,
+        "mm_minhash_dedup": _q_mm_minhash_dedup,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6222,6 +6265,30 @@ _SPAN_CTES = """
         UNION ALL
         SELECT doc_id, off, 'image', alt, media_ref FROM imgs
     )
+"""
+
+# Shared verify suffix appended to _minhash_ctes(...): candidates ->
+# exact n-gram-Jaccard (exact int |A∩B| / |A∪B|, ONE IEEE division both
+# sides) — consumed by `minhash_dedup` and `mm_minhash_dedup`.
+_MINHASH_VERIFY_TAIL = """,
+    nset AS (SELECT doc_id, count(*) AS ns FROM docg GROUP BY doc_id),
+    inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
+      FROM cpairs p
+      JOIN docg x ON x.doc_id = p.doc_a
+      JOIN docg y ON y.doc_id = p.doc_b AND y.g = x.g
+      GROUP BY 1, 2)
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+      CAST(COALESCE(i.ni, 0) AS DOUBLE)
+        / CAST(na.ns + nb.ns - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard,
+      (CAST(COALESCE(i.ni, 0) AS DOUBLE)
+        / CAST(na.ns + nb.ns - COALESCE(i.ni, 0) AS DOUBLE)) >= 0.5
+        AS is_dup
+    FROM cpairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN nset na ON na.doc_id = p.doc_a
+    JOIN nset nb ON nb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
 """
 
 # Shared stats suffix: per-doc modality counts + kind alternations over
@@ -6382,12 +6449,12 @@ def oracle_sql() -> dict[str, str]:
             f" & {_MASK64}::HUGEINT)::UBIGINT"
         )
 
-    def _grams_ctes(ngram: int) -> str:
+    def _grams_ctes(ngram: int, src: str = "documents") -> str:
         # replay dedup._token_ngrams: lowercase whitespace split; docs
         # shorter than n tokens yield the single full-join gram
         return f"""
         toks AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
-                 FROM documents),
+                 FROM {src}),
         grams AS (SELECT doc_id, unnest(CASE WHEN len(t) < {ngram}
               THEN [array_to_string(t, ' ')]
               ELSE [array_to_string(t[i:i+{ngram - 1}], ' ')
@@ -6395,7 +6462,8 @@ def oracle_sql() -> dict[str, str]:
               FROM toks)"""
 
     def _minhash_ctes(ngram: int = 3, num_hashes: int = 128,
-                      bands: int = 16, seed: int = 42) -> str:
+                      bands: int = 16, seed: int = 42,
+                      src: str = "documents") -> str:
         # the engine's (a, b) hash-family parameters are deterministic
         # from the seed (dedup.MinHasher.__init__); embed them as
         # literals so the SQL replays the same family
@@ -6410,7 +6478,7 @@ def oracle_sql() -> dict[str, str]:
         # NOTE: replays the UNCAPPED bucket pairing — exact as long as
         # no LSH bucket exceeds DEFAULT_MAX_BUCKET (at the oracle's
         # sf0.01 the largest bucket has 3 members vs the 128 cap)
-        return (_grams_ctes(ngram) + f""",
+        return (_grams_ctes(ngram, src=src) + f""",
         docg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
         ghash AS MATERIALIZED (SELECT g, {_fnv_sql('g')} AS h
                                FROM (SELECT DISTINCT g FROM docg)),
@@ -6539,26 +6607,17 @@ def oracle_sql() -> dict[str, str]:
         # candidates -> exact n-gram-Jaccard verify: |A∩B| and |A∪B| are
         # exact small ints; the quotient is ONE IEEE division both sides
         # (dedup.ngram_jaccard) -> bit-identical doubles
-        "minhash_dedup": "WITH " + _minhash_ctes() + """,
-            nset AS (SELECT doc_id, count(*) AS ns FROM docg GROUP BY doc_id),
-            inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
-              FROM cpairs p
-              JOIN docg x ON x.doc_id = p.doc_a
-              JOIN docg y ON y.doc_id = p.doc_b AND y.g = x.g
-              GROUP BY 1, 2)
-            SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
-                   CAST(p.doc_b AS BIGINT) AS doc_b,
-              CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                / CAST(na.ns + nb.ns - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard,
-              (CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                / CAST(na.ns + nb.ns - COALESCE(i.ni, 0) AS DOUBLE)) >= 0.5
-                AS is_dup
-            FROM cpairs p
-            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-            JOIN nset na ON na.doc_id = p.doc_a
-            JOIN nset nb ON nb.doc_id = p.doc_b
-            ORDER BY doc_a, doc_b
-        """,
+        "minhash_dedup": "WITH " + _minhash_ctes() + _MINHASH_VERIFY_TAIL,
+        # same chain over the MULTIMODAL token stream (text tokens +
+        # media_refs in span order, string_agg'd from the shared
+        # _SPAN_CTES synthesis) — the interleaved-payload near-dedup
+        "mm_minhash_dedup": "WITH " + _minhash_ctes(
+            src="(" + _SPAN_CTES + """
+                SELECT doc_id,
+                       string_agg(CASE WHEN kind = 'text' THEN txt
+                                       ELSE media_ref END,
+                                  ' ' ORDER BY off) AS text
+                FROM allspans GROUP BY doc_id)""") + _MINHASH_VERIFY_TAIL,
         # simhash: per-bit majority votes over the gram MULTISET
         # (dedup.simhash64, ngram=2), 4x16-bit pigeonhole bands, exact
         # hamming verify (uncapped pairing — same bucket-size caveat)
