@@ -3711,10 +3711,11 @@ def _q_cms_counts(sf_dir: str):
     """Count–Min sketch point queries
     (`functions/sketch.py: count_min_term_counts`): constant-size
     per-block grids merged by elementwise sum (CMS is linear), probed
-    for eight fixed terms. Estimates are deterministic and
-    partition-invariant but hash-dependent — rows-only; the exact
-    companions are `token_stats` / `frequent_terms`, and the accuracy
-    bound (true ≤ est ≤ true + εN) is pinned in tests."""
+    for eight fixed terms. Every ingredient is a deterministic integer
+    (FNV-1a term hash, fmix64 double-hash, wrapped positions, int64
+    counter sums), so the oracle replays the ENTIRE sketch in SQL —
+    including hash collisions — and the row is hash-exact; the
+    accuracy bound (true ≤ est ≤ true + εN) is pinned in tests."""
     import ray.data
 
     from smartreader_ray.functions.sketch import count_min_term_counts
@@ -6461,6 +6462,22 @@ def oracle_sql() -> dict[str, str]:
                     FOR i IN range(1, len(t) - {ngram - 2})] END) AS g
               FROM toks)"""
 
+    def _mix64_ctes(src: str) -> str:
+        # staged replay of sketch._mix64 (murmur fmix64) + the `| 1`
+        # finalizer producing the Kirsch–Mitzenmacher second hash:
+        # h2 = mix64(h ^ golden) | 1. One CTE column per round so no
+        # expression-tree blowup; expects `src` to expose a UBIGINT `h`.
+        return f"""
+        x0 AS (SELECT *, xor(h, 11400714819323198485::UBIGINT) AS y0
+               FROM {src}),
+        x1 AS (SELECT *, xor(y0, y0 >> 33) AS y1 FROM x0),
+        x2 AS (SELECT *, {_mulmod64_sql('y1', 0xFF51AFD7ED558CCD)} AS y2
+               FROM x1),
+        x3 AS (SELECT *, xor(y2, y2 >> 33) AS y3 FROM x2),
+        x4 AS (SELECT *, {_mulmod64_sql('y3', 0xC4CEB9FE1A85EC53)} AS y4
+               FROM x3),
+        hh AS (SELECT *, (xor(y4, y4 >> 33) | 1::UBIGINT) AS h2 FROM x4)"""
+
     def _minhash_ctes(ngram: int = 3, num_hashes: int = 128,
                       bands: int = 16, seed: int = 42,
                       src: str = "documents") -> str:
@@ -6651,6 +6668,45 @@ def oracle_sql() -> dict[str, str]:
               ON a.c = b.c AND a.piece = b.piece AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
             GROUP BY 1, 2 ORDER BY doc_a, doc_b
+        """,
+        # Count–Min sketch point queries: the estimate is MIN over d
+        # rows of the counter at (h + d·h2) % width — every ingredient
+        # is a deterministic integer (FNV-1a term hash, fmix64 second
+        # hash, wrapped-mod-2^64 position, int64 counter sums), so the
+        # whole sketch replays in SQL including collisions
+        "cms_counts": f"""
+            WITH tok AS (
+                SELECT unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            ), tc AS (
+                SELECT term, CAST(count(*) AS HUGEINT) AS c
+                FROM tok WHERE term <> '' GROUP BY term
+            ), probes AS (
+                SELECT unnest(['batch','column','customer','filter',
+                               'hash','join','row','scan']) AS term
+            ), terms AS (
+                SELECT term, c FROM tc
+                UNION ALL
+                SELECT p.term, 0::HUGEINT FROM probes p
+                WHERE p.term NOT IN (SELECT term FROM tc)
+            ), th AS (
+                SELECT term, c, {_fnv_sql('term')}::UBIGINT AS h
+                FROM terms
+            ), {_mix64_ctes('th')}, pos AS (
+                SELECT term, c, d,
+                       CAST(((h::HUGEINT + d::HUGEINT * h2::HUGEINT)
+                             & {_MASK64}::HUGEINT) % 16384 AS BIGINT)
+                           AS p
+                FROM hh, (SELECT unnest(range(4)) AS d)
+            ), cells AS (
+                SELECT pr.term, pp.d, COALESCE(SUM(q.c), 0) AS cnt
+                FROM probes pr
+                JOIN pos pp ON pp.term = pr.term
+                LEFT JOIN pos q ON q.d = pp.d AND q.p = pp.p
+                GROUP BY pr.term, pp.d
+            )
+            SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
+            FROM cells GROUP BY term ORDER BY term
         """,
         # Rabin-Karp rolling fingerprint (textstats.doc_fingerprint):
         # fold h = h*p + byte mod 2^64 from the seed; the query renders

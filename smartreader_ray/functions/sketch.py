@@ -464,9 +464,10 @@ def count_min_term_counts(ds, probes: "list[str]",
     — each block contributes one constant-size ``depth·width·8``-byte
     row regardless of block vocabulary, and the merged sketch is
     bit-identical under any partitioning (deterministic seeds, integer
-    sums). Estimates are deterministic but hash-dependent, so the
-    driver query registers rows-only with `token_stats`/`frequent_terms`
-    as the exact companions.
+    sums). Estimates are fully deterministic integers, so the driver
+    oracle replays the whole sketch (hashes, positions, collisions) in
+    SQL and the query is hash-exact; `token_stats`/`frequent_terms`
+    remain the exact-count companions.
 
     Returns (term, est) for the ``probes``, sorted by term.
     """
