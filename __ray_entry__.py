@@ -2728,8 +2728,12 @@ def _q_docs_intersect(sf_dir: str):
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-user counts per event_type: per-batch
     register partials (4 KB/key/block crosses the exchange, never
-    values). Approximate (±1.6 % at b=12) → rows-only; the unit test
-    pins accuracy against exact counts."""
+    values). Approximate (±1.6 % at b=12) yet HASH-EXACT: registers
+    are deterministic ints, the harmonic sum is an exact integer
+    Σ 2^(53−r) (`sketch._estimate`), and the estimate is one shared
+    IEEE tree + floor(x+0.5) — the oracle replays the whole sketch in
+    SQL. `distinct_users_exact` remains the exact companion; the unit
+    test pins accuracy against exact counts."""
     import os
 
     import ray.data
@@ -6707,6 +6711,88 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
             FROM cells GROUP BY term ORDER BY term
+        """,
+        # HyperLogLog distinct users per event type: registers are
+        # deterministic ints (max leftmost-1 position per bucket), the
+        # harmonic sum is the EXACT integer Σ 2^(53−r) (sketch._estimate),
+        # and the estimate is one shared IEEE tree + floor(x+0.5) — so
+        # the whole sketch replays in SQL: FNV-1a over str(user_id),
+        # staged fmix64, top-12-bit bucket, staged bit-length for rho,
+        # MAX per register, integer sum incl. 2^53 per empty register,
+        # linear-counting branch on the same raw/zeros values
+        "approx_distinct_users": f"""
+            WITH uv AS (
+                SELECT DISTINCT event_type,
+                       CAST(user_id AS VARCHAR) AS v
+                FROM events
+            ), th AS (
+                SELECT event_type, {_fnv_sql('v')}::UBIGINT AS h0
+                FROM uv
+            ), m1 AS (SELECT *, xor(h0, h0 >> 33) AS z1 FROM th),
+            m2 AS (SELECT *, {_mulmod64_sql('z1', 0xFF51AFD7ED558CCD)}
+                             AS z2 FROM m1),
+            m3 AS (SELECT *, xor(z2, z2 >> 33) AS z3 FROM m2),
+            m4 AS (SELECT *, {_mulmod64_sql('z3', 0xC4CEB9FE1A85EC53)}
+                             AS z4 FROM m3),
+            mx AS (SELECT event_type, xor(z4, z4 >> 33) AS h FROM m4),
+            ir AS (
+                SELECT event_type,
+                       CAST(h >> 52 AS BIGINT) AS idx,
+                       ((h::HUGEINT * 4096::HUGEINT)
+                        & {_MASK64}::HUGEINT)::UBIGINT AS rest
+                FROM mx
+            ), b1 AS (SELECT *,
+                       CASE WHEN rest >= 4294967296::UBIGINT
+                            THEN 32 ELSE 0 END AS l1,
+                       CASE WHEN rest >= 4294967296::UBIGINT
+                            THEN rest >> 32 ELSE rest END AS c1 FROM ir),
+            b2 AS (SELECT *,
+                       CASE WHEN c1 >= 65536 THEN 16 ELSE 0 END AS l2,
+                       CASE WHEN c1 >= 65536 THEN c1 >> 16 ELSE c1 END
+                           AS c2 FROM b1),
+            b3 AS (SELECT *,
+                       CASE WHEN c2 >= 256 THEN 8 ELSE 0 END AS l3,
+                       CASE WHEN c2 >= 256 THEN c2 >> 8 ELSE c2 END
+                           AS c3 FROM b2),
+            b4 AS (SELECT *,
+                       CASE WHEN c3 >= 16 THEN 4 ELSE 0 END AS l4,
+                       CASE WHEN c3 >= 16 THEN c3 >> 4 ELSE c3 END
+                           AS c4 FROM b3),
+            b5 AS (SELECT *,
+                       CASE WHEN c4 >= 4 THEN 2 ELSE 0 END AS l5,
+                       CASE WHEN c4 >= 4 THEN c4 >> 2 ELSE c4 END
+                           AS c5 FROM b4),
+            b6 AS (SELECT *,
+                       CASE WHEN c5 >= 2 THEN 1 ELSE 0 END AS l6 FROM b5),
+            rr AS (
+                SELECT event_type, idx,
+                       CASE WHEN rest = 0 THEN 53
+                            ELSE 65 - (l1+l2+l3+l4+l5+l6+1) END AS rho
+                FROM b6
+            ), regs AS (
+                SELECT event_type, idx, MAX(rho) AS r
+                FROM rr GROUP BY 1, 2
+            ), agg AS (
+                SELECT event_type,
+                       4096 - COUNT(*) AS zeros,
+                       SUM(1::HUGEINT << (53 - r)::INTEGER)
+                       + (4096 - COUNT(*))::HUGEINT
+                         * 9007199254740992::HUGEINT AS s
+                FROM regs GROUP BY event_type
+            ), est AS (
+                SELECT event_type, zeros,
+                       ((((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0)
+                         * 4096.0) * 9007199254740992.0)
+                           / CAST(s AS DOUBLE) AS raw
+                FROM agg
+            )
+            SELECT event_type,
+                   CAST(FLOOR(CASE WHEN raw <= 10240.0 AND zeros > 0
+                                   THEN 4096.0 * ln(4096.0
+                                            / CAST(zeros AS DOUBLE))
+                                   ELSE raw END + 0.5) AS BIGINT)
+                       AS approx_distinct
+            FROM est
         """,
         # Rabin-Karp rolling fingerprint (textstats.doc_fingerprint):
         # fold h = h*p + byte mod 2^64 from the seed; the query renders

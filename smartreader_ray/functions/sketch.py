@@ -64,8 +64,17 @@ def _registers_for(values: list, b: int) -> np.ndarray:
 
 def _estimate(regs: np.ndarray) -> float:
     m = len(regs)
+    b = int(m).bit_length() - 1
+    scale = 64 - b + 1  # max rho, so every 2^(scale - r) is an integer
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    # harmonic sum Σ 2^-r computed EXACTLY as the integer Σ 2^(scale-r)
+    # (arbitrary-precision Python int; max m·2^scale ≈ 2^65): the float
+    # Σ exp2(-r) is summation-ORDER-dependent past 53 bits of exponent
+    # span, which would make the estimate partitioning-fragile and
+    # unreplayable — one exact integer + ONE float division is neither
+    counts = np.bincount(regs, minlength=scale + 1)
+    s_int = sum(int(c) << (scale - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * 2.0 ** scale / float(s_int)
     if est <= 2.5 * m:  # small-range: linear counting
         zeros = int(np.count_nonzero(regs == 0))
         if zeros:
@@ -123,8 +132,12 @@ def approx_distinct_by(ds, key_col: str, col: str, b: int = 12):
         return pa.Table.from_pydict(
             {
                 key_col: group.column(key_col).slice(0, 1),
+                # floor(x + 0.5), NOT round(): Python round() is
+                # half-even while SQL replays half-up — one shared
+                # rounding tree keeps the int64 estimate hash-exact
                 "approx_distinct": pa.array(
-                    [int(round(_estimate(regs)))], type=pa.int64()
+                    [int(np.floor(_estimate(regs) + 0.5))],
+                    type=pa.int64()
                 ),
             }
         )
