@@ -6322,6 +6322,9 @@ _SPAN_STATS_CTES = _SPAN_CTES + """
 
 def oracle_sql() -> dict[str, str]:
     from smartreader_ray.functions import mix_threshold_hex as _mt
+    from smartreader_ray.functions.textstats import (
+        _STOPWORDS as _LANG_STOPWORDS,
+    )
 
     def _kcenter_ctes(k: int = 8, dim: int = 64,
                       scale: int = 1000) -> list:
@@ -6711,6 +6714,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
             FROM cells GROUP BY term ORDER BY term
+        """,
+        # language_id: the stopword heuristic is exact integer math
+        # (matched counts share the denominator n, the 2% gate is the
+        # rational 50·matched > n, score is ppm floor-div), so SQL
+        # replays it: per-lang matched counts over the first 400
+        # lowered tokens, argmax with profile-order tie-break
+        "language_id": f"""
+            WITH langs(ord, lang, stops) AS (VALUES {", ".join(
+                f"({i}, '{lang}', [{', '.join(chr(39) + w + chr(39) for w in ws)}])"
+                for i, (lang, ws) in enumerate(_LANG_STOPWORDS.items()))}),
+            base AS (
+                SELECT doc_id,
+                       list_transform((string_split(trim(text),
+                                                    ' '))[1:400],
+                                      x -> lower(x)) AS t
+                FROM documents
+            ), m AS (
+                SELECT b.doc_id, l.ord, l.lang, len(b.t) AS n,
+                       len(list_filter(b.t,
+                               x -> list_contains(l.stops, x)))
+                           AS matched
+                FROM base b, langs l
+            ), best AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY matched DESC, ord ASC) AS rn
+                FROM m
+            )
+            SELECT doc_id,
+                   CASE WHEN 50 * matched > n THEN lang
+                        ELSE 'und' END AS pred_lang,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE matched * 1000000 // n END AS BIGINT)
+                       AS lang_score_ppm
+            FROM best WHERE rn = 1
         """,
         # HyperLogLog distinct users per event type: registers are
         # deterministic ints (max leftmost-1 position per bucket), the
@@ -10948,7 +10985,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(cents) AS BIGINT) FROM b
             ) ORDER BY o_orderstatus, o_orderpriority
         """,
-        # extract_fixtures, language_id, embed_neardup_lsh, ann_ivf,
-        # media_meta: not SQL-expressible (readability heuristics /
-        # approximate index / decode stage) → rows-only.
+        # extract_fixtures, embed_neardup_lsh, media_meta: not
+        # SQL-expressible (readability heuristics / approximate index /
+        # decode stage) → rows-only. language_id, cms_counts and
+        # approx_distinct_users graduated to hash-exact above.
     }

@@ -163,37 +163,44 @@ class LanguageId:
     languages (en/de/fr/es/it/pt/nl) and returns "und" otherwise; the
     reference's FastText model covers 170+. It is a sandbox substitute
     (no model download available) — swap ``predict`` for a real model on
-    a connected cluster. ``lang_score`` is the matched-stopword fraction
-    of the first 400 tokens (0..1, monotone in evidence, NOT a calibrated
-    probability); the 0.02 acceptance threshold was tuned on the fixture
-    corpus to avoid false positives on short texts.
+    a connected cluster. ``lang_score_ppm`` is the matched-stopword
+    fraction of the first 400 tokens in parts-per-million (integer
+    floor-div — monotone in evidence, NOT a calibrated probability);
+    the 2 % acceptance threshold (``50·matched > n``, an EXACT rational
+    compare — no float boundary) was tuned on the fixture corpus to
+    avoid false positives on short texts. Every output is an exact
+    integer, so the whole heuristic replays in SQL: all languages share
+    the denominator n, making the argmax a plain integer compare with
+    profile-order tie-break.
     """
 
     def __init__(self):
         self.profiles = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
 
-    def predict(self, text: str) -> tuple[str, float]:
+    def predict(self, text: str) -> tuple[str, int]:
         toks = [w.lower() for w in (text or "").split()[:400]]
         if not toks:
-            return "und", 0.0
-        best_lang, best_score = "und", 0.0
+            return "und", 0
+        n = len(toks)
+        best_lang, best_matched = "und", 0
         for lang, stops in self.profiles.items():
-            score = sum(1 for w in toks if w in stops) / len(toks)
-            if score > best_score:
-                best_lang, best_score = lang, score
-        return (best_lang if best_score > 0.02 else "und"), best_score
+            matched = sum(1 for w in toks if w in stops)
+            if matched > best_matched:
+                best_lang, best_matched = lang, matched
+        ppm = best_matched * 1_000_000 // n
+        return (best_lang if 50 * best_matched > n else "und"), ppm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, scores = [], []
         for text in batch.column("text").to_pylist():
-            lang, score = self.predict(text)
+            lang, ppm = self.predict(text)
             preds.append(lang)
-            scores.append(round(score, 6))
+            scores.append(ppm)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
                 "pred_lang": pa.array(preds, type=pa.string()),
-                "lang_score": pa.array(scores, type=pa.float64()),
+                "lang_score_ppm": pa.array(scores, type=pa.int64()),
             }
         )
 
