@@ -5236,6 +5236,50 @@ def _q_mm_minhash_dedup(sf_dir: str):
     return minhash_dedup(mm, threshold=0.5)
 
 
+def _q_caption_coverage(sf_dir: str):
+    """Composed chain #24: per-source caption-coverage audit — how much
+    of each source's media carries a usable caption and from WHERE
+    (own alt text / preceding text span / following / none), plus the
+    total span-offset distance (alignment tightness: a source whose
+    captions sit 4 spans away trains worse image-text pairs than one
+    at distance 1). Caption pairing (`spanio.caption_pairs_batch`) runs
+    per batch with source attached by an in-batch doc→source merge;
+    the only exchange is (source × caption_src)-sized integer
+    partials."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    from smartreader_ray.spanio import caption_pairs_batch
+
+    synth = _synth_interleaved_spans()
+
+    def partial(b: pa.Table) -> pa.Table:
+        pairs = caption_pairs_batch(synth(b)).to_pandas()
+        src = pd.DataFrame({
+            "doc_id": b.column("doc_id").to_pandas(),
+            "source": b.column("source").to_pandas(),
+        })
+        j = pairs.merge(src, on="doc_id", how="left")
+        g = (j.groupby(["source", "caption_src"], sort=False)
+             .agg(n_media=("doc_id", "size"),
+                  total_distance=("distance", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "caption_src"])
+            .aggregate(Sum("n_media", alias_name="n_media"),
+                       Sum("total_distance", alias_name="total_distance"))
+            .sort(["source", "caption_src"]))
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6136,6 +6180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_url_dedup": _q_media_url_dedup,
         "interleave_gate_chain": _q_interleave_gate_chain,
         "mm_minhash_dedup": _q_mm_minhash_dedup,
+        "caption_coverage": _q_caption_coverage,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6294,6 +6339,49 @@ _MINHASH_VERIFY_TAIL = """,
     JOIN nset na ON na.doc_id = p.doc_a
     JOIN nset nb ON nb.doc_id = p.doc_b
     ORDER BY doc_a, doc_b
+"""
+
+# Shared pairing suffix: nearest-text caption resolution over the
+# synthesized interleaving (IGNORE-NULLS windows; preceding wins ties)
+# — consumed by the `caption_pairs` and `caption_coverage` oracles.
+_SPAN_PAIR_CTES = _SPAN_CTES + """
+    , w AS (
+        SELECT *,
+               last_value(CASE WHEN kind = 'text' THEN txt END
+                          IGNORE NULLS) OVER pw AS ptxt,
+               last_value(CASE WHEN kind = 'text' THEN off END
+                          IGNORE NULLS) OVER pw AS poff,
+               first_value(CASE WHEN kind = 'text' THEN txt END
+                           IGNORE NULLS) OVER nw AS ntxt,
+               first_value(CASE WHEN kind = 'text' THEN off END
+                           IGNORE NULLS) OVER nw AS noff
+        FROM allspans
+        WINDOW pw AS (PARTITION BY doc_id ORDER BY off
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING),
+               nw AS (PARTITION BY doc_id ORDER BY off
+                      ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING)
+    ), pairs AS (
+        SELECT doc_id, media_ref, CAST(off AS BIGINT) AS off,
+               CASE WHEN txt <> '' THEN txt
+                    WHEN poff IS NOT NULL AND (noff IS NULL
+                         OR off - poff <= noff - off) THEN ptxt
+                    WHEN noff IS NOT NULL THEN ntxt
+                    ELSE '' END AS caption,
+               CASE WHEN txt <> '' THEN 'alt'
+                    WHEN poff IS NOT NULL AND (noff IS NULL
+                         OR off - poff <= noff - off) THEN 'prev'
+                    WHEN noff IS NOT NULL THEN 'next'
+                    ELSE 'none' END AS caption_src,
+               CAST(CASE WHEN txt <> '' THEN 0
+                    WHEN poff IS NOT NULL AND (noff IS NULL
+                         OR off - poff <= noff - off)
+                        THEN off - poff
+                    WHEN noff IS NOT NULL THEN noff - off
+                    ELSE -1 END AS BIGINT) AS distance
+        FROM w WHERE kind = 'image'
+    )
 """
 
 # Shared stats suffix: per-doc modality counts + kind alternations over
@@ -10142,45 +10230,19 @@ def oracle_sql() -> dict[str, str]:
         # caption_pairs: rebuild the deterministic interleaving
         # (shared _SPAN_CTES prefix) and replay the nearest-text
         # pairing with IGNORE NULLS windows.
-        "caption_pairs": _SPAN_CTES + """
-            , w AS (
-                SELECT *,
-                       last_value(CASE WHEN kind = 'text' THEN txt END
-                                  IGNORE NULLS) OVER pw AS ptxt,
-                       last_value(CASE WHEN kind = 'text' THEN off END
-                                  IGNORE NULLS) OVER pw AS poff,
-                       first_value(CASE WHEN kind = 'text' THEN txt END
-                                   IGNORE NULLS) OVER nw AS ntxt,
-                       first_value(CASE WHEN kind = 'text' THEN off END
-                                   IGNORE NULLS) OVER nw AS noff
-                FROM allspans
-                WINDOW pw AS (PARTITION BY doc_id ORDER BY off
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND 1 PRECEDING),
-                       nw AS (PARTITION BY doc_id ORDER BY off
-                              ROWS BETWEEN 1 FOLLOWING
-                                       AND UNBOUNDED FOLLOWING)
-            )
+        "caption_pairs": _SPAN_PAIR_CTES + """
             SELECT doc_id, media_ref, 'image' AS kind,
-                   CAST(off AS BIGINT) AS "offset",
-                   CASE WHEN txt <> '' THEN txt
-                        WHEN poff IS NOT NULL AND (noff IS NULL
-                             OR off - poff <= noff - off) THEN ptxt
-                        WHEN noff IS NOT NULL THEN ntxt
-                        ELSE '' END AS caption,
-                   CASE WHEN txt <> '' THEN 'alt'
-                        WHEN poff IS NOT NULL AND (noff IS NULL
-                             OR off - poff <= noff - off) THEN 'prev'
-                        WHEN noff IS NOT NULL THEN 'next'
-                        ELSE 'none' END AS caption_src,
-                   CAST(CASE WHEN txt <> '' THEN 0
-                        WHEN poff IS NOT NULL AND (noff IS NULL
-                             OR off - poff <= noff - off)
-                            THEN off - poff
-                        WHEN noff IS NOT NULL THEN noff - off
-                        ELSE -1 END AS BIGINT) AS distance
-            FROM w WHERE kind = 'image'
-            ORDER BY doc_id, "offset"
+                   off AS "offset", caption, caption_src, distance
+            FROM pairs ORDER BY doc_id, "offset"
+        """,
+        # caption_coverage: shared pairing CTE -> per-source rollup of
+        # caption provenance + alignment distance (chain #24).
+        "caption_coverage": _SPAN_PAIR_CTES + """
+            SELECT d.source, p.caption_src,
+                   CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(p.distance) AS BIGINT) AS total_distance
+            FROM pairs p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # interleave_audit: same span synthesis; alternation = adjacent
         # spans (by offset, per doc) whose text-vs-media class differs.
