@@ -5074,6 +5074,58 @@ def _q_mm_pack(sf_dir: str):
             .sort(["doc_id", "seq_idx"]))
 
 
+def _q_pack_overflow_audit(sf_dir: str):
+    """Composed chain #25: corpus rollup of the prefix-packing rule's
+    overflow cost — how many sequences exceed the 256-token budget
+    (the straddling span the closed-form rule allows), the total and
+    max overflow — the number a batching layer needs to size its
+    padding/truncation. Per-block 1-row integer partials over the
+    packed output; the exchange is ONE row per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    import ray.data
+
+    from smartreader_ray.spanio import pack_spans_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        cost = b.column("cost")
+        over = pc.max_element_wise(
+            pc.subtract(cost, pa.scalar(256, type=pa.int64())),
+            pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "n_seqs": pa.array([b.num_rows], type=pa.int64()),
+            "n_overflow": pa.array(
+                [pc.sum(pc.cast(pc.greater(cost, 256), pa.int64())).as_py()
+                 or 0], type=pa.int64()),
+            "total_cost": pa.array([pc.sum(cost).as_py() or 0],
+                                   type=pa.int64()),
+            "total_overflow": pa.array([pc.sum(over).as_py() or 0],
+                                       type=pa.int64()),
+            "max_overflow": pa.array(
+                [pc.max(over).as_py() if b.num_rows else 0],
+                type=pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    agg = (ds.map_batches(_synth_interleaved_spans(),
+                          batch_format="pyarrow")
+           .map_batches(pack_spans_batch, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n_seqs", alias_name="n_seqs"),
+                      Sum("n_overflow", alias_name="n_overflow"),
+                      Sum("total_cost", alias_name="total_cost"),
+                      Sum("total_overflow", alias_name="total_overflow"),
+                      Max("max_overflow", alias_name="max_overflow")))
+    return pa.table({k: pa.array([int(agg[k])], type=pa.int64())
+                     for k in ("n_seqs", "n_overflow", "total_cost",
+                               "total_overflow", "max_overflow")})
+
+
 def _q_media_url_dedup(sf_dir: str):
     """Cross-document media dedup (the LAION/MMC4 'same CDN asset on
     many pages' screen): canonicalize every media_ref to its asset
@@ -6181,6 +6233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_gate_chain": _q_interleave_gate_chain,
         "mm_minhash_dedup": _q_mm_minhash_dedup,
         "caption_coverage": _q_caption_coverage,
+        "pack_overflow_audit": _q_pack_overflow_audit,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6381,6 +6434,39 @@ _SPAN_PAIR_CTES = _SPAN_CTES + """
                     WHEN noff IS NOT NULL THEN noff - off
                     ELSE -1 END AS BIGINT) AS distance
         FROM w WHERE kind = 'image'
+    )
+"""
+
+# Shared packing suffix: replay of spanio.pack_spans_batch's
+# prefix-packing rule (seq = window-SUM of preceding costs // 256; text
+# cost = token count, image cost = 64) ending in the per-(doc, seq)
+# rollup — consumed by the `mm_pack` and `pack_overflow_audit` oracles.
+_SPAN_PACK_CTES = _SPAN_CTES + """
+    , c AS (
+        SELECT doc_id, off,
+               CASE WHEN kind = 'text'
+                    THEN len(string_split(txt, ' '))
+                    ELSE 64 END AS cost,
+               CASE WHEN kind = 'text'
+                    THEN len(string_split(txt, ' '))
+                    ELSE 0 END AS tok,
+               CASE WHEN kind = 'text' THEN 0 ELSE 1 END AS is_m
+        FROM allspans
+    ), s AS (
+        SELECT *,
+               COALESCE(SUM(cost) OVER (
+                   PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) // 256
+                   AS seq_idx
+        FROM c
+    ), packed AS (
+        SELECT doc_id, CAST(seq_idx AS BIGINT) AS seq_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(tok) AS BIGINT) AS n_text_tokens,
+               CAST(SUM(is_m) AS BIGINT) AS n_media,
+               CAST(SUM(cost) AS BIGINT) AS cost
+        FROM s GROUP BY doc_id, seq_idx
     )
 """
 
@@ -10249,36 +10335,23 @@ def oracle_sql() -> dict[str, str]:
         "interleave_audit": _SPAN_STATS_CTES + """
             SELECT * FROM stats
         """,
-        # mm_pack: replay the prefix-packing rule — seq_idx = window
-        # SUM of preceding costs // 256 (text cost = token count,
-        # image cost = 64) — then the per-(doc, seq) rollup.
-        "mm_pack": _SPAN_CTES + """
-            , c AS (
-                SELECT doc_id, off,
-                       CASE WHEN kind = 'text'
-                            THEN len(string_split(txt, ' '))
-                            ELSE 64 END AS cost,
-                       CASE WHEN kind = 'text'
-                            THEN len(string_split(txt, ' '))
-                            ELSE 0 END AS tok,
-                       CASE WHEN kind = 'text' THEN 0 ELSE 1 END AS is_m
-                FROM allspans
-            ), s AS (
-                SELECT *,
-                       COALESCE(SUM(cost) OVER (
-                           PARTITION BY doc_id ORDER BY off
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING), 0) // 256
-                           AS seq_idx
-                FROM c
-            )
-            SELECT doc_id, CAST(seq_idx AS BIGINT) AS seq_idx,
-                   CAST(COUNT(*) AS BIGINT) AS n_spans,
-                   CAST(SUM(tok) AS BIGINT) AS n_text_tokens,
-                   CAST(SUM(is_m) AS BIGINT) AS n_media,
-                   CAST(SUM(cost) AS BIGINT) AS cost
-            FROM s GROUP BY doc_id, seq_idx
-            ORDER BY doc_id, seq_idx
+        # mm_pack: shared prefix-packing replay (_SPAN_PACK_CTES).
+        "mm_pack": _SPAN_PACK_CTES + """
+            SELECT * FROM packed ORDER BY doc_id, seq_idx
+        """,
+        # pack_overflow_audit: corpus rollup of the prefix rule's
+        # overflow cost (chain #25) over the same packed CTE.
+        "pack_overflow_audit": _SPAN_PACK_CTES + """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                   CAST(SUM(CASE WHEN cost > 256 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_overflow,
+                   CAST(SUM(cost) AS BIGINT) AS total_cost,
+                   CAST(SUM(CASE WHEN cost > 256 THEN cost - 256
+                                 ELSE 0 END) AS BIGINT)
+                       AS total_overflow,
+                   CAST(GREATEST(MAX(cost) - 256, 0) AS BIGINT)
+                       AS max_overflow
+            FROM packed
         """,
         # media_url_dedup: canonical asset bucket from (doc, k) parsed
         # out of the ref path; first occurrence via MIN of the packed

@@ -265,7 +265,7 @@ def run_main() -> dict:
         "ccnet_buckets", "zipf_fit", "hard_negatives", "source_crossent",
         "ccnet_keep_chain", "caption_pairs", "interleave_audit",
         "mm_pack", "media_url_dedup", "interleave_gate_chain",
-        "mm_minhash_dedup", "caption_coverage",
+        "mm_minhash_dedup", "caption_coverage", "pack_overflow_audit",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
