@@ -5332,6 +5332,288 @@ def _q_caption_coverage(sf_dir: str):
             .sort(["source", "caption_src"]))
 
 
+def _q_span_normalize(sf_dir: str):
+    """Span-sequence canonicalization (`spanio.normalize_spans_batch`):
+    drop whitespace-empty TEXT spans, merge maximal adjacent-text runs
+    (single-space join), trim alts, renumber offsets — the
+    normalization pass run before any span-sequence equality compare
+    (the engine's acceptance invariant). One flatten + binary_join
+    kernel per block, zero shuffle; output is the flat normalized span
+    table."""
+    import ray.data
+
+    from smartreader_ray.spanio import normalize_spans_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(normalize_spans_batch, batch_format="pyarrow")
+            .sort(["doc_id", "offset"]))
+
+
+def _q_modality_runs(sf_dir: str):
+    """Modality run-length audit (`spanio.modality_runs_batch`): per-doc
+    maximal same-class runs + longest text/media run — the burstiness
+    statistic MMC4-style interleaved filters gate on (complements
+    `interleave_audit`'s alternation count). Vectorized reduceat
+    rollups per block; one row per doc leaves each block."""
+    import ray.data
+
+    from smartreader_ray.spanio import modality_runs_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(modality_runs_batch, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def _synth_span_variants():
+    """(doc_id, spans_a, spans_b) synthesis for the span-diff operator:
+    variant A is the shared deterministic interleaving
+    (`_synth_interleaved_spans`); variant B applies one deterministic
+    corruption per residue class — doc%11==3 deletes the span at index
+    1, doc%11==5 rewrites the first image's media_ref (`||'?v=2'`),
+    doc%11==7 appends ' X' to the first text span — so the diff
+    operator sees every mismatch class and the oracle can replay the
+    corruption with window functions."""
+    import pyarrow as pa
+
+    synth = _synth_interleaved_spans()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = synth(batch)
+        out_b = []
+        for did, spans in zip(t.column("doc_id").to_pylist(),
+                              t.column("spans").to_pylist()):
+            did = int(did)
+            b = [dict(s) for s in spans]
+            if did % 11 == 3 and len(b) > 1:
+                del b[1]
+                for i, s in enumerate(b):
+                    s["offset"] = i
+            elif did % 11 == 5:
+                for s in b:
+                    if s["kind"] == "image":
+                        s["media_ref"] = s["media_ref"] + "?v=2"
+                        break
+            elif did % 11 == 7:
+                for s in b:
+                    if s["kind"] == "text":
+                        s["text"] = s["text"] + " X"
+                        break
+            out_b.append(b)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "spans_a": t.column("spans"),
+            "spans_b": pa.array(out_b, type=t.column("spans").type),
+        })
+
+    return fn
+
+
+def _q_span_diff(sf_dir: str):
+    """Composed chain #26 — the ACCEPTANCE INVARIANT as an operator
+    (`spanio.span_diff_batch`): per-document span-sequence equality
+    under (kind, text, media_ref, order) against a deterministically
+    perturbed variant, reporting the first mismatching index and the
+    first mismatching field (kind > text > media_ref; pure prefix →
+    'length'). This is the per-row check the north star grades
+    extraction on, run corpus-wide as a data operator: per-doc zipper
+    compare, fully vectorized, zero shuffle."""
+    import ray.data
+
+    from smartreader_ray.spanio import span_diff_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_span_variants(), batch_format="pyarrow")
+            .map_batches(span_diff_batch, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def _q_span_boilerplate(sf_dir: str):
+    """Cross-document boilerplate-span screen (CCNet's repeated-line
+    filter at SPAN granularity — headers/footers/nav chrome repeat
+    verbatim across pages): count corpus-wide occurrences of every
+    TEXT span's exact content, mark spans whose content occurs >= 20
+    times, roll up per document (n_text_spans, n_boiler, n_kept).
+    The synthesis plants the chrome the screen exists for — docs with
+    doc_id%3==0 carry an 'all rights reserved contact us' footer span,
+    doc_id%5==0 additionally 'follow us on social media' — so at
+    sf>=0.01 exactly the planted spans cross the threshold while
+    natural word-soup chunks (max 7 repeats) stay under it.
+    Scale shape: one groupby on the span content for the counts, then
+    the repo's vectorized `hash_join` (run-length emit kernel) to
+    stamp counts back onto span occurrences, then a per-doc integer
+    rollup — two key exchanges, no broadcast of an unbounded hot list,
+    no per-key Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+
+    THRESH = 20
+    synth = _synth_interleaved_spans()
+
+    def text_spans(b: pa.Table) -> pa.Table:
+        t = synth(b)
+        o_doc, o_txt = [], []
+        for did, spans in zip(t.column("doc_id").to_pylist(),
+                              t.column("spans").to_pylist()):
+            did = int(did)
+            for s in spans:
+                if s["kind"] == "text" and s["text"]:
+                    o_doc.append(did)
+                    o_txt.append(s["text"])
+            if did % 3 == 0:
+                o_doc.append(did)
+                o_txt.append("all rights reserved contact us")
+            if did % 5 == 0:
+                o_doc.append(did)
+                o_txt.append("follow us on social media")
+        return pa.table({
+            "doc_id": pa.array(o_doc, type=pa.int64()),
+            "txt": pa.array(o_txt, type=pa.string()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    spans = ds.map_batches(text_spans, batch_format="pyarrow")
+    counts = spans.groupby("txt").aggregate(Count(alias_name="cnt"))
+    stamped = hash_join(spans, counts, "txt", "txt",
+                        left_cols=["doc_id"], right_cols=["cnt"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        boiler = pc.cast(pc.greater_equal(b.column("cnt"), THRESH),
+                         pa.int64())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "one": pa.array([1] * b.num_rows, type=pa.int64()),
+            "boiler": boiler,
+        })
+
+    out = (stamped.map_batches(partial, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("one", alias_name="n_text_spans"),
+                      Sum("boiler", alias_name="n_boiler")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_kept", pc.subtract(b.column("n_text_spans"),
+                                  b.column("n_boiler")))
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_media_context(sf_dir: str):
+    """Text context window around every media span
+    (`spanio.media_context_batch`): the concatenated TEXT-span texts
+    within ±2 span positions — the CLIP/BLIP (image, surrounding-text)
+    training-pair builder over interleaved docs (wider than
+    `caption_pairs`' single nearest caption). Candidate indices via
+    repeat/arange, ONE binary_join per block; per-doc, zero shuffle."""
+    import ray.data
+
+    from smartreader_ray.spanio import media_context_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(media_context_batch, batch_format="pyarrow")
+            .sort(["doc_id", "offset"]))
+
+
+def _q_span_truncate(sf_dir: str):
+    """Token-budget head truncation (`spanio.truncate_spans_batch`):
+    keep each doc's span-sequence head under a 96-token budget (text =
+    whitespace tokens, media = 64-token patch cost; prefix-straddle
+    rule as in `mm_pack`), CLIPPING the straddling text span to the
+    remaining tokens — the context-window trim before packing.
+    Closed-form (one window SUM in the oracle); the clip is fully
+    vectorized (token ListArray rebuild + ONE binary_join); zero
+    shuffle."""
+    import ray.data
+
+    from smartreader_ray.spanio import truncate_spans_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(truncate_spans_batch, batch_format="pyarrow")
+            .sort(["doc_id", "offset"]))
+
+
+def _q_clean_doc_chain(sf_dir: str):
+    """Composed chain #27: modality-runs GATE → span normalization →
+    per-doc rollup, all inside ONE map_batches (each row is a whole
+    doc, so the gate, the normalize pass, and the rollup are
+    block-local — the canonical interleaved-curation step shape: no
+    exchange until the final doc-sized sort). Keep docs with
+    n_runs >= 9 AND max_text_run >= 3 (the well-interleaved half of
+    the corpus), normalize their spans (drop empty text, merge
+    adjacent text runs), report per doc: n_spans, n_text_chars (merged
+    text codepoints), n_media."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smartreader_ray.spanio import (modality_runs_batch,
+                                        normalize_spans_batch)
+
+    synth = _synth_interleaved_spans()
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = synth(b)
+        stats = modality_runs_batch(t)
+        keep = pc.and_(
+            pc.greater_equal(stats.column("n_runs"), 9),
+            pc.greater_equal(stats.column("max_text_run"), 3))
+        keep_ids = stats.filter(keep).column("doc_id").combine_chunks()
+        norm = normalize_spans_batch(
+            t.filter(pc.is_in(t.column("doc_id"), value_set=keep_ids)))
+        is_text = pc.equal(norm.column("kind"), "text")
+        chars = pc.if_else(is_text,
+                           pc.utf8_length(norm.column("text")),
+                           pa.scalar(0, type=pa.int32()))
+        prep = pa.table({
+            "doc_id": norm.column("doc_id"),
+            "one": pa.array([1] * norm.num_rows, type=pa.int64()),
+            "chars": pc.cast(chars, pa.int64()),
+            "is_media": pc.cast(pc.invert(is_text), pa.int64()),
+        })
+        out = prep.group_by("doc_id").aggregate(
+            [("one", "sum"), ("chars", "sum"), ("is_media", "sum")])
+        return out.rename_columns(
+            ["doc_id", "n_spans", "n_text_chars", "n_media"])
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6234,6 +6516,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_minhash_dedup": _q_mm_minhash_dedup,
         "caption_coverage": _q_caption_coverage,
         "pack_overflow_audit": _q_pack_overflow_audit,
+        "span_normalize": _q_span_normalize,
+        "modality_runs": _q_modality_runs,
+        "span_diff": _q_span_diff,
+        "span_boilerplate": _q_span_boilerplate,
+        "media_context": _q_media_context,
+        "span_truncate": _q_span_truncate,
+        "clean_doc_chain": _q_clean_doc_chain,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6490,6 +6779,30 @@ _SPAN_STATS_CTES = _SPAN_CTES + """
                                  THEN 1 ELSE 0 END), 0)
                     AS BIGINT) AS n_alt
         FROM k GROUP BY doc_id
+    )
+"""
+
+# Shared run-length suffix: maximal same-class (text vs media) runs per
+# doc — run id = running SUM of the adjacent-class-change flag, one row
+# per run in `runs2` — consumed by the `modality_runs` and
+# `clean_doc_chain` oracles so the gate cannot drift from the audit.
+_SPAN_RUNS_CTES = _SPAN_CTES + """
+    , k2 AS (
+        SELECT doc_id, off,
+               CASE WHEN kind = 'text' THEN 1 ELSE 0 END AS it
+        FROM allspans
+    ), r2 AS (
+        SELECT *, CASE WHEN lag(it) OVER w IS NULL
+                            OR lag(it) OVER w <> it
+                       THEN 1 ELSE 0 END AS nr
+        FROM k2 WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+    ), rid2 AS (
+        SELECT *, SUM(nr) OVER (
+                PARTITION BY doc_id ORDER BY off) AS run_id
+        FROM r2
+    ), runs2 AS (
+        SELECT doc_id, run_id, MAX(it) AS it, COUNT(*) AS rl
+        FROM rid2 GROUP BY doc_id, run_id
     )
 """
 
@@ -10352,6 +10665,244 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GREATEST(MAX(cost) - 256, 0) AS BIGINT)
                        AS max_overflow
             FROM packed
+        """,
+        # span_normalize: replay of spanio.normalize_spans_batch —
+        # drop whitespace-empty TEXT spans, merge maximal adjacent-text
+        # runs (trimmed texts joined with ' '), trim alts, renumber.
+        # Run boundary = doc change OR NOT(both text); segment id via
+        # running SUM of the boundary flag, merge via ordered
+        # string_agg, first-of-segment kind/media via arg_min.
+        "span_normalize": _SPAN_CTES + """
+            , norm0 AS (
+                SELECT doc_id, off, kind, trim(COALESCE(txt, '')) AS t,
+                       COALESCE(media_ref, '') AS mr
+                FROM allspans
+                WHERE NOT (kind = 'text'
+                           AND trim(COALESCE(txt, '')) = '')
+            ), segmark AS (
+                SELECT *, CASE WHEN lag(kind) OVER w IS NULL
+                                    OR NOT (kind = 'text'
+                                            AND lag(kind) OVER w
+                                                = 'text')
+                               THEN 1 ELSE 0 END AS new_seg
+                FROM norm0
+                WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+            ), seg AS (
+                SELECT *, SUM(new_seg) OVER (
+                        PARTITION BY doc_id ORDER BY off) AS seg_id
+                FROM segmark
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(seg_id - 1 AS BIGINT) AS "offset",
+                   arg_min(kind, off) AS kind,
+                   string_agg(t, ' ' ORDER BY off) AS text,
+                   arg_min(mr, off) AS media_ref
+            FROM seg GROUP BY doc_id, seg_id
+            ORDER BY doc_id, "offset"
+        """,
+        # modality_runs: same-class (text vs media) run-length rollup
+        # per doc over the shared runs2 CTE.
+        "modality_runs": _SPAN_RUNS_CTES + """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(SUM(it) AS BIGINT) AS n_text_runs,
+                   CAST(COUNT(*) - SUM(it) AS BIGINT) AS n_media_runs,
+                   CAST(COALESCE(MAX(CASE WHEN it = 1 THEN rl END), 0)
+                        AS BIGINT) AS max_text_run,
+                   CAST(COALESCE(MAX(CASE WHEN it = 0 THEN rl END), 0)
+                        AS BIGINT) AS max_media_run
+            FROM runs2 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # media_context: ±2-span text window per media span — LEFT JOIN
+        # on |off distance| <= 2 + ordered string_agg (offsets are
+        # dense per doc, so position == offset).
+        "media_context": _SPAN_CTES + """
+            , t AS (
+                SELECT doc_id, off, txt FROM allspans
+                WHERE kind = 'text'
+            ), i AS (
+                SELECT doc_id, off, media_ref FROM allspans
+                WHERE kind <> 'text'
+            )
+            SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+                   CAST(i.off AS BIGINT) AS "offset",
+                   'image' AS kind, i.media_ref,
+                   COALESCE(string_agg(t.txt, ' ' ORDER BY t.off), '')
+                       AS context,
+                   CAST(COUNT(t.off) AS BIGINT) AS n_ctx
+            FROM i LEFT JOIN t
+                 ON t.doc_id = i.doc_id AND abs(t.off - i.off) <= 2
+            GROUP BY i.doc_id, i.off, i.media_ref
+            ORDER BY doc_id, "offset"
+        """,
+        # span_truncate: replay of the prefix-straddle head truncation —
+        # one window SUM for the exclusive prefix, keep prefix < 96,
+        # clip the straddling text span to the remaining tokens via a
+        # computed list slice.
+        "span_truncate": _SPAN_CTES + """
+            , c AS (
+                SELECT doc_id, off, kind, COALESCE(txt, '') AS t,
+                       COALESCE(media_ref, '') AS mr,
+                       CASE WHEN kind = 'text'
+                            THEN len(string_split(txt, ' '))
+                            ELSE 64 END AS cost,
+                       CASE WHEN kind = 'text'
+                            THEN len(string_split(txt, ' '))
+                            ELSE 0 END AS ntok
+                FROM allspans
+            ), s AS (
+                SELECT *, COALESCE(SUM(cost) OVER (
+                        PARTITION BY doc_id ORDER BY off
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS pfx
+                FROM c
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(off AS BIGINT) AS "offset", kind,
+                   CASE WHEN kind = 'text' AND ntok > 96 - pfx
+                        THEN array_to_string(
+                            string_split(t, ' ')
+                                [1:CAST(96 - pfx AS BIGINT)], ' ')
+                        ELSE t END AS text,
+                   mr AS media_ref,
+                   CAST(CASE WHEN kind = 'text'
+                             THEN LEAST(ntok, 96 - pfx)
+                             ELSE 64 END AS BIGINT) AS cost
+            FROM s WHERE pfx < 96 ORDER BY doc_id, "offset"
+        """,
+        # clean_doc_chain: shared runs2 gate (n_runs >= 9 AND
+        # max text-run >= 3) -> normalize replay (same CTE shape as
+        # span_normalize, gated) -> per-doc rollup (chain #27).
+        "clean_doc_chain": _SPAN_RUNS_CTES + """
+            , gate AS (
+                SELECT doc_id FROM runs2 GROUP BY doc_id
+                HAVING COUNT(*) >= 9
+                   AND COALESCE(MAX(CASE WHEN it = 1 THEN rl END), 0)
+                       >= 3
+            ), norm0 AS (
+                SELECT doc_id, off, kind, trim(COALESCE(txt, '')) AS t
+                FROM allspans
+                WHERE doc_id IN (SELECT doc_id FROM gate)
+                      AND NOT (kind = 'text'
+                               AND trim(COALESCE(txt, '')) = '')
+            ), segmark AS (
+                SELECT *, CASE WHEN lag(kind) OVER w IS NULL
+                                    OR NOT (kind = 'text'
+                                            AND lag(kind) OVER w
+                                                = 'text')
+                               THEN 1 ELSE 0 END AS new_seg
+                FROM norm0
+                WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+            ), seg AS (
+                SELECT *, SUM(new_seg) OVER (
+                        PARTITION BY doc_id ORDER BY off) AS seg_id
+                FROM segmark
+            ), merged AS (
+                SELECT doc_id, seg_id, arg_min(kind, off) AS kind,
+                       string_agg(t, ' ' ORDER BY off) AS text
+                FROM seg GROUP BY doc_id, seg_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN len(text)
+                                 ELSE 0 END) AS BIGINT)
+                       AS n_text_chars,
+                   CAST(SUM(CASE WHEN kind <> 'text' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_media
+            FROM merged GROUP BY doc_id ORDER BY doc_id
+        """,
+        # span_diff: replay _synth_span_variants' per-residue
+        # corruption (doc%11==3 delete index 1; ==5 first image's
+        # media_ref || '?v=2'; ==7 first text span || ' X'), then the
+        # zipper compare: first mismatching index over the common
+        # prefix with field priority kind > text > media_ref, pure
+        # prefix -> 'length' at min(n_a, n_b).
+        "span_diff": _SPAN_CTES + """
+            , a AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) - 1 AS i,
+                       kind, COALESCE(txt, '') AS t,
+                       COALESCE(media_ref, '') AS mr
+                FROM allspans
+            ), marks AS (
+                SELECT *, MIN(CASE WHEN kind = 'image' THEN i END)
+                              OVER (PARTITION BY doc_id) AS fimg,
+                          MIN(CASE WHEN kind = 'text' THEN i END)
+                              OVER (PARTITION BY doc_id) AS ftxt,
+                          COUNT(*) OVER (PARTITION BY doc_id) AS na
+                FROM a
+            ), b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 3 AND na > 1 AND i > 1
+                            THEN i - 1 ELSE i END AS i,
+                       kind,
+                       CASE WHEN doc_id % 11 = 7 AND i = ftxt
+                            THEN t || ' X' ELSE t END AS t,
+                       CASE WHEN doc_id % 11 = 5 AND i = fimg
+                            THEN mr || '?v=2' ELSE mr END AS mr
+                FROM marks
+                WHERE NOT (doc_id % 11 = 3 AND na > 1 AND i = 1)
+            ), j AS (
+                SELECT COALESCE(x.doc_id, y.doc_id) AS doc_id,
+                       COALESCE(x.i, y.i) AS i,
+                       x.kind AS ka, y.kind AS kb, x.t AS ta,
+                       y.t AS tb, x.mr AS ma, y.mr AS mb,
+                       x.i IS NOT NULL AS ina, y.i IS NOT NULL AS inb
+                FROM a x FULL OUTER JOIN b y
+                     ON x.doc_id = y.doc_id AND x.i = y.i
+            ), dd AS (
+                SELECT doc_id,
+                       COUNT(CASE WHEN ina THEN 1 END) AS n_a,
+                       COUNT(CASE WHEN inb THEN 1 END) AS n_b,
+                       MIN(CASE WHEN ina AND inb AND (ka <> kb
+                                OR ta <> tb OR ma <> mb)
+                                THEN i END) AS fm,
+                       arg_min(CASE WHEN ka <> kb THEN 'kind'
+                                    WHEN ta <> tb THEN 'text'
+                                    ELSE 'media_ref' END, i)
+                           FILTER (WHERE ina AND inb AND (ka <> kb
+                                   OR ta <> tb OR ma <> mb)) AS ffield
+                FROM j GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   (fm IS NULL AND n_a = n_b) AS equal,
+                   CAST(CASE WHEN fm IS NOT NULL THEN fm
+                             WHEN n_a <> n_b THEN LEAST(n_a, n_b)
+                             ELSE -1 END AS BIGINT) AS first_mismatch,
+                   CASE WHEN fm IS NOT NULL THEN ffield
+                        WHEN n_a <> n_b THEN 'length'
+                        ELSE '' END AS mismatch_field
+            FROM dd ORDER BY doc_id
+        """,
+        # span_boilerplate: corpus-wide exact-content counts over the
+        # non-empty TEXT spans plus the planted chrome (doc%3 footer,
+        # doc%5 social line); boiler = content count >= 20; per-doc
+        # rollup.
+        "span_boilerplate": _SPAN_CTES + """
+            , ts AS (
+                SELECT doc_id, txt FROM allspans
+                WHERE kind = 'text' AND txt <> ''
+                UNION ALL
+                SELECT doc_id, 'all rights reserved contact us'
+                FROM m WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 'follow us on social media'
+                FROM m WHERE doc_id % 5 = 0
+            ), cnts AS (
+                SELECT txt, COUNT(*) AS cnt FROM ts GROUP BY txt
+            )
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_text_spans,
+                   CAST(SUM(CASE WHEN c.cnt >= 20 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler,
+                   CAST(COUNT(*) - SUM(CASE WHEN c.cnt >= 20
+                                            THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM ts t JOIN cnts c USING (txt)
+            GROUP BY t.doc_id ORDER BY doc_id
         """,
         # media_url_dedup: canonical asset bucket from (doc, k) parsed
         # out of the ref path; first occurrence via MIN of the packed

@@ -359,3 +359,378 @@ def pack_spans_batch(article_batch, budget: int = 256,
         "n_media": pa.array(out_media, type=pa.int64()),
         "cost": pa.array(out_cost, type=pa.int64()),
     })
+
+
+def normalize_spans_batch(article_batch) -> "pa.Table":
+    """Canonicalize interleaved span sequences — the normalization pass
+    run before any span-sequence equality compare (the acceptance
+    invariant: per-doc (kind, text, media_ref, order) equality):
+
+    * TEXT spans that are empty after whitespace-trim are DROPPED;
+    * maximal runs of adjacent TEXT spans are MERGED (trimmed texts
+      joined with a single space);
+    * media spans pass through unchanged (alt text trimmed);
+    * offsets are renumbered 0..n-1 per document.
+
+    Fully vectorized: one flatten + offsets pass, run boundaries via
+    adjacent class compare, per-run text merge via ONE
+    ``pc.binary_join`` over a rebuilt ListArray — no per-span Python.
+    Output is FLAT (one row per normalized span): (doc_id, offset,
+    kind, text, media_ref); documents whose every span is dropped emit
+    no rows. Batch-level function for
+    ``map_batches(..., batch_format="pyarrow")``; embarrassingly
+    parallel — nothing leaves the block but the normalized rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = article_batch.column("spans").combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1] - offsets[0]
+    ends = offsets[1:] - offsets[0]
+    n_doc = ends - starts
+    flat = spans.flatten()
+    empty_s = pa.scalar("", type=pa.string())
+    kind = pc.coalesce(flat.field("kind"), empty_s)
+    text = pc.utf8_trim_whitespace(pc.coalesce(flat.field("text"), empty_s))
+    media = pc.coalesce(flat.field("media_ref"), empty_s)
+    is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+    is_empty = pc.equal(pc.utf8_length(text), 0).to_numpy(
+        zero_copy_only=False)
+    keep = ~(is_text & is_empty)
+    doc_idx = np.repeat(np.arange(len(n_doc), dtype=np.int64), n_doc)
+    kidx = np.flatnonzero(keep)
+    n2 = len(kidx)
+    d2 = doc_idx[kidx]
+    it2 = is_text[kidx]
+    new_seg = np.ones(n2, dtype=bool)
+    if n2 > 1:
+        new_seg[1:] = (d2[1:] != d2[:-1]) | ~(it2[1:] & it2[:-1])
+    seg_starts = np.flatnonzero(new_seg)
+    n_seg = len(seg_starts)
+    take_kept = pa.array(kidx, type=pa.int64())
+    kept_text = text.take(take_kept)
+    list_offs = pa.array(np.append(seg_starts, n2).astype(np.int32))
+    merged = pc.binary_join(
+        pa.ListArray.from_arrays(list_offs, kept_text), " ")
+    first_of_seg = pa.array(kidx[seg_starts], type=pa.int64())
+    seg_kind = kind.take(first_of_seg)
+    seg_media = media.take(first_of_seg)
+    seg_doc = d2[seg_starts] if n_seg else np.zeros(0, np.int64)
+    # renumber: segment ordinal minus the doc's first segment ordinal
+    doc_first = np.ones(n_seg, dtype=bool)
+    if n_seg > 1:
+        doc_first[1:] = seg_doc[1:] != seg_doc[:-1]
+    seg_ord = np.arange(n_seg, dtype=np.int64)
+    base = np.maximum.accumulate(np.where(doc_first, seg_ord, 0))
+    doc_col = article_batch.column("doc_id").combine_chunks()
+    return pa.table({
+        "doc_id": doc_col.take(pa.array(seg_doc, type=pa.int64())),
+        "offset": pa.array(seg_ord - base, type=pa.int64()),
+        "kind": seg_kind,
+        "text": merged,
+        "media_ref": seg_media,
+    })
+
+
+def modality_runs_batch(article_batch) -> "pa.Table":
+    """Per-document modality RUN-LENGTH audit over interleaved
+    ``(doc_id, spans)`` rows: number of maximal same-class (text vs
+    media) runs, per-class run counts, and the LONGEST run of each
+    class — the burstiness statistic MMC4-style interleaved filters
+    gate on (a doc with 12 consecutive images trains differently from
+    one alternating text⇄image; complements `interleave_stats_batch`,
+    which counts alternations but not run lengths).
+
+    Fully vectorized: flatten + offsets, run boundaries via adjacent
+    class compare masked at doc boundaries, run lengths and per-doc
+    rollups via ``np.add.reduceat`` / ``np.maximum.reduceat``. Output
+    one row per document with ≥1 span: (doc_id, n_runs, n_text_runs,
+    n_media_runs, max_text_run, max_media_run) — all exact int64.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = article_batch.column("spans").combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1] - offsets[0]
+    ends = offsets[1:] - offsets[0]
+    n_doc = ends - starts
+    flat = spans.flatten()
+    is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+        zero_copy_only=False)
+    n = len(is_text)
+    doc_idx = np.repeat(np.arange(len(n_doc), dtype=np.int64), n_doc)
+    if n == 0:
+        empty = pa.array([], type=pa.int64())
+        return pa.table({
+            "doc_id": article_batch.column("doc_id").slice(0, 0),
+            "n_runs": empty, "n_text_runs": empty, "n_media_runs": empty,
+            "max_text_run": empty, "max_media_run": empty,
+        })
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (doc_idx[1:] != doc_idx[:-1]) | (is_text[1:] != is_text[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_starts, n)).astype(np.int64)
+    run_doc = doc_idx[run_starts]
+    run_is_text = is_text[run_starts]
+    doc_first = np.ones(len(run_starts), dtype=bool)
+    doc_first[1:] = run_doc[1:] != run_doc[:-1]
+    doc_run_starts = np.flatnonzero(doc_first)
+    ones = np.ones(len(run_starts), dtype=np.int64)
+    t_len = np.where(run_is_text, run_len, 0)
+    m_len = np.where(run_is_text, 0, run_len)
+    out = {
+        "n_runs": np.add.reduceat(ones, doc_run_starts),
+        "n_text_runs": np.add.reduceat(run_is_text.astype(np.int64),
+                                       doc_run_starts),
+        "n_media_runs": np.add.reduceat((~run_is_text).astype(np.int64),
+                                        doc_run_starts),
+        "max_text_run": np.maximum.reduceat(t_len, doc_run_starts),
+        "max_media_run": np.maximum.reduceat(m_len, doc_run_starts),
+    }
+    doc_col = article_batch.column("doc_id").combine_chunks()
+    return pa.table({
+        "doc_id": doc_col.take(
+            pa.array(run_doc[doc_run_starts], type=pa.int64())),
+        **{k: pa.array(v, type=pa.int64()) for k, v in out.items()},
+    })
+
+
+def span_diff_batch(batch, col_a: str = "spans_a",
+                    col_b: str = "spans_b") -> "pa.Table":
+    """Per-document SPAN-SEQUENCE EQUALITY compare — the acceptance
+    invariant of the extraction engine ((kind, text, media_ref, order)
+    equality per document) expressed as an operator: given two span
+    list columns on the same row, report whether the sequences are
+    identical, and if not the FIRST mismatching index and which field
+    mismatches first there (field priority kind > text > media_ref; a
+    pure prefix relation reports 'length' at index min(n_a, n_b)).
+
+    Fully vectorized across documents: ragged prefix index arrays via
+    repeat/arange arithmetic, ONE Arrow take + equality kernel per
+    field, first-mismatch per doc via ``np.minimum.reduceat`` over
+    masked positions. Output one row per document: (doc_id, n_a, n_b,
+    equal, first_mismatch, mismatch_field) — ``first_mismatch = -1``
+    and ``mismatch_field = ''`` when equal. Per-doc, zero shuffle.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def flat_parts(col):
+        arr = batch.column(col).combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        st = offs[:-1] - offs[0]
+        flat = arr.flatten()
+        empty_s = pa.scalar("", type=pa.string())
+        return (st, np.diff(offs).astype(np.int64),
+                pc.coalesce(flat.field("kind"), empty_s),
+                pc.coalesce(flat.field("text"), empty_s),
+                pc.coalesce(flat.field("media_ref"), empty_s))
+
+    st_a, n_a, k_a, t_a, m_a = flat_parts(col_a)
+    st_b, n_b, k_b, t_b, m_b = flat_parts(col_b)
+    ndocs = len(n_a)
+    m = np.minimum(n_a, n_b)
+    total = int(m.sum())
+    cum0 = np.concatenate(([0], np.cumsum(m)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum0, m)
+    gidx_a = pa.array(np.repeat(st_a, m) + within, type=pa.int64())
+    gidx_b = pa.array(np.repeat(st_b, m) + within, type=pa.int64())
+    neq_k = pc.not_equal(k_a.take(gidx_a), k_b.take(gidx_b)).to_numpy(
+        zero_copy_only=False)
+    neq_t = pc.not_equal(t_a.take(gidx_a), t_b.take(gidx_b)).to_numpy(
+        zero_copy_only=False)
+    neq_m = pc.not_equal(m_a.take(gidx_a), m_b.take(gidx_b)).to_numpy(
+        zero_copy_only=False)
+    neq = neq_k | neq_t | neq_m
+    BIG = np.int64(2**62)
+    pos = np.where(neq, within, BIG)
+    first = np.full(ndocs, BIG, dtype=np.int64)
+    nz = np.flatnonzero(m > 0)
+    if len(nz):
+        # reduceat over only non-empty segments, mapped back
+        first[nz] = np.minimum.reduceat(pos, cum0[nz])
+    has_field_mm = first < BIG
+    # classify the field at the first mismatching position
+    mm_doc = np.flatnonzero(has_field_mm)
+    field = np.array([""] * ndocs, dtype=object)
+    if len(mm_doc):
+        p = cum0[mm_doc] + first[mm_doc]
+        kk = neq_k[p]
+        tt = neq_t[p] & ~kk
+        field[mm_doc] = np.where(kk, "kind", np.where(tt, "text",
+                                                      "media_ref"))
+    len_mm = ~has_field_mm & (n_a != n_b)
+    field[len_mm] = "length"
+    first_out = np.where(has_field_mm, first,
+                         np.where(len_mm, m, np.int64(-1)))
+    equal = ~has_field_mm & ~len_mm
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_a": pa.array(n_a, type=pa.int64()),
+        "n_b": pa.array(n_b, type=pa.int64()),
+        "equal": pa.array(equal),
+        "first_mismatch": pa.array(first_out, type=pa.int64()),
+        "mismatch_field": pa.array(list(field), type=pa.string()),
+    })
+
+
+def media_context_batch(article_batch, k: int = 2) -> "pa.Table":
+    """Text context window around every MEDIA span: the concatenated
+    texts of the TEXT spans within ±``k`` span positions, in span
+    order — the CLIP/BLIP-style (image, surrounding-text) training-pair
+    builder over interleaved documents (wider than `caption_pairs_batch`,
+    which resolves ONE nearest caption; this keeps the whole local
+    window).
+
+    Assumes offsets are dense 0..n-1 per document (the
+    `normalize_spans_batch` contract; the synthetic span builders emit
+    dense offsets), so span POSITION == span offset and the window is
+    pure index arithmetic. Fully vectorized: candidate indices via
+    repeat/arange (≤ 2k+1 per media span), one mask for
+    text-class-within-doc, ragged regroup via ``np.bincount`` →
+    ListArray offsets, per-media join via ONE ``pc.binary_join``.
+    Output one row per media span: (doc_id, offset, kind, media_ref,
+    context, n_ctx) — per-doc, zero shuffle.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = article_batch.column("spans").combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1] - offsets[0]
+    n_doc = np.diff(offsets).astype(np.int64)
+    flat = spans.flatten()
+    empty_s = pa.scalar("", type=pa.string())
+    kind = pc.coalesce(flat.field("kind"), empty_s)
+    text = pc.coalesce(flat.field("text"), empty_s)
+    media = pc.coalesce(flat.field("media_ref"), empty_s)
+    is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+    n = len(is_text)
+    doc_idx = np.repeat(np.arange(len(n_doc), dtype=np.int64), n_doc)
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, n_doc)
+    gm = np.flatnonzero(~is_text)           # media spans, global index
+    n_media = len(gm)
+    if n_media == 0:
+        e_i = pa.array([], type=pa.int64())
+        e_s = pa.array([], type=pa.string())
+        return pa.table({
+            "doc_id": article_batch.column("doc_id").slice(0, 0),
+            "offset": e_i, "kind": e_s, "media_ref": e_s,
+            "context": e_s, "n_ctx": e_i,
+        })
+    m_doc = doc_idx[gm]
+    m_within = within[gm]
+    lo = np.maximum(m_within - k, 0)
+    hi = np.minimum(m_within + k, n_doc[m_doc] - 1)
+    cnt = hi - lo + 1
+    total = int(cnt.sum())
+    # candidate WITHIN positions per media span, then back to global
+    base = np.repeat(lo, cnt)
+    step = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)))[:-1], cnt)
+    cand_g = np.repeat(starts[m_doc], cnt) + base + step
+    seg_id = np.repeat(np.arange(n_media, dtype=np.int64), cnt)
+    keep = is_text[cand_g]
+    kept_g = cand_g[keep]
+    kept_seg = seg_id[keep]
+    per_media = np.bincount(kept_seg, minlength=n_media).astype(np.int64)
+    list_offs = pa.array(
+        np.concatenate(([0], np.cumsum(per_media))).astype(np.int32))
+    kept_text = text.take(pa.array(kept_g, type=pa.int64()))
+    ctx = pc.binary_join(
+        pa.ListArray.from_arrays(list_offs, kept_text), " ")
+    take_m = pa.array(gm, type=pa.int64())
+    doc_col = article_batch.column("doc_id").combine_chunks()
+    return pa.table({
+        "doc_id": doc_col.take(pa.array(m_doc, type=pa.int64())),
+        "offset": pa.array(m_within, type=pa.int64()),
+        "kind": kind.take(take_m),
+        "media_ref": media.take(take_m),
+        "context": ctx,
+        "n_ctx": pa.array(per_media, type=pa.int64()),
+    })
+
+
+def truncate_spans_batch(article_batch, budget: int = 96,
+                         media_cost: int = 64) -> "pa.Table":
+    """Head-truncate every document to a fixed token ``budget`` over its
+    interleaved span sequence — the context-window trim before packing
+    (the MMC4/Flamingo move: a training example holds the document HEAD
+    that fits the window). Cost model matches `pack_spans_batch`: a
+    TEXT span costs its whitespace-token count, a MEDIA span costs
+    ``media_cost``.
+
+    Boundary rule: a span is KEPT iff its exclusive prefix cost
+    < ``budget`` (same closed-form straddle rule as prefix packing);
+    the straddling TEXT span is CLIPPED to the remaining
+    ``budget − prefix`` tokens (a straddling media span stays whole —
+    patches are atomic). Closed-form, SQL-replayable with one window
+    SUM; zero shuffle.
+
+    Fully vectorized incl. the clip: whitespace-split → token ListArray
+    rebuilt with per-span ``min(n_tok, remaining)`` offsets → ONE
+    ``pc.binary_join``. Output one row per KEPT span: (doc_id, offset,
+    kind, text, media_ref, cost) with cost = tokens kept (text) or
+    media_cost.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = article_batch.column("spans").combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1] - offsets[0]
+    n_doc = np.diff(offsets).astype(np.int64)
+    flat = spans.flatten()
+    empty_s = pa.scalar("", type=pa.string())
+    kind = pc.coalesce(flat.field("kind"), empty_s)
+    text = pc.coalesce(flat.field("text"), empty_s)
+    media = pc.coalesce(flat.field("media_ref"), empty_s)
+    is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+    n = len(is_text)
+    doc_idx = np.repeat(np.arange(len(n_doc), dtype=np.int64), n_doc)
+    within = np.arange(n, dtype=np.int64) - np.repeat(starts, n_doc)
+    tok = pc.count_substring_regex(text, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tok = np.where(is_text, tok, 0)
+    cost = np.where(is_text, tok, np.int64(media_cost))
+    cum = np.concatenate(([0], np.cumsum(cost, dtype=np.int64)))
+    excl = cum[:-1] - np.repeat(cum[starts] if n else
+                                np.zeros(0, np.int64), n_doc)
+    keep = excl < np.int64(budget)
+    remaining = np.int64(budget) - excl
+    kept = np.flatnonzero(keep)
+    k_text = is_text[kept]
+    clip_n = np.where(k_text, np.minimum(tok[kept], remaining[kept]), 0)
+    # rebuild clipped texts: whitespace-split tokens, take first clip_n
+    take_kept = pa.array(kept, type=pa.int64())
+    toks = pc.utf8_split_whitespace(text.take(take_kept))
+    toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tstart = toff[:-1] - toff[0]
+    new_offs = pa.array(np.concatenate(
+        ([0], np.cumsum(clip_n))).astype(np.int32))
+    idx_base = np.repeat(tstart, clip_n)
+    idx_step = np.arange(int(clip_n.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(clip_n)))[:-1], clip_n)
+    flat_toks = toks.flatten().take(
+        pa.array(idx_base + idx_step, type=pa.int64()))
+    clipped = pc.binary_join(
+        pa.ListArray.from_arrays(new_offs, flat_toks), " ")
+    out_text = pc.if_else(pa.array(k_text), clipped,
+                          text.take(take_kept))
+    out_cost = np.where(k_text, clip_n, cost[kept])
+    doc_col = article_batch.column("doc_id").combine_chunks()
+    return pa.table({
+        "doc_id": doc_col.take(pa.array(doc_idx[kept], type=pa.int64())),
+        "offset": pa.array(within[kept], type=pa.int64()),
+        "kind": kind.take(take_kept),
+        "text": out_text,
+        "media_ref": media.take(take_kept),
+        "cost": pa.array(out_cost, type=pa.int64()),
+    })

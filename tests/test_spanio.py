@@ -221,3 +221,169 @@ def test_pack_spans_vectorized_matches_naive():
         ids = sl.column("doc_id").to_pylist()
         exp = {d: naive(docs[d]) for d in ids if docs[d]}
         assert got == exp
+
+
+def _mk_span_batch(docs, ids=None):
+    """docs: list of list[(kind, text, media_ref)] → (doc_id, spans)."""
+    import pyarrow as pa
+
+    ids = ids if ids is not None else list(range(len(docs)))
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "spans": pa.array(
+            [[{"kind": k, "text": t, "media_ref": m, "offset": i}
+              for i, (k, t, m) in enumerate(d)] for d in docs],
+            type=pa.list_(pa.struct([
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int64()),
+            ]))),
+    })
+
+
+def test_normalize_spans_merges_and_drops():
+    from smartreader_ray.spanio import normalize_spans_batch
+
+    docs = [
+        # run of 3 texts (one empty) around an image → 2 rows
+        [("text", "a b", ""), ("text", "  ", ""), ("text", "c", ""),
+         ("image", " alt ", "img://1"), ("text", "d", "")],
+        # all-empty doc → no rows
+        [("text", "", ""), ("text", "   ", "")],
+        # media-only doc passes through
+        [("image", "", "img://2"), ("image", "x", "img://3")],
+    ]
+    out = normalize_spans_batch(_mk_span_batch(docs)).to_pylist()
+    got = [(r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+           for r in out]
+    assert got == [
+        (0, 0, "text", "a b c", ""),
+        (0, 1, "image", "alt", "img://1"),
+        (0, 2, "text", "d", ""),
+        (2, 0, "image", "", "img://2"),
+        (2, 1, "image", "x", "img://3"),
+    ]
+    # sliced batch (non-zero list offsets) gives the same rows
+    sl = normalize_spans_batch(_mk_span_batch(docs).slice(2)).to_pylist()
+    assert [(r["doc_id"], r["offset"]) for r in sl] == [(2, 0), (2, 1)]
+
+
+def test_modality_runs_rollup():
+    from smartreader_ray.spanio import modality_runs_batch
+
+    docs = [
+        # T T M M M T  → runs: T(2) M(3) T(1)
+        [("text", "a", ""), ("text", "b", ""), ("image", "", "m1"),
+         ("image", "", "m2"), ("video", "", "m3"), ("text", "c", "")],
+        # single media run
+        [("image", "", "m4")],
+    ]
+    out = {r["doc_id"]: r for r in
+           modality_runs_batch(_mk_span_batch(docs)).to_pylist()}
+    assert out[0] == {"doc_id": 0, "n_runs": 3, "n_text_runs": 2,
+                      "n_media_runs": 1, "max_text_run": 2,
+                      "max_media_run": 3}
+    assert out[1] == {"doc_id": 1, "n_runs": 1, "n_text_runs": 0,
+                      "n_media_runs": 1, "max_text_run": 0,
+                      "max_media_run": 1}
+
+
+def test_span_diff_classifies_first_mismatch():
+    import pyarrow as pa
+
+    from smartreader_ray.spanio import span_diff_batch
+
+    a_docs = [
+        [("text", "a", ""), ("text", "b", "")],          # equal
+        [("text", "a", ""), ("image", "x", "m")],        # kind mismatch @1
+        [("text", "a", ""), ("text", "b", "")],          # text mismatch @1
+        [("image", "x", "m1")],                          # media_ref @0
+        [("text", "a", ""), ("text", "b", "")],          # prefix → length @1
+        [],                                              # both empty → equal
+    ]
+    b_docs = [
+        [("text", "a", ""), ("text", "b", "")],
+        [("text", "a", ""), ("text", "x", "")],
+        [("text", "a", ""), ("text", "B", "")],
+        [("image", "x", "m2")],
+        [("text", "a", "")],
+        [],
+    ]
+    ta = _mk_span_batch(a_docs)
+    tb = _mk_span_batch(b_docs)
+    batch = pa.table({
+        "doc_id": ta.column("doc_id"),
+        "spans_a": ta.column("spans"),
+        "spans_b": tb.column("spans"),
+    })
+    out = {r["doc_id"]: r for r in span_diff_batch(batch).to_pylist()}
+    exp = {
+        0: (True, -1, ""),
+        1: (False, 1, "kind"),
+        2: (False, 1, "text"),
+        3: (False, 0, "media_ref"),
+        4: (False, 1, "length"),
+        5: (True, -1, ""),
+    }
+    for did, (eq, fm, fld) in exp.items():
+        r = out[did]
+        assert (r["equal"], r["first_mismatch"], r["mismatch_field"]) == \
+            (eq, fm, fld), (did, r)
+    assert out[4]["n_a"] == 2 and out[4]["n_b"] == 1
+
+
+def test_media_context_window():
+    from smartreader_ray.spanio import media_context_batch
+
+    docs = [
+        [("text", "t0", ""), ("image", "", "m0"), ("text", "t2", ""),
+         ("text", "t3", ""), ("image", "", "m4")],
+        [("image", "", "m5")],                       # no text at all
+        [("text", "a", ""), ("text", "b", "")],      # no media -> no rows
+    ]
+    out = media_context_batch(_mk_span_batch(docs), k=2).to_pylist()
+    got = [(r["doc_id"], r["offset"], r["media_ref"], r["context"],
+            r["n_ctx"]) for r in out]
+    assert got == [
+        (0, 1, "m0", "t0 t2 t3", 3),
+        (0, 4, "m4", "t2 t3", 2),
+        (1, 0, "m5", "", 0),
+    ]
+    # sliced batch (non-zero list offsets) gives the same windows
+    sl = media_context_batch(_mk_span_batch(docs).slice(1), k=2).to_pylist()
+    assert [(r["doc_id"], r["media_ref"]) for r in sl] == [(1, "m5")]
+
+
+def test_truncate_spans_budget_clip():
+    from smartreader_ray.spanio import truncate_spans_batch
+
+    docs = [
+        # costs 3, 64, 5; budget 68: prefixes 0, 3, 67 -> all kept,
+        # straddling text clipped to 1 token
+        [("text", "a b c", ""), ("image", "alt", "m1"),
+         ("text", "d e f g h", "")],
+        # straddling MEDIA stays whole (prefix 64 < 68)
+        [("image", "", "m2"), ("image", "", "m3"), ("image", "", "m4")],
+        # fully under budget -> untouched
+        [("text", "x y", ""), ("text", "z w q", "")],
+    ]
+    out = truncate_spans_batch(_mk_span_batch(docs), budget=68).to_pylist()
+    got = [(r["doc_id"], r["offset"], r["kind"], r["text"],
+            r["media_ref"], r["cost"]) for r in out]
+    assert got == [
+        (0, 0, "text", "a b c", "", 3),
+        (0, 1, "image", "alt", "m1", 64),
+        (0, 2, "text", "d", "", 1),
+        (1, 0, "image", "", "m2", 64),
+        (1, 1, "image", "", "m3", 64),
+        (2, 0, "text", "x y", "", 2),
+        (2, 1, "text", "z w q", "", 3),
+    ]
+    # doc 1's third image has prefix 128 >= 68 -> dropped
+    assert not any(r["media_ref"] == "m4" for r in out)
+    # sliced batch consistency
+    sl = truncate_spans_batch(_mk_span_batch(docs).slice(2),
+                              budget=68).to_pylist()
+    assert [(r["doc_id"], r["text"]) for r in sl] == \
+        [(2, "x y"), (2, "z w q")]
