@@ -5614,6 +5614,34 @@ def _q_clean_doc_chain(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_doc_render(sf_dir: str):
+    """Composed chain #28: span normalization → MMC4/Flamingo-style
+    RENDER (`spanio.render_flat_spans`) — one training string per doc
+    with text spans verbatim and every media span as the literal
+    ``<image>`` sentinel token, plus text-token / image counts. Both
+    passes inside ONE map_batches (each input row is a whole doc, so
+    the flat normalized rows never straddle a batch boundary — the
+    render kernel's documented contract); zero shuffle before the
+    final doc-sized sort."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from smartreader_ray.spanio import (normalize_spans_batch,
+                                        render_flat_spans)
+
+    synth = _synth_interleaved_spans()
+
+    def fn(b: pa.Table) -> pa.Table:
+        return render_flat_spans(normalize_spans_batch(synth(b)))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6523,6 +6551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_context": _q_media_context,
         "span_truncate": _q_span_truncate,
         "clean_doc_chain": _q_clean_doc_chain,
+        "doc_render": _q_doc_render,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6803,6 +6832,36 @@ _SPAN_RUNS_CTES = _SPAN_CTES + """
     ), runs2 AS (
         SELECT doc_id, run_id, MAX(it) AS it, COUNT(*) AS rl
         FROM rid2 GROUP BY doc_id, run_id
+    )
+"""
+
+# Shared normalization suffix: replay of spanio.normalize_spans_batch
+# (drop whitespace-empty text spans, merge maximal adjacent-text runs
+# via ordered string_agg, renumber) ending at one row per normalized
+# span in `nmerged` — consumed by the `span_normalize` and `doc_render`
+# oracles so the render cannot drift from the canonical form.
+_SPAN_NORM_CTES = _SPAN_CTES + """
+    , norm0 AS (
+        SELECT doc_id, off, kind, trim(COALESCE(txt, '')) AS t,
+               COALESCE(media_ref, '') AS mr
+        FROM allspans
+        WHERE NOT (kind = 'text' AND trim(COALESCE(txt, '')) = '')
+    ), segmark AS (
+        SELECT *, CASE WHEN lag(kind) OVER w IS NULL
+                            OR NOT (kind = 'text'
+                                    AND lag(kind) OVER w = 'text')
+                       THEN 1 ELSE 0 END AS new_seg
+        FROM norm0
+        WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+    ), seg AS (
+        SELECT *, SUM(new_seg) OVER (
+                PARTITION BY doc_id ORDER BY off) AS seg_id
+        FROM segmark
+    ), nmerged AS (
+        SELECT doc_id, seg_id, arg_min(kind, off) AS kind,
+               string_agg(t, ' ' ORDER BY off) AS text,
+               arg_min(mr, off) AS media_ref
+        FROM seg GROUP BY doc_id, seg_id
     )
 """
 
@@ -10672,33 +10731,28 @@ def oracle_sql() -> dict[str, str]:
         # Run boundary = doc change OR NOT(both text); segment id via
         # running SUM of the boundary flag, merge via ordered
         # string_agg, first-of-segment kind/media via arg_min.
-        "span_normalize": _SPAN_CTES + """
-            , norm0 AS (
-                SELECT doc_id, off, kind, trim(COALESCE(txt, '')) AS t,
-                       COALESCE(media_ref, '') AS mr
-                FROM allspans
-                WHERE NOT (kind = 'text'
-                           AND trim(COALESCE(txt, '')) = '')
-            ), segmark AS (
-                SELECT *, CASE WHEN lag(kind) OVER w IS NULL
-                                    OR NOT (kind = 'text'
-                                            AND lag(kind) OVER w
-                                                = 'text')
-                               THEN 1 ELSE 0 END AS new_seg
-                FROM norm0
-                WINDOW w AS (PARTITION BY doc_id ORDER BY off)
-            ), seg AS (
-                SELECT *, SUM(new_seg) OVER (
-                        PARTITION BY doc_id ORDER BY off) AS seg_id
-                FROM segmark
-            )
+        "span_normalize": _SPAN_NORM_CTES + """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(seg_id - 1 AS BIGINT) AS "offset",
-                   arg_min(kind, off) AS kind,
-                   string_agg(t, ' ' ORDER BY off) AS text,
-                   arg_min(mr, off) AS media_ref
-            FROM seg GROUP BY doc_id, seg_id
-            ORDER BY doc_id, "offset"
+                   kind, text, media_ref
+            FROM nmerged ORDER BY doc_id, "offset"
+        """,
+        # doc_render: shared normalize replay -> one training string
+        # per doc (text verbatim, media as the '<image>' sentinel,
+        # single-space join in segment order) + token/image counts
+        # (chain #28).
+        "doc_render": _SPAN_NORM_CTES + """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_agg(CASE WHEN kind = 'text' THEN text
+                                   ELSE '<image>' END,
+                              ' ' ORDER BY seg_id) AS rendered,
+                   CAST(SUM(CASE WHEN kind = 'text'
+                                 THEN len(string_split(text, ' '))
+                                 ELSE 0 END) AS BIGINT)
+                       AS n_text_tokens,
+                   CAST(SUM(CASE WHEN kind <> 'text' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_images
+            FROM nmerged GROUP BY doc_id ORDER BY doc_id
         """,
         # modality_runs: same-class (text vs media) run-length rollup
         # per doc over the shared runs2 CTE.

@@ -734,3 +734,58 @@ def truncate_spans_batch(article_batch, budget: int = 96,
         "media_ref": media.take(take_kept),
         "cost": pa.array(out_cost, type=pa.int64()),
     })
+
+
+def render_flat_spans(flat, sentinel: str = "<image>") -> "pa.Table":
+    """Render a FLAT normalized span table (`normalize_spans_batch`
+    output: doc-contiguous rows in offset order — the contract; call
+    both inside ONE map_batches so a document never straddles a batch
+    boundary) into one training string per document: text spans emit
+    their text, media spans emit the ``sentinel`` token, joined with
+    single spaces — the MMC4/Flamingo final render between curation
+    and tokenization.
+
+    Fully vectorized: doc boundaries via ONE adjacent not_equal, ragged
+    regroup via ListArray offsets, ONE binary_join; token/image counts
+    via ``np.add.reduceat``. Output one row per document: (doc_id,
+    rendered, n_text_tokens, n_images).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = flat.num_rows
+    doc = flat.column("doc_id").combine_chunks()
+    if n == 0:
+        return pa.table({
+            "doc_id": doc,
+            "rendered": pa.array([], type=pa.string()),
+            "n_text_tokens": pa.array([], type=pa.int64()),
+            "n_images": pa.array([], type=pa.int64()),
+        })
+    is_text = pc.equal(flat.column("kind"), "text")
+    piece = pc.if_else(is_text, flat.column("text"),
+                       pa.scalar(sentinel, type=pa.string()))
+    chg = np.ones(n, dtype=bool)
+    if n > 1:
+        chg[1:] = pc.not_equal(doc.slice(1), doc.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(chg)
+    list_offs = pa.array(np.append(starts, n).astype(np.int32))
+    rendered = pc.binary_join(
+        pa.ListArray.from_arrays(list_offs, piece.combine_chunks()), " ")
+    it = is_text.to_numpy(zero_copy_only=False)
+    tok = pc.count_substring_regex(
+        pc.coalesce(flat.column("text"),
+                    pa.scalar("", type=pa.string())),
+        r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": doc.take(pa.array(starts, type=pa.int64())),
+        "rendered": rendered,
+        "n_text_tokens": pa.array(
+            np.add.reduceat(np.where(it, tok, 0), starts),
+            type=pa.int64()),
+        "n_images": pa.array(
+            np.add.reduceat((~it).astype(np.int64), starts),
+            type=pa.int64()),
+    })

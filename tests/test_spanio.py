@@ -387,3 +387,29 @@ def test_truncate_spans_budget_clip():
                               budget=68).to_pylist()
     assert [(r["doc_id"], r["text"]) for r in sl] == \
         [(2, "x y"), (2, "z w q")]
+
+
+def test_render_flat_spans_sentinel():
+    import pyarrow as pa
+
+    from smartreader_ray.spanio import (normalize_spans_batch,
+                                        render_flat_spans)
+
+    docs = [
+        [("text", "a b", ""), ("image", "alt", "m1"), ("text", "c", ""),
+         ("text", "d", "")],
+        [("image", "", "m2")],
+        [("text", "  ", "")],     # normalizes to nothing -> no row
+    ]
+    out = render_flat_spans(
+        normalize_spans_batch(_mk_span_batch(docs))).to_pylist()
+    assert out == [
+        {"doc_id": 0, "rendered": "a b <image> c d",
+         "n_text_tokens": 4, "n_images": 1},
+        {"doc_id": 1, "rendered": "<image>",
+         "n_text_tokens": 0, "n_images": 1},
+    ]
+    # empty input
+    empty = render_flat_spans(
+        normalize_spans_batch(_mk_span_batch([])))
+    assert empty.num_rows == 0
