@@ -2798,6 +2798,48 @@ def _q_extract_fixtures(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _q_fixture_span_parity(sf_dir: str):
+    """The north rule's per-row ACCEPTANCE CHECK as a data operator:
+    run the real extraction pipeline over reference fixture pages,
+    flatten OUR ``content_html`` and the reference's ``expected.html``
+    to interleaved spans, and compare with `spanio.span_diff_batch`
+    under (kind, text, media_ref, order) equality. Every row must
+    report ``equal=True`` / ``first_mismatch=-1`` — the corpus-scale
+    version of the 142-page pytest gate (rows-only: the reference HTML
+    is not SQL-expressible; the byte-exact gate is
+    `tests/test_fixture_parity.py`)."""
+    import os as _os
+
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.pipelines import build_extraction_pipeline
+    from smartreader_ray.sources import (FIXTURE_DIR, fixture_names,
+                                         fixture_spans_table)
+    from smartreader_ray.spanio import flatten_html, span_diff_batch
+    from smartreader_ray.stages.extract import SPAN_TYPE
+
+    names = fixture_names()[:40]
+    ds = ray.data.from_arrow(fixture_spans_table(names))
+    out = build_extraction_pipeline(ds, batch_size=4, concurrency=(1, 8))
+
+    def diff(batch: pa.Table) -> pa.Table:
+        got, exp = [], []
+        for did, html in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("content_html").to_pylist()):
+            got.append(flatten_html(html or ""))
+            with open(_os.path.join(FIXTURE_DIR, did, "expected.html"),
+                      encoding="utf-8-sig") as f:
+                exp.append(flatten_html(f.read()))
+        return span_diff_batch(pa.table({
+            "doc_id": batch.column("doc_id"),
+            "spans_a": pa.array(got, type=SPAN_TYPE),
+            "spans_b": pa.array(exp, type=SPAN_TYPE),
+        }))
+
+    return out.map_batches(diff, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_media_meta(sf_dir: str):
     """Media spans from extracted fixture articles → decode-stub stage."""
     import ray.data
@@ -6362,6 +6404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta": _q_extract_meta,
         "extract_text": _q_extract_text,
         "extract_fixtures": _q_extract_fixtures,
+        "fixture_span_parity": _q_fixture_span_parity,
         "doc_stats": _q_doc_stats,
         "corpus_metrics": _q_corpus_metrics,
         "token_stats": _q_token_stats,

@@ -413,3 +413,16 @@ def test_render_flat_spans_sentinel():
     empty = render_flat_spans(
         normalize_spans_batch(_mk_span_batch([])))
     assert empty.num_rows == 0
+
+
+def test_fixture_span_parity_query(ray_session):
+    """North-rule acceptance check as a query: extraction output vs
+    expected.html under span-sequence equality, all fixtures equal."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["fixture_span_parity"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 40
+    assert bool(df["equal"].all())
+    assert (df["first_mismatch"] == -1).all()
+    assert (df["mismatch_field"] == "").all()
