@@ -5510,24 +5510,35 @@ def _q_span_boilerplate(sf_dir: str):
     synth = _synth_interleaved_spans()
 
     def text_spans(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         t = synth(b)
-        o_doc, o_txt = [], []
-        for did, spans in zip(t.column("doc_id").to_pylist(),
-                              t.column("spans").to_pylist()):
-            did = int(did)
-            for s in spans:
-                if s["kind"] == "text" and s["text"]:
-                    o_doc.append(did)
-                    o_txt.append(s["text"])
-            if did % 3 == 0:
-                o_doc.append(did)
-                o_txt.append("all rights reserved contact us")
-            if did % 5 == 0:
-                o_doc.append(did)
-                o_txt.append("follow us on social media")
+        spans = t.column("spans").combine_chunks()
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_doc = np.diff(offs)
+        flat = spans.flatten()
+        txt = pc.coalesce(flat.field("text"),
+                          pa.scalar("", type=pa.string()))
+        keep = pc.and_(
+            pc.equal(flat.field("kind"), "text"),
+            pc.greater(pc.utf8_length(txt), 0)).to_numpy(
+                zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        doc_rep = np.repeat(ids, n_doc)
+        kidx = np.flatnonzero(keep)
+        m3 = ids[ids % 3 == 0]
+        m5 = ids[ids % 5 == 0]
+        foot = pa.array(
+            ["all rights reserved contact us"] * len(m3)
+            + ["follow us on social media"] * len(m5),
+            type=pa.string())
         return pa.table({
-            "doc_id": pa.array(o_doc, type=pa.int64()),
-            "txt": pa.array(o_txt, type=pa.string()),
+            "doc_id": pa.array(np.concatenate([doc_rep[kidx], m3, m5]),
+                               type=pa.int64()),
+            "txt": pa.concat_arrays(
+                [txt.take(pa.array(kidx, type=pa.int64())), foot]),
         })
 
     ds = ray.data.read_parquet(
