@@ -266,6 +266,9 @@ def run_main() -> dict:
         "ccnet_keep_chain", "caption_pairs", "interleave_audit",
         "mm_pack", "media_url_dedup", "interleave_gate_chain",
         "mm_minhash_dedup", "caption_coverage", "pack_overflow_audit",
+        "span_normalize", "modality_runs", "span_diff",
+        "span_boilerplate", "media_context", "span_truncate",
+        "clean_doc_chain", "doc_render", "fixture_span_parity",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
