@@ -701,8 +701,9 @@ def truncate_spans_batch(article_batch, budget: int = 96,
     tok = np.where(is_text, tok, 0)
     cost = np.where(is_text, tok, np.int64(media_cost))
     cum = np.concatenate(([0], np.cumsum(cost, dtype=np.int64)))
-    excl = cum[:-1] - np.repeat(cum[starts] if n else
-                                np.zeros(0, np.int64), n_doc)
+    # cum[starts] is ndocs-long even when every doc is empty, so the
+    # repeat is always length-matched to n_doc
+    excl = cum[:-1] - np.repeat(cum[starts], n_doc)
     keep = excl < np.int64(budget)
     remaining = np.int64(budget) - excl
     kept = np.flatnonzero(keep)
@@ -722,7 +723,10 @@ def truncate_spans_batch(article_batch, budget: int = 96,
         pa.array(idx_base + idx_step, type=pa.int64()))
     clipped = pc.binary_join(
         pa.ListArray.from_arrays(new_offs, flat_toks), " ")
-    out_text = pc.if_else(pa.array(k_text), clipped,
+    # only the straddling span is rewritten; an under-budget text span
+    # passes through byte-identical (whitespace untouched)
+    need_clip = k_text & (clip_n < tok[kept])
+    out_text = pc.if_else(pa.array(need_clip), clipped,
                           text.take(take_kept))
     out_cost = np.where(k_text, clip_n, cost[kept])
     doc_col = article_batch.column("doc_id").combine_chunks()
