@@ -5695,6 +5695,40 @@ def _q_doc_render(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_source_affixes(sf_dir: str):
+    """Per-source common prefix/suffix screen
+    (`functions/curation.py:source_affixes`): the boilerplate-affix
+    detector (every page of a site sharing a header/footer banner shows
+    as a long per-source common affix), exact via the lexicographic
+    min/max LCP trick — LCP(S) = LCP(min S, max S); suffix = the same
+    on codepoint-reversed strings. Planted per-source banners
+    ('newsroom <src> | ' … ' | (c) <src>') make the detected affixes
+    non-trivial. Per-block min/max/count partials (≤ |sources| rows per
+    block), ONE source-keyed exchange of partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smartreader_ray.functions.curation import source_affixes
+
+    def plant(b: pa.Table) -> pa.Table:
+        src = b.column("source")
+        txt = pc.coalesce(b.column("text"),
+                          pa.scalar("", type=pa.string()))
+        tx = pc.binary_join_element_wise(
+            pa.scalar("newsroom "), src, pa.scalar(" | "), txt,
+            pa.scalar(" | (c) "), src, "")
+        return pa.table({"source": src, "text": tx})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return (source_affixes(ds.map_batches(plant, batch_format="pyarrow"))
+            .sort("source"))
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6606,6 +6640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_truncate": _q_span_truncate,
         "clean_doc_chain": _q_clean_doc_chain,
         "doc_render": _q_doc_render,
+        "source_affixes": _q_source_affixes,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -10918,6 +10953,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN kind <> 'text' THEN 1
                                  ELSE 0 END) AS BIGINT) AS n_media
             FROM merged GROUP BY doc_id ORDER BY doc_id
+        """,
+        # source_affixes: lexicographic min/max LCP replay — the
+        # common prefix of a set equals LCP(min, max); suffix = same on
+        # reversed strings; LCP length via a prefix-closed list_filter
+        # lambda (equal length-i prefixes imply equal shorter prefixes,
+        # so MAX of matching i IS the LCP).
+        "source_affixes": """
+            WITH t AS (
+                SELECT source,
+                       'newsroom ' || source || ' | '
+                           || COALESCE(text, '') || ' | (c) '
+                           || source AS tx
+                FROM documents
+            ), mm AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       MIN(tx) AS mn, MAX(tx) AS mx,
+                       MIN(reverse(tx)) AS rmn,
+                       MAX(reverse(tx)) AS rmx
+                FROM t GROUP BY source
+            ), lens AS (
+                SELECT source, n_docs, mn, rmn,
+                       COALESCE(list_max(list_filter(
+                           range(1, LEAST(len(mn), len(mx)) + 1),
+                           i -> substr(mn, 1, CAST(i AS INT))
+                                = substr(mx, 1, CAST(i AS INT)))), 0)
+                           AS prefix_len,
+                       COALESCE(list_max(list_filter(
+                           range(1, LEAST(len(rmn), len(rmx)) + 1),
+                           i -> substr(rmn, 1, CAST(i AS INT))
+                                = substr(rmx, 1, CAST(i AS INT)))), 0)
+                           AS suffix_len
+                FROM mm
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(prefix_len AS BIGINT) AS prefix_len,
+                   substr(mn, 1, CAST(prefix_len AS INT))
+                       AS common_prefix,
+                   CAST(suffix_len AS BIGINT) AS suffix_len,
+                   reverse(substr(rmn, 1, CAST(suffix_len AS INT)))
+                       AS common_suffix
+            FROM lens ORDER BY source
         """,
         # span_diff: replay _synth_span_variants' per-residue
         # corruption (doc%11==3 delete index 1; ==5 first image's

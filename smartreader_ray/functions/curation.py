@@ -553,3 +553,74 @@ def span_corruption(ds, doc_col: str = "doc_id", text_col: str = "text",
     return (ds.select_columns([doc_col, text_col])
             .map_batches(corrupt, batch_format="pyarrow")
             .sort(doc_col))
+
+
+def source_affixes(ds, source_col: str = "source",
+                   text_col: str = "text"):
+    """Per-source COMMON PREFIX and COMMON SUFFIX over a text column —
+    the boilerplate-affix screen (every page of a site sharing a
+    header/footer banner shows up as a long per-source common affix;
+    what a curation layer strips before dedup so chrome doesn't mask
+    content-level similarity).
+
+    Exactness via the lexicographic min/max trick: for any set S under
+    lexicographic order, ``LCP(S) = LCP(min S, max S)`` (every s lies
+    between them, so any divergence from the min/max pair is a
+    divergence inside the set) — the common suffix is the same trick
+    on the codepoint-REVERSED strings. UTF-8 bytewise order equals
+    codepoint order, so pyarrow's binary min/max, Python's str
+    compare, and DuckDB's default collation all agree.
+
+    Scale shape: per-block pyarrow ``group_by`` min/max/count partials
+    (≤ |sources| rows per block, strings only travel twice per block),
+    then ONE source-keyed exchange of those partials combined by
+    ``map_groups`` (the LCP itself runs on exactly two strings per
+    source). No full-text shuffle, no driver collection. Output one
+    row per source: (source, n_docs, prefix_len, common_prefix,
+    suffix_len, common_suffix) — lengths in codepoints.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        tx = b.column(text_col)
+        t = pa.table({
+            source_col: b.column(source_col),
+            "tx": tx,
+            "rtx": pc.utf8_reverse(tx),
+        })
+        out = t.group_by(source_col).aggregate(
+            [("tx", "min"), ("tx", "max"),
+             ("rtx", "min"), ("rtx", "max"),
+             ("tx", "count")])
+        return out.rename_columns(
+            [source_col, "mn", "mx", "rmn", "rmx", "n"])
+
+    def _lcp(a: str, b: str) -> int:
+        m = min(len(a), len(b))
+        i = 0
+        while i < m and a[i] == b[i]:
+            i += 1
+        return i
+
+    def final(g: pa.Table) -> pa.Table:
+        mn = min(g.column("mn").to_pylist())
+        mx = max(g.column("mx").to_pylist())
+        rmn = min(g.column("rmn").to_pylist())
+        rmx = max(g.column("rmx").to_pylist())
+        p = _lcp(mn, mx)
+        s = _lcp(rmn, rmx)
+        return pa.table({
+            source_col: g.column(source_col).slice(0, 1),
+            "n_docs": pa.array([sum(g.column("n").to_pylist())],
+                               type=pa.int64()),
+            "prefix_len": pa.array([p], type=pa.int64()),
+            "common_prefix": pa.array([mn[:p]], type=pa.string()),
+            "suffix_len": pa.array([s], type=pa.int64()),
+            "common_suffix": pa.array([rmn[:s][::-1]],
+                                      type=pa.string()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(source_col)
+            .map_groups(final, batch_format="pyarrow"))
