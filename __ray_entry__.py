@@ -5712,20 +5712,80 @@ def _q_source_affixes(sf_dir: str):
 
     from smartreader_ray.functions.curation import source_affixes
 
-    def plant(b: pa.Table) -> pa.Table:
-        src = b.column("source")
-        txt = pc.coalesce(b.column("text"),
-                          pa.scalar("", type=pa.string()))
-        tx = pc.binary_join_element_wise(
-            pa.scalar("newsroom "), src, pa.scalar(" | "), txt,
-            pa.scalar(" | (c) "), src, "")
-        return pa.table({"source": src, "text": tx})
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return (source_affixes(
+        ds.map_batches(_plant_affix_banner, batch_format="pyarrow"))
+        .sort("source"))
+
+
+def _plant_affix_banner(b):
+    """Planted per-source banner shared by `source_affixes` and
+    `affix_strip_chain` (and replayed by the shared `_AFFIX_CTES`
+    oracle prefix): 'newsroom <src> | ' <text> ' | (c) <src>'."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = b.column("source")
+    txt = pc.coalesce(b.column("text"), pa.scalar("", type=pa.string()))
+    tx = pc.binary_join_element_wise(
+        pa.scalar("newsroom "), src, pa.scalar(" | "), txt,
+        pa.scalar(" | (c) "), src, "")
+    return pa.table({"source": src, "text": tx})
+
+
+def _q_affix_strip_chain(sf_dir: str):
+    """Composed chain #29: affix DETECTION → broadcast STRIP rollup —
+    the two-pass shape a 100-TB affix screen actually runs: pass 1
+    computes the per-source affix table (source-sized — here via
+    `source_affixes`' min/max partials), which is then collected
+    (|sources| rows, the legitimate driver-side small collect) and
+    broadcast into pass 2, a streaming length rollup over the same
+    planted text: chars_removed per doc = min(len, prefix_len +
+    suffix_len) (clamp = overlapping affixes on short docs), summed
+    per source. Pass 2 is fully vectorized (dictionary_encode the
+    source column, numpy gather of the affix lengths) and exchanges
+    only source-sized integer partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    aff = {r["source"]: (int(r["prefix_len"]), int(r["suffix_len"]))
+           for r in _q_source_affixes(sf_dir).take_all()}
+
+    def strip_stats(b: pa.Table) -> pa.Table:
+        t = _plant_affix_banner(b)
+        enc = pc.dictionary_encode(t.column("source")).combine_chunks()
+        dic = enc.dictionary.to_pylist()
+        pl = np.array([aff[s][0] + aff[s][1] for s in dic],
+                      dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = pc.utf8_length(t.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        removed = np.minimum(n, pl[idx])
+        return pa.table({
+            "source": t.column("source"),
+            "chars_in": pa.array(n, type=pa.int64()),
+            "chars_removed": pa.array(removed, type=pa.int64()),
+            "chars_out": pa.array(n - removed, type=pa.int64()),
+        })
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["source", "text"],
     )
-    return (source_affixes(ds.map_batches(plant, batch_format="pyarrow"))
+    return (ds.map_batches(strip_stats, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("chars_in", alias_name="chars_in"),
+                       Sum("chars_removed", alias_name="chars_removed"),
+                       Sum("chars_out", alias_name="chars_out"))
             .sort("source"))
 
 
@@ -6641,6 +6701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_doc_chain": _q_clean_doc_chain,
         "doc_render": _q_doc_render,
         "source_affixes": _q_source_affixes,
+        "affix_strip_chain": _q_affix_strip_chain,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -6951,6 +7012,40 @@ _SPAN_NORM_CTES = _SPAN_CTES + """
                string_agg(t, ' ' ORDER BY off) AS text,
                arg_min(mr, off) AS media_ref
         FROM seg GROUP BY doc_id, seg_id
+    )
+"""
+
+# Shared affix suffix: planted per-source banner + lexicographic
+# min/max LCP replay (prefix-closed list_filter lambda) ending at one
+# row per source in `lens` — consumed by the `source_affixes` and
+# `affix_strip_chain` oracles so the strip cannot drift from the
+# detector.
+_AFFIX_CTES = """
+    WITH t AS (
+        SELECT source,
+               'newsroom ' || source || ' | '
+                   || COALESCE(text, '') || ' | (c) '
+                   || source AS tx
+        FROM documents
+    ), mm AS (
+        SELECT source, COUNT(*) AS n_docs,
+               MIN(tx) AS mn, MAX(tx) AS mx,
+               MIN(reverse(tx)) AS rmn,
+               MAX(reverse(tx)) AS rmx
+        FROM t GROUP BY source
+    ), lens AS (
+        SELECT source, n_docs, mn, rmn,
+               COALESCE(list_max(list_filter(
+                   range(1, LEAST(len(mn), len(mx)) + 1),
+                   i -> substr(mn, 1, CAST(i AS INT))
+                        = substr(mx, 1, CAST(i AS INT)))), 0)
+                   AS prefix_len,
+               COALESCE(list_max(list_filter(
+                   range(1, LEAST(len(rmn), len(rmx)) + 1),
+                   i -> substr(rmn, 1, CAST(i AS INT))
+                        = substr(rmx, 1, CAST(i AS INT)))), 0)
+                   AS suffix_len
+        FROM mm
     )
 """
 
@@ -10958,34 +11053,9 @@ def oracle_sql() -> dict[str, str]:
         # common prefix of a set equals LCP(min, max); suffix = same on
         # reversed strings; LCP length via a prefix-closed list_filter
         # lambda (equal length-i prefixes imply equal shorter prefixes,
-        # so MAX of matching i IS the LCP).
-        "source_affixes": """
-            WITH t AS (
-                SELECT source,
-                       'newsroom ' || source || ' | '
-                           || COALESCE(text, '') || ' | (c) '
-                           || source AS tx
-                FROM documents
-            ), mm AS (
-                SELECT source, COUNT(*) AS n_docs,
-                       MIN(tx) AS mn, MAX(tx) AS mx,
-                       MIN(reverse(tx)) AS rmn,
-                       MAX(reverse(tx)) AS rmx
-                FROM t GROUP BY source
-            ), lens AS (
-                SELECT source, n_docs, mn, rmn,
-                       COALESCE(list_max(list_filter(
-                           range(1, LEAST(len(mn), len(mx)) + 1),
-                           i -> substr(mn, 1, CAST(i AS INT))
-                                = substr(mx, 1, CAST(i AS INT)))), 0)
-                           AS prefix_len,
-                       COALESCE(list_max(list_filter(
-                           range(1, LEAST(len(rmn), len(rmx)) + 1),
-                           i -> substr(rmn, 1, CAST(i AS INT))
-                                = substr(rmx, 1, CAST(i AS INT)))), 0)
-                           AS suffix_len
-                FROM mm
-            )
+        # so MAX of matching i IS the LCP). Shared _AFFIX_CTES prefix
+        # with the affix_strip_chain oracle.
+        "source_affixes": _AFFIX_CTES + """
             SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
                    CAST(prefix_len AS BIGINT) AS prefix_len,
                    substr(mn, 1, CAST(prefix_len AS INT))
@@ -10994,6 +11064,21 @@ def oracle_sql() -> dict[str, str]:
                    reverse(substr(rmn, 1, CAST(suffix_len AS INT)))
                        AS common_suffix
             FROM lens ORDER BY source
+        """,
+        # affix_strip_chain: shared affix detection (lens) joined back
+        # onto the planted per-doc text; removed = min(len, plen+slen)
+        # (clamp = overlapping affixes on short docs) — chain #29.
+        "affix_strip_chain": _AFFIX_CTES + """
+            SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(tx)) AS BIGINT) AS chars_in,
+                   CAST(SUM(LEAST(len(tx),
+                                  l.prefix_len + l.suffix_len))
+                        AS BIGINT) AS chars_removed,
+                   CAST(SUM(len(tx) - LEAST(len(tx),
+                                  l.prefix_len + l.suffix_len))
+                        AS BIGINT) AS chars_out
+            FROM t JOIN lens l USING (source)
+            GROUP BY t.source ORDER BY t.source
         """,
         # span_diff: replay _synth_span_variants' per-residue
         # corruption (doc%11==3 delete index 1; ==5 first image's
