@@ -5789,6 +5789,43 @@ def _q_affix_strip_chain(sf_dir: str):
             .sort("source"))
 
 
+def _q_sentence_stats(sf_dir: str):
+    """Sentence segmentation signals
+    (`functions/textstats.py:sentence_stats`): per-doc sentence count /
+    longest sentence / mean tokens per sentence over ``[.!?]+``
+    boundaries — the Gopher-family doc-quality axis token stats miss.
+    The corpus has no punctuation, so boundaries are PLANTED
+    deterministically (token groups of size 4 + doc_id%4 joined with
+    '. '), making every output column closed-form for the oracle while
+    the engine-side kernel does real regex segmentation. Per-doc, zero
+    shuffle."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from smartreader_ray.functions.textstats import sentence_stats
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            g = 4 + int(did) % 4
+            toks = (text or "").strip().split(" ")
+            out.append(". ".join(
+                " ".join(toks[i:i + g])
+                for i in range(0, len(toks), g)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(plant, batch_format="pyarrow")
+            .map_batches(sentence_stats, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6702,6 +6739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_render": _q_doc_render,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
+        "sentence_stats": _q_sentence_stats,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -11079,6 +11117,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS chars_out
             FROM t JOIN lens l USING (source)
             GROUP BY t.source ORDER BY t.source
+        """,
+        # sentence_stats: the planted boundaries (groups of 4+doc%4
+        # tokens joined '. ') make every column closed-form: ceil(n/g)
+        # sentences, max = min(g, n), mean = the same single IEEE
+        # division the kernel performs (tot/n_sent, identical
+        # operands).
+        "sentence_stats": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(string_split(trim(text), ' ')) AS n,
+                       4 + doc_id % 4 AS g
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((n + g - 1) // g AS BIGINT) AS n_sentences,
+                   CAST(n AS BIGINT) AS total_sent_tokens,
+                   CAST(LEAST(g, n) AS BIGINT) AS max_sentence_tokens,
+                   CAST(n AS DOUBLE) / CAST((n + g - 1) // g AS DOUBLE)
+                       AS mean_sentence_tokens
+            FROM m ORDER BY doc_id
         """,
         # span_diff: replay _synth_span_variants' per-residue
         # corruption (doc%11==3 delete index 1; ==5 first image's

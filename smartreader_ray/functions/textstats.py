@@ -377,3 +377,46 @@ def gopher_rules(batch: pa.Table, text_col: str = "text",
         "n_words": pa.array(n_words, type=pa.int64()),
         "verdict": pa.array(verdict.tolist(), type=pa.string()),
     })
+
+
+def sentence_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Sentence segmentation signals (the Gopher-family doc-quality
+    axis the token-level stats miss): split on ``[.!?]+`` runs, trim,
+    drop empty pieces; per doc report sentence count, total tokens
+    across sentences, the longest sentence (tokens), and the mean
+    (ONE IEEE division). Fully vectorized: one split_pattern_regex +
+    one count_substring_regex over the flattened piece list,
+    per-doc rollups via masked ``np.add.reduceat`` /
+    ``np.maximum.reduceat``.
+    """
+    import pyarrow.compute as _pc
+
+    text_arr = _pc.cast(batch.column(text_col), pa.string())
+    filled = _pc.coalesce(text_arr, pa.scalar("", type=pa.string()))
+    pieces = _pc.split_pattern_regex(filled, r"[.!?]+").combine_chunks()
+    offs = pieces.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offs[:-1] - offs[0]
+    counts = np.diff(offs).astype(np.int64)
+    n = len(counts)
+    flat = _pc.utf8_trim_whitespace(pieces.flatten())
+    nonempty = (_pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+                > 0)
+    ntok = _pc.count_substring_regex(flat, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ntok = np.where(nonempty, ntok, 0)
+    if len(flat):
+        n_sent = np.add.reduceat(nonempty.astype(np.int64), starts)
+        tot = np.add.reduceat(ntok, starts)
+        mx = np.maximum.reduceat(ntok, starts)
+        # reduceat on an empty segment (a doc whose split produced 0
+        # pieces cannot happen — split always yields >= 1) is safe
+    else:
+        n_sent = tot = mx = np.zeros(n, np.int64)
+    mean = np.where(n_sent > 0, tot / np.maximum(n_sent, 1), 0.0)
+    return pa.Table.from_pydict({
+        "doc_id": batch.column("doc_id"),
+        "n_sentences": pa.array(n_sent, type=pa.int64()),
+        "total_sent_tokens": pa.array(tot, type=pa.int64()),
+        "max_sentence_tokens": pa.array(mx, type=pa.int64()),
+        "mean_sentence_tokens": pa.array(mean, type=pa.float64()),
+    })
