@@ -5826,6 +5826,60 @@ def _q_sentence_stats(sf_dir: str):
             .sort("doc_id"))
 
 
+def _q_media_phash(sf_dir: str):
+    """Perceptual near-dup over REAL image bytes
+    (`stages/media.py:ImagePHashStage`): per-doc 24-bit BMP (32 visual
+    classes — pixels pure integer functions of ``v = doc_id % 32``),
+    actor-pool average-hash (decode → integer gray → 8×8 nearest
+    downsample → mean threshold → 64-bit pack), then the
+    hamming-radius-0 bucket screen: groupby(phash) count stamped back
+    via the repo's vectorized `hash_join`. Every hash bit is integer
+    arithmetic, so the oracle replays the fingerprint bit-for-bit
+    (bit_or of shifted UBIGINTs over an 8×8 unnest). Binary payloads
+    never leave the actor stage."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+    from smartreader_ray.stages.codecs import bmp_encode
+    from smartreader_ray.stages.media import ImagePHashStage
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            v = int(i) % 32
+            w, h = 64 + v * 5, 48 + v * 3
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = ((v + np.arange(w)) % 256)[None, :]
+            px[:, :, 1] = ((v * 3 + np.arange(h)) % 256)[:, None]
+            px[:, :, 2] = (v * 7 + 11) % 256
+            payloads.append(bmp_encode(px))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": pa.array(
+                [f"img://{int(i)}" for i in ids], type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    hashed = ds.map_batches(
+        ImagePHashStage, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=64,
+    ).drop_columns(["error"])
+    counts = hashed.groupby("phash").aggregate(
+        Count(alias_name="bucket_size"))
+    return (hash_join(hashed, counts, "phash", "phash",
+                      left_cols=["doc_id", "media_ref", "phash"],
+                      right_cols=["bucket_size"])
+            .sort("doc_id"))
+
+
 def _q_markov_debounced_chain(sf_dir: str):
     """Composed chain #12: debounce(60 s, per user+type) → first-order
     Markov transition matrix over the SURVIVING stream → keep
@@ -6740,6 +6794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
+        "media_phash": _q_media_phash,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -11137,6 +11192,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE) / CAST((n + g - 1) // g AS DOUBLE)
                        AS mean_sentence_tokens
             FROM m ORDER BY doc_id
+        """,
+        # media_phash: bit-for-bit average-hash replay — 8x8 sample
+        # grays from the deterministic pixel rule (v = doc_id%32; red
+        # column ramp, green row ramp, blue constant), integer mean
+        # (SUM // 64), bit_or of shifted UBIGINTs, bucket via window
+        # COUNT.
+        "media_phash": """
+            WITH g AS (
+                SELECT doc_id, doc_id % 32 AS v,
+                       64 + (doc_id % 32) * 5 AS w,
+                       48 + (doc_id % 32) * 3 AS h
+                FROM documents
+            ), samp AS (
+                SELECT doc_id, tj.j AS j, tk.k AS k,
+                       ((v + (tk.k * w) // 8) % 256
+                        + (v * 3 + (tj.j * h) // 8) % 256
+                        + (v * 7 + 11) % 256) // 3 AS gray
+                FROM g, unnest(generate_series(0, 7)) AS tj(j),
+                     unnest(generate_series(0, 7)) AS tk(k)
+            ), m AS (
+                SELECT doc_id, SUM(gray) // 64 AS mean
+                FROM samp GROUP BY doc_id
+            ), ph AS (
+                SELECT s.doc_id,
+                       lpad(lower(to_hex(bit_or(
+                           CASE WHEN s.gray >= m.mean
+                                THEN CAST(1 AS UBIGINT)
+                                     << CAST(s.j * 8 + s.k AS INT)
+                                ELSE CAST(0 AS UBIGINT) END))),
+                            16, '0') AS phash
+                FROM samp s JOIN m USING (doc_id)
+                GROUP BY s.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   phash,
+                   CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+                       AS bucket_size
+            FROM ph ORDER BY doc_id
         """,
         # span_diff: replay _synth_span_variants' per-residue
         # corruption (doc%11==3 delete index 1; ==5 first image's

@@ -692,3 +692,50 @@ class AudioAutocorrFeatures:
             out[k] = pa.array(cols[k], type=pa.int64())
         out["error"] = pa.array(errs, type=pa.string())
         return pa.Table.from_pydict(out)
+
+
+class ImagePHashStage:
+    """Actor-pool stage: average-hash (aHash) perceptual fingerprint —
+    decode (real BMP/PPM/PGM bytes), integer grayscale ``(r+g+b)//3``,
+    8×8 nearest-neighbor downsample with the SAME index map as
+    `ImageResizeStage` (row ``(j*h)//8``, col ``(k*w)//8``), threshold
+    at the integer mean (``sum//64``), pack the 64 bits LSB-first in
+    sample order (bit ``j*8+k``). Every step is integer arithmetic, so
+    a SQL oracle replays the hash BIT-FOR-BIT from whatever
+    deterministic pixel rule synthesized the corpus; emitted as a
+    16-hex string (uint64 renders sign-free everywhere). Identical
+    images hash equal; the bucket count downstream is the classic
+    perceptual near-dup screen (hamming-radius-0 buckets)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .codecs import MediaDecodeError, decode_image
+
+        payloads = batch.column("payload").to_pylist()
+        hashes, errs = [], []
+        shifts = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for p in payloads:
+            try:
+                _, px = decode_image(p or b"")
+                h, w = px.shape[:2]
+                g64 = px.astype(np.int64)
+                gray = (g64.sum(axis=2) // px.shape[2]
+                        if px.ndim == 3 else g64)
+                rows = (np.arange(8, dtype=np.int64) * h) // 8
+                cols = (np.arange(8, dtype=np.int64) * w) // 8
+                s = gray[np.ix_(rows, cols)]
+                mean = int(s.sum()) // 64
+                bits = (s.reshape(-1) >= mean).astype(np.uint64)
+                ph = int((bits * shifts).sum(dtype=np.uint64))
+                hashes.append(format(ph, "016x"))
+                errs.append("")
+            except MediaDecodeError as exc:
+                hashes.append("")
+                errs.append(str(exc))
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "phash": pa.array(hashes, type=pa.string()),
+            "error": pa.array(errs, type=pa.string()),
+        })
