@@ -5826,26 +5826,15 @@ def _q_sentence_stats(sf_dir: str):
             .sort("doc_id"))
 
 
-def _q_media_phash(sf_dir: str):
-    """Perceptual near-dup over REAL image bytes
-    (`stages/media.py:ImagePHashStage`): per-doc 24-bit BMP (32 visual
-    classes — pixels pure integer functions of ``v = doc_id % 32``),
-    actor-pool average-hash (decode → integer gray → 8×8 nearest
-    downsample → mean threshold → 64-bit pack), then the
-    hamming-radius-0 bucket screen: groupby(phash) count stamped back
-    via the repo's vectorized `hash_join`. Every hash bit is integer
-    arithmetic, so the oracle replays the fingerprint bit-for-bit
-    (bit_or of shifted UBIGINTs over an 8×8 unnest). Binary payloads
-    never leave the actor stage."""
+def _synth_class_bmps():
+    """Deterministic 32-visual-class BMP synthesis (v = doc_id % 32;
+    red column ramp, green row ramp, blue constant) shared by
+    `media_phash` and `phash_band_pairs` so their oracles replay the
+    identical pixels (the shared `_PHASH_CTES` SQL prefix)."""
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Count
 
-    import ray.data
-
-    from smartreader_ray.functions.join import hash_join
     from smartreader_ray.stages.codecs import bmp_encode
-    from smartreader_ray.stages.media import ImagePHashStage
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -5865,6 +5854,29 @@ def _q_media_phash(sf_dir: str):
             "payload": pa.array(payloads, type=pa.binary()),
         })
 
+    return synth
+
+
+def _q_media_phash(sf_dir: str):
+    """Perceptual near-dup over REAL image bytes
+    (`stages/media.py:ImagePHashStage`): per-doc 24-bit BMP (32 visual
+    classes — pixels pure integer functions of ``v = doc_id % 32``),
+    actor-pool average-hash (decode → integer gray → 8×8 nearest
+    downsample → mean threshold → 64-bit pack), then the
+    hamming-radius-0 bucket screen: groupby(phash) count stamped back
+    via the repo's vectorized `hash_join`. Every hash bit is integer
+    arithmetic, so the oracle replays the fingerprint bit-for-bit
+    (bit_or of shifted UBIGINTs over an 8×8 unnest). Binary payloads
+    never leave the actor stage."""
+    from ray.data.aggregate import Count
+
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+    from smartreader_ray.stages.media import ImagePHashStage
+
+    synth = _synth_class_bmps()
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).map_batches(synth, batch_format="pyarrow")
@@ -5878,6 +5890,96 @@ def _q_media_phash(sf_dir: str):
                       left_cols=["doc_id", "media_ref", "phash"],
                       right_cols=["bucket_size"])
             .sort("doc_id"))
+
+
+def _q_phash_band_pairs(sf_dir: str):
+    """Composed chain #30: the standard perceptual near-dup SCREEN on
+    top of `media_phash` — banded LSH in hamming space. Distinct
+    fingerprints (a groupby over doc-level hashes) emit 4 × 16-bit
+    bands; fingerprints sharing ANY band bucket become candidate
+    pairs. Banding is the classic recall heuristic: pigeonhole
+    GUARANTEES a shared band only for hamming ≤ 3 (4 bands), so pairs
+    at 4-12 with all four bands differing are missed by design — the
+    oracle replays the SAME banding, so the compare is exact
+    regardless of recall; candidates are verified by exact
+    ``popcount(xor)`` and weighted by bucket sizes (n_pairs = n_a·n_b).
+    Scale shape: the only full-corpus exchange is the fingerprint
+    groupby; banding/pairing/verify run over DISTINCT hashes (tiny)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    import ray.data
+
+    from smartreader_ray.stages.media import ImagePHashStage
+
+    synth = _synth_class_bmps()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    hashed = ds.map_batches(
+        ImagePHashStage, batch_format="pyarrow",
+        concurrency=(1, _pool_max()), batch_size=64,
+    )
+    cnt = hashed.groupby("phash").aggregate(Count(alias_name="n"))
+
+    def emit_bands(b: pa.Table) -> pa.Table:
+        band, val, ph, n = [], [], [], []
+        for p, c in zip(b.column("phash").to_pylist(),
+                        b.column("n").to_pylist()):
+            v = int(p, 16)
+            for bi in range(4):
+                band.append(bi)
+                val.append((v >> (16 * bi)) & 0xFFFF)
+                ph.append(p)
+                n.append(int(c))
+        return pa.table({
+            "band": pa.array(band, type=pa.int64()),
+            "band_val": pa.array(val, type=pa.int64()),
+            "phash": pa.array(ph, type=pa.string()),
+            "n": pa.array(n, type=pa.int64()),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(g.column("phash").to_pylist(),
+                              g.column("n").to_pylist())))
+        pa_, pb_, na_, nb_ = [], [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                pa_.append(rows[i][0])
+                pb_.append(rows[j][0])
+                na_.append(rows[i][1])
+                nb_.append(rows[j][1])
+        return pa.table({
+            "phash_a": pa.array(pa_, type=pa.string()),
+            "phash_b": pa.array(pb_, type=pa.string()),
+            "n_a": pa.array(na_, type=pa.int64()),
+            "n_b": pa.array(nb_, type=pa.int64()),
+        })
+
+    pairs = (cnt.map_batches(emit_bands, batch_format="pyarrow")
+             .groupby(["band", "band_val"])
+             .map_groups(bucket_pairs, batch_format="pyarrow")
+             .groupby(["phash_a", "phash_b"])
+             .aggregate(Max("n_a", alias_name="n_a"),
+                        Max("n_b", alias_name="n_b")))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ham = [bin(int(x, 16) ^ int(y, 16)).count("1")
+               for x, y in zip(b.column("phash_a").to_pylist(),
+                               b.column("phash_b").to_pylist())]
+        t = pa.table({
+            "phash_a": b.column("phash_a"),
+            "phash_b": b.column("phash_b"),
+            "hamming": pa.array(ham, type=pa.int64()),
+            "n_a": b.column("n_a"),
+            "n_b": b.column("n_b"),
+            "n_pairs": pc.multiply(b.column("n_a"), b.column("n_b")),
+        })
+        return t.filter(pc.less_equal(t.column("hamming"), 12))
+
+    return (pairs.map_batches(verify, batch_format="pyarrow")
+            .sort(["phash_a", "phash_b"]))
 
 
 def _q_markov_debounced_chain(sf_dir: str):
@@ -6795,6 +6897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
         "media_phash": _q_media_phash,
+        "phash_band_pairs": _q_phash_band_pairs,
         "markov_debounced_chain": _q_markov_debounced_chain,
         "abc_orders": _q_abc,
         "pmi_pairs": _q_pmi,
@@ -7105,6 +7208,39 @@ _SPAN_NORM_CTES = _SPAN_CTES + """
                string_agg(t, ' ' ORDER BY off) AS text,
                arg_min(mr, off) AS media_ref
         FROM seg GROUP BY doc_id, seg_id
+    )
+"""
+
+# Shared phash prefix: bit-for-bit average-hash replay of
+# stages/media.ImagePHashStage over the deterministic 32-class pixel
+# rule (v = doc_id % 32; red column ramp, green row ramp, blue
+# constant): 8x8 nearest-sample grays, integer mean (SUM // 64),
+# fingerprint = bit_or of shifted UBIGINTs — one row per doc in `pht`.
+# Consumed by the `media_phash` and `phash_band_pairs` oracles.
+_PHASH_CTES = """
+    WITH g AS (
+        SELECT doc_id, doc_id % 32 AS v,
+               64 + (doc_id % 32) * 5 AS w,
+               48 + (doc_id % 32) * 3 AS h
+        FROM documents
+    ), samp AS (
+        SELECT doc_id, tj.j AS j, tk.k AS k,
+               ((v + (tk.k * w) // 8) % 256
+                + (v * 3 + (tj.j * h) // 8) % 256
+                + (v * 7 + 11) % 256) // 3 AS gray
+        FROM g, unnest(generate_series(0, 7)) AS tj(j),
+             unnest(generate_series(0, 7)) AS tk(k)
+    ), mmean AS (
+        SELECT doc_id, SUM(gray) // 64 AS mean
+        FROM samp GROUP BY doc_id
+    ), pht AS (
+        SELECT s.doc_id,
+               bit_or(CASE WHEN s.gray >= m.mean
+                           THEN CAST(1 AS UBIGINT)
+                                << CAST(s.j * 8 + s.k AS INT)
+                           ELSE CAST(0 AS UBIGINT) END) AS ph
+        FROM samp s JOIN mmean m USING (doc_id)
+        GROUP BY s.doc_id
     )
 """
 
@@ -11193,44 +11329,48 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_sentence_tokens
             FROM m ORDER BY doc_id
         """,
-        # media_phash: bit-for-bit average-hash replay — 8x8 sample
-        # grays from the deterministic pixel rule (v = doc_id%32; red
-        # column ramp, green row ramp, blue constant), integer mean
-        # (SUM // 64), bit_or of shifted UBIGINTs, bucket via window
-        # COUNT.
-        "media_phash": """
-            WITH g AS (
-                SELECT doc_id, doc_id % 32 AS v,
-                       64 + (doc_id % 32) * 5 AS w,
-                       48 + (doc_id % 32) * 3 AS h
-                FROM documents
-            ), samp AS (
-                SELECT doc_id, tj.j AS j, tk.k AS k,
-                       ((v + (tk.k * w) // 8) % 256
-                        + (v * 3 + (tj.j * h) // 8) % 256
-                        + (v * 7 + 11) % 256) // 3 AS gray
-                FROM g, unnest(generate_series(0, 7)) AS tj(j),
-                     unnest(generate_series(0, 7)) AS tk(k)
-            ), m AS (
-                SELECT doc_id, SUM(gray) // 64 AS mean
-                FROM samp GROUP BY doc_id
-            ), ph AS (
-                SELECT s.doc_id,
-                       lpad(lower(to_hex(bit_or(
-                           CASE WHEN s.gray >= m.mean
-                                THEN CAST(1 AS UBIGINT)
-                                     << CAST(s.j * 8 + s.k AS INT)
-                                ELSE CAST(0 AS UBIGINT) END))),
-                            16, '0') AS phash
-                FROM samp s JOIN m USING (doc_id)
-                GROUP BY s.doc_id
-            )
+        # media_phash: bit-for-bit average-hash replay (shared
+        # _PHASH_CTES: 8x8 sample grays from the deterministic pixel
+        # rule, integer mean, bit_or of shifted UBIGINTs), bucket via
+        # window COUNT.
+        "media_phash": _PHASH_CTES + """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
-                   phash,
-                   CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+                   lpad(lower(to_hex(ph)), 16, '0') AS phash,
+                   CAST(COUNT(*) OVER (PARTITION BY ph) AS BIGINT)
                        AS bucket_size
-            FROM ph ORDER BY doc_id
+            FROM pht ORDER BY doc_id
+        """,
+        # phash_band_pairs: banded-LSH candidate pairs over DISTINCT
+        # fingerprints (4 bands x 16 bits; a pair is a candidate iff
+        # any band matches) verified by exact hamming <= 12 via
+        # bit_count(xor) — chain #30.
+        "phash_band_pairs": _PHASH_CTES + """
+            , cnt AS (
+                SELECT ph, lpad(lower(to_hex(ph)), 16, '0') AS phash,
+                       COUNT(*) AS n
+                FROM pht GROUP BY ph
+            ), cand AS (
+                SELECT a.phash AS phash_a, b.phash AS phash_b,
+                       a.ph AS pha, b.ph AS phb,
+                       a.n AS n_a, b.n AS n_b
+                FROM cnt a JOIN cnt b ON a.phash < b.phash
+                 AND (((a.ph >> 0) & CAST(65535 AS UBIGINT))
+                        = ((b.ph >> 0) & CAST(65535 AS UBIGINT))
+                   OR ((a.ph >> 16) & CAST(65535 AS UBIGINT))
+                        = ((b.ph >> 16) & CAST(65535 AS UBIGINT))
+                   OR ((a.ph >> 32) & CAST(65535 AS UBIGINT))
+                        = ((b.ph >> 32) & CAST(65535 AS UBIGINT))
+                   OR ((a.ph >> 48) & CAST(65535 AS UBIGINT))
+                        = ((b.ph >> 48) & CAST(65535 AS UBIGINT)))
+            )
+            SELECT phash_a, phash_b,
+                   CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_a * n_b AS BIGINT) AS n_pairs
+            FROM cand WHERE bit_count(xor(pha, phb)) <= 12
+            ORDER BY phash_a, phash_b
         """,
         # span_diff: replay _synth_span_variants' per-residue
         # corruption (doc%11==3 delete index 1; ==5 first image's
