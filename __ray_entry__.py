@@ -2127,6 +2127,147 @@ def _q_dup_passages_hashed(sf_dir: str):
                               use_hash=True)
 
 
+def _q_winnow_fps(sf_dir: str):
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03;
+    `functions/winnow.py`): FNV-1a over 4-token shingles, window-4
+    minimum selection with rightmost tie-break — the local
+    fingerprinting scheme guaranteeing any ≥7-token match shares a
+    fingerprint at ~2/5 density. Per-doc local compute, zero shuffle;
+    the oracle replays the argmin via a packed composite MIN."""
+    from smartreader_ray.functions import winnow_fingerprints
+
+    return (winnow_fingerprints(_docs(sf_dir), k=4, w=4)
+            .sort(["doc_id", "pos"]))
+
+
+def _q_winnow_dedup(sf_dir: str):
+    """Near-dup screen over winnowed fingerprints: doc pairs sharing
+    ≥ 2 distinct selected hashes, fingerprint-set sizes stamped via
+    the vectorized `hash_join` (never a driver map). The exchanged
+    stream is the winnowed density-reduced set, not the shingles."""
+    from smartreader_ray.functions import winnow_dedup
+
+    return (winnow_dedup(_docs(sf_dir), k=4, w=4, min_shared=2)
+            .sort(["doc_a", "doc_b"]))
+
+
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric Broder containment over distinct 8-token shingle
+    hashes (`functions/winnow.py:containment_pairs`): pairs where
+    either side's |A∩B|/|side| reaches 1/2 — the quote/subset signal
+    a symmetric Jaccard screen dilutes. Integer keep test; the two
+    float columns are each ONE IEEE division of exact ints."""
+    from smartreader_ray.functions import containment_pairs
+
+    return (containment_pairs(_docs(sf_dir), window=8)
+            .sort(["doc_a", "doc_b"]))
+
+
+def _q_quote_screen_chain(sf_dir: str):
+    """Composed chain #31: containment screen → drop each doc that is
+    ≥ 80 % contained (5·shared ≥ 4·n_side, integer-exact) in a doc
+    with a LARGER shingle set (doc_id breaks exact-size ties) →
+    per-source survivor rollup. The drop set is output-sized and
+    broadcast once (`ray.put`), bounded by a loud assert — the
+    decontaminate pattern (`__ray_entry__.py` r3 fix)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions import containment_pairs
+
+    pairs = containment_pairs(_docs(sf_dir), window=8)
+
+    def dropped_ids(b: pa.Table) -> pa.Table:
+        sh = b.column("shared").to_numpy(zero_copy_only=False)
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb_ = b.column("n_b").to_numpy(zero_copy_only=False)
+        da = b.column("doc_a").to_numpy(zero_copy_only=False)
+        db = b.column("doc_b").to_numpy(zero_copy_only=False)
+        ca = (5 * sh >= 4 * na) & ((na < nb_) | ((na == nb_) & (da > db)))
+        cb = (5 * sh >= 4 * nb_) & ((nb_ < na) | ((na == nb_) & (db > da)))
+        return pa.table({"d": pa.array(
+            np.concatenate([da[ca], db[cb]]), type=pa.int64())})
+
+    dropped: set = set()
+    for batch in (pairs.map_batches(dropped_ids, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+        dropped.update(batch.column("d").to_pylist())
+    assert len(dropped) < 2_000_000, (
+        "quote-screen drop set exceeded the broadcast bound — "
+        "switch to the hash_join anti path")
+    ref = ray.put(dropped)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        dr = ray.get(ref)
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        srcs = b.column("source").to_pylist()
+        keep = np.fromiter((i not in dr for i in ids), dtype=bool,
+                           count=len(ids))
+        ntok = np.fromiter(
+            (len(((t or "").strip()).split(" ")) for t in texts),
+            dtype=np.int64, count=len(texts))
+        df = pd.DataFrame({"source": srcs, "keep": keep,
+                           "tok": ntok * keep})
+        g = df.groupby("source", sort=False)
+        return pa.table({
+            "source": pa.array(g.size().index, type=pa.string()),
+            "n_docs": pa.array(g.size().to_numpy(), type=pa.int64()),
+            "n_kept": pa.array(g["keep"].sum().to_numpy(),
+                               type=pa.int64()),
+            "tokens_kept": pa.array(g["tok"].sum().to_numpy(),
+                                    type=pa.int64()),
+        })
+
+    import ray.data
+
+    docs_src = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    return (docs_src
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_kept", alias_name="n_kept"),
+                       Sum("tokens_kept", alias_name="tokens_kept"))
+            .sort("source"))
+
+
+def _q_token_dropout(sf_dir: str):
+    """Deterministic word-dropout augmentation
+    (`functions/curation.py:token_dropout`): token i of doc d drops
+    iff FNV1a("d:i") & 7 = 0 — seedless, partitioning-independent,
+    one vectorized hash call per batch; the oracle replays the hash
+    and rebuilds the kept string with ordered string_agg."""
+    from smartreader_ray.functions import token_dropout
+
+    return token_dropout(_docs(sf_dir), rate_den=8).sort("doc_id")
+
+
+def _q_freq_spectrum(sf_dir: str):
+    """Good–Turing frequency spectrum
+    (`functions/ngrams.py:freq_spectrum`): n_r = distinct terms at
+    occurrence count r, mass = r·n_r; the r=1 mass is the GT
+    unseen-probability numerator. Second exchange is spectrum-sized."""
+    from smartreader_ray.functions import freq_spectrum
+
+    return freq_spectrum(_docs(sf_dir))
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth at doc-rank deciles
+    (`functions/ngrams.py:vocab_growth`): first-occurrence
+    decomposition (term enters at MIN containing doc) + the TeraSort
+    `global_rank` + integer decile arithmetic; the cumulative fill is
+    driver math over 10 rows."""
+    from smartreader_ray.functions import vocab_growth
+
+    return vocab_growth(_docs(sf_dir))
+
+
 def _q_curated_corpus(sf_dir: str):
     """END-TO-END safety curation chain: PII redact → repetition filter
     → decontaminate → per-source cap, composed streaming (see
@@ -6768,6 +6909,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_intersect": _q_docs_intersect,
         "curated_corpus": _q_curated_corpus,
         "dup_passages": _q_dup_passages,
+        "winnow_fps": _q_winnow_fps,
+        "winnow_dedup": _q_winnow_dedup,
+        "containment_pairs": _q_containment_pairs,
+        "quote_screen_chain": _q_quote_screen_chain,
+        "token_dropout": _q_token_dropout,
+        "freq_spectrum": _q_freq_spectrum,
+        "vocab_growth": _q_vocab_growth,
         "substring_lcs": _q_substring_lcs,
         "dup_passages_hashed": _q_dup_passages_hashed,
         "dup_clusters": _q_dup_clusters,
@@ -7501,6 +7649,66 @@ def oracle_sql() -> dict[str, str]:
             ON a.key = b.key AND a.doc_id < b.doc_id
           GROUP BY 1, 2)""")
 
+    def _winnow_ctes(k: int = 4, w: int = 4) -> str:
+        # replay winnow.py: FNV-1a over k-token shingles (slices of the
+        # trimmed text), window-w minimum with RIGHTMOST tie-break via
+        # the packed composite MIN(h·2^32 + (2^32-1-p)) — smallest hash
+        # wins, and among equal hashes the largest position (smallest
+        # complement). `fpsel` ends with one row per selected (doc,
+        # pos) fingerprint; hu is the unsigned 64-bit hash.
+        gram = f"array_to_string(a[t.i:t.i+{k - 1}], ' ')"
+        return f"""
+        base AS (SELECT doc_id, string_split(trim(text), ' ') AS a
+                 FROM documents),
+        kg AS MATERIALIZED (
+            SELECT doc_id, t.i - 1 AS p, {_fnv_sql(gram)} AS h
+            FROM base, unnest(generate_series(1, len(a) - {k - 1}))
+                 AS t(i)
+            WHERE len(a) >= {k}),
+        nk AS (SELECT doc_id, COUNT(*) AS n FROM kg GROUP BY doc_id),
+        wins AS (SELECT doc_id, LEAST({w}, n) AS we, t.s AS s
+                 FROM nk, unnest(generate_series(0, n - LEAST({w}, n)))
+                      AS t(s)),
+        sel AS (SELECT w.doc_id, w.s,
+                       MIN(k.h * 4294967296::HUGEINT
+                           + (4294967295 - k.p)::HUGEINT) AS kk
+                FROM wins w JOIN kg k ON k.doc_id = w.doc_id
+                     AND k.p BETWEEN w.s AND w.s + w.we - 1
+                GROUP BY w.doc_id, w.s),
+        fpsel AS (SELECT DISTINCT doc_id,
+                         CAST(4294967295 - (kk % 4294967296) AS BIGINT)
+                             AS pos,
+                         kk // 4294967296 AS hu
+                  FROM sel)"""
+
+    def _contain_ctes(window: int = 8) -> str:
+        # replay winnow.containment_pairs: DISTINCT window-token
+        # shingle hashes per doc (engine counts over _hash64 values,
+        # so the oracle hashes too — identical even under collisions),
+        # symmetric shared counts, per-doc set sizes.
+        gram = f"array_to_string(a[t.i:t.i+{window - 1}], ' ')"
+        return f"""
+        base AS (SELECT doc_id, string_split(trim(text), ' ') AS a
+                 FROM documents),
+        w8 AS MATERIALIZED (
+            SELECT DISTINCT doc_id, {_fnv_sql(gram)} AS h
+            FROM base, unnest(generate_series(1, len(a) - {window - 1}))
+                 AS t(i)
+            WHERE len(a) >= {window}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM w8 GROUP BY doc_id),
+        cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      COUNT(*) AS shared
+               FROM w8 a JOIN w8 b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        cj AS (SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b
+               FROM cp JOIN sizes sa ON sa.doc_id = cp.doc_a
+                       JOIN sizes sb ON sb.doc_id = cp.doc_b)"""
+
+    _U2I = ("CAST(CASE WHEN {x} >= 9223372036854775808::HUGEINT"
+            " THEN {x} - 18446744073709551616::HUGEINT"
+            " ELSE {x} END AS BIGINT)")
+
     return {
         "weighted_mix": f"""
             SELECT source, doc_id FROM documents
@@ -7594,6 +7802,133 @@ def oracle_sql() -> dict[str, str]:
         # same chain over the MULTIMODAL token stream (text tokens +
         # media_refs in span order, string_agg'd from the shared
         # _SPAN_CTES synthesis) — the interleaved-payload near-dedup
+        # winnow_fps: MOSS winnowing fingerprint selection — exact
+        # positional replay of the sliding-window rightmost-argmin.
+        "winnow_fps": "WITH " + _winnow_ctes() + f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, pos,
+                   {_U2I.format(x='hu')} AS fp
+            FROM fpsel ORDER BY doc_id, pos
+        """,
+        # winnow_dedup: pairs sharing >= 2 DISTINCT selected hash
+        # values + per-doc fingerprint-set sizes. Replays the
+        # UNCAPPED bucket pairing (cap 128 not reached at sf0.01,
+        # same note as the minhash oracle).
+        "winnow_dedup": "WITH " + _winnow_ctes() + """,
+            dfp AS (SELECT DISTINCT doc_id, hu FROM fpsel),
+            dsz AS (SELECT doc_id, COUNT(*) AS n FROM dfp
+                    GROUP BY doc_id),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS shared
+                  FROM dfp a JOIN dfp b
+                    ON a.hu = b.hu AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   CAST(shared AS BIGINT) AS shared,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b
+            FROM p JOIN dsz sa ON sa.doc_id = p.doc_a
+                   JOIN dsz sb ON sb.doc_id = p.doc_b
+            ORDER BY doc_a, doc_b
+        """,
+        # containment_pairs: asymmetric Broder containment over
+        # distinct 8-token shingle hashes; integer keep test
+        # 2·shared >= n_side, each float one IEEE division.
+        "containment_pairs": "WITH " + _contain_ctes() + """
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   CAST(shared AS BIGINT) AS shared,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS c_a,
+                   CAST(shared AS DOUBLE) / CAST(n_b AS DOUBLE) AS c_b
+            FROM cj
+            WHERE 2 * shared >= n_a OR 2 * shared >= n_b
+            ORDER BY doc_a, doc_b
+        """,
+        # quote_screen_chain: containment -> drop the CONTAINED doc
+        # (5·shared >= 4·n_side, smaller shingle set; doc_id breaks
+        # exact ties) -> per-source survivor rollup.
+        "quote_screen_chain": "WITH " + _contain_ctes() + """,
+            dropped AS (
+                SELECT doc_a AS d FROM cj
+                WHERE 5 * shared >= 4 * n_a
+                  AND (n_a < n_b OR (n_a = n_b AND doc_a > doc_b))
+                UNION
+                SELECT doc_b FROM cj
+                WHERE 5 * shared >= 4 * n_b
+                  AND (n_b < n_a OR (n_a = n_b AND doc_b > doc_a))
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (WHERE dr.d IS NULL) AS BIGINT)
+                       AS n_kept,
+                   CAST(COALESCE(SUM(len(string_split(trim(text), ' ')))
+                        FILTER (WHERE dr.d IS NULL), 0) AS BIGINT)
+                       AS tokens_kept
+            FROM documents LEFT JOIN dropped dr ON documents.doc_id = dr.d
+            GROUP BY source ORDER BY source
+        """,
+        # token_dropout: deterministic word-dropout — drop token i of
+        # doc d iff FNV1a("d:i") & 7 = 0; ordered string_agg rebuild.
+        "token_dropout": f"""
+            WITH base AS (SELECT doc_id,
+                                 string_split(trim(text), ' ') AS a
+                          FROM documents),
+            tok AS (
+                SELECT doc_id, t.i AS i, a[t.i] AS tk,
+                       {_fnv_sql("doc_id::VARCHAR || ':' ||"
+                                 " (t.i - 1)::VARCHAR")} AS h
+                FROM base, unnest(generate_series(1, len(a))) AS t(i))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(string_agg(tk, ' ' ORDER BY i)
+                            FILTER (WHERE (h & 7) <> 0), '') AS text_aug,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) FILTER (WHERE (h & 7) = 0) AS BIGINT)
+                       AS n_dropped
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        # freq_spectrum: Good–Turing count-of-counts; r=1 row's mass
+        # is the unseen-probability numerator N1.
+        "freq_spectrum": """
+            WITH t AS (SELECT unnest(string_split(trim(text), ' '))
+                           AS term
+                       FROM documents),
+            c AS (SELECT term, COUNT(*) AS c FROM t
+                  WHERE term <> '' GROUP BY term)
+            SELECT CAST(c AS BIGINT) AS r,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(c * COUNT(*) AS BIGINT) AS mass
+            FROM c GROUP BY c ORDER BY r
+        """,
+        # vocab_growth: Heaps-law curve — term enters the vocab at its
+        # MIN containing doc; deciles by exact integer arithmetic
+        # ((rk-1)*10)//n + 1 (no NTILE remainder ambiguity); docs_cum
+        # = ceil(n*b/10).
+        "vocab_growth": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(trim(text), ' '))
+                                    AS term
+                         FROM documents),
+            ft AS (SELECT term, MIN(doc_id) AS fd FROM tok
+                   WHERE term <> '' GROUP BY term),
+            r AS (SELECT doc_id,
+                         ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+                  FROM documents),
+            n AS (SELECT COUNT(*) AS c FROM documents),
+            nb AS (SELECT ((rk - 1) * 10) // c + 1 AS bucket,
+                          COUNT(*) AS nt
+                   FROM ft JOIN r ON ft.fd = r.doc_id, n GROUP BY 1),
+            g AS (SELECT unnest(generate_series(1, 10)) AS bucket)
+            SELECT CAST(g.bucket AS BIGINT) AS bucket,
+                   CAST((n.c * g.bucket + 9) // 10 AS BIGINT)
+                       AS docs_cum,
+                   CAST(COALESCE(nb.nt, 0) AS BIGINT) AS new_terms,
+                   CAST(SUM(COALESCE(nb.nt, 0))
+                        OVER (ORDER BY g.bucket) AS BIGINT) AS vocab_cum
+            FROM g LEFT JOIN nb ON nb.bucket = g.bucket, n
+            ORDER BY bucket
+        """,
         "mm_minhash_dedup": "WITH " + _minhash_ctes(
             src="(" + _SPAN_CTES + """
                 SELECT doc_id,

@@ -36,8 +36,10 @@ from .curation import (
     per_source_cap,
     pii_redact,
     repetition_stats,
+    token_dropout,
     winsorize_stats,
 )
+from .winnow import containment_pairs, winnow_dedup, winnow_fingerprints
 from .join import asof_join, broadcast_join, hash_join, range_join, semi_join
 from .similarity import (
     ann_ivf,
@@ -71,7 +73,8 @@ from .textstats import (
     token_stats,
 )
 from .ngrams import (bigram_counts, bm25_search, cooccurrence_window,
-                     term_doc_freq, tfidf_top_terms, zipf_fit)
+                     freq_spectrum, term_doc_freq, tfidf_top_terms,
+                     vocab_growth, zipf_fit)
 from .setops import except_by_content, intersect_by_content
 from .sketch import frequent_terms
 from .similarity import kmeans_fit
@@ -134,6 +137,12 @@ __all__ = [
     "is_edit1",
     "phrase_count",
     "winsorize_stats",
+    "token_dropout",
+    "winnow_fingerprints",
+    "winnow_dedup",
+    "containment_pairs",
+    "freq_spectrum",
+    "vocab_growth",
     "parse_robots_txt",
     "robots_gate",
     "bpe_pair_counts",

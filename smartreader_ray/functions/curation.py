@@ -624,3 +624,55 @@ def source_affixes(ds, source_col: str = "source",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(source_col)
             .map_groups(final, batch_format="pyarrow"))
+
+
+def token_dropout(ds, rate_den: int = 8, doc_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Deterministic word-dropout augmentation (the span-corruption
+    sibling at TOKEN granularity, cf. BERT/T5-style masking): token at
+    position ``i`` of doc ``d`` is DROPPED iff
+    ``FNV1a(f"{d}:{i}") % rate_den == 0`` — a seedless integer draw,
+    reproducible across engines and partitionings (the DuckDB oracle
+    replays the identical hash), expected rate exactly 1/rate_den over
+    the hash family.
+
+    Tokenizer contract is the oracle's ``string_split(trim(text), ' ')``
+    (empty tokens on space runs kept — they're positions too). Pure
+    per-row compute, zero shuffle; one vectorized `_hash64` call per
+    BATCH (keys flattened across docs), reassembly via numpy boundary
+    splits — no per-token Python hashing.
+
+    Returns rows (doc_col, text_aug, n_tokens, n_dropped).
+    """
+    from .dedup import _hash64
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column(doc_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        id_type = batch.schema.field(doc_col).type
+        tok_lists = [((t or "").strip()).split(" ") for t in texts]
+        lens = np.fromiter((len(ts) for ts in tok_lists),
+                           dtype=np.int64, count=len(tok_lists))
+        keys: list[str] = []
+        for d, ts in zip(ids, tok_lists):
+            prefix = f"{d}:"
+            keys.extend(prefix + str(i) for i in range(len(ts)))
+        h = _hash64(keys)
+        drop = (h % np.uint64(rate_den)) == 0
+        out_text, out_drop = [], []
+        pos = 0
+        for ts, n in zip(tok_lists, lens.tolist()):
+            m = drop[pos:pos + n]
+            out_text.append(" ".join(
+                t for t, dr in zip(ts, m.tolist()) if not dr))
+            out_drop.append(int(m.sum()))
+            pos += n
+        return pa.table({
+            doc_col: pa.array(ids, type=id_type),
+            "text_aug": pa.array(out_text, type=pa.string()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "n_dropped": pa.array(out_drop, type=pa.int64()),
+        })
+
+    return ds.select_columns([doc_col, text_col]).map_batches(
+        aug, batch_format="pyarrow")

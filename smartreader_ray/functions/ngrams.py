@@ -1025,3 +1025,110 @@ def zipf_fit(ds, text_col: str = "text", source_col: str = "source",
         })
 
     return counts.groupby("source").map_groups(fit, batch_format="pyarrow")
+
+
+def freq_spectrum(ds, text_col: str = "text"):
+    """Frequency-of-frequencies (the Good–Turing spectrum): for each
+    occurrence count r, how many distinct terms occur exactly r times
+    (n_r) and the token mass they carry (r·n_r). The r = 1 row's mass
+    over the total IS the Good–Turing unseen-probability estimate
+    p₀ = N₁/N — reported as exact integers plus the single IEEE
+    division (bit-reproducible both engines).
+
+    Exchanges: the per-block (term, cf) partials → one term-keyed Sum,
+    then a COUNT-sized (distinct r values) second groupby — the second
+    exchange is spectrum-sized, never corpus-sized.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(lambda b: _partial_term_counts(b, text_col),
+                           batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("cf", alias_name="c")))
+
+    spec = counts.groupby("c").aggregate(Count(alias_name="n_terms"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b.column("c").to_numpy(zero_copy_only=False)
+        n = b.column("n_terms").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r": pa.array(r, type=pa.int64()),
+            "n_terms": pa.array(n, type=pa.int64()),
+            "mass": pa.array(r * n, type=pa.int64()),
+        })
+
+    return spec.map_batches(finish, batch_format="pyarrow").sort("r")
+
+
+def vocab_growth(ds, doc_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 10):
+    """Heaps-law vocabulary growth curve: rank docs by ``doc_col``,
+    split the ranking into ``n_buckets`` equal spans (bucket of rank =
+    ``(rank-1)·n_buckets // n_docs + 1`` — exact integer arithmetic the
+    SQL replays verbatim, no NTILE remainder ambiguity), and report per
+    bucket the cumulative distinct-term count among all docs ranked so
+    far. First-occurrence decomposition makes it distributive: a term
+    enters the vocabulary exactly at its MIN containing doc_id.
+
+    Exchanges: per-block (term, min doc) partials → one term-keyed Min,
+    the TeraSort-shaped `global_rank` over the doc ids, one vectorized
+    hash_join to stamp ranks, then a bucket-sized rollup; the cumulative
+    sum runs driver-side over ``n_buckets`` rows.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    from .join import hash_join
+    from .reshape import global_rank
+
+    def first_doc_partial(batch: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(batch, text_col)
+        terms = flat.to_pandas()
+        docs = batch.column(doc_col).to_numpy(zero_copy_only=False)
+        mask = terms.str.len() > 0
+        df = pd.DataFrame({
+            "term": terms[mask],
+            "fd": docs[row_idx[mask.to_numpy()]],
+        })
+        g = df.groupby("term", sort=False)["fd"].min()
+        return pa.table({
+            "term": pa.array(g.index, type=pa.string()),
+            "fd": pa.array(g.to_numpy(), type=pa.int64()),
+        })
+
+    first = (ds.select_columns([doc_col, text_col])
+             .map_batches(first_doc_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Min("fd", alias_name="fd")))
+
+    ranked = global_rank(ds.select_columns([doc_col]), doc_col)
+    n_docs = int(ranked.aggregate(Max("rn"))["max(rn)"])
+
+    joined = hash_join(first, ranked, "fd", doc_col, ["term"], ["rn"])
+
+    def to_bucket(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False)
+        bk = (rn - 1) * n_buckets // n_docs + 1
+        return pa.table({"bucket": pa.array(bk, type=pa.int64())})
+
+    per_bucket = (joined.map_batches(to_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .aggregate(Count(alias_name="new_terms")))
+
+    # bucket-sized (n_buckets rows): the cumulative fill is driver math
+    rows = {int(r["bucket"]): int(r["new_terms"])
+            for r in per_bucket.take_all()}
+    out_b, out_docs, out_new, out_vocab = [], [], [], []
+    cum_v = 0
+    for b in range(1, n_buckets + 1):
+        nt = rows.get(b, 0)
+        cum_v += nt
+        # ranks with bucket ≤ b: (r-1)·K//n ≤ b-1 ⟺ r ≤ ⌈n·b/K⌉
+        out_b.append(b)
+        out_docs.append((n_docs * b + n_buckets - 1) // n_buckets)
+        out_new.append(nt)
+        out_vocab.append(cum_v)
+    return pa.table({
+        "bucket": pa.array(out_b, type=pa.int64()),
+        "docs_cum": pa.array(out_docs, type=pa.int64()),
+        "new_terms": pa.array(out_new, type=pa.int64()),
+        "vocab_cum": pa.array(out_vocab, type=pa.int64()),
+    })
