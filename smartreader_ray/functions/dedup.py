@@ -111,7 +111,11 @@ def dedup_key_batch(batch: pa.Table, key_tokens: int = 5) -> pa.Table:
     ``key_tokens`` → join — identical semantics to Python's
     ``t.split(None)[:k]`` (runs of any whitespace collapse, leading/
     trailing ignored)."""
-    toks = pc.utf8_split_whitespace(batch.column("text"))
+    # trim first: utf8_split_whitespace merges internal runs but emits
+    # empty tokens at leading/trailing whitespace — split(None) ignores
+    # those, so an untrimmed split would shift the key window
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(batch.column("text")))
     keys = pc.binary_join(pc.list_slice(toks, 0, key_tokens), " ")
     keys = pc.fill_null(keys, "")
     return batch.append_column("dup_key", pc.cast(keys, pa.string()))

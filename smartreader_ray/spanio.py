@@ -711,7 +711,12 @@ def truncate_spans_batch(article_batch, budget: int = 96,
     clip_n = np.where(k_text, np.minimum(tok[kept], remaining[kept]), 0)
     # rebuild clipped texts: whitespace-split tokens, take first clip_n
     take_kept = pa.array(kept, type=pa.int64())
-    toks = pc.utf8_split_whitespace(text.take(take_kept))
+    # trim first: utf8_split_whitespace merges INTERNAL whitespace runs
+    # but emits empty tokens at leading/trailing whitespace, which would
+    # desync the token lists from the \S+ cost counts above (a
+    # leading-space straddler would keep '' instead of its first word)
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(text.take(take_kept)))
     toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     tstart = toff[:-1] - toff[0]
     new_offs = pa.array(np.concatenate(
