@@ -6838,6 +6838,130 @@ def _q_source_cosine(sf_dir: str):
     return source_cosine(docs)
 
 
+def _q_template_score(sf_dir: str):
+    """Templated-text screen (`functions/dedup.py: template_score`):
+    per-doc sum/mean corpus-wide frequency of its 4-gram windows —
+    ranks mad-libs template farms that token-level perturbations hide
+    from near-dedup. Windows ship as md5-derived int64 keys (identical
+    hash in the oracle); corpus counts stamp back through the
+    vectorized run-length `hash_join`; n_windows rides scan-side."""
+    import ray.data
+
+    from smartreader_ray.functions.dedup import template_score
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return template_score(docs, window=4)
+
+
+def _q_span_dedup(sf_dir: str):
+    """Interleaved-payload exact dedup (`spanio.span_fingerprint_batch`
+    → groupby Min/Count): documents grouped by the 64-bit fingerprint
+    of their NORMALIZED span sequence (kind + text per span, media_ref
+    masked — re-hosted assets don't split a group; differing structure
+    or alts DO, which a text-level hash cannot see). Only
+    (span_fp, doc_id) crosses the exchange; Min/Count pre-combine per
+    block — the fingerprint_dedup scale shape on the span payload."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from smartreader_ray.spanio import span_fingerprint_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(_synth_interleaved_spans(),
+                           batch_format="pyarrow")
+            .map_batches(span_fingerprint_batch, batch_format="pyarrow")
+            .groupby("span_fp")
+            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
+                       Count(alias_name="n_dups"))
+            .sort("keep_doc_id"))
+
+
+def _q_dedup_cascade_chain(sf_dir: str):
+    """Composed chain #31 — the PRODUCTION dedup cascade: exact
+    full-content dedup (md5-derived int64 fingerprint of trimmed text,
+    min-doc survivor per group) → MinHash-LSH near-dedup with exact
+    n-gram-Jaccard verify over the SURVIVORS (`functions/dedup.py:
+    minhash_dedup`, threshold 0.5; the larger doc_id of each verified
+    pair is removed) → per-source funnel rollup
+    (n_docs, n_exact_kept, n_near_kept). Exchanges: (fp, doc_id)
+    for the exact stage, the vectorized `hash_join` to re-attach text
+    to survivors, the banded-LSH pipeline on the (smaller) survivor
+    corpus, and source-sized partial rollups; removed-pair IDs are a
+    verified-dup-sized side merged driver-side into the source-sized
+    report."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    from smartreader_ray.functions import minhash_dedup
+    from smartreader_ray.functions.join import hash_join
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        fps = [int(md5(((t or "").strip()).encode()).hexdigest()[:15], 16)
+               for t in b.column("text").to_pylist()]
+        return pa.table({
+            "fp": pa.array(fps, type=pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+        })
+
+    # stage 1: exact full-content dedup — only (fp, doc_id) exchanges
+    keepers = (docs.map_batches(fp, batch_format="pyarrow")
+               .groupby("fp")
+               .aggregate(Min("doc_id", alias_name="doc_id"))
+               .select_columns(["doc_id"])
+               .materialize())  # survivor ids: consumed by join + rollup
+
+    # stage 2: near-dedup over survivors (text re-attached via the
+    # vectorized run-length join; survivors are output-sized)
+    surv = hash_join(keepers, docs, "doc_id", "doc_id",
+                     ["doc_id"], ["text", "source"], how="inner")
+    pairs = minhash_dedup(surv.select_columns(["doc_id", "text"]),
+                          threshold=0.5)
+    removed = (pairs.filter(lambda r: bool(r["is_dup"]))
+               .select_columns(["doc_b"]).take_all())
+    removed_ids = {int(r["doc_b"]) for r in removed}
+
+    # stage 3: per-source funnel (verified-dup-sized set is the only
+    # driver-resident state; rollups are source-sized partials)
+    n_docs = (docs.groupby("source").aggregate(Count(alias_name="n_docs"))
+              .to_pandas())
+
+    def surv_partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        src = b.column("source").to_pandas()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        near = np.array([int(i) not in removed_ids for i in ids],
+                        dtype=np.int64)
+        g = pd.DataFrame({"source": src, "n_exact_kept": 1,
+                          "n_near_kept": near}) \
+            .groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    kept = (surv.map_batches(surv_partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_exact_kept", alias_name="n_exact_kept"),
+                       Sum("n_near_kept", alias_name="n_near_kept"))
+            .to_pandas())
+    out = n_docs.merge(kept, on="source", how="left")
+    for c in ("n_exact_kept", "n_near_kept"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -7041,6 +7165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_truncate": _q_span_truncate,
         "clean_doc_chain": _q_clean_doc_chain,
         "doc_render": _q_doc_render,
+        "span_dedup": _q_span_dedup,
+        "template_score": _q_template_score,
+        "dedup_cascade_chain": _q_dedup_cascade_chain,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -11501,6 +11628,106 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN kind <> 'text' THEN 1
                                  ELSE 0 END) AS BIGINT) AS n_images
             FROM nmerged GROUP BY doc_id ORDER BY doc_id
+        """,
+        # span_dedup: shared normalize replay -> canonical doc string
+        # (kind + US + text per span, RS-joined, media masked) -> the
+        # ENGINE'S md5-derived int64 fingerprint -> min-doc groups.
+        "span_dedup": _SPAN_NORM_CTES + """
+            , canon AS (
+                SELECT doc_id,
+                       string_agg(kind || chr(31) || text, chr(30)
+                                  ORDER BY seg_id) AS cs
+                FROM nmerged GROUP BY doc_id
+            ), sfp AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(cs), 1, 15) AS BIGINT)
+                           AS span_fp
+                FROM canon
+            )
+            SELECT span_fp,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM sfp GROUP BY span_fp ORDER BY keep_doc_id
+        """,
+        # template_score: ngram_novelty's md5-keyed 4-gram windows ->
+        # corpus counts joined back per (window, doc) occurrence ->
+        # per-doc sum + ONE IEEE division for the mean.
+        "template_score": """
+            WITH base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(
+                           array_to_string(a[i:i+3], ' ')), 1, 15)
+                           AS BIGINT) AS k
+                FROM base, UNNEST(generate_series(1, len(a) - 3)) AS t(i)
+            ),
+            dw AS (
+                SELECT k, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM w GROUP BY k, doc_id
+            ),
+            tot AS (SELECT k, SUM(c) AS tot FROM dw GROUP BY k),
+            sc AS (
+                SELECT dw.doc_id, SUM(dw.c) AS n_win,
+                       SUM(dw.c * tot.tot) AS s
+                FROM dw JOIN tot USING (k) GROUP BY dw.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_win, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(sc.s, 0) AS BIGINT) AS sum_freq,
+                   CASE WHEN COALESCE(sc.n_win, 0) > 0
+                        THEN CAST(sc.s AS DOUBLE) / sc.n_win
+                        ELSE 0.0 END AS template_score
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # dedup_cascade_chain (chain #31): md5-int64 exact-dedup
+        # keepers -> the full MinHash CTE stack replayed over the
+        # SURVIVOR corpus (src='survdocs') -> exact-Jaccard removed set
+        # (doc_b of each pair >= 0.5) -> per-source funnel.
+        "dedup_cascade_chain": """
+            WITH fps AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(trim(text)), 1, 15)
+                           AS BIGINT) AS fp
+                FROM documents
+            ), keepers AS (
+                SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp
+            ), survdocs AS (
+                SELECT d.doc_id, d.text
+                FROM documents d JOIN keepers USING (doc_id)
+            ), """ + _minhash_ctes(src="survdocs") + """,
+            nset AS (SELECT doc_id, count(*) AS ns FROM docg
+                     GROUP BY doc_id),
+            inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
+                      FROM cpairs p
+                      JOIN docg x ON x.doc_id = p.doc_a
+                      JOIN docg y ON y.doc_id = p.doc_b AND y.g = x.g
+                      GROUP BY 1, 2),
+            removed AS (
+                SELECT DISTINCT p.doc_b AS doc_id
+                FROM cpairs p
+                LEFT JOIN inter i ON i.doc_a = p.doc_a
+                                 AND i.doc_b = p.doc_b
+                JOIN nset na ON na.doc_id = p.doc_a
+                JOIN nset nb ON nb.doc_id = p.doc_b
+                WHERE CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                      / CAST(na.ns + nb.ns - COALESCE(i.ni, 0)
+                             AS DOUBLE) >= 0.5
+            )
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) FILTER (k.doc_id IS NOT NULL)
+                        AS BIGINT) AS n_exact_kept,
+                   CAST(COUNT(*) FILTER (k.doc_id IS NOT NULL
+                                         AND r.doc_id IS NULL)
+                        AS BIGINT) AS n_near_kept
+            FROM documents d
+            LEFT JOIN keepers k ON k.doc_id = d.doc_id
+            LEFT JOIN removed r ON r.doc_id = d.doc_id
+            GROUP BY d.source ORDER BY d.source
         """,
         # modality_runs: same-class (text vs media) run-length rollup
         # per doc over the shared runs2 CTE.

@@ -24,6 +24,7 @@ from .dedup import (
     passage_star_edges,
     simhash_batch,
     simhash_neardup,
+    template_score,
     verify_candidate_pairs,
     verify_candidate_pairs_distributed,
 )
@@ -211,6 +212,7 @@ __all__ = [
     "dsir_select",
     "epoch_shuffle",
     "ngram_novelty",
+    "template_score",
     "bitext_mine",
     "balanced_interleave",
     "bm25_search",

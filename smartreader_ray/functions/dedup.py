@@ -1582,6 +1582,137 @@ def ngram_novelty(ds, window: int = 8, text_col: str = "text",
             .sort(id_col))
 
 
+def template_score(ds, window: int = 4, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   materialize_windows: bool = True):
+    """Templated-text screen — the corpus-frequency COMPLEMENT of
+    ``ngram_novelty``: for every document, the sum and mean of the
+    corpus-wide occurrence count of each of its ``window``-token spans
+    (counted per occurrence, self included — fully novel prose scores
+    exactly 1.0; a mad-libs template farm whose token-level
+    perturbations evade near-dedup scores as high as its shared
+    skeleton is common). Rank by ``template_score`` DESC to surface
+    boilerplate/generated sources before a dedup pass.
+
+    Scale shape: window TEXT never crosses an exchange — windows ship
+    as md5-derived int64 keys (the SQL oracle applies the IDENTICAL
+    hash, so parity survives even a key collision). Three
+    key-partitioned passes over the (k, doc, c) window-count table:
+    one groupby-Sum for the corpus counts, one vectorized ``hash_join``
+    (run-length emit kernel, no per-key Python) to stamp each count
+    back onto its per-doc occurrences, one doc-sized rollup.
+    ``n_windows`` rides scan-side (``len(toks)−w+1``) and never touches
+    the key exchange. ``materialize_windows=False`` trades the object
+    store footprint of the window table for re-running its emit pass
+    per consumer — the streaming-friendly choice at extreme corpus
+    sizes.
+
+    Returns (doc_id, n_windows, sum_freq, template_score) where
+    ``template_score = sum_freq / n_windows`` (0.0 for sub-window
+    docs); ints exact, the score is ONE IEEE division.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        # block-level memo: boilerplate windows repeat across docs —
+        # hash each distinct window once per block
+        hash_of: dict[str, int] = {}
+        out_k: list[int] = []
+        out_d: list[int] = []
+        out_c: list[int] = []
+        for doc_id, t in zip(ids.tolist(), texts):
+            body = (t or "").strip()
+            toks = body.split(" ")
+            if len(toks) < window:
+                continue
+            # consecutive split(' ') tokens are separated by EXACTLY
+            # one space in the source, so the joined window equals a
+            # direct slice of the trimmed text (ngram_novelty's rule)
+            starts = [0]
+            app = starts.append
+            pos = 0
+            for tok in toks:
+                pos += len(tok) + 1
+                app(pos)
+            counts: dict[str, int] = {}
+            for i in range(len(toks) - window + 1):
+                w = body[starts[i]:starts[i + window] - 1]
+                counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                h = hash_of.get(w)
+                if h is None:
+                    h = int(md5(w.encode()).hexdigest()[:15], 16)
+                    hash_of[w] = h
+                out_k.append(h)
+                out_d.append(doc_id)
+                out_c.append(c)
+        return pa.Table.from_pydict({
+            "k": pa.array(out_k, type=pa.int64()),
+            id_col: pa.array(out_d, type=pa.int64()),
+            "c": pa.array(out_c, type=pa.int64()),
+        })
+
+    kv = (ds.select_columns([id_col, text_col])
+          .map_batches(emit, batch_format="pyarrow"))
+    if materialize_windows:
+        kv = kv.materialize()  # consumed twice: corpus counts + stamp-back
+    tot = kv.groupby("k").aggregate(Sum("c", alias_name="tot"))
+    joined = hash_join(kv, tot, "k", "k", [id_col, "c"], ["tot"])
+
+    def product(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("tot").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = c * t
+        if p.size and int(p.max()) >= (1 << 43):
+            raise OverflowError(
+                "template_score: a window's c·total reached 2^43 — a doc "
+                "with ≥2^20 windows could wrap the int64 per-doc sum; "
+                "shard the corpus or pre-cap the hot window first")
+        return pa.Table.from_pydict({
+            id_col: b.column(id_col),
+            "n_windows": pa.array(np.zeros(len(p), dtype=np.int64)),
+            "sum_freq": pa.array(p, type=pa.int64()),
+        })
+
+    def base_pass(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_win = [max(len((t or "").strip().split(" ")) - window + 1, 0)
+                 for t in texts]
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        return pa.Table.from_pydict({
+            id_col: pa.array(
+                batch.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64), type=pa.int64()),
+            "n_windows": pa.array(n_win, type=pa.int64()),
+            "sum_freq": pa.array(z),
+        })
+
+    base = (ds.select_columns([id_col, text_col])
+            .map_batches(base_pass, batch_format="pyarrow"))
+    agg = (base.union(joined.map_batches(product, batch_format="pyarrow"))
+           .groupby(id_col)
+           .aggregate(Sum("n_windows", alias_name="n_windows"),
+                      Sum("sum_freq", alias_name="sum_freq")))
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.column("n_windows").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = b.column("sum_freq").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sc = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return b.append_column(
+            "template_score", pa.array(sc, type=pa.float64()))
+
+    return agg.map_batches(score, batch_format="pyarrow").sort(id_col)
+
+
 def priority_dedup(ds, priority_col: str, key_tokens: int = 5,
                    doc_col: str = "doc_id"):
     """Provenance-priority corpus merge: per dedup key (first

@@ -745,6 +745,66 @@ def truncate_spans_batch(article_batch, budget: int = 96,
     })
 
 
+def span_fingerprint_batch(article_batch,
+                           mask_media: bool = True) -> "pa.Table":
+    """64-bit content fingerprint of each document's NORMALIZED span
+    sequence — the interleaved-payload analog of a full-text dedup
+    hash (two text-identical docs whose span STRUCTURE differs — an
+    extra leading image, a different alt — are different content, and
+    a text-level hash cannot see that).
+
+    Canonical form: ``normalize_spans_batch`` output order, each span
+    rendered ``kind + chr(31) + text`` (``media_ref`` MASKED by
+    default — identical prose/structure with re-hosted asset URLs is
+    the same content; pass ``mask_media=False`` to make asset identity
+    significant), spans joined with chr(30), md5 → first 15 hex digits
+    → int64 (the SQL oracle replays the identical hash, so parity
+    survives even a collision). Docs whose every span normalizes away
+    emit no row. Per-block kernel: one vectorized render + one md5 per
+    DOCUMENT; only (doc_id, span_fp) leaves the block. Output:
+    (doc_id, span_fp).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat = normalize_spans_batch(article_batch)
+    n = flat.num_rows
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array(
+                [], type=article_batch.column("doc_id").type),
+            "span_fp": pa.array([], type=pa.int64()),
+        })
+    doc = flat.column("doc_id").combine_chunks()
+    kind = flat.column("kind").combine_chunks()
+    text = flat.column("text").combine_chunks()
+    if mask_media:
+        piece = pc.binary_join_element_wise(kind, text, "\x1f")
+    else:
+        piece = pc.binary_join_element_wise(
+            kind, text, flat.column("media_ref").combine_chunks(),
+            "\x1f")
+    # normalize output is doc-contiguous in offset order (its contract)
+    dnp = doc.to_numpy(zero_copy_only=False)
+    newdoc = np.empty(n, dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = dnp[1:] != dnp[:-1]
+    starts = np.flatnonzero(newdoc)
+    bounds = np.concatenate((starts, [n]))
+    lists = pa.ListArray.from_arrays(
+        pa.array(bounds, type=pa.int32()), piece)
+    canon = pc.binary_join(lists, "\x1e").to_pylist()
+    md5 = hashlib.md5
+    fps = [int(md5(c.encode()).hexdigest()[:15], 16) for c in canon]
+    return pa.table({
+        "doc_id": doc.take(pa.array(starts, type=pa.int64())),
+        "span_fp": pa.array(fps, type=pa.int64()),
+    })
+
+
 def render_flat_spans(flat, sentinel: str = "<image>") -> "pa.Table":
     """Render a FLAT normalized span table (`normalize_spans_batch`
     output: doc-contiguous rows in offset order — the contract; call

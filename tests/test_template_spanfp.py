@@ -1,0 +1,114 @@
+"""template_score corpus-frequency screen and span_fingerprint dedup."""
+
+import pyarrow as pa
+
+from smartreader_ray.spanio import span_fingerprint_batch
+
+_SPAN_T = pa.list_(pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int64()),
+]))
+
+
+def _spans_tbl(docs):
+    return pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "spans": pa.array(
+            [[{"kind": k, "text": t, "media_ref": m, "offset": i}
+              for i, (k, t, m) in enumerate(d)] for d in docs],
+            type=_SPAN_T),
+    })
+
+
+def _brute_template(texts, window):
+    from collections import Counter
+    wins = []
+    for t in texts:
+        toks = t.strip().split(" ")
+        wins.append([" ".join(toks[i:i + window])
+                     for i in range(max(len(toks) - window + 1, 0))])
+    tot = Counter(w for ws in wins for w in ws)
+    out = []
+    for i, ws in enumerate(wins):
+        s = sum(tot[w] for w in ws)
+        out.append((i, len(ws), s, s / len(ws) if ws else 0.0))
+    return out
+
+
+def test_template_score_matches_bruteforce(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.dedup import template_score
+
+    texts = [
+        "a b c d e",        # shares "a b" with doc2, "c d" with doc3
+        "x y z",
+        "a b q r",
+        "p c d",
+        "zz",               # sub-window doc -> n_windows 0, score 0.0
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = template_score(
+        ray.data.from_arrow(t).repartition(3), window=2).take_all()
+    rows = [(r["doc_id"], r["n_windows"], r["sum_freq"],
+             r["template_score"]) for r in got]
+    assert sorted(rows) == _brute_template(texts, 2)
+
+
+def test_template_score_partitioning_invariance(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.dedup import template_score
+
+    texts = [f"tok{i % 4} tok{(i + 1) % 3} tok{i % 2} end"
+             for i in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+
+    def run(nparts):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        return sorted(
+            (r["doc_id"], r["n_windows"], r["sum_freq"],
+             r["template_score"])
+            for r in template_score(ds, window=3).take_all())
+
+    assert run(1) == run(7)
+
+
+def test_span_fingerprint_groups_and_masks():
+    # doc0 and doc1 normalize to the SAME canonical sequence: doc1's
+    # split text run merges, its empty text span drops, and its
+    # re-hosted media_ref is masked
+    doc0 = [("text", "hello world", ""), ("image", "fig", "img://a/1"),
+            ("text", "tail", "")]
+    doc1 = [("text", "hello", ""), ("text", "world", ""),
+            ("text", "   ", ""), ("image", "fig", "img://b/9"),
+            ("text", "tail", "")]
+    # doc2 differs only in the image ALT -> different content
+    doc2 = [("text", "hello world", ""), ("image", "FIG", "img://a/1"),
+            ("text", "tail", "")]
+    out = span_fingerprint_batch(_spans_tbl([doc0, doc1, doc2]))
+    fp = {r["doc_id"]: r["span_fp"] for r in out.to_pylist()}
+    assert fp[0] == fp[1]
+    assert fp[2] != fp[0]
+    # with media significant, the re-hosted asset splits doc0/doc1
+    strict = span_fingerprint_batch(
+        _spans_tbl([doc0, doc1]), mask_media=False)
+    sfp = {r["doc_id"]: r["span_fp"] for r in strict.to_pylist()}
+    assert sfp[0] != sfp[1]
+
+
+def test_span_fingerprint_drops_normalized_away_docs():
+    docs = [[("text", "  ", "")], [("text", "kept", "")]]
+    out = span_fingerprint_batch(_spans_tbl(docs))
+    assert out.column("doc_id").to_pylist() == [1]
+    # a batch whose every doc normalizes away emits an empty table
+    empty = span_fingerprint_batch(_spans_tbl([[("text", " ", "")]]))
+    assert empty.num_rows == 0
