@@ -6962,6 +6962,84 @@ def _q_dedup_cascade_chain(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_lid_confusion(sf_dir: str):
+    """Language-ID EVALUATION (`functions/textstats.py: LanguageId`
+    scored against the corpus's lang labels): the (label, prediction)
+    confusion matrix — the per-class error surface a pipeline needs
+    before trusting an LID gate. Warm-actor scoring batches carry the
+    label through; the only exchange is (|langs|×|preds|)-sized integer
+    partials."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    class Conf:
+        def __init__(self):
+            from smartreader_ray.functions.textstats import LanguageId
+            self.lid = LanguageId()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            preds = [self.lid.predict(t)[0]
+                     for t in b.column("text").to_pylist()]
+            g = (pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                               "pred_lang": preds, "n": 1})
+                 .groupby(["lang", "pred_lang"], sort=False)
+                 .sum().reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(Conf, batch_format="pyarrow",
+                           concurrency=(1, 8))
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["lang", "pred_lang"]))
+
+
+def _q_leakage_safe_split(sf_dir: str):
+    """Composed chain #32 — LEAKAGE-SAFE train/val/test split: exact
+    content duplicates must land in the SAME split (an id-keyed split
+    leaks a dup's train copy into test — the eval-contamination bug
+    `decontaminate` exists to catch downstream). Group id = min doc_id
+    per content fingerprint (md5-int64 of trimmed text, the cascade's
+    exact stage); `sampling.split_assign` then buckets by
+    md5(group_id), so membership is a pure function of CONTENT.
+    Exchanges: (fp, doc_id) groupby + the vectorized `hash_join` to
+    stamp each doc's group id back; the split itself is shuffle-free.
+    Returns per-doc (doc_id, group_id, split)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from smartreader_ray.functions.join import hash_join
+    from smartreader_ray.functions.sampling import split_assign
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        import hashlib
+        md5 = hashlib.md5
+        fps = [int(md5(((t or "").strip()).encode()).hexdigest()[:15], 16)
+               for t in b.column("text").to_pylist()]
+        return pa.table({
+            "fp": pa.array(fps, type=pa.int64()),
+            "doc_id": b.column("doc_id"),
+        })
+
+    fps = docs.map_batches(fp, batch_format="pyarrow").materialize()
+    groups = (fps.groupby("fp")
+              .aggregate(Min("doc_id", alias_name="group_id")))
+    tagged = hash_join(fps, groups, "fp", "fp",
+                       ["doc_id"], ["group_id"], how="inner")
+    return split_assign(
+        tagged, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="group_id").sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -7168,6 +7246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "template_score": _q_template_score,
         "dedup_cascade_chain": _q_dedup_cascade_chain,
+        "lid_confusion": _q_lid_confusion,
+        "leakage_safe_split": _q_leakage_safe_split,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -7559,6 +7639,32 @@ def oracle_sql() -> dict[str, str]:
     from smartreader_ray.functions.textstats import (
         _STOPWORDS as _LANG_STOPWORDS,
     )
+
+    # shared stopword-LID prediction replay (textstats.LanguageId):
+    # per-lang matched counts over the first 400 lowered tokens,
+    # integer argmax with profile-order tie-break — consumed by the
+    # `language_id` and `lid_confusion` oracles so they cannot drift
+    _lid_ctes = f"""
+            WITH langs(ord, lang, stops) AS (VALUES {", ".join(
+                f"({i}, '{lang}', [{', '.join(chr(39) + w + chr(39) for w in ws)}])"
+                for i, (lang, ws) in enumerate(_LANG_STOPWORDS.items()))}),
+            base AS (
+                SELECT doc_id,
+                       list_transform((string_split(trim(text),
+                                                    ' '))[1:400],
+                                      x -> lower(x)) AS t
+                FROM documents
+            ), m AS (
+                SELECT b.doc_id, l.ord, l.lang, len(b.t) AS n,
+                       len(list_filter(b.t,
+                               x -> list_contains(l.stops, x)))
+                           AS matched
+                FROM base b, langs l
+            ), best AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY matched DESC, ord ASC) AS rn
+                FROM m
+            )"""
 
     def _kcenter_ctes(k: int = 8, dim: int = 64,
                       scale: int = 1000) -> list:
@@ -8141,27 +8247,7 @@ def oracle_sql() -> dict[str, str]:
         # rational 50·matched > n, score is ppm floor-div), so SQL
         # replays it: per-lang matched counts over the first 400
         # lowered tokens, argmax with profile-order tie-break
-        "language_id": f"""
-            WITH langs(ord, lang, stops) AS (VALUES {", ".join(
-                f"({i}, '{lang}', [{', '.join(chr(39) + w + chr(39) for w in ws)}])"
-                for i, (lang, ws) in enumerate(_LANG_STOPWORDS.items()))}),
-            base AS (
-                SELECT doc_id,
-                       list_transform((string_split(trim(text),
-                                                    ' '))[1:400],
-                                      x -> lower(x)) AS t
-                FROM documents
-            ), m AS (
-                SELECT b.doc_id, l.ord, l.lang, len(b.t) AS n,
-                       len(list_filter(b.t,
-                               x -> list_contains(l.stops, x)))
-                           AS matched
-                FROM base b, langs l
-            ), best AS (
-                SELECT *, row_number() OVER (PARTITION BY doc_id
-                              ORDER BY matched DESC, ord ASC) AS rn
-                FROM m
-            )
+        "language_id": _lid_ctes + """
             SELECT doc_id,
                    CASE WHEN 50 * matched > n THEN lang
                         ELSE 'und' END AS pred_lang,
@@ -8169,6 +8255,22 @@ def oracle_sql() -> dict[str, str]:
                              ELSE matched * 1000000 // n END AS BIGINT)
                        AS lang_score_ppm
             FROM best WHERE rn = 1
+        """,
+        # lid_confusion: the language-ID heuristic EVALUATED against
+        # the corpus's lang labels — shared prediction CTEs, then the
+        # (label, prediction) confusion-matrix rollup.
+        "lid_confusion": _lid_ctes + """
+            , pred AS (
+                SELECT doc_id,
+                       CASE WHEN 50 * matched > n THEN lang
+                            ELSE 'und' END AS pred_lang
+                FROM best WHERE rn = 1
+            )
+            SELECT d.lang, p.pred_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.pred_lang
+            ORDER BY d.lang, p.pred_lang
         """,
         # HyperLogLog distinct users per event type: registers are
         # deterministic ints (max leftmost-1 position per bucket), the
@@ -11728,6 +11830,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN keepers k ON k.doc_id = d.doc_id
             LEFT JOIN removed r ON r.doc_id = d.doc_id
             GROUP BY d.source ORDER BY d.source
+        """,
+        # leakage_safe_split (chain #32): exact-content group ids
+        # (min doc per md5-int64 fp) -> split_assign's md5 hex-bucket
+        # rule applied to the GROUP id, per-doc assignment.
+        "leakage_safe_split": """
+            WITH fps AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(trim(text)), 1, 15)
+                           AS BIGINT) AS fp
+                FROM documents
+            ), grp AS (
+                SELECT fp, MIN(doc_id) AS group_id FROM fps GROUP BY fp
+            ), tagged AS (
+                SELECT f.doc_id, g.group_id
+                FROM fps f JOIN grp g USING (fp)
+            )
+            SELECT doc_id, group_id,
+                   CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 8)
+                             < 'cccccccc' THEN 'train'
+                        WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 8)
+                             < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM tagged ORDER BY doc_id
         """,
         # modality_runs: same-class (text vs media) run-length rollup
         # per doc over the shared runs2 CTE.

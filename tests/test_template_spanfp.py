@@ -112,3 +112,46 @@ def test_span_fingerprint_drops_normalized_away_docs():
     # a batch whose every doc normalizes away emits an empty table
     empty = span_fingerprint_batch(_spans_tbl([[("text", " ", "")]]))
     assert empty.num_rows == 0
+
+
+def test_leakage_safe_split_keeps_dups_together(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from smartreader_ray.functions.join import hash_join
+    from smartreader_ray.functions.sampling import split_assign
+    from ray.data.aggregate import Min
+
+    # 30 docs in dup pairs (2k, 2k+1) sharing content k — every pair
+    # must land in ONE split
+    texts = [f"shared content body {i // 2}" for i in range(30)]
+    t = pa.table({
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+
+    def fp(b):
+        md5 = hashlib.md5
+        fps = [int(md5(x.strip().encode()).hexdigest()[:15], 16)
+               for x in b.column("text").to_pylist()]
+        return pa.table({"fp": pa.array(fps, type=pa.int64()),
+                         "doc_id": b.column("doc_id")})
+
+    fps = (ray.data.from_arrow(t).repartition(5)
+           .map_batches(fp, batch_format="pyarrow").materialize())
+    groups = fps.groupby("fp").aggregate(Min("doc_id",
+                                             alias_name="group_id"))
+    tagged = hash_join(fps, groups, "fp", "fp",
+                       ["doc_id"], ["group_id"], how="inner")
+    out = split_assign(tagged, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       id_col="group_id").take_all()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    group_of = {r["doc_id"]: r["group_id"] for r in out}
+    assert len(split_of) == 30
+    for k in range(15):
+        a, b = 2 * k, 2 * k + 1
+        assert group_of[a] == group_of[b] == a
+        assert split_of[a] == split_of[b]
+    # sanity: with 15 distinct groups the assignment isn't all-one-split
+    assert len(set(split_of.values())) >= 2
