@@ -7040,6 +7040,65 @@ def _q_leakage_safe_split(sf_dir: str):
         id_col="group_id").sort("doc_id")
 
 
+def _q_lsh_recall_chain(sf_dir: str):
+    """Composed chain #33 — SCREEN EVALUATION: measure the MinHash-LSH
+    candidate screen's recall/precision against EXACT ground truth
+    (n-gram Jaccard ≥ 0.5, all pairs) on a fixed 200-doc probe set —
+    the standard way to validate an approximate dedup screen before
+    trusting it at corpus scale (exact all-pairs GT is quadratic, so it
+    runs on a bounded probe, never the corpus). The LSH leg runs the
+    REAL distributed candidate pipeline over the probe; the GT leg
+    collects the probe driver-side (bounded + loudly asserted) and
+    computes all-pairs distinct-3-gram intersections. Output: one row
+    (n_gt, n_cand, n_hit, recall, precision)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions import minhash_lsh_candidates
+    from smartreader_ray.functions.dedup import _token_ngrams
+
+    PROBE, PROBE_MAX = 200, 1000
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    probe = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), PROBE)),
+        batch_format="pyarrow")
+
+    cands = {(int(r["doc_a"]), int(r["doc_b"]))
+             for r in minhash_lsh_candidates(probe).take_all()}
+
+    rows = probe.take_all()
+    if len(rows) > PROBE_MAX:
+        raise ValueError(
+            f"lsh_recall_chain: probe set {len(rows)} exceeds "
+            f"{PROBE_MAX} — widen the bound deliberately, not by "
+            "accident")
+    sets = {int(r["doc_id"]): set(_token_ngrams(r["text"] or "", 3))
+            for r in rows}
+    ids = sorted(sets)
+    gt = set()
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        if not sa:
+            continue
+        for b in ids[i + 1:]:
+            sb = sets[b]
+            ni = len(sa & sb)
+            if ni and ni / (len(sa) + len(sb) - ni) >= 0.5:
+                gt.add((a, b))
+    n_gt, n_cand, n_hit = len(gt), len(cands), len(gt & cands)
+    return pd.DataFrame({
+        "n_gt": pd.array([n_gt], dtype="int64"),
+        "n_cand": pd.array([n_cand], dtype="int64"),
+        "n_hit": pd.array([n_hit], dtype="int64"),
+        "recall": [n_hit / n_gt if n_gt else 0.0],
+        "precision": [n_hit / n_cand if n_cand else 0.0],
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_meta": _q_extract_meta,
@@ -7248,6 +7307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cascade_chain": _q_dedup_cascade_chain,
         "lid_confusion": _q_lid_confusion,
         "leakage_safe_split": _q_leakage_safe_split,
+        "lsh_recall_chain": _q_lsh_recall_chain,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -11853,6 +11913,42 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM tagged ORDER BY doc_id
+        """,
+        # lsh_recall_chain (chain #33): full MinHash CTE stack over the
+        # 200-doc probe (src='probe') -> exact all-pairs n-gram-Jaccard
+        # GT from the SAME docg -> candidate/GT intersection + the two
+        # IEEE ratio divisions.
+        "lsh_recall_chain": """
+            WITH probe AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+            ), """ + _minhash_ctes(src="probe") + """,
+            nset AS (SELECT doc_id, count(*) AS ns FROM docg
+                     GROUP BY doc_id),
+            ip AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+                   FROM docg x JOIN docg y
+                     ON x.g = y.g AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+            gt AS (SELECT a, b FROM ip
+                   JOIN nset na ON na.doc_id = a
+                   JOIN nset nb ON nb.doc_id = b
+                   WHERE CAST(ni AS DOUBLE)
+                         / CAST(na.ns + nb.ns - ni AS DOUBLE) >= 0.5),
+            cand AS (SELECT doc_a AS a, doc_b AS b FROM cpairs),
+            hit AS (SELECT a, b FROM cand
+                    INTERSECT SELECT a, b FROM gt),
+            k AS (SELECT (SELECT count(*) FROM gt) AS n_gt,
+                         (SELECT count(*) FROM cand) AS n_cand,
+                         (SELECT count(*) FROM hit) AS n_hit)
+            SELECT CAST(n_gt AS BIGINT) AS n_gt,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CASE WHEN n_gt > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_gt
+                        ELSE 0.0 END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand
+                        ELSE 0.0 END AS precision
+            FROM k
         """,
         # modality_runs: same-class (text vs media) run-length rollup
         # per doc over the shared runs2 CTE.

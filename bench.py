@@ -269,6 +269,8 @@ def run_main() -> dict:
         "span_normalize", "modality_runs", "span_diff",
         "span_boilerplate", "media_context", "span_truncate",
         "clean_doc_chain", "doc_render", "fixture_span_parity",
+        "span_dedup", "template_score", "dedup_cascade_chain",
+        "lid_confusion", "leakage_safe_split", "lsh_recall_chain",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
