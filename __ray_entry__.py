@@ -7040,6 +7040,22 @@ def _q_leakage_safe_split(sf_dir: str):
         id_col="group_id").sort("doc_id")
 
 
+def _q_embedding_audit(sf_dir: str):
+    """Embedding-table health audit (`functions/audit.py:
+    embedding_audit`): per-label counts of vectors unusable for
+    similarity math (wrong dim, non-finite elements, all-zero — no
+    direction, cosine undefined). Integer-exact; group-sized partials
+    only."""
+    import ray.data
+
+    from smartreader_ray.functions.audit import embedding_audit
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"])
+    return embedding_audit(ds, dim=64)
+
+
 def _q_lsh_recall_chain(sf_dir: str):
     """Composed chain #33 — SCREEN EVALUATION: measure the MinHash-LSH
     candidate screen's recall/precision against EXACT ground truth
@@ -7308,6 +7324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lid_confusion": _q_lid_confusion,
         "leakage_safe_split": _q_leakage_safe_split,
         "lsh_recall_chain": _q_lsh_recall_chain,
+        "embedding_audit": _q_embedding_audit,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -11913,6 +11930,30 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM tagged ORDER BY doc_id
+        """,
+        # embedding_audit: integer-exact vector health counts; all-zero
+        # is min=max=0 per list (||v||=0 without a float norm); a
+        # non-finite vector is excluded from the zero count both sides.
+        "embedding_audit": """
+            SELECT label AS "group",
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(CASE WHEN len(embedding) <> 64
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bad_dim,
+                   CAST(SUM(CASE WHEN len(list_filter(embedding,
+                                     x -> NOT isfinite(x))) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nonfinite,
+                   CAST(SUM(CASE WHEN len(embedding) > 0
+                                 AND len(list_filter(embedding,
+                                     x -> NOT isfinite(x))) = 0
+                                 AND list_aggregate(embedding,
+                                                    'min') = 0
+                                 AND list_aggregate(embedding,
+                                                    'max') = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero
+            FROM embeddings GROUP BY label ORDER BY label
         """,
         # lsh_recall_chain (chain #33): full MinHash CTE stack over the
         # 200-doc probe (src='probe') -> exact all-pairs n-gram-Jaccard

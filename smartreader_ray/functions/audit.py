@@ -263,3 +263,62 @@ def psi_drift(ds, group_col: str, value_col: str, baseline: str,
     return (agg.repartition(1)
             .map_batches(finalize, batch_format="pyarrow")
             .sort(["group", "bin"]))
+
+
+def embedding_audit(ds, dim: int = 64, vec_col: str = "embedding",
+                    group_col: str = "label"):
+    """Embedding-table health audit — the vector-side dq_report: per
+    ``group_col``, how many vectors exist and how many are UNUSABLE for
+    similarity math (wrong dimension, any non-finite element, or
+    all-zero — an all-zero vector has no direction, so cosine against
+    it is undefined and silently poisons ANN/k-means stages downstream).
+
+    Every output is an exact integer count, so the whole audit replays
+    in SQL (all-zero is checked as min=max=0 per list — equivalent to
+    ||v||=0 without a float norm). Vectorized per block: one flatten +
+    isfinite/abs-extrema reduceat pass; only group-sized integer
+    partials exchange.
+
+    Returns (group, n_vecs, n_bad_dim, n_nonfinite, n_zero) sorted.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        col = b.column(vec_col).combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = off[:-1] - off[0], off[1:] - off[0]
+        lens = ends - starts
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bad_dim = lens != dim
+        nonempty = lens > 0
+        nonfin = np.zeros(len(lens), dtype=bool)
+        zero = np.zeros(len(lens), dtype=bool)
+        if vals.size and nonempty.any():
+            s = starts[nonempty]
+            bad_vals = (~np.isfinite(vals)).astype(np.int64)
+            nonfin[nonempty] = np.add.reduceat(bad_vals, s) > 0
+            zero[nonempty] = np.maximum.reduceat(np.abs(vals), s) == 0
+            # NaN propagates through abs/maximum -> NaN max != 0: a
+            # non-finite vector is never also counted as zero
+            zero &= ~nonfin
+        g = (pd.DataFrame({
+            "group": b.column(group_col).to_pandas(),
+            "n_vecs": 1,
+            "n_bad_dim": bad_dim.astype(np.int64),
+            "n_nonfinite": nonfin.astype(np.int64),
+            "n_zero": zero.astype(np.int64),
+        }).groupby("group", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.select_columns([group_col, vec_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("group")
+            .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                       Sum("n_bad_dim", alias_name="n_bad_dim"),
+                       Sum("n_nonfinite", alias_name="n_nonfinite"),
+                       Sum("n_zero", alias_name="n_zero"))
+            .sort("group"))

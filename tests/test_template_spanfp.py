@@ -155,3 +155,36 @@ def test_leakage_safe_split_keeps_dups_together(ray_session):
         assert split_of[a] == split_of[b]
     # sanity: with 15 distinct groups the assignment isn't all-one-split
     assert len(set(split_of.values())) >= 2
+
+
+def test_embedding_audit_flags_planted_bad_vectors(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.audit import embedding_audit
+
+    good = [0.5] * 4
+    rows = [
+        ("a", good),                 # clean
+        ("a", [1.0, 2.0]),           # bad dim
+        ("a", [float("nan")] * 4),   # non-finite (and NOT zero)
+        ("b", [0.0] * 4),            # all-zero
+        ("b", [float("inf"), 0.0, 0.0, 0.0]),  # non-finite
+        ("b", [-0.0] * 4),           # -0.0 counts as zero
+        ("b", good),
+    ]
+    t = pa.table({
+        "label": pa.array([r[0] for r in rows]),
+        "embedding": pa.array([r[1] for r in rows],
+                              type=pa.list_(pa.float32())),
+    })
+    out = embedding_audit(ray.data.from_arrow(t).repartition(3),
+                          dim=4).take_all()
+    by = {r["group"]: r for r in out}
+    assert by["a"]["n_vecs"] == 3
+    assert by["a"]["n_bad_dim"] == 1
+    assert by["a"]["n_nonfinite"] == 1
+    assert by["a"]["n_zero"] == 0
+    assert by["b"]["n_vecs"] == 4
+    assert by["b"]["n_bad_dim"] == 0
+    assert by["b"]["n_nonfinite"] == 1
+    assert by["b"]["n_zero"] == 2
