@@ -7056,6 +7056,92 @@ def _q_embedding_audit(sf_dir: str):
     return embedding_audit(ds, dim=64)
 
 
+def _q_span_pack_chain(sf_dir: str):
+    """Composed chain #34 — the COMPLETE preprocessing tail from
+    interleaved spans to training examples: normalize (empty-drop +
+    adjacent-text merge) → prefix-pack into 256-token sequences (text =
+    token count, image = 64-token patch budget; the mm_pack boundary
+    rule) → render EACH SEQUENCE as its training string (`<image>`
+    sentinels, single-space join) with token/image/cost rollups — one
+    row per (doc, seq): exactly what a Flamingo/MMC4-style loader
+    consumes. All three stages run inside ONE block-local map_batches
+    (a doc never straddles a block); the only exchange is the final
+    sort. Fully vectorized: one cumsum for the pack rule, ONE
+    binary_join over sequence-bounded ListArrays, reduceat rollups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from smartreader_ray.spanio import normalize_spans_batch
+
+    BUDGET, MEDIA_COST = 256, 64
+    synth = _synth_interleaved_spans()
+
+    def fn(b: pa.Table) -> pa.Table:
+        flat = normalize_spans_batch(synth(b))
+        n = flat.num_rows
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "seq_idx": pa.array([], type=pa.int64()),
+                "rendered": pa.array([], type=pa.string()),
+                "n_text_tokens": pa.array([], type=pa.int64()),
+                "n_images": pa.array([], type=pa.int64()),
+                "cost": pa.array([], type=pa.int64()),
+            })
+        doc = flat.column("doc_id").combine_chunks()
+        kind = flat.column("kind").combine_chunks()
+        text = flat.column("text").combine_chunks()
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        # normalized TEXT spans are non-empty single-space joins, so
+        # token count == separator count + 1 (the SQL's
+        # len(string_split(text, ' ')))
+        n_sp = (pc.count_substring(text, " ")
+                .to_numpy(zero_copy_only=False).astype(np.int64) + 1)
+        tok = np.where(is_text, n_sp, 0)
+        cost = np.where(is_text, n_sp, np.int64(MEDIA_COST))
+        dnp = doc.to_numpy(zero_copy_only=False)
+        newdoc = np.empty(n, dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = dnp[1:] != dnp[:-1]
+        dstarts = np.flatnonzero(newdoc)
+        cum = np.concatenate(([0], np.cumsum(cost)))
+        excl = cum[:-1] - np.repeat(cum[dstarts],
+                                    np.diff(np.concatenate((dstarts,
+                                                            [n]))))
+        seq = excl // BUDGET
+        newseq = newdoc.copy()
+        newseq[1:] |= seq[1:] != seq[:-1]
+        sstarts = np.flatnonzero(newseq)
+        bounds = np.concatenate((sstarts, [n]))
+        piece = pc.if_else(pa.array(is_text), text,
+                           pa.scalar("<image>", type=pa.string()))
+        rendered = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(bounds, type=pa.int32()),
+                                     piece), " ")
+        take = pa.array(sstarts, type=pa.int64())
+        return pa.table({
+            "doc_id": doc.take(take),
+            "seq_idx": pa.array(seq[sstarts], type=pa.int64()),
+            "rendered": rendered,
+            "n_text_tokens": pa.array(np.add.reduceat(tok, sstarts),
+                                      type=pa.int64()),
+            "n_images": pa.array(
+                np.add.reduceat((~is_text).astype(np.int64), sstarts),
+                type=pa.int64()),
+            "cost": pa.array(np.add.reduceat(cost, sstarts),
+                             type=pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .sort(["doc_id", "seq_idx"]))
+
+
 def _q_lsh_recall_chain(sf_dir: str):
     """Composed chain #33 — SCREEN EVALUATION: measure the MinHash-LSH
     candidate screen's recall/precision against EXACT ground truth
@@ -7325,6 +7411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "lsh_recall_chain": _q_lsh_recall_chain,
         "embedding_audit": _q_embedding_audit,
+        "span_pack_chain": _q_span_pack_chain,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -11954,6 +12041,39 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_zero
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        # span_pack_chain (chain #34): shared normalize replay ->
+        # prefix-pack window SUM over nmerged (seg order) -> per-(doc,
+        # seq) ordered string_agg render + integer rollups.
+        "span_pack_chain": _SPAN_NORM_CTES + """
+            , pc2 AS (
+                SELECT doc_id, seg_id, kind, text,
+                       CASE WHEN kind = 'text'
+                            THEN len(string_split(text, ' '))
+                            ELSE 64 END AS cost,
+                       CASE WHEN kind = 'text'
+                            THEN len(string_split(text, ' '))
+                            ELSE 0 END AS tok,
+                       CASE WHEN kind = 'text' THEN 0 ELSE 1 END AS is_m
+                FROM nmerged
+            ), ps AS (
+                SELECT *,
+                       COALESCE(SUM(cost) OVER (
+                           PARTITION BY doc_id ORDER BY seg_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) // 256
+                           AS seq_idx
+                FROM pc2
+            )
+            SELECT doc_id, CAST(seq_idx AS BIGINT) AS seq_idx,
+                   string_agg(CASE WHEN kind = 'text' THEN text
+                                   ELSE '<image>' END,
+                              ' ' ORDER BY seg_id) AS rendered,
+                   CAST(SUM(tok) AS BIGINT) AS n_text_tokens,
+                   CAST(SUM(is_m) AS BIGINT) AS n_images,
+                   CAST(SUM(cost) AS BIGINT) AS cost
+            FROM ps GROUP BY doc_id, seq_idx
+            ORDER BY doc_id, seq_idx
         """,
         # lsh_recall_chain (chain #33): full MinHash CTE stack over the
         # 200-doc probe (src='probe') -> exact all-pairs n-gram-Jaccard
