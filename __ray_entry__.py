@@ -7142,6 +7142,104 @@ def _q_span_pack_chain(sf_dir: str):
             .sort(["doc_id", "seq_idx"]))
 
 
+def _q_near_dedup_best_chain(sf_dir: str):
+    """Composed chain #35 — provenance-priority NEAR-dedup (the
+    near-dup analog of `priority_dedup`, which only sees exact keys):
+    MinHash-verified dup pairs → connected components → per cluster
+    keep the copy from the HIGHEST-priority source (numeric suffix of
+    `source`, lower wins), ties by min doc_id. Output one row per
+    cluster (singletons included: the post-dedup corpus).
+
+    Scale shape: the verified-pair set is output-sized (collected
+    driver-side under a loud bound — the same legitimacy as every
+    verified-dup consumer); union-find runs on that small set; the
+    member→cluster map broadcasts via `ray.put` into ONE corpus scan
+    that emits (cluster, packed priority·2⁴²+doc) — winner AND both
+    fields resolve in a single Min/Count exchange (the priority_dedup
+    packing)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from smartreader_ray.functions import minhash_dedup
+
+    _SHIFT = 1 << 42
+    PAIR_MAX = 5_000_000
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    pairs = (minhash_dedup(docs.select_columns(["doc_id", "text"]),
+                           threshold=0.5)
+             .filter(lambda r: bool(r["is_dup"]))
+             .select_columns(["doc_a", "doc_b"]).take_all())
+    if len(pairs) > PAIR_MAX:
+        raise ValueError(
+            f"near_dedup_best_chain: {len(pairs)} verified pairs "
+            f"exceed the {PAIR_MAX} driver bound — cluster "
+            "distributedly (dup_clusters_lp) instead")
+
+    # union-find with min-id roots over the verified-dup-sized edge set
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for p in pairs:
+        a, b = find(int(p["doc_a"])), find(int(p["doc_b"]))
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    cluster_of = {x: find(x) for x in parent}
+    cmap_ref = ray.put(cluster_of)
+
+    def pack(b: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        ids = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pri = pc.cast(pc.utf8_slice_codeunits(
+            b.column("source"), 3, 2_147_483_647),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        if ids.size and (int(ids.max()) >= _SHIFT or int(ids.min()) < 0
+                         or int(pri.max()) >= (1 << 20)
+                         or int(pri.min()) < 0):
+            raise OverflowError(
+                "near_dedup_best_chain: doc_id/priority outside the "
+                "packed-composite bounds")
+        clus = np.array([cmap.get(int(i), int(i)) for i in ids.tolist()],
+                        dtype=np.int64)
+        return pa.table({
+            "cluster_id": pa.array(clus, type=pa.int64()),
+            "comp": pa.array(pri * _SHIFT + ids, type=pa.int64()),
+        })
+
+    agg = (docs.map_batches(pack, batch_format="pyarrow")
+           .groupby("cluster_id")
+           .aggregate(Min("comp", alias_name="comp"),
+                      Count(alias_name="n_members")))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        comp = b.column("comp").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster_id": b.column("cluster_id"),
+            "keep_priority": pa.array(comp // _SHIFT, type=pa.int64()),
+            "keep_doc_id": pa.array(comp % _SHIFT, type=pa.int64()),
+            "n_members": b.column("n_members"),
+        })
+
+    return (agg.map_batches(unpack, batch_format="pyarrow")
+            .sort("cluster_id"))
+
+
 def _q_lsh_recall_chain(sf_dir: str):
     """Composed chain #33 — SCREEN EVALUATION: measure the MinHash-LSH
     candidate screen's recall/precision against EXACT ground truth
@@ -7412,6 +7510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_recall_chain": _q_lsh_recall_chain,
         "embedding_audit": _q_embedding_audit,
         "span_pack_chain": _q_span_pack_chain,
+        "near_dedup_best_chain": _q_near_dedup_best_chain,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -12074,6 +12173,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cost) AS BIGINT) AS cost
             FROM ps GROUP BY doc_id, seq_idx
             ORDER BY doc_id, seq_idx
+        """,
+        # near_dedup_best_chain (chain #35): minhash verify -> verified
+        # edges both directions -> recursive reach components (min
+        # member = cluster id) -> per-cluster packed-composite winner,
+        # singletons via LEFT JOIN COALESCE.
+        "near_dedup_best_chain": "WITH RECURSIVE " + _minhash_ctes() + """,
+            nset AS (SELECT doc_id, count(*) AS ns FROM docg
+                     GROUP BY doc_id),
+            inter AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
+                      FROM cpairs p
+                      JOIN docg x ON x.doc_id = p.doc_a
+                      JOIN docg y ON y.doc_id = p.doc_b AND y.g = x.g
+                      GROUP BY 1, 2),
+            vp AS (
+                SELECT p.doc_a, p.doc_b
+                FROM cpairs p
+                LEFT JOIN inter i ON i.doc_a = p.doc_a
+                                 AND i.doc_b = p.doc_b
+                JOIN nset na ON na.doc_id = p.doc_a
+                JOIN nset nb ON nb.doc_id = p.doc_b
+                WHERE CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                      / CAST(na.ns + nb.ns - COALESCE(i.ni, 0)
+                             AS DOUBLE) >= 0.5
+            ),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+                      UNION ALL SELECT doc_b, doc_a FROM vp),
+            reach(node, anc) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.node, e.v FROM reach r
+                JOIN edges e ON r.anc = e.u
+            ),
+            comp AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+                     FROM reach GROUP BY node),
+            fullc AS (
+                SELECT d.doc_id,
+                       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                       CAST(substr(d.source, 4) AS BIGINT) AS priority
+                FROM documents d LEFT JOIN comp c USING (doc_id)
+            )
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(MIN(priority * 4398046511104 + doc_id)
+                        // 4398046511104 AS BIGINT) AS keep_priority,
+                   CAST(MIN(priority * 4398046511104 + doc_id)
+                        % 4398046511104 AS BIGINT) AS keep_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM fullc GROUP BY cluster_id ORDER BY cluster_id
         """,
         # lsh_recall_chain (chain #33): full MinHash CTE stack over the
         # 200-doc probe (src='probe') -> exact all-pairs n-gram-Jaccard
