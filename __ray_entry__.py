@@ -7142,6 +7142,22 @@ def _q_span_pack_chain(sf_dir: str):
             .sort(["doc_id", "seq_idx"]))
 
 
+def _q_ks_drift(sf_dir: str):
+    """Exact two-sample KS drift of every source's n_chars CDF vs src0
+    (`functions/audit.py: ks_drift`): integer cross-multiplied max
+    CDF deviation on the common denominator n_g·n_b, ONE IEEE division
+    for the statistic — the unbinned companion of `source_drift`'s
+    PSI."""
+    import ray.data
+
+    from smartreader_ray.functions.audit import ks_drift
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"])
+    return ks_drift(ds, "source", "n_chars", baseline="src0")
+
+
 def _q_near_dedup_best_chain(sf_dir: str):
     """Composed chain #35 — provenance-priority NEAR-dedup (the
     near-dup analog of `priority_dedup`, which only sees exact keys):
@@ -7511,6 +7527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_audit": _q_embedding_audit,
         "span_pack_chain": _q_span_pack_chain,
         "near_dedup_best_chain": _q_near_dedup_best_chain,
+        "ks_drift": _q_ks_drift,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -12173,6 +12190,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cost) AS BIGINT) AS cost
             FROM ps GROUP BY doc_id, seq_idx
             ORDER BY doc_id, seq_idx
+        """,
+        # ks_drift: exact unbinned two-sample KS — per-source cumulative
+        # counts on the shared value grid, integer cross-multiplied max
+        # deviation, one IEEE division.
+        "ks_drift": """
+            WITH c AS (
+                SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT)
+                       AS c
+                FROM documents GROUP BY 1, 2
+            ), vals AS (SELECT DISTINCT v FROM c),
+            tot AS (SELECT source, SUM(c) AS n FROM c GROUP BY source),
+            grid AS (SELECT t.source, vv.v FROM tot t CROSS JOIN vals vv),
+            j AS (SELECT g.source, g.v, COALESCE(c.c, 0) AS c
+                  FROM grid g LEFT JOIN c
+                    ON c.source = g.source AND c.v = g.v),
+            cum AS (SELECT source, v,
+                           SUM(c) OVER (PARTITION BY source ORDER BY v)
+                               AS cc
+                    FROM j),
+            b AS (SELECT v, cc AS c0 FROM cum WHERE source = 'src0'),
+            n0 AS (SELECT n FROM tot WHERE source = 'src0'),
+            ksn AS (
+                SELECT cum.source,
+                       MAX(ABS(cum.cc * n0.n - b.c0 * t.n)) AS ks_num
+                FROM cum JOIN b USING (v)
+                JOIN tot t ON t.source = cum.source, n0
+                WHERE cum.source <> 'src0'
+                GROUP BY cum.source
+            )
+            SELECT k.source AS "group",
+                   CAST(t.n AS BIGINT) AS n_group,
+                   CAST((SELECT n FROM n0) AS BIGINT) AS n_base,
+                   CAST(k.ks_num AS BIGINT) AS ks_num,
+                   CASE WHEN t.n > 0 AND (SELECT n FROM n0) > 0
+                        THEN CAST(k.ks_num AS DOUBLE)
+                             / (t.n * (SELECT n FROM n0))
+                        ELSE 0.0 END AS ks
+            FROM ksn k JOIN tot t ON t.source = k.source
+            ORDER BY k.source
         """,
         # near_dedup_best_chain (chain #35): minhash verify -> verified
         # edges both directions -> recursive reach components (min

@@ -272,6 +272,7 @@ def run_main() -> dict:
         "span_dedup", "template_score", "dedup_cascade_chain",
         "lid_confusion", "leakage_safe_split", "lsh_recall_chain",
         "embedding_audit", "span_pack_chain", "near_dedup_best_chain",
+        "ks_drift",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 

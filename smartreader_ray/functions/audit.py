@@ -322,3 +322,77 @@ def embedding_audit(ds, dim: int = 64, vec_col: str = "embedding",
                        Sum("n_nonfinite", alias_name="n_nonfinite"),
                        Sum("n_zero", alias_name="n_zero"))
             .sort("group"))
+
+
+def ks_drift(ds, group_col: str, value_col: str, baseline: str):
+    """Two-sample Kolmogorov–Smirnov drift of every group's
+    ``value_col`` distribution against ``baseline`` — the UNBINNED
+    companion of ``psi_drift`` (no bin-edge tuning; sensitive to any
+    CDF deviation). KS = max over observed values v of
+    |F_g(v) − F_b(v)|, computed EXACTLY on the common denominator
+    n_g·n_b: ks_num = max |cum_g(v)·n_b − cum_b(v)·n_g| is pure int64
+    (guarded n_g·n_b < 2⁶²) and the statistic is ONE IEEE division.
+
+    Scale shape: one (group, value) counting exchange (pre-combined
+    per block); the finalize runs on the dense |values|×|groups|
+    grid — value-distribution-sized, the psi_drift legitimacy (a
+    bounded metric has bounded distinct values; for an unbounded one,
+    quantize first).
+
+    Returns (group, n_group, n_base, ks_num, ks) sorted, baseline
+    excluded.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns([group_col, value_col])
+              .groupby([group_col, value_col])
+              .aggregate(Count(alias_name="c")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.to_pandas()
+        piv = (df.pivot_table(index=value_col, columns=group_col,
+                              values="c", aggfunc="sum", fill_value=0)
+               .sort_index())
+        if baseline not in piv.columns:
+            raise ValueError(f"ks_drift: baseline {baseline!r} absent")
+        cum = piv.cumsum().to_numpy(dtype=np.int64)
+        groups = list(piv.columns)
+        n = cum[-1, :] if len(cum) else np.zeros(len(groups),
+                                                 dtype=np.int64)
+        bi = groups.index(baseline)
+        nb = int(n[bi])
+        out = {"group": [], "n_group": [], "n_base": [],
+               "ks_num": [], "ks": []}
+        for gi, g in enumerate(groups):
+            if g == baseline:
+                continue
+            ng = int(n[gi])
+            if ng * nb >= (1 << 62):
+                raise OverflowError(
+                    "ks_drift: n_group*n_base >= 2^62 wraps the exact "
+                    "numerator; subsample or shard first")
+            num = int(np.abs(cum[:, gi] * nb - cum[:, bi] * ng).max()) \
+                if len(cum) else 0
+            out["group"].append(g)
+            out["n_group"].append(ng)
+            out["n_base"].append(nb)
+            out["ks_num"].append(num)
+            # float() the denominator FIRST: the SQL promotes the int
+            # product to DOUBLE before dividing, and above 2^53 that
+            # rounds differently than python's exact int division
+            out["ks"].append(num / float(ng * nb) if ng and nb else 0.0)
+        return pa.table({
+            "group": pa.array(out["group"], type=pa.string()),
+            "n_group": pa.array(out["n_group"], type=pa.int64()),
+            "n_base": pa.array(out["n_base"], type=pa.int64()),
+            "ks_num": pa.array(out["ks_num"], type=pa.int64()),
+            "ks": pa.array(out["ks"], type=pa.float64()),
+        })
+
+    # (groups x values) rows by construction — one block
+    return (counts.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort("group"))

@@ -188,3 +188,32 @@ def test_embedding_audit_flags_planted_bad_vectors(ray_session):
     assert by["b"]["n_bad_dim"] == 0
     assert by["b"]["n_nonfinite"] == 1
     assert by["b"]["n_zero"] == 2
+
+
+def test_ks_drift_matches_bruteforce(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions.audit import ks_drift
+
+    vals = {"base": [1, 1, 2, 3, 5, 8],
+            "g1": [1, 2, 2, 4],          # shifted
+            "g2": [1, 1, 2, 3, 5, 8]}    # identical -> ks 0
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    t = pa.table({"src": pa.array([r[0] for r in rows]),
+                  "x": pa.array([r[1] for r in rows],
+                                type=pa.int64())})
+    out = ks_drift(ray.data.from_arrow(t).repartition(3), "src", "x",
+                   baseline="base").take_all()
+    by = {r["group"]: r for r in out}
+    assert set(by) == {"g1", "g2"}
+
+    def brute(a, b):
+        pts = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        return max(abs(sum(x <= p for x in a) * nb
+                       - sum(x <= p for x in b) * na) for p in pts)
+
+    assert by["g1"]["ks_num"] == brute(vals["g1"], vals["base"])
+    assert by["g1"]["ks"] == by["g1"]["ks_num"] / float(4 * 6)
+    assert by["g2"]["ks_num"] == 0
+    assert by["g2"]["ks"] == 0.0
