@@ -4641,6 +4641,30 @@ def _q_anti_join(sf_dir: str):
     )
 
 
+def _q_bloom_fpr(sf_dir: str):
+    """Bloom-filter confusion matrix, per probe key
+    (`functions/join.py: bloom_confusion`): the SAME splitmix64 +
+    Kirsch–Mitzenmacher double-hash bitmap `semi_join`/`anti_join`
+    broadcast at scale, built from the 1500 distinct customer keys
+    into a deliberately small 4096-bit / k=2 filter, probed with the
+    2000 part keys (500 true negatives). Output per probe key:
+    (p_partkey, is_member, bloom_hit) — the is_member=1→bloom_hit=1
+    invariant (no false negatives, i.e. the joins stay EXACT) and the
+    measured false-positive rate are both readable off the table. The
+    oracle replays splitmix64 bit-for-bit in DuckDB (HUGEINT masked
+    multiplies), so this is hash-exact, not rows-only."""
+    import ray.data
+
+    from smartreader_ray.functions.join import bloom_confusion
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    return bloom_confusion(cust, part, "c_custkey", "p_partkey",
+                           bloom_bits=4096, bloom_k=2).sort("p_partkey")
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket co-occurrence over orders: top-25 part pairs by
     the number of orders containing both (`functions/graph.py:
@@ -7483,6 +7507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "bloom_semi_join": _q_bloom_semi_join,
         "anti_join": _q_anti_join,
+        "bloom_fpr": _q_bloom_fpr,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -8104,6 +8129,24 @@ def oracle_sql() -> dict[str, str]:
         x4 AS (SELECT *, {_mulmod64_sql('y3', 0xC4CEB9FE1A85EC53)} AS y4
                FROM x3),
         hh AS (SELECT *, (xor(y4, y4 >> 33) | 1::UBIGINT) AS h2 FROM x4)"""
+
+    def _splitmix64_ctes(src: str, pfx: str, incol: str,
+                         outcol: str) -> str:
+        # staged replay of join._mix64 (splitmix64 finalizer, Steele et
+        # al. 2014) — the hash behind semi/anti-join Bloom filters.
+        # Distinct from _mix64_ctes above (that one is murmur fmix64,
+        # sketch.py's mixer). `incol` must be UBIGINT on `src`.
+        return f"""
+        {pfx}0 AS (SELECT *, xor({incol}, {incol} >> 30) AS {pfx}y1
+               FROM {src}),
+        {pfx}1 AS (SELECT *, {_mulmod64_sql(pfx + 'y1', 0xBF58476D1CE4E5B9)}
+               AS {pfx}y2 FROM {pfx}0),
+        {pfx}2 AS (SELECT *, xor({pfx}y2, {pfx}y2 >> 27) AS {pfx}y3
+               FROM {pfx}1),
+        {pfx}3 AS (SELECT *, {_mulmod64_sql(pfx + 'y3', 0x94D049BB133111EB)}
+               AS {pfx}y4 FROM {pfx}2),
+        {pfx}4 AS (SELECT *, xor({pfx}y4, {pfx}y4 >> 31) AS {outcol}
+               FROM {pfx}3)"""
 
     def _minhash_ctes(ngram: int = 3, num_hashes: int = 128,
                       bands: int = 16, seed: int = 42,
@@ -11496,6 +11539,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
                                  AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # bloom_fpr: bit-for-bit replay of the production Bloom —
+        # splitmix64 (HUGEINT masked multiplies) twice per key for
+        # (h1, h2), Kirsch–Mitzenmacher positions (h1 + i*h2) & 4095,
+        # build-side position set, probe hit = all k positions present.
+        "bloom_fpr": f"""
+            WITH build AS (SELECT DISTINCT c_custkey::UBIGINT AS key
+                           FROM customer WHERE c_custkey IS NOT NULL),
+            probe AS (SELECT DISTINCT p_partkey::UBIGINT AS key
+                      FROM part WHERE p_partkey IS NOT NULL),
+            allk AS (SELECT key FROM build UNION SELECT key FROM probe),
+            k0 AS (SELECT key, key AS ua FROM allk),
+            {_splitmix64_ctes('k0', 'a', 'ua', 'ha')},
+            k1 AS (SELECT key, ha,
+                          xor(ha, 11400714819323198485::UBIGINT) AS ub
+                   FROM a4),
+            {_splitmix64_ctes('k1', 'b', 'ub', 'hb')},
+            kh AS (SELECT key, ha AS h1, (hb | 1::UBIGINT) AS h2
+                   FROM b4),
+            pos AS (SELECT key,
+                           ((h1::HUGEINT + i * h2::HUGEINT)
+                            & 4095)::BIGINT AS p
+                    FROM kh, (SELECT unnest(range(2)) AS i)),
+            bbits AS (SELECT DISTINCT p FROM pos
+                      WHERE key IN (SELECT key FROM build)),
+            ph AS (SELECT pos.key,
+                          CASE WHEN bool_and(bb.p IS NOT NULL)
+                               THEN 1 ELSE 0 END AS bloom_hit
+                   FROM pos JOIN probe USING (key)
+                   LEFT JOIN bbits bb ON pos.p = bb.p
+                   GROUP BY pos.key)
+            SELECT CAST(ph.key AS BIGINT) AS p_partkey,
+                   CASE WHEN ph.key IN (SELECT key FROM build)
+                        THEN 1 ELSE 0 END AS is_member,
+                   ph.bloom_hit AS bloom_hit
+            FROM ph ORDER BY p_partkey
         """,
         # anti_join: plain WHERE NOT EXISTS — the bloom split is
         # invisible to semantics, only to exchange volume.

@@ -1222,3 +1222,93 @@ def star_revenue_by_nation(lineitem, orders_tbl, customer_tbl,
 
     return agg.map_batches(name_out, batch_format="pyarrow").sort(
         "n_name")
+
+
+def bloom_confusion(build, probe, build_key: str, probe_key: str,
+                    bloom_bits: int = 1 << 23, bloom_k: int = 4,
+                    member_limit: int = 2_000_000):
+    """Bloom-filter quality evaluation: for every distinct PROBE key,
+    report whether the production semi/anti-join Bloom (the SAME
+    `_key_hash_u64` + `_bloom_positions` path and bit layout those
+    operators broadcast at scale) claims membership, alongside exact
+    ground truth against the distinct BUILD keys. Output columns:
+    ``(probe_key, is_member int32, bloom_hit int32)``.
+
+    The invariant a Bloom must satisfy — no false negatives
+    (``is_member=1 → bloom_hit=1``) — and its measured false-positive
+    rate both fall out of this table; `semi_join`'s docstring claim
+    that the Bloom "only prunes exchange volume" is exactly the
+    no-false-negative row being empty.
+
+    Ray shape: the bitmap is OR-merged from per-block partials
+    (constant ``bloom_bits/8`` bytes per block) and ``ray.put`` once;
+    probe batches test membership locally. Ground truth broadcasts the
+    distinct build keys once — unlike the joins themselves this is a
+    QA operator over key sets you can afford to broadcast, enforced
+    loudly via ``member_limit``.
+    """
+    import numpy as np
+    import ray
+
+    rk = (
+        build.select_columns([build_key])
+        .groupby(build_key)
+        .count()
+        .map_batches(lambda b: b.select([build_key]).filter(
+            pc.is_valid(b.column(build_key))), batch_format="pyarrow")
+    ).materialize()  # distinct-key-sized; consumed twice (bloom build
+    # + ground-truth broadcast)
+    n_keys = rk.count()
+    if n_keys > member_limit:
+        raise ValueError(
+            f"bloom_confusion ground truth needs the {n_keys} distinct "
+            f"build keys broadcast; raise member_limit (={member_limit}) "
+            "only if one worker heap holds them")
+
+    nbytes = bloom_bits // 8
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        h = _key_hash_u64(b.column(build_key))
+        for idx in _bloom_positions(h, bloom_bits, bloom_k):
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          type=pa.binary())})
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for row in rk.map_batches(bloom_partial,
+                              batch_format="pyarrow").iter_rows():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    keys_arr = pa.concat_tables(
+        [pa.table({build_key: b[build_key]})
+         for b in rk.iter_batches(batch_format="pyarrow")]
+    ).column(build_key).combine_chunks()
+    keys_ref = ray.put(keys_arr)
+
+    pk = (
+        probe.select_columns([probe_key])
+        .groupby(probe_key)
+        .count()
+        .map_batches(lambda b: b.select([probe_key]).filter(
+            pc.is_valid(b.column(probe_key))), batch_format="pyarrow")
+    )
+
+    def annotate(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        h = _key_hash_u64(b.column(probe_key))
+        hit = np.ones(len(h), dtype=bool)
+        for idx in _bloom_positions(h, bloom_bits, bloom_k):
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        member = pc.fill_null(pc.is_in(
+            b.column(probe_key), value_set=ray.get(keys_ref)), False)
+        return pa.table({
+            probe_key: b.column(probe_key),
+            "is_member": pc.cast(member, pa.int32()),
+            "bloom_hit": pa.array(hit.astype(np.int32), type=pa.int32()),
+        })
+
+    return pk.map_batches(annotate, batch_format="pyarrow")

@@ -65,3 +65,50 @@ def test_semi_join_string_keys_bloom(ray_session):
                                     left.column("v").to_pylist())
                   if n in keys)
     assert sorted(r["v"] for r in out) == want
+
+
+def test_bloom_confusion_no_false_negatives_and_truth(ray_session):
+    """Every true member must bloom-hit (the joins' exactness hinges on
+    it); ground-truth column must equal set membership; tiny filters
+    must show SOME false positives (the evaluation is non-degenerate)."""
+    import ray.data
+    from smartreader_ray.functions.join import bloom_confusion
+
+    rng = np.random.default_rng(17)
+    build = pa.table({"bk": pa.array(
+        rng.choice(5000, 800, replace=False).astype(np.int64))})
+    probe = pa.table({"pk": pa.array(
+        np.arange(2500, dtype=np.int64))})
+    members = set(build.column("bk").to_pylist())
+    out = bloom_confusion(
+        ray.data.from_arrow(build).repartition(3),
+        ray.data.from_arrow(probe).repartition(4),
+        "bk", "pk", bloom_bits=2048, bloom_k=2).take_all()
+    assert len(out) == 2500
+    fp = 0
+    for r in out:
+        want = 1 if r["pk"] in members else 0
+        assert r["is_member"] == want
+        if want:
+            assert r["bloom_hit"] == 1  # no false negatives, ever
+        elif r["bloom_hit"]:
+            fp += 1
+    assert fp > 0  # 800 keys into 2048 bits: saturated enough to FP
+
+
+def test_bloom_confusion_string_keys(ray_session):
+    """String keys ride the blake2b hash64 path; same invariants."""
+    import ray.data
+    from smartreader_ray.functions.join import bloom_confusion
+
+    build = pa.table({"bk": pa.array([f"doc-{i}" for i in range(300)])})
+    probe = pa.table({"pk": pa.array([f"doc-{i}" for i in range(600)])})
+    out = bloom_confusion(
+        ray.data.from_arrow(build), ray.data.from_arrow(probe),
+        "bk", "pk", bloom_bits=1 << 16, bloom_k=4).take_all()
+    assert len(out) == 600
+    for r in out:
+        want = 1 if int(r["pk"].split("-")[1]) < 300 else 0
+        assert r["is_member"] == want
+        if want:
+            assert r["bloom_hit"] == 1
