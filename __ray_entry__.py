@@ -4665,6 +4665,31 @@ def _q_bloom_fpr(sf_dir: str):
                            bloom_bits=4096, bloom_k=2).sort("p_partkey")
 
 
+def _q_join_explain(sf_dir: str):
+    """Join planning profiler (`functions/join.py: join_cardinality`):
+    exact inner-join output size Σ c_l(k)·c_r(k), distinct-key overlap
+    classes, null-drop counts and the max per-key fanout (the skew
+    hazard a planner salts on) for lineitem ⋈ high-value orders —
+    measured with one distinct-key-sized exchange, BEFORE paying for
+    the join itself. One row, all int64."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.join import join_cardinality
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"])
+    hv = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"),
+                                      300000.0)).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    return join_cardinality(li, hv, "l_orderkey", "o_orderkey")
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket co-occurrence over orders: top-25 part pairs by
     the number of orders containing both (`functions/graph.py:
@@ -7508,6 +7533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "anti_join": _q_anti_join,
         "bloom_fpr": _q_bloom_fpr,
+        "join_explain": _q_join_explain,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -11575,6 +11601,39 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_member,
                    ph.bloom_hit AS bloom_hit
             FROM ph ORDER BY p_partkey
+        """,
+        # join_explain: full-outer over the two per-key count tables;
+        # every output is an integer sufficient statistic.
+        "join_explain": """
+            WITH l AS (SELECT l_orderkey AS key, count(*) AS cl
+                       FROM lineitem WHERE l_orderkey IS NOT NULL
+                       GROUP BY 1),
+            r AS (SELECT o_orderkey AS key, count(*) AS cr FROM orders
+                  WHERE o_totalprice > 300000.0
+                    AND o_orderkey IS NOT NULL GROUP BY 1),
+            j AS (SELECT coalesce(cl, 0) AS cl, coalesce(cr, 0) AS cr
+                  FROM l FULL OUTER JOIN r USING (key))
+            SELECT CAST(sum(cl) AS BIGINT) AS n_left,
+                   CAST(sum(cr) AS BIGINT) AS n_right,
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IS NULL)
+                      + (SELECT count(*) FROM orders
+                         WHERE o_totalprice > 300000.0
+                           AND o_orderkey IS NULL) AS BIGINT)
+                       AS n_null_both,
+                   CAST(count(*) FILTER (cl > 0) AS BIGINT)
+                       AS n_keys_left,
+                   CAST(count(*) FILTER (cr > 0) AS BIGINT)
+                       AS n_keys_right,
+                   CAST(count(*) FILTER (cl > 0 AND cr > 0) AS BIGINT)
+                       AS n_keys_both,
+                   CAST(sum(cl * cr) AS BIGINT) AS est_inner_rows,
+                   CAST(max(cl * cr) AS BIGINT) AS max_fanout,
+                   CAST(count(*) FILTER (cl > 0 AND cr = 0) AS BIGINT)
+                       AS n_keys_left_only,
+                   CAST(count(*) FILTER (cr > 0 AND cl = 0) AS BIGINT)
+                       AS n_keys_right_only
+            FROM j
         """,
         # anti_join: plain WHERE NOT EXISTS — the bloom split is
         # invisible to semantics, only to exchange volume.

@@ -1312,3 +1312,104 @@ def bloom_confusion(build, probe, build_key: str, probe_key: str,
         })
 
     return pk.map_batches(annotate, batch_format="pyarrow")
+
+
+def join_cardinality(left, right, left_key: str, right_key: str):
+    """Join PLANNING profiler: before paying for an exchange, measure
+    what an inner equi-join of ``left×right`` would produce. One-row
+    Arrow table, all int64:
+
+    ``n_left/n_right`` (non-null-key rows), ``n_null_left/right``
+    (rows an inner join silently drops), ``n_keys_left/right/both/
+    left_only/right_only`` (distinct-key overlap), ``est_inner_rows``
+    (exact inner-join output size, Σ c_l(k)·c_r(k)) and ``max_fanout``
+    (max per-key product — the skew hazard: one hot key with fanout
+    ~10⁹ means salt before joining).
+
+    Ray shape: per-block partial counts tagged by side meet in ONE
+    distinct-key-sized groupby; the rollup over the per-key table is
+    another per-block partial + scalar aggregate. Nothing larger than
+    the distinct-key set ever moves. Keys must be integer-castable
+    (the profiler targets surrogate-key joins; hash string keys with
+    `_key_hash_u64` first — collisions only perturb the estimate).
+    """
+    import numpy as np
+    from ray.data.aggregate import Max, Sum
+
+    def side_partial(col: str, mine: str, other: str):
+        def f(b: pa.Table) -> pa.Table:
+            arr = b.column(col)
+            t = pa.table({"key": pc.cast(arr, pa.int64()),
+                          "one": pa.array(np.ones(b.num_rows,
+                                                  dtype=np.int64))})
+            t = t.filter(pc.is_valid(t.column("key")))
+            g = t.group_by("key").aggregate([("one", "sum")])
+            cnt = g.column("one_sum")
+            z = pa.array(np.zeros(g.num_rows, dtype=np.int64))
+            cols = {"key": g.column("key"), mine: cnt, other: z,
+                    "n_null": z}
+            rows = pa.table({k: cols[k]
+                             for k in ("key", "cl", "cr", "n_null")})
+            # null-count carrier row rides key=0 with zero counts; it
+            # only feeds the Sum(n_null) rollup (fixed column order so
+            # both sides union with one schema)
+            nulls = pa.table({
+                "key": pa.array([0], type=pa.int64()),
+                "cl": pa.array([0], type=pa.int64()),
+                "cr": pa.array([0], type=pa.int64()),
+                "n_null": pa.array([arr.null_count], type=pa.int64()),
+            })
+            return pa.concat_tables([rows, nulls])
+        return f
+
+    lc = left.select_columns([left_key]).map_batches(
+        side_partial(left_key, "cl", "cr"), batch_format="pyarrow")
+    rc = right.select_columns([right_key]).map_batches(
+        side_partial(right_key, "cr", "cl"), batch_format="pyarrow")
+    perkey = (
+        lc.union(rc).groupby("key")
+        .aggregate(Sum("cl", alias_name="cl"),
+                   Sum("cr", alias_name="cr"),
+                   Sum("n_null", alias_name="n_null"))
+    )
+
+    def rollup_partial(b: pa.Table) -> pa.Table:
+        cl = b.column("cl").to_numpy(zero_copy_only=False).astype(np.int64)
+        cr = b.column("cr").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = b.column("n_null").to_numpy(zero_copy_only=False)
+        prod = cl * cr
+        both = (cl > 0) & (cr > 0)
+        return pa.table({
+            "n_left": [int(cl.sum())], "n_right": [int(cr.sum())],
+            "n_null_both": [int(nn.sum())],
+            "n_keys_left": [int((cl > 0).sum())],
+            "n_keys_right": [int((cr > 0).sum())],
+            "n_keys_both": [int(both.sum())],
+            "est_inner_rows": [int(prod.sum())],
+            "max_fanout": [int(prod.max()) if len(prod) else 0],
+        })
+
+    # the driver-side dict is 8 scalars — the only data leaving the
+    # cluster; n_null carrier rows (key=0, zero counts) don't perturb
+    # key-class tallies because cl>0/cr>0 masks exclude them
+    agg = perkey.map_batches(rollup_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n_left", alias_name="n_left"),
+                   Sum("n_right", alias_name="n_right"),
+                   Sum("n_null_both", alias_name="n_null_both"),
+                   Sum("n_keys_left", alias_name="n_keys_left"),
+                   Sum("n_keys_right", alias_name="n_keys_right"),
+                   Sum("n_keys_both", alias_name="n_keys_both"),
+                   Sum("est_inner_rows", alias_name="est_inner_rows"),
+                   Max("max_fanout", alias_name="max_fanout"))
+    names = ["n_left", "n_right", "n_null_both", "n_keys_left",
+             "n_keys_right", "n_keys_both", "est_inner_rows",
+             "max_fanout"]
+    out = pa.table({n: pa.array([int(agg[n])], type=pa.int64())
+                    for n in names})
+    return out.append_column(
+        "n_keys_left_only",
+        pa.array([int(agg["n_keys_left"] - agg["n_keys_both"])],
+                 type=pa.int64())).append_column(
+        "n_keys_right_only",
+        pa.array([int(agg["n_keys_right"] - agg["n_keys_both"])],
+                 type=pa.int64()))

@@ -308,3 +308,43 @@ class TestSCD2Apply:
         with pytest.raises(Exception, match="contains nulls"):
             scd2_apply(empty, ray.data.from_arrow(snap), "id",
                        ["attr"], ts=1).take_all()
+
+
+def test_join_cardinality_matches_naive(ray_session):
+    """Profiler outputs equal a naive pandas computation, including
+    null drops, key-overlap classes and the exact inner-join size."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.join import join_cardinality
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 40, 500).astype(float)
+    lk[::17] = np.nan
+    rk = rng.integers(20, 60, 300).astype(float)
+    rk[::23] = np.nan
+    left = pa.table({"a": pa.array(
+        np.nan_to_num(lk).astype(np.int64), mask=np.isnan(lk))})
+    right = pa.table({"b": pa.array(
+        np.nan_to_num(rk).astype(np.int64), mask=np.isnan(rk))})
+    out = join_cardinality(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3), "a", "b").to_pandas()
+
+    la = pd.Series(lk).dropna().astype(int)
+    rb = pd.Series(rk).dropna().astype(int)
+    cl, cr = la.value_counts(), rb.value_counts()
+    keys = cl.index.union(cr.index)
+    c1 = cl.reindex(keys, fill_value=0)
+    c2 = cr.reindex(keys, fill_value=0)
+    row = out.iloc[0]
+    assert row["n_left"] == len(la) and row["n_right"] == len(rb)
+    assert row["n_null_both"] == (np.isnan(lk).sum() + np.isnan(rk).sum())
+    assert row["n_keys_left"] == cl.size and row["n_keys_right"] == cr.size
+    assert row["n_keys_both"] == ((c1 > 0) & (c2 > 0)).sum()
+    assert row["est_inner_rows"] == int((c1 * c2).sum())
+    assert row["max_fanout"] == int((c1 * c2).max())
+    assert row["n_keys_left_only"] == ((c1 > 0) & (c2 == 0)).sum()
+    assert row["n_keys_right_only"] == ((c2 > 0) & (c1 == 0)).sum()
