@@ -4665,6 +4665,23 @@ def _q_bloom_fpr(sf_dir: str):
                            bloom_bits=4096, bloom_k=2).sort("p_partkey")
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity release gate (`functions/curation.py: k_anonymity`):
+    customer quasi-identifier combinations (market segment × nation)
+    whose anonymity set is smaller than k=8 — the groups a privacy
+    release must suppress or generalize. Distinct-combination-sized
+    exchange only; the under-k filter never sees row-level data."""
+    import ray.data
+
+    from smartreader_ray.functions.curation import k_anonymity
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_nationkey"])
+    return k_anonymity(cust, ["c_mktsegment", "c_nationkey"], k=8).sort(
+        ["c_mktsegment", "c_nationkey"])
+
+
 def _q_join_explain(sf_dir: str):
     """Join planning profiler (`functions/join.py: join_cardinality`):
     exact inner-join output size Σ c_l(k)·c_r(k), distinct-key overlap
@@ -7534,6 +7551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "bloom_fpr": _q_bloom_fpr,
         "join_explain": _q_join_explain,
+        "k_anonymity": _q_k_anonymity,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -11601,6 +11619,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_member,
                    ph.bloom_hit AS bloom_hit
             FROM ph ORDER BY p_partkey
+        """,
+        # k_anonymity: GROUP BY ... HAVING count < k.
+        "k_anonymity": """
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY c_mktsegment, c_nationkey
+            HAVING count(*) < 8
+            ORDER BY c_mktsegment, c_nationkey
         """,
         # join_explain: full-outer over the two per-key count tables;
         # every output is an integer sufficient statistic.

@@ -676,3 +676,41 @@ def token_dropout(ds, rate_den: int = 8, doc_col: str = "doc_id",
 
     return ds.select_columns([doc_col, text_col]).map_batches(
         aug, batch_format="pyarrow")
+
+
+def k_anonymity(ds, quasi_cols: list[str], k: int = 10):
+    """Privacy / governance audit: rows sharing a quasi-identifier
+    combination form an anonymity set; any combination with fewer than
+    ``k`` members re-identifies its rows (Sweeney's k-anonymity).
+    Returns the VIOLATING combinations — ``(*quasi_cols, n)`` with
+    ``n < k`` — the table a release gate suppresses or generalizes.
+
+    Ray shape: per-block partial counts over the quasi-tuple collapse
+    the exchange to distinct-combination size (bounded by the QI
+    domain product, not the row count); the under-k filter runs on the
+    combination table. Pairs with `pii_redact` (cell-level) the way a
+    census release pairs suppression with masking: one guards values,
+    this guards group sizes.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(quasi_cols).append_column(
+            "n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = t.group_by(quasi_cols).aggregate([("n", "sum")])
+        return g.rename_columns(quasi_cols + ["n"])
+
+    def under_k(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        t = b.set_column(b.schema.get_field_index("n"), "n", n)
+        return t.filter(pc.less(n, k))
+
+    return (
+        ds.select_columns(quasi_cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(quasi_cols)
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(under_k, batch_format="pyarrow")
+    )

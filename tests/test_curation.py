@@ -312,3 +312,23 @@ def test_winsorize_stats_clips_at_exact_quantiles(ray_session):
     assert rows["a"] == (10, 2, 2, 5500)
     # b: lo=5 (idx ceil(.5)-1 = 0), hi=7 -> nothing clips
     assert rows["b"] == (2, 0, 0, 1200)
+
+
+def test_k_anonymity_flags_small_groups(ray_session):
+    """Groups under k are reported with exact sizes; groups at/above k
+    are absent; result is invariant to partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.curation import k_anonymity
+
+    seg = ["A"] * 12 + ["B"] * 3 + ["B"] * 12 + ["C"] * 1
+    nat = [1] * 12 + [2] * 3 + [3] * 12 + [4] * 1
+    t = pa.table({"seg": pa.array(seg), "nat": pa.array(nat, type=pa.int64())})
+    for parts in (1, 5):
+        out = sorted(
+            (r["seg"], r["nat"], r["n"]) for r in k_anonymity(
+                ray.data.from_arrow(t).repartition(parts),
+                ["seg", "nat"], k=10).take_all())
+        assert out == [("B", 2, 3), ("C", 4, 1)]
