@@ -4665,6 +4665,23 @@ def _q_bloom_fpr(sf_dir: str):
                            bloom_bits=4096, bloom_k=2).sort("p_partkey")
 
 
+def _q_semantic_decontam(sf_dir: str):
+    """Embedding-space decontamination
+    (`functions/similarity.py: cross_decontam`): training vectors
+    (label≠0) whose cosine vs ANY eval vector (label=0) reaches 0.35,
+    with the smallest matching eval id — the paraphrase-leak guard the
+    n-gram `decontaminate` op can't see. Eval side broadcast once;
+    train side streams through one matmul per block, no shuffle."""
+    import ray.data
+
+    from smartreader_ray.functions.similarity import cross_decontam
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    return cross_decontam(emb, eval_label=0, tau=0.35).sort("vec_id")
+
+
 def _q_k_anonymity(sf_dir: str):
     """k-anonymity release gate (`functions/curation.py: k_anonymity`):
     customer quasi-identifier combinations (market segment × nation)
@@ -7552,6 +7569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr": _q_bloom_fpr,
         "join_explain": _q_join_explain,
         "k_anonymity": _q_k_anonymity,
+        "semantic_decontam": _q_semantic_decontam,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -11619,6 +11637,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_member,
                    ph.bloom_hit AS bloom_hit
             FROM ph ORDER BY p_partkey
+        """,
+        # semantic_decontam: normalized cosine against every eval
+        # vector; min matching eval id replays the engine's ascending-
+        # id argmax tie-break.
+        "semantic_decontam": """
+            SELECT t.vec_id,
+                   min(e.vec_id) AS matched_eval_id
+            FROM embeddings t, embeddings e
+            WHERE t.label <> 0 AND e.label = 0
+              AND list_cosine_similarity(
+                      CAST(t.embedding AS DOUBLE[]),
+                      CAST(e.embedding AS DOUBLE[])) >= 0.35
+            GROUP BY t.vec_id ORDER BY t.vec_id
         """,
         # k_anonymity: GROUP BY ... HAVING count < k.
         "k_anonymity": """

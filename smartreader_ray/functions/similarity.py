@@ -1172,3 +1172,70 @@ def hard_negatives(ds, query_matrix: np.ndarray, query_labels: np.ndarray,
         "sim": pa.array(out_s, type=pa.float64()),
         "rank": pa.array(out_r, type=pa.int64()),
     })
+
+
+def cross_decontam(ds, eval_label: int = 0, tau: float = 0.35,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   label_col: str = "label",
+                   eval_rows_max: int = 1_000_000):
+    """Semantic decontamination ACROSS sets: find training vectors
+    whose cosine similarity to ANY eval-set vector reaches ``tau`` —
+    the embedding-space counterpart of n-gram `curation.decontaminate`
+    (paraphrased eval leakage that exact n-grams miss). Returns the
+    CONTAMINATED rows ``(vec_id, matched_eval_id)`` where
+    ``matched_eval_id`` is the smallest eval id at/above threshold
+    (deterministic under ties); an anti-join against this table is the
+    clean training set.
+
+    Ray shape: the eval side is a benchmark suite — k-sized by nature
+    — so it is collected ONCE onto the driver (bounded loudly by
+    ``eval_rows_max``), L2-normalized, and ``ray.put`` broadcast; the
+    training side streams through one `map_batches` matmul per block.
+    No shuffle anywhere; 100 TB of train embeddings flow at read
+    bandwidth.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    ev = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column(label_col), eval_label))
+        .select([id_col, emb_col]),
+        batch_format="pyarrow",
+    )
+    tabs = [b for b in ev.iter_batches(batch_format="pyarrow")]
+    evt = pa.concat_tables([t for t in tabs if t.num_rows] or tabs)
+    if evt.num_rows > eval_rows_max:
+        raise ValueError(
+            f"eval side has {evt.num_rows} rows > eval_rows_max="
+            f"{eval_rows_max}; a broadcast eval matrix must fit one "
+            "worker heap — shard the eval suite or raise the bound")
+    eval_ids = evt.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(eval_ids)
+    eval_ids = eval_ids[order]
+    emat = _normalize(_embeddings_matrix(evt))[order]
+    ref = ray.put((eval_ids, emat))
+
+    def screen(b: pa.Table) -> pa.Table:
+        ids_e, em = ray.get(ref)
+        t = b.filter(pc.not_equal(b.column(label_col), eval_label))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "matched_eval_id": pa.array(
+                                 [], type=pa.int64())})
+        mat = _normalize(_embeddings_matrix(t.select([emb_col])))
+        sims = mat @ em.T  # (B, E)
+        hit = sims >= tau
+        any_hit = hit.any(axis=1)
+        # eval ids are ascending → argmax over the boolean row is the
+        # SMALLEST matching id (deterministic tie-break)
+        first = hit.argmax(axis=1)
+        ids_t = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids_t[any_hit], type=pa.int64()),
+            "matched_eval_id": pa.array(ids_e[first[any_hit]],
+                                        type=pa.int64()),
+        })
+
+    return ds.map_batches(screen, batch_format="pyarrow")
