@@ -4665,6 +4665,23 @@ def _q_bloom_fpr(sf_dir: str):
                            bloom_bits=4096, bloom_k=2).sort("p_partkey")
 
 
+def _q_ewma_activity(sf_dir: str):
+    """Exponentially-decayed per-type activity
+    (`functions/windows.py: ewma_decay`): half-life-one-day EWMA of
+    daily event counts in EXACT Q40 fixed point (Σ c_d·2^(40-gap)) —
+    the freshness signal crawl budgeting decays sources by, with no
+    float accumulation order to disagree about. keys×days exchange
+    only."""
+    import ray.data
+
+    from smartreader_ray.functions.windows import ewma_decay
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"])
+    return ewma_decay(ev, key_col="event_type").sort("event_type")
+
+
 def _q_semantic_decontam(sf_dir: str):
     """Embedding-space decontamination
     (`functions/similarity.py: cross_decontam`): training vectors
@@ -7570,6 +7587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_explain": _q_join_explain,
         "k_anonymity": _q_k_anonymity,
         "semantic_decontam": _q_semantic_decontam,
+        "ewma_activity": _q_ewma_activity,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -11637,6 +11655,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_member,
                    ph.bloom_hit AS bloom_hit
             FROM ph ORDER BY p_partkey
+        """,
+        # ewma_activity: Q40 fixed-point decay replayed with integer
+        # shifts; T is the corpus-wide max day.
+        "ewma_activity": """
+            WITH d AS (
+                SELECT event_type,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS day,
+                       count(*) AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), t AS (SELECT max(day) AS td FROM d)
+            SELECT event_type,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(CASE WHEN td - day <= 40
+                            THEN c * (1::BIGINT << (40 - (td - day)))
+                            ELSE 0 END) AS BIGINT) AS ewma_q40
+            FROM d, t GROUP BY event_type ORDER BY event_type
         """,
         # semantic_decontam: normalized cosine against every eval
         # vector; min matching eval id replays the engine's ascending-

@@ -1785,3 +1785,82 @@ def mrc_curve(ds, max_capacity: int = 4, user_col: str = "user_id",
 
     # (max_capacity+1)-row aggregate: one block by construction
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def ewma_decay(ds, key_col: str = "event_type", ts_col: str = "ts",
+               gap_cap: int = 40):
+    """Exponentially-decayed activity per key, EXACT fixed-point: with
+    half-life one day, the unnormalized EWMA of daily counts is
+    ``Σ_d c_d · 2^-(T-d)`` (T = the corpus's latest day). Emitted
+    scaled by 2^40 so every value is an integer —
+    ``ewma_q40 = Σ c_d · 2^(40-(T-d))`` — no float accumulation order
+    to disagree about; days older than ``gap_cap`` contribute below
+    the Q40 resolution and are dropped EXACTLY (weight 0), the
+    documented semantics rather than a rounding accident. Output per
+    key: ``(key, n_events, n_days, ewma_q40)`` — the freshness signal
+    crawl schedulers and mixture re-weighters decay sources by.
+
+    Ray shape: per-block (key, day) partials collapse the exchange to
+    keys × days; T is one Max over that table (materialized once,
+    it's tiny); the decay weighting is a vectorized shift per row
+    feeding a key-sized groupby. A daily count at/above 2^22 would
+    overflow the Q40 scale and raises loudly.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.cast(b.column(ts_col), pa.date32()),
+                       pa.int32())
+        t = pa.table({
+            "key": b.column(key_col),
+            "day": days,
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).filter(pc.is_valid(days))
+        g = t.group_by(["key", "day"]).aggregate([("c", "sum")])
+        return g.rename_columns(["key", "day", "c"])
+
+    daily = (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["key", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).materialize()  # keys × days rows; consumed twice (T + weighting)
+    t_day = int(daily.aggregate(Max("day", alias_name="t"))["t"])
+
+    def weigh(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        if c.size and int(c.max()) >= (1 << 22):
+            raise ValueError(
+                f"daily count {int(c.max())} >= 2^22 overflows the Q40 "
+                "fixed-point scale; pre-aggregate or lower gap_cap")
+        gap = t_day - b.column("day").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = np.where(gap <= gap_cap,
+                     np.left_shift(np.int64(1),
+                                   np.maximum(40 - gap, 0)), 0)
+        w = np.where(gap > 40, np.int64(0), w)
+        return pa.table({
+            "key": b.column("key"),
+            "n_events": pa.array(c, type=pa.int64()),
+            "n_days": pa.array(np.ones(len(c), dtype=np.int64)),
+            "ewma_q40": pa.array(c * w, type=pa.int64()),
+        })
+
+    out = (
+        daily.map_batches(weigh, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("n_days", alias_name="n_days"),
+                   Sum("ewma_q40", alias_name="ewma_q40"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b.column("key"),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "n_days": pc.cast(b.column("n_days"), pa.int64()),
+            "ewma_q40": pc.cast(b.column("ewma_q40"), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

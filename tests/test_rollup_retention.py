@@ -133,3 +133,34 @@ def test_unpivot_inverts_pivot(ray_session):
         ("a", "n_x"): 1, ("a", "n_y"): 1, ("a", "n_z"): 0,
         ("b", "n_x"): 2, ("b", "n_y"): 0, ("b", "n_z"): 1,
     }
+
+
+def test_ewma_decay_exact_fixed_point(ray_session):
+    """Q40 EWMA equals the closed-form dyadic sum; missing days decay
+    implicitly; result is partitioning-invariant."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.windows import ewma_decay
+
+    base = dt.datetime(2024, 3, 1)
+    rows_k, rows_t = [], []
+    # key "a": 3 events day0, 1 event day2 (T=day2): ewma = 1*2^40 + 3*2^38
+    for _ in range(3):
+        rows_k.append("a"); rows_t.append(base)
+    rows_k.append("a"); rows_t.append(base + dt.timedelta(days=2))
+    # key "b": 2 events on day1 only: gap=1 -> 2*2^39
+    for _ in range(2):
+        rows_k.append("b"); rows_t.append(base + dt.timedelta(days=1))
+    t = pa.table({"event_type": pa.array(rows_k),
+                  "ts": pa.array(rows_t, type=pa.timestamp("us"))})
+    for parts in (1, 4):
+        out = {r["event_type"]: r for r in ewma_decay(
+            ray.data.from_arrow(t).repartition(parts)).take_all()}
+        assert out["a"]["ewma_q40"] == (1 << 40) + 3 * (1 << 38)
+        assert out["a"]["n_events"] == 4 and out["a"]["n_days"] == 2
+        assert out["b"]["ewma_q40"] == 2 * (1 << 39)
+        assert out["b"]["n_events"] == 2 and out["b"]["n_days"] == 1
