@@ -2846,6 +2846,50 @@ def _half(sf_dir: str):
     )
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC connector proof (`sources/orc.py`): parquet → distributed
+    per-block ORC write → file-parallel read → per-lang rollup. Ray
+    Data ships no ORC connector; this one rides pyarrow.orc with the
+    repo's WARC file-parallel shape. Oracle computes the rollup off
+    parquet, so any encode/decode loss breaks the hash."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from smartreader_ray.sources.orc import read_orc, write_orc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = os.path.join(tempfile.gettempdir(), "smartreader_orc_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    write_orc(ds, out)
+    return _roundtrip_agg(read_orc(out))
+
+
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) connector proof (`sources/ipc.py`) —
+    same distributed shape as the ORC round trip; IPC is the zero-copy
+    interchange for Arrow-native neighbours."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from smartreader_ray.sources.ipc import read_ipc, write_ipc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = os.path.join(tempfile.gettempdir(), "smartreader_ipc_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    write_ipc(ds, out)
+    return _roundtrip_agg(read_ipc(out))
+
+
 def _q_docs_except(sf_dir: str):
     """Content-keyed EXCEPT: second-half docs whose 5-token prefix never
     occurs in the first half — hashed-key left_anti exchange, one
@@ -7482,6 +7526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": _q_temperature_mix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "ipc_roundtrip": _q_ipc_roundtrip,
         "docs_except": _q_docs_except,
         "docs_intersect": _q_docs_intersect,
         "curated_corpus": _q_curated_corpus,
@@ -10148,6 +10194,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY est DESC, term LIMIT 20
         """,
         "jsonl_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "orc_roundtrip": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "ipc_roundtrip": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
