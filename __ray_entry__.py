@@ -4743,6 +4743,61 @@ def _q_semantic_decontam(sf_dir: str):
     return cross_decontam(emb, eval_label=0, tau=0.35).sort("vec_id")
 
 
+def _q_decontam_clean_chain(sf_dir: str):
+    """Chain #36 — semantic decontamination applied end-to-end:
+    `similarity.cross_decontam` finds train vectors within cosine 0.35
+    of the eval suite (label 0), `join.anti_join` removes them, and the
+    CLEAN training set rolls up per label (count + id-sum so a single
+    wrongly-kept/dropped row breaks the hash). The pattern every
+    pretraining pipeline runs before mixing: leak-screen → subtract →
+    remix."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions.join import anti_join
+    from smartreader_ray.functions.similarity import cross_decontam
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    bad = cross_decontam(emb, eval_label=0, tau=0.35) \
+        .select_columns(["vec_id"]) \
+        .map_batches(lambda b: b.rename_columns(["bad_id"]),
+                     batch_format="pyarrow")
+    train = emb.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("label"), 0))
+        .select(["vec_id", "label"]),
+        batch_format="pyarrow")
+    clean = anti_join(train, bad, "vec_id", "bad_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "label": b.column("label"),
+            "n_clean": pa.array([1] * b.num_rows, type=pa.int64()),
+            "sum_vec_id": pc.cast(b.column("vec_id"), pa.int64()),
+        })
+        g = t.group_by("label").aggregate(
+            [("n_clean", "sum"), ("sum_vec_id", "sum")])
+        return g.rename_columns(["label", "n_clean", "sum_vec_id"])
+
+    return (
+        clean.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_clean", alias_name="n_clean"),
+                   Sum("sum_vec_id", alias_name="sum_vec_id"))
+        .map_batches(
+            lambda b: pa.table({
+                "label": b.column("label"),
+                "n_clean": pc.cast(b.column("n_clean"), pa.int64()),
+                "sum_vec_id": pc.cast(b.column("sum_vec_id"),
+                                      pa.int64()),
+            }), batch_format="pyarrow")
+        .sort("label")
+    )
+
+
 def _q_k_anonymity(sf_dir: str):
     """k-anonymity release gate (`functions/curation.py: k_anonymity`):
     customer quasi-identifier combinations (market segment × nation)
@@ -7634,6 +7689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "semantic_decontam": _q_semantic_decontam,
         "ewma_activity": _q_ewma_activity,
+        "decontam_clean_chain": _q_decontam_clean_chain,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
@@ -11711,6 +11767,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_member,
                    ph.bloom_hit AS bloom_hit
             FROM ph ORDER BY p_partkey
+        """,
+        # decontam_clean_chain: NOT EXISTS over the same cosine screen.
+        "decontam_clean_chain": """
+            SELECT t.label,
+                   CAST(count(*) AS BIGINT) AS n_clean,
+                   CAST(sum(t.vec_id) AS BIGINT) AS sum_vec_id
+            FROM embeddings t
+            WHERE t.label <> 0 AND NOT EXISTS (
+                SELECT 1 FROM embeddings e
+                WHERE e.label = 0
+                  AND list_cosine_similarity(
+                          CAST(t.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) >= 0.35)
+            GROUP BY t.label ORDER BY t.label
         """,
         # ewma_activity: Q40 fixed-point decay replayed with integer
         # shifts; T is the corpus-wide max day.
