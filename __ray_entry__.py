@@ -166,6 +166,18 @@ def _q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
 
 
+def _q_compress_ratio(sf_dir: str):
+    """zlib compression signal (`functions/textstats.py:
+    compression_stats`): templated text compresses far below prose,
+    gibberish barely at all — the RedPajama-v2-style redundancy axis.
+    DuckDB has no zlib → rows-only; determinism and monotonicity
+    invariants pinned in tests/test_textstats_sentences.py."""
+    from smartreader_ray.functions.textstats import compression_stats
+
+    return _docs(sf_dir).map_batches(compression_stats,
+                                     batch_format="pyarrow")
+
+
 def _q_bpe_tokens(sf_dir: str):
     """GPT-2-style pre-tokenizer counts (LLM-budget estimator); the
     stdlib-re pattern uses lookahead RE2 lacks → rows-only check, unit
@@ -7690,6 +7702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontam": _q_semantic_decontam,
         "ewma_activity": _q_ewma_activity,
         "decontam_clean_chain": _q_decontam_clean_chain,
+        "compress_ratio": _q_compress_ratio,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,

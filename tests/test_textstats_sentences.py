@@ -29,3 +29,40 @@ def test_sentence_stats_matches_naive():
         assert r["max_sentence_tokens"] == (max(toks) if toks else 0)
         exp_mean = (sum(toks) / len(toks)) if toks else 0.0
         assert r["mean_sentence_tokens"] == exp_mean
+
+
+def test_compression_stats_invariants(ray_session):
+    """Repetitive text compresses below prose, prose below noise;
+    output equals a driver-side zlib on the same bytes; partitioning-
+    invariant."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.textstats import compression_stats
+
+    rng = np.random.default_rng(2)
+    noise = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 4000))
+    docs = {
+        0: "spam " * 800,
+        1: ("the quick brown fox jumps over the lazy dog and then "
+            "wanders home across the quiet evening fields ") * 40,
+        2: noise,
+        3: "",
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), type=pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    for parts in (1, 3):
+        rows = {r["doc_id"]: r for r in ray.data.from_arrow(t)
+                .repartition(parts)
+                .map_batches(compression_stats, batch_format="pyarrow")
+                .take_all()}
+        for did, text in docs.items():
+            raw = text.encode()
+            assert rows[did]["n_bytes"] == len(raw)
+            assert rows[did]["n_zlib_bytes"] == len(zlib.compress(raw, 6))
+        r = {d: rows[d]["n_zlib_bytes"] / max(1, rows[d]["n_bytes"])
+             for d in (0, 1, 2)}
+        assert r[0] < r[1] < r[2]  # spam << prose << noise
