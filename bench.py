@@ -273,6 +273,34 @@ def run_main() -> dict:
         "lid_confusion", "leakage_safe_split", "lsh_recall_chain",
         "embedding_audit", "span_pack_chain", "near_dedup_best_chain",
         "ks_drift",
+        # full-coverage block: every remaining queries() entry, so the
+        # per-round bench artifact carries ALL query timings
+        "abc_orders", "affix_strip_chain", "anti_join", "attribution",
+        "audio_autocorr", "balanced_shards", "bfs_hops", "bloom_fpr",
+        "boolean_search", "bpe_merges", "bpe_token_stats",
+        "budget_alloc", "clean_rank_chain", "click_proximity",
+        "cms_counts", "compress_ratio", "containment_pairs",
+        "corpus_metrics", "cube_sales", "cusum_alarms", "daily_streaks",
+        "dataset_split", "debounce", "decontam_clean_chain",
+        "doc_stats", "dq_fingerprint_chain", "dq_report",
+        "entity_resolution", "event_pattern", "ewma_activity",
+        "extract_fixtures", "extract_meta", "extract_text",
+        "fd_histogram", "freq_spectrum", "hourly_profile", "id_gaps",
+        "impute_values", "interval_union", "ipc_roundtrip",
+        "join_explain", "k_anonymity", "kcenter_coreset",
+        "key_skew_gini", "local_supplier_revenue",
+        "markov_debounced_chain", "markov_events", "media_data_uri",
+        "media_meta", "media_phash", "ntile_values", "ohlc_hourly",
+        "orc_roundtrip", "percent_rank", "phash_band_pairs",
+        "pmi_pairs", "posting_lists", "pq_ann", "pq_codes",
+        "priority_sample", "quantile_normalize", "quote_screen_chain",
+        "rendezvous_shards", "rolling_anomaly", "scd2_history",
+        "schema_union", "semantic_decontam", "semantic_dedup",
+        "sentence_stats", "soundex_names", "source_affixes",
+        "source_drift", "span_corruption", "spatial_join",
+        "stratified_sample", "table_fingerprint", "time_weighted_avg",
+        "token_dropout", "vocab_growth", "weighted_median",
+        "winnow_dedup", "winnow_fps", "zorder_layout",
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
