@@ -6178,6 +6178,43 @@ def _q_sentence_stats(sf_dir: str):
             .sort("doc_id"))
 
 
+def _q_readability(sf_dir: str):
+    """Flesch–Kincaid readability (`functions/textstats.py:
+    readability_stats`): words / sentences / vowel-group syllable
+    proxy / the published FK grade formula per doc — the classic
+    document-difficulty axis for curriculum ordering. The corpus has
+    no punctuation, so sentence boundaries are PLANTED with the same
+    deterministic rule `sentence_stats` uses (token groups of
+    4 + doc_id%4 joined with '. '), making every column closed-form
+    for the oracle while the engine kernel does real regex
+    segmentation; the one float column uses the identical IEEE
+    expression shape both sides."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.textstats import readability_stats
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            g = 4 + int(did) % 4
+            toks = (text or "").strip().split(" ")
+            out.append(". ".join(
+                " ".join(toks[i:i + g])
+                for i in range(0, len(toks), g)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return (ds.map_batches(plant, batch_format="pyarrow")
+            .map_batches(readability_stats, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def _synth_class_bmps():
     """Deterministic 32-visual-class BMP synthesis (v = doc_id % 32;
     red column ramp, green row ramp, blue constant) shared by
@@ -7751,6 +7788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
+        "readability": _q_readability,
         "media_phash": _q_media_phash,
         "phash_band_pairs": _q_phash_band_pairs,
         "markov_debounced_chain": _q_markov_debounced_chain,
@@ -12844,6 +12882,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(g, n) AS BIGINT) AS max_sentence_tokens,
                    CAST(n AS DOUBLE) / CAST((n + g - 1) // g AS DOUBLE)
                        AS mean_sentence_tokens
+            FROM m ORDER BY doc_id
+        """,
+        # readability: same planted-boundary closed form as
+        # sentence_stats; FK grade is the identical IEEE expression
+        # shape both sides (two divisions, two multiplies, fixed
+        # association).
+        "readability": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(string_split(trim(text), ' ')) AS w,
+                       len(regexp_extract_all(text,
+                                              '[aeiouAEIOU]+')) AS v,
+                       4 + doc_id % 4 AS g
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST((w + g - 1) // g AS BIGINT) AS n_sentences,
+                   CAST(v AS BIGINT) AS n_vowel_groups,
+                   0.39 * (CAST(w AS DOUBLE)
+                           / CAST((w + g - 1) // g AS DOUBLE))
+                   + 11.8 * (CAST(v AS DOUBLE) / CAST(w AS DOUBLE))
+                   - 15.59 AS fk_grade
             FROM m ORDER BY doc_id
         """,
         # media_phash: bit-for-bit average-hash replay (shared

@@ -296,7 +296,8 @@ def run_main() -> dict:
         "priority_sample", "quantile_normalize", "quote_screen_chain",
         "rendezvous_shards", "rolling_anomaly", "scd2_history",
         "schema_union", "semantic_decontam", "semantic_dedup",
-        "sentence_stats", "soundex_names", "source_affixes",
+        "sentence_stats", "readability", "soundex_names",
+        "source_affixes",
         "source_drift", "span_corruption", "spatial_join",
         "stratified_sample", "table_fingerprint", "time_weighted_avg",
         "token_dropout", "vocab_growth", "weighted_median",

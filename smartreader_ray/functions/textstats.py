@@ -448,3 +448,43 @@ def compression_stats(batch: pa.Table, text_col: str = "text",
         "n_bytes": pa.array(n_raw, type=pa.int64()),
         "n_zlib_bytes": pa.array(n_z, type=pa.int64()),
     })
+
+
+def readability_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc Flesch–Kincaid-style readability: ``(doc_id, n_words,
+    n_sentences, n_vowel_groups, fk_grade)``. Words are whitespace
+    tokens; sentences are ``[.!?]+``-delimited segments (terminal
+    punctuation doesn't open an empty trailing sentence; floor 1);
+    syllables are approximated by vowel-group runs — the standard
+    dictionary-free proxy. ``fk_grade`` is the published FK formula
+    ``0.39·(words/sentence) + 11.8·(syllables/word) − 15.59`` computed
+    in IEEE double with the same expression shape the SQL oracle uses,
+    so the float column hashes identically. Vectorized Arrow kernels,
+    zero shuffle."""
+    import numpy as np
+
+    text = batch.column(text_col)
+    trimmed = pc.utf8_trim_whitespace(text)
+    w = pc.cast(pc.list_value_length(
+        pc.split_pattern_regex(trimmed, r"\s+")), pa.int64()) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    runs = pc.cast(pc.count_substring_regex(text, r"[.!?]+"),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+    tail_closed = pc.match_substring_regex(text, r"[.!?]+\s*$") \
+        .to_numpy(zero_copy_only=False)
+    s = np.maximum(runs + np.where(tail_closed, 0, 1), 1).astype(np.int64)
+    v = pc.cast(pc.count_substring_regex(text, r"[aeiouAEIOU]+"),
+                pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    wf = w.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        grade = np.where(
+            w > 0,
+            0.39 * (wf / s) + 11.8 * (v.astype(np.float64) / wf) - 15.59,
+            0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(w, type=pa.int64()),
+        "n_sentences": pa.array(s, type=pa.int64()),
+        "n_vowel_groups": pa.array(v, type=pa.int64()),
+        "fk_grade": pa.array(grade, type=pa.float64()),
+    })

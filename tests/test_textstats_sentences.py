@@ -66,3 +66,37 @@ def test_compression_stats_invariants(ray_session):
         r = {d: rows[d]["n_zlib_bytes"] / max(1, rows[d]["n_bytes"])
              for d in (0, 1, 2)}
         assert r[0] < r[1] < r[2]  # spam << prose << noise
+
+
+def test_readability_stats_kernel(ray_session):
+    """Sentence segmentation handles terminal punctuation without an
+    empty trailing sentence; counts and the FK formula match a naive
+    computation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions.textstats import readability_stats
+
+    docs = {
+        0: "the cat sat. the dog ran! was it fun?",   # closed tail
+        1: "plain words with no punctuation at all",   # 1 sentence
+        2: "one. two. three",                          # open tail
+        3: "a",                                        # minimal
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), type=pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    rows = {r["doc_id"]: r for r in ray.data.from_arrow(t)
+            .map_batches(readability_stats, batch_format="pyarrow")
+            .take_all()}
+    import re
+    for did, text in docs.items():
+        w = len(text.split())
+        segs = [x for x in re.split(r"[.!?]+", text) if x.strip()]
+        s = max(1, len(segs))
+        v = len(re.findall(r"[aeiouAEIOU]+", text))
+        r = rows[did]
+        assert (r["n_words"], r["n_sentences"], r["n_vowel_groups"]) \
+            == (w, s, v), (did, r)
+        want = 0.39 * (float(w) / s) + 11.8 * (float(v) / w) - 15.59
+        assert r["fk_grade"] == want
