@@ -42,6 +42,69 @@ from .dedup import (
 DEFAULT_MAX_BUCKET = 128
 
 
+def _bucket_pairs_exchange(docfp, key_col: str, max_bucket: int,
+                           nparts: int = 64):
+    """All within-bucket (doc_a < doc_b) pairs over (key_col, doc_id)
+    rows, ONE Python call per hash PARTITION instead of one per
+    distinct key — fingerprint keys are near-unique, so per-key
+    ``map_groups`` is the known pathology (VERDICT r4 #2, fixed in
+    `join.hash_join` the same way): partition on the key, sort each
+    partition once, skip single-doc runs entirely, and emit each
+    multi-doc run's pairs with vectorized ``triu_indices``. Over-cap
+    buckets replay `_capped_subgroups` byte-for-byte (identical
+    ``str(key)`` salt and sorted member order), so outputs are
+    IDENTICAL to the per-key pairer at every scale."""
+    import pyarrow.compute as pc
+
+    def stamp(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        part = (k.astype(np.int64).view(np.uint64)
+                % np.uint64(nparts)).astype(np.int64)
+        return b.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def emit_part(g: pa.Table) -> pa.Table:
+        key = g.column(key_col).to_numpy(zero_copy_only=False)
+        doc_arr = g.column("doc_id")
+        id_type = g.schema.field("doc_id").type
+        doc = doc_arr.to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        doc = doc[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], key.size]
+        a_acc, b_acc = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            docs = np.unique(doc[s:e])
+            if docs.size < 2:
+                continue
+            if docs.size <= max_bucket:
+                ii, jj = np.triu_indices(docs.size, k=1)
+                a_acc.append(docs[ii])
+                b_acc.append(docs[jj])
+            else:
+                for sub in _capped_subgroups(docs.tolist(), max_bucket,
+                                             str(key[s])):
+                    arr = np.asarray(sub)
+                    if arr.size < 2:
+                        continue
+                    ii, jj = np.triu_indices(arr.size, k=1)
+                    a_acc.append(arr[ii])
+                    b_acc.append(arr[jj])
+        if not a_acc:
+            return pa.table({"doc_a": pa.nulls(0, type=id_type),
+                             "doc_b": pa.nulls(0, type=id_type)})
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(a_acc), type=id_type),
+            "doc_b": pa.array(np.concatenate(b_acc), type=id_type),
+        })
+
+    return (docfp.map_batches(stamp, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(emit_part, batch_format="pyarrow"))
+
+
 def _doc_kgram_hashes(t: str | None, k: int) -> np.ndarray:
     """uint64 FNV-1a hashes of ALL k-token shingles of one doc, in
     position order (duplicates kept — winnowing is positional).
@@ -150,28 +213,26 @@ def winnow_dedup(ds, k: int = 4, w: int = 4, min_shared: int = 2,
         })
 
     # per-doc distinct happens INSIDE the emit (np.unique on the
-    # selected hashes), so no (doc, fp)-keyed dedup exchange exists
-    docfp = pruned.map_batches(emit_distinct, batch_format="pyarrow")
+    # selected hashes), so no (doc, fp)-keyed dedup exchange exists.
+    # docfp feeds TWO consumers (sizes + pair exchange) and sizes feeds
+    # TWO hash_joins — materialize both (winnowed-stream- and doc-sized
+    # in the object store) or every consumer re-executes the whole
+    # shingle+winnow scan
+    docfp = pruned.map_batches(emit_distinct,
+                               batch_format="pyarrow").materialize()
+    # right-size the exchange: every downstream all-to-all schedules
+    # O(blocks²) shuffle tasks, and the winnowed stream is ~2/(w+1) of
+    # the shingles — far smaller than the read's block count implies.
+    # ~250k rows per block keeps task count proportional to DATA (at
+    # 100 TB this grows into thousands of partitions, at bench scale it
+    # collapses 64→8 and saves seconds of pure scheduling overhead).
+    docfp = docfp.repartition(
+        max(8, docfp.count() // 250_000 + 1)).materialize()
 
-    sizes = docfp.groupby("doc_id").aggregate(Count(alias_name="n_fp"))
+    sizes = docfp.groupby("doc_id").aggregate(
+        Count(alias_name="n_fp")).materialize()
 
-    def bucket_to_pairs(group: pa.Table) -> pa.Table:
-        docs = sorted(set(group.column("doc_id").to_pylist()))
-        a_out, b_out = [], []
-        for sub in _capped_subgroups(docs, max_bucket,
-                                     str(group.column("fp")[0])):
-            for i in range(len(sub)):
-                for j in range(i + 1, len(sub)):
-                    a_out.append(sub[i])
-                    b_out.append(sub[j])
-        id_type = group.schema.field("doc_id").type
-        return pa.table({
-            "doc_a": pa.array(a_out, type=id_type),
-            "doc_b": pa.array(b_out, type=id_type),
-        })
-
-    pairs = (docfp.groupby("fp")
-             .map_groups(bucket_to_pairs, batch_format="pyarrow")
+    pairs = (_bucket_pairs_exchange(docfp, "fp", max_bucket)
              .groupby(["doc_a", "doc_b"])
              .aggregate(Count(alias_name="shared")))
 
@@ -230,26 +291,15 @@ def containment_pairs(ds, window: int = 8, text_col: str = "text",
             "doc_id": pa.array(out_ids, type=id_type),
         })
 
-    docw = pruned.map_batches(emit, batch_format="pyarrow")
-    sizes = docw.groupby("doc_id").aggregate(Count(alias_name="n_win"))
+    # same double-consumption + block-right-sizing as winnow_dedup
+    docw = pruned.map_batches(emit,
+                              batch_format="pyarrow").materialize()
+    docw = docw.repartition(
+        max(8, docw.count() // 250_000 + 1)).materialize()
+    sizes = docw.groupby("doc_id").aggregate(
+        Count(alias_name="n_win")).materialize()
 
-    def bucket_to_pairs(group: pa.Table) -> pa.Table:
-        docs = sorted(set(group.column("doc_id").to_pylist()))
-        a_out, b_out = [], []
-        for sub in _capped_subgroups(docs, max_bucket,
-                                     str(group.column("wh")[0])):
-            for i in range(len(sub)):
-                for j in range(i + 1, len(sub)):
-                    a_out.append(sub[i])
-                    b_out.append(sub[j])
-        id_type = group.schema.field("doc_id").type
-        return pa.table({
-            "doc_a": pa.array(a_out, type=id_type),
-            "doc_b": pa.array(b_out, type=id_type),
-        })
-
-    pairs = (docw.groupby("wh")
-             .map_groups(bucket_to_pairs, batch_format="pyarrow")
+    pairs = (_bucket_pairs_exchange(docw, "wh", max_bucket)
              .groupby(["doc_a", "doc_b"])
              .aggregate(Count(alias_name="shared")))
 
