@@ -7176,11 +7176,19 @@ def _q_dedup_cascade_chain(sf_dir: str):
     # stage 2: near-dedup over survivors (text re-attached via the
     # vectorized run-length join; survivors are output-sized)
     surv = hash_join(keepers, docs, "doc_id", "doc_id",
-                     ["doc_id"], ["text", "source"], how="inner")
+                     ["doc_id"], ["text", "source"],
+                     how="inner").materialize()
+    # ^ consumed three times (LSH pass + verify pass inside
+    # minhash_dedup, then the stage-3 rollup); un-materialized, each
+    # consumer re-executes the exact-dedup join
     pairs = minhash_dedup(surv.select_columns(["doc_id", "text"]),
                           threshold=0.5)
-    removed = (pairs.filter(lambda r: bool(r["is_dup"]))
-               .select_columns(["doc_b"]).take_all())
+
+    def dup_b(b: pa.Table) -> pa.Table:
+        return b.filter(b.column("is_dup")).select(["doc_b"])
+
+    removed = pairs.map_batches(dup_b,
+                                batch_format="pyarrow").take_all()
     removed_ids = {int(r["doc_b"]) for r in removed}
 
     # stage 3: per-source funnel (verified-dup-sized set is the only
