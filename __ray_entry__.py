@@ -4849,7 +4849,8 @@ def _q_join_explain(sf_dir: str):
                                       300000.0)).select(["o_orderkey"]),
         batch_format="pyarrow",
     )
-    return join_cardinality(li, hv, "l_orderkey", "o_orderkey")
+    return join_cardinality(li, hv, "l_orderkey", "o_orderkey",
+                            combine_blocks=16)
 
 
 def _q_basket_pairs(sf_dir: str):

@@ -1314,7 +1314,8 @@ def bloom_confusion(build, probe, build_key: str, probe_key: str,
     return pk.map_batches(annotate, batch_format="pyarrow")
 
 
-def join_cardinality(left, right, left_key: str, right_key: str):
+def join_cardinality(left, right, left_key: str, right_key: str,
+                     combine_blocks: int | None = None):
     """Join PLANNING profiler: before paying for an exchange, measure
     what an inner equi-join of ``left×right`` would produce. One-row
     Arrow table, all int64:
@@ -1327,9 +1328,10 @@ def join_cardinality(left, right, left_key: str, right_key: str):
     ~10⁹ means salt before joining).
 
     Ray shape: per-block partial counts tagged by side meet in ONE
-    distinct-key-sized groupby; the rollup over the per-key table is
-    another per-block partial + scalar aggregate. Nothing larger than
-    the distinct-key set ever moves. Keys must be integer-castable
+    key-hash-partitioned exchange; each partition combines its keys
+    and collapses straight to 8 scalars in the same call (the per-key
+    table never exists as a dataset). Nothing larger than the
+    distinct-key partials ever moves. Keys must be integer-castable
     (the profiler targets surrogate-key joins; hash string keys with
     `_key_hash_u64` first — collisions only perturb the estimate).
     """
@@ -1366,17 +1368,28 @@ def join_cardinality(left, right, left_key: str, right_key: str):
         side_partial(left_key, "cl", "cr"), batch_format="pyarrow")
     rc = right.select_columns([right_key]).map_batches(
         side_partial(right_key, "cr", "cl"), batch_format="pyarrow")
-    perkey = (
-        lc.union(rc).groupby("key")
-        .aggregate(Sum("cl", alias_name="cl"),
-                   Sum("cr", alias_name="cr"),
-                   Sum("n_null", alias_name="n_null"))
-    )
+    # ONE all-to-all: the side-tagged partials are stamped with a key
+    # hash partition and each partition combines its keys AND rolls up
+    # to 8 scalars in a single Python call — a key-keyed groupby
+    # aggregate would pay two extra exchange barriers to produce a
+    # per-key table this profiler immediately collapses anyway.
+    # ``combine_blocks`` (default 64 partitions) bounds exchange task
+    # count; raise it when the distinct-key set is huge.
+    nparts = combine_blocks or 64
 
-    def rollup_partial(b: pa.Table) -> pa.Table:
-        cl = b.column("cl").to_numpy(zero_copy_only=False).astype(np.int64)
-        cr = b.column("cr").to_numpy(zero_copy_only=False).astype(np.int64)
-        nn = b.column("n_null").to_numpy(zero_copy_only=False)
+    def stamp(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy(zero_copy_only=False)
+        part = (k.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+        return b.append_column("__part",
+                               pa.array(part, type=pa.int64()))
+
+    def part_rollup(g: pa.Table) -> pa.Table:
+        t = g.select(["key", "cl", "cr", "n_null"])
+        agg = t.group_by("key").aggregate(
+            [("cl", "sum"), ("cr", "sum"), ("n_null", "sum")])
+        cl = agg.column("cl_sum").to_numpy(zero_copy_only=False)
+        cr = agg.column("cr_sum").to_numpy(zero_copy_only=False)
+        nn = agg.column("n_null_sum").to_numpy(zero_copy_only=False)
         prod = cl * cr
         both = (cl > 0) & (cr > 0)
         return pa.table({
@@ -1392,7 +1405,10 @@ def join_cardinality(left, right, left_key: str, right_key: str):
     # the driver-side dict is 8 scalars — the only data leaving the
     # cluster; n_null carrier rows (key=0, zero counts) don't perturb
     # key-class tallies because cl>0/cr>0 masks exclude them
-    agg = perkey.map_batches(rollup_partial, batch_format="pyarrow") \
+    agg = (lc.union(rc)
+           .map_batches(stamp, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(part_rollup, batch_format="pyarrow")) \
         .aggregate(Sum("n_left", alias_name="n_left"),
                    Sum("n_right", alias_name="n_right"),
                    Sum("n_null_both", alias_name="n_null_both"),
