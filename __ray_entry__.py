@@ -5898,7 +5898,10 @@ def _q_span_boilerplate(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
     )
-    spans = ds.map_batches(text_spans, batch_format="pyarrow")
+    # spans feeds TWO consumers (counts + the stamp-back join):
+    # materialize once or the synth+flatten scan re-executes
+    spans = ds.map_batches(text_spans,
+                           batch_format="pyarrow").materialize()
     counts = spans.groupby("txt").aggregate(Count(alias_name="cnt"))
     stamped = hash_join(spans, counts, "txt", "txt",
                         left_cols=["doc_id"], right_cols=["cnt"])
