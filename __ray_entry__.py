@@ -6276,7 +6276,9 @@ def _q_media_phash(sf_dir: str):
     hashed = ds.map_batches(
         ImagePHashStage, batch_format="pyarrow",
         concurrency=(1, _pool_max()), batch_size=64,
-    ).drop_columns(["error"])
+    ).drop_columns(["error"]).materialize()
+    # ^ two consumers (bucket counts + the stamp-back join): without
+    # this the synth+decode+hash actor pass runs twice
     counts = hashed.groupby("phash").aggregate(
         Count(alias_name="bucket_size"))
     return (hash_join(hashed, counts, "phash", "phash",
