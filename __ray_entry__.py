@@ -2139,6 +2139,41 @@ def _q_dup_passages_hashed(sf_dir: str):
                               use_hash=True)
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide duplicate-line removal
+    (`functions/dedup.py:line_dedup`): lines occurring ≥ 2 times across
+    the corpus are boilerplate and dropped from every doc; docs are
+    re-rendered from the kept lines. The corpus has no newlines, so
+    line boundaries are PLANTED deterministically (token groups of
+    8 + doc_id%5 joined with '\\n' — the sentence_stats planting
+    pattern), which the oracle replays with list slicing; the dedup
+    itself is REAL corpus-wide counting (29 flagged lines at sf0.01).
+    One thin (hash, count) exchange + a boilerplate-sized broadcast."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from smartreader_ray.functions import line_dedup
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            g = 8 + int(did) % 5
+            toks = (text or "").strip().split(" ")
+            out.append("\n".join(
+                " ".join(toks[i:i + g])
+                for i in range(0, len(toks), g)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(plant, batch_format="pyarrow")
+    return line_dedup(ds, min_count=2).sort("doc_id")
+
+
 def _q_winnow_fps(sf_dir: str):
     """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03;
     `functions/winnow.py`): FNV-1a over 4-token shingles, window-4
@@ -7659,6 +7694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "substring_lcs": _q_substring_lcs,
         "dup_passages_hashed": _q_dup_passages_hashed,
+        "line_dedup": _q_line_dedup,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
@@ -9567,6 +9603,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT win, COUNT(DISTINCT doc_id) AS n_docs
             FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # line_dedup: replay the deterministic line planting (token
+        # groups of 8 + doc_id%5) with list slicing, count each line
+        # corpus-wide, drop lines with count >= 2, re-join survivors.
+        "line_dedup": """
+            WITH m AS (
+                SELECT doc_id, 8 + doc_id % 5 AS g,
+                       string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i,
+                       array_to_string(a[1 + i*g : (i+1)*g], ' ') AS line
+                FROM m,
+                     UNNEST(range(CAST((len(a) + g - 1) // g
+                                       AS BIGINT))) AS t(i)
+            ),
+            cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+            marked AS (
+                SELECT l.doc_id, l.i, l.line, (cnt.c >= 2) AS dup
+                FROM lines l JOIN cnt USING (line)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE dup) AS BIGINT)
+                       AS n_removed,
+                   coalesce(string_agg(line, chr(10) ORDER BY i)
+                            FILTER (WHERE NOT dup), '') AS clean_text
+            FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         # lm_perplexity: replay the bigram LM's training counts off the
         # same held-in slice and re-derive each doc's integer sufficient

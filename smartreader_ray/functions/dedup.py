@@ -859,6 +859,99 @@ def _duplicate_passages_hashed(ds, window: int, min_docs: int,
     )
 
 
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               min_count: int = 2, sep: str = "\n",
+               flagged_max: int = 5_000_000):
+    """CCNet/C4-style corpus-wide duplicate-LINE removal: any line whose
+    total occurrence count across the whole corpus reaches ``min_count``
+    is a boilerplate line (nav bars, cookie banners, license footers)
+    and is dropped from EVERY document; surviving lines are re-joined in
+    original order. The reference has no corpus-level ops (scope is one
+    document, SmartReader.cs:2275-2363); this is the standard
+    web-corpus hygiene pass from the CCNet paper (Wenzek et al., LREC
+    2020, §4.1 "deduplication" — public).
+
+    Scale shape (two streaming passes, one thin exchange):
+
+    1. Per block: split → FNV-1a hash64 per line → ``np.unique`` partial
+       counts, so only (int64 hash, count) rows — never line text —
+       cross the exchange; a global ``groupby(h).Sum`` finishes the
+       count (the distinct-lines-sized CCNet shard shape).
+    2. The FLAGGED set (count ≥ min_count) is boilerplate-sized — far
+       smaller than the distinct-line universe — collected once,
+       broadcast via ``ray.put``, and pass 2 re-renders each doc with a
+       vectorized ``searchsorted`` membership mask. A loud guard bounds
+       the broadcast at ``flagged_max``; past it the named alternative
+       is stamping the flag back by a hash-shuffle join on ``h``
+       (the `span_boilerplate` shape) instead of a broadcast.
+
+    Output: one row per input doc — ``doc_id, n_lines, n_removed,
+    clean_text`` (kept lines joined with ``sep``; '' when everything
+    was boilerplate). Hash collisions across distinct lines are the
+    usual 64-bit-screen caveat (~n²/2⁶⁵), same contract as
+    `duplicate_passages(use_hash=True)`.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            flat.extend((t or "").split(sep))
+        h = _hash64(flat).view(np.int64)
+        uh, c = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uh, type=pa.int64()),
+            "c": pa.array(c.astype(np.int64), type=pa.int64()),
+        })
+
+    pruned = ds.select_columns([id_col, text_col])
+    counts = (pruned.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("c", alias_name="c")))
+    flagged_parts = []
+    for b in (counts.filter(expr=f"c >= {min_count}")
+              .select_columns(["h"])
+              .iter_batches(batch_format="pyarrow")):
+        flagged_parts.append(b.column("h").to_numpy(zero_copy_only=False))
+    flagged = (np.sort(np.concatenate(flagged_parts))
+               if flagged_parts else np.empty(0, np.int64))
+    if len(flagged) > flagged_max:
+        raise ValueError(
+            f"line_dedup: {len(flagged)} flagged lines exceed the "
+            f"broadcast bound {flagged_max} — stamp the flag back with "
+            "a hash-shuffle join on h instead of a broadcast")
+    flagged_ref = ray.put(flagged)
+
+    def render(batch: pa.Table) -> pa.Table:
+        flag = ray.get(flagged_ref)
+        texts = batch.column(text_col).to_pylist()
+        per_doc = [(t or "").split(sep) for t in texts]
+        lens = np.fromiter((len(p) for p in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        flat = [ln for p in per_doc for ln in p]
+        h = _hash64(flat).view(np.int64)
+        if len(flag):
+            pos = np.searchsorted(flag, h)
+            pos[pos == len(flag)] = 0
+            dup = flag[pos] == h
+        else:
+            dup = np.zeros(len(h), dtype=bool)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        clean, removed = [], np.empty(len(per_doc), np.int64)
+        for i, p in enumerate(per_doc):
+            m = dup[offs[i]:offs[i + 1]]
+            removed[i] = int(m.sum())
+            clean.append(sep.join(ln for ln, d in zip(p, m) if not d))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(lens, type=pa.int64()),
+            "n_removed": pa.array(removed, type=pa.int64()),
+            "clean_text": pa.array(clean, type=pa.string()),
+        })
+
+    return pruned.map_batches(render, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dup-group clustering (connected components)
 # ---------------------------------------------------------------------------

@@ -1635,3 +1635,38 @@ class TestRendezvousShards:
         t = pa.table({"doc_id": pa.array([1], type=pa.int64())})
         with pytest.raises(ValueError):
             rendezvous_shards(ray.data.from_arrow(t), 0)
+
+
+def test_line_dedup(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import line_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta\ncookie banner\nunique one"},
+        {"doc_id": 2, "text": "cookie banner\nunique two"},
+        {"doc_id": 3, "text": "cookie banner"},       # all boilerplate
+        {"doc_id": 4, "text": ""},                    # one empty line
+        {"doc_id": 5, "text": "solo line stays"},
+    ]
+    out = {r["doc_id"]: r
+           for r in line_dedup(ray.data.from_items(docs),
+                               min_count=2).take_all()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[1]["clean_text"] == "alpha beta\nunique one"
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["n_removed"] == 1 and out[3]["clean_text"] == ""
+    # the single empty line of doc 4 is unique corpus-wide -> kept
+    assert out[4]["n_lines"] == 1 and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "solo line stays"
+
+
+def test_line_dedup_no_flagged_lines(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import line_dedup
+
+    docs = [{"doc_id": i, "text": f"only line {i}"} for i in range(4)]
+    out = line_dedup(ray.data.from_items(docs), min_count=2).take_all()
+    assert all(r["n_removed"] == 0 for r in out)
+    assert all(r["clean_text"] == f"only line {r['doc_id']}" for r in out)
