@@ -2518,6 +2518,22 @@ def _q_term_doc_freq(sf_dir: str):
     return term_doc_freq(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_chi2_terms(sf_dir: str):
+    """Per-language χ² discriminative terms
+    (`functions/ngrams.py:chi2_terms`): the Yang & Pedersen feature-
+    selection statistic over (label, term) doc-count contingency
+    tables — the vocabulary-building step for domain/quality
+    classifiers. One (label, term) distinct-doc exchange; per-term
+    totals derived inside the term groups; χ² is one fixed-order
+    float64 expression over exact int64 counts, replayed bit-for-bit
+    by the oracle."""
+    from smartreader_ray.functions.ngrams import chi2_terms
+
+    return chi2_terms(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+        label_col="lang", top_k=15)
+
+
 def _q_bigram_counts(sf_dir: str):
     """Top-100 corpus bigrams: vectorized successor-pairing over the
     flattened token array per block, partial counts before the one
@@ -7664,6 +7680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "jaccard_pairs": _q_jaccard_pairs,
         "term_doc_freq": _q_term_doc_freq,
+        "chi2_terms": _q_chi2_terms,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
@@ -10139,6 +10156,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT dfq.term, df, cf
             FROM dfq JOIN cfq USING (term)
             ORDER BY df DESC, term LIMIT 100
+        """,
+        # chi2_terms: replay the (label, term) distinct-doc contingency
+        # counts and the exact float64 expression order the engine
+        # uses: num = N*((ad-bc)*(ad-bc)); den = ((a+b)*(c+d)) *
+        # ((a+c)*(b+d)); degenerate tables (term in every doc / label
+        # covering the corpus) are defined as 0.
+        "chi2_terms": """
+            WITH tl AS (
+                SELECT DISTINCT doc_id, lang AS label,
+                       unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            ),
+            lt AS (
+                SELECT label, term, CAST(count(*) AS BIGINT) AS a
+                FROM tl WHERE term <> '' GROUP BY label, term
+            ),
+            nl AS (
+                SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_label
+                FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            tt AS (
+                SELECT term, CAST(sum(a) AS BIGINT) AS t
+                FROM lt GROUP BY term
+            ),
+            scored AS (
+                SELECT lt.label, lt.term,
+                       lt.a AS df_in,
+                       tt.t - lt.a AS df_out,
+                       CASE WHEN tt.t = tot.n OR nl.n_label = tot.n
+                            THEN 0.0
+                            ELSE (CAST(tot.n AS DOUBLE) *
+                                  ((CAST(lt.a AS DOUBLE) *
+                                    CAST(tot.n - nl.n_label
+                                         - (tt.t - lt.a) AS DOUBLE)
+                                    - CAST(nl.n_label - lt.a AS DOUBLE) *
+                                      CAST(tt.t - lt.a AS DOUBLE))
+                                   *
+                                   (CAST(lt.a AS DOUBLE) *
+                                    CAST(tot.n - nl.n_label
+                                         - (tt.t - lt.a) AS DOUBLE)
+                                    - CAST(nl.n_label - lt.a AS DOUBLE) *
+                                      CAST(tt.t - lt.a AS DOUBLE))))
+                                 / ((CAST(lt.a + (nl.n_label - lt.a)
+                                          AS DOUBLE) *
+                                     CAST((tt.t - lt.a)
+                                          + (tot.n - nl.n_label
+                                             - (tt.t - lt.a)) AS DOUBLE))
+                                    *
+                                    (CAST(lt.a + (tt.t - lt.a) AS DOUBLE) *
+                                     CAST((nl.n_label - lt.a)
+                                          + (tot.n - nl.n_label
+                                             - (tt.t - lt.a)) AS DOUBLE)))
+                       END AS chi2
+                FROM lt
+                JOIN nl USING (label)
+                JOIN tt USING (term), tot
+            )
+            SELECT label, term, df_in, df_out, chi2
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY label ORDER BY chi2 DESC, term) <= 15
+            ORDER BY label, chi2 DESC, term
         """,
         "bigram_counts": """
             WITH toks AS (

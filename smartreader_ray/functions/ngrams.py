@@ -99,6 +99,101 @@ def term_doc_freq(ds, text_col: str = "text", top_n: int = 100):
     )
 
 
+def chi2_terms(ds, text_col: str = "text", label_col: str = "lang",
+               top_k: int = 15):
+    """Discriminative-term mining: per-label χ² feature selection (the
+    Yang & Pedersen 1997 text-categorization statistic — public), the
+    step that builds domain/quality classifier vocabularies from a
+    labeled corpus. For each (label, term) contingency table —
+    a = label docs containing the term, b = label docs without it,
+    c = other docs with it, d = the rest —
+
+        χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    computed in float64 with a FIXED operation order the SQL oracle
+    replays bit-for-bit (all inputs are exact int64 doc counts; terms
+    present in every doc, or labels covering the whole corpus, carry no
+    signal and get χ² = 0 rather than 0/0).
+
+    Scale shape: one (label, term) distinct-doc-count exchange (block
+    partials pre-combined with a pandas C groupby, so ≤ |vocab|×|labels|
+    rows per block cross, never tokens); label totals are a tiny
+    driver-side table broadcast into the per-term ``map_groups`` that
+    derives per-term totals WITHIN the group (all labels of a term
+    co-locate), so no second join; a final per-label top-k exchange over
+    the vocab-sized score table. Output: ``top_k`` rows per label —
+    (label, term, df_in, df_out, chi2) — ordered (label, χ² desc, term).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(batch, text_col)
+        labels = batch.column(label_col).to_pandas()
+        terms = flat.to_pandas()
+        mask = (terms.str.len() > 0).to_numpy()
+        d = pd.DataFrame({
+            "term": terms[mask],
+            "label": labels.iloc[row_idx[mask]].to_numpy(),
+            "row": row_idx[mask],
+        })
+        g = d.groupby(["label", "term"], sort=False)["row"].nunique()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            "label": pa.array(idx["label"], type=pa.string()),
+            "term": pa.array(idx["term"], type=pa.string()),
+            "a": pa.array(g.to_numpy(), type=pa.int64()),
+        })
+
+    lt = (ds.select_columns([text_col, label_col])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["label", "term"])
+          .aggregate(Sum("a", alias_name="a")))
+
+    n_of = {r[label_col]: int(r["count()"])
+            for r in ds.groupby(label_col).count().iter_rows()}
+    n_total = sum(n_of.values())
+    n_ref = ray.put(n_of)
+
+    def score_term(group: pa.Table) -> pa.Table:
+        n_label_map = ray.get(n_ref)
+        labels = group.column("label").to_pylist()
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        t = int(a.sum())  # per-term doc frequency: all labels co-locate
+        n_label = np.fromiter((n_label_map[lb] for lb in labels),
+                              dtype=np.int64, count=len(labels))
+        b = n_label - a
+        c = t - a
+        d = n_total - n_label - c
+        af, bf, cf, df_ = (x.astype(np.float64) for x in (a, b, c, d))
+        nf = np.float64(n_total)
+        ad_bc = af * df_ - bf * cf
+        num = nf * (ad_bc * ad_bc)
+        den = ((af + bf) * (cf + df_)) * ((af + cf) * (bf + df_))
+        degenerate = (t == n_total) | (n_label == n_total)
+        chi2 = np.where(degenerate, 0.0, num / np.where(degenerate, 1.0, den))
+        return pa.table({
+            "label": group.column("label"),
+            "term": group.column("term"),
+            "df_in": pa.array(a, type=pa.int64()),
+            "df_out": pa.array(c, type=pa.int64()),
+            "chi2": pa.array(chi2, type=pa.float64()),
+        })
+
+    scored = lt.groupby("term").map_groups(score_term,
+                                           batch_format="pyarrow")
+
+    def label_topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("chi2", "descending"), ("term", "ascending")])
+        return group.take(order.slice(0, top_k))
+
+    return (scored.groupby("label")
+            .map_groups(label_topk, batch_format="pyarrow")
+            .sort(["label", "chi2", "term"],
+                  descending=[False, True, False]))
+
+
 def _partial_bigram_counts(batch: pa.Table, text_col: str) -> pa.Table:
     """Per-block bigram counts, vectorized: flatten all tokens, pair
     each with its successor, mask pairs that cross document boundaries,

@@ -344,3 +344,31 @@ def test_zipf_fit_hand_and_invariance(ray_session):
     # single-term source: slope undefined
     assert got["s2"]["n_terms"] == 1 and got["s2"]["slope"] is None
     assert got == run(3)
+
+
+def test_chi2_terms_discriminative(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import chi2_terms
+
+    # "bonjour" only in fr docs, "hello" only in en docs, "the" everywhere
+    docs = (
+        [{"doc_id": i, "lang": "fr", "text": "bonjour the monde"}
+         for i in range(5)]
+        + [{"doc_id": 5 + i, "lang": "en", "text": "hello the world"}
+           for i in range(5)]
+    )
+    out = chi2_terms(ray.data.from_items(docs), label_col="lang",
+                     top_k=3).take_all()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    # the perfectly discriminative term ranks first for each label
+    assert by_label["fr"][0]["term"] == "bonjour"
+    assert by_label["en"][0]["term"] == "hello"
+    assert by_label["fr"][0]["chi2"] == 10.0  # N for a perfect split
+    assert by_label["fr"][0]["df_in"] == 5
+    assert by_label["fr"][0]["df_out"] == 0
+    # "the" appears in every doc -> degenerate table -> chi2 defined 0
+    the_rows = [r for r in out if r["term"] == "the"]
+    assert the_rows and all(r["chi2"] == 0.0 for r in the_rows)
