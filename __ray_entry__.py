@@ -2635,6 +2635,53 @@ def _q_temperature_mix(sf_dir: str):
     return temperature_mix(ds, alpha=0.5, c=2.0)
 
 
+def _q_unimax_mix(sf_dir: str):
+    """UniMax language mixing (`functions/sampling.py:unimax_mix`,
+    Chung et al. ICLR 2023): exact integer water-fill of a 400-doc
+    budget across languages with a 1-epoch cap — small languages keep
+    everything, the head language (en, 218 docs at sf0.01) absorbs the
+    leftover budget. The selection materializes as each language's
+    quota lowest doc_ids via the per-key bounded reduce; the rollup
+    stamps the allocation next to the observed kept counts and an
+    id-sum checksum. Oracle replays the water-fill with window
+    cumsums."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from smartreader_ray.functions.sampling import (unimax_allocation,
+                                                    unimax_mix)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    counts = {r["lang"]: int(r["count()"])
+              for r in ds.groupby("lang").count().iter_rows()}
+    quota = unimax_allocation(counts, budget=400, max_epochs=1)
+    alloc_ref = ray.put((counts, quota))
+
+    rollup = (unimax_mix(ds, budget=400, max_epochs=1)
+              .groupby("lang")
+              .aggregate(Count(alias_name="n_kept"),
+                         Sum("doc_id", alias_name="id_sum")))
+
+    def stamp(b: pa.Table) -> pa.Table:
+        cnt, q = ray.get(alloc_ref)
+        langs = b.column("lang").to_pylist()
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pa.array([cnt[lg] for lg in langs], type=pa.int64()),
+            "cap": pa.array([cnt[lg] for lg in langs], type=pa.int64()),
+            "quota": pa.array([q[lg] for lg in langs], type=pa.int64()),
+            "n_kept": b.column("n_kept"),
+            "id_sum": b.column("id_sum"),
+        })
+
+    return rollup.map_batches(stamp, batch_format="pyarrow").sort("lang")
+
+
 def _q_keys_union(sf_dir: str):
     """Dataset.union coverage: tag-and-union two key sets (customer ∪
     supplier), one groupby giving per-key row and distinct-source
@@ -7694,6 +7741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keys_union": _q_keys_union,
         "zscore_tfidf_chain": _q_zscore_tfidf_chain,
         "temperature_mix": _q_temperature_mix,
+        "unimax_mix": _q_unimax_mix,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
@@ -10261,6 +10309,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+        """,
+        # unimax_mix: replay the integer water-fill with window cumsums
+        # (key i capped iff cap_i*(K-i+1) + s_{i-1} <= budget, a prefix
+        # property), split the remainder evenly with the integer
+        # leftover going to the lexicographically first uncapped langs,
+        # then keep each lang's quota lowest doc_ids.
+        "unimax_mix": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ),
+            ord AS (
+                SELECT lang, n, n AS cap,
+                       row_number() OVER (ORDER BY n, lang) AS i,
+                       sum(n) OVER (ORDER BY n, lang
+                                    ROWS UNBOUNDED PRECEDING) AS s,
+                       count(*) OVER () AS k
+                FROM c
+            ),
+            flag AS (
+                SELECT *, (cap * (k - i + 1) + (s - cap) <= 400) AS capped
+                FROM ord
+            ),
+            agg AS (
+                SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS s_k,
+                       count(*) FILTER (WHERE NOT capped) AS m
+                FROM flag
+            ),
+            quotas AS (
+                SELECT f.lang, f.n, f.cap,
+                       CASE WHEN f.capped THEN f.cap
+                            ELSE (400 - a.s_k) // a.m
+                                 + CASE WHEN row_number() OVER (
+                                            PARTITION BY f.capped
+                                            ORDER BY f.lang)
+                                        <= (400 - a.s_k) % a.m
+                                        THEN 1 ELSE 0 END
+                       END AS quota
+                FROM flag f, agg a
+            ),
+            kept AS (
+                SELECT d.lang, d.doc_id
+                FROM (SELECT lang, doc_id,
+                             row_number() OVER (PARTITION BY lang
+                                                ORDER BY doc_id) AS rn
+                      FROM documents) d
+                JOIN quotas q USING (lang)
+                WHERE d.rn <= q.quota
+            )
+            SELECT q.lang,
+                   q.n AS n_docs,
+                   q.cap,
+                   q.quota,
+                   CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+                   CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS id_sum
+            FROM quotas q LEFT JOIN kept k USING (lang)
+            GROUP BY q.lang, q.n, q.cap, q.quota
+            ORDER BY q.lang
         """,
         "temperature_mix": """
             -- recompute the engine's data-dependent thresholds: libm

@@ -567,3 +567,85 @@ def balanced_interleave(ds, seed: str = "bi", id_col: str = "doc_id",
         })
 
     return r2.map_batches(out, batch_format="pyarrow")
+
+
+def unimax_allocation(counts: dict, budget: int, max_epochs: int = 1
+                      ) -> dict:
+    """Exact integer UniMax water-fill (Chung et al., ICLR 2023 —
+    public): distribute ``budget`` examples across keys as uniformly as
+    possible while capping each key at ``max_epochs`` passes over its
+    ``counts[key]`` examples.
+
+    Water level: keys ascending by cap (ties by key); key i is CAPPED
+    iff cap_i·(K−i+1) + s_{i−1} ≤ budget (a prefix property — the LHS is
+    nondecreasing in i). Capped keys take their full cap; the remaining
+    budget splits evenly among the m uncapped keys, integer leftover
+    (rem % m) going one unit each to the lexicographically first
+    uncapped keys. Every step is int arithmetic, so a SQL oracle can
+    replay it with window cumsums. Returns {key: quota}; quotas sum to
+    min(budget, Σcap).
+    """
+    items = sorted(((int(n) * max_epochs, k) for k, n in counts.items()))
+    total = len(items)
+    quota, s = {}, 0
+    uncapped = []
+    for i, (cap, k) in enumerate(items, start=1):
+        if not uncapped and cap * (total - i + 1) + s <= budget:
+            quota[k] = cap
+            s += cap
+        else:
+            uncapped.append(k)
+    if uncapped:
+        rem = budget - s
+        base, extra = divmod(rem, len(uncapped))
+        for j, k in enumerate(sorted(uncapped)):
+            quota[k] = base + (1 if j < extra else 0)
+    return quota
+
+
+def unimax_mix(ds, budget: int, max_epochs: int = 1,
+               lang_col: str = "lang", id_col: str = "doc_id"):
+    """UniMax corpus mixing: materialize the water-fill allocation as a
+    deterministic subsample — each language keeps its ``min(quota, n)``
+    LOWEST ids (quota > n only when ``max_epochs`` > 1; the repeat
+    passes are the trainer's epoch loop, not extra rows here).
+
+    Scale shape, the `per_source_cap` bounded reduce with PER-KEY caps:
+    the language-count groupby is langs-sized; the quota dict is a tiny
+    ``ray.put`` broadcast; each block pre-keeps its own quota survivors
+    per language (block winners ⊇ global winners, since the global
+    winners are each the smallest of SOME block), so the exchange
+    carries ≤ quota×blocks rows per language, never a language's whole
+    row set. Returns the selected (lang, doc_id) rows.
+    """
+    import pandas as pd
+    import ray
+
+    counts = {r[lang_col]: int(r["count()"])
+              for r in ds.groupby(lang_col).count().iter_rows()}
+    quota = unimax_allocation(counts, budget, max_epochs)
+    quota_ref = ray.put(quota)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        d = batch.select([lang_col, id_col]).to_pandas()
+        d = d.sort_values([lang_col, id_col], kind="mergesort")
+        rank = d.groupby(lang_col, sort=False).cumcount()
+        caps = d[lang_col].map(q).fillna(0).astype(np.int64)
+        keep = d[rank.to_numpy() < caps.to_numpy()]
+        return pa.table({
+            lang_col: pa.array(keep[lang_col], type=pa.string()),
+            id_col: pa.array(keep[id_col].to_numpy(), type=pa.int64()),
+        })
+
+    def head_of_group(group: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        import pyarrow.compute as pc
+        k = int(q.get(group.column(lang_col)[0].as_py(), 0))
+        order = pc.sort_indices(group.column(id_col))
+        return group.take(order[:k])
+
+    return (ds.select_columns([lang_col, id_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(lang_col)
+            .map_groups(head_of_group, batch_format="pyarrow"))

@@ -1670,3 +1670,35 @@ def test_line_dedup_no_flagged_lines(ray_session):
     out = line_dedup(ray.data.from_items(docs), min_count=2).take_all()
     assert all(r["n_removed"] == 0 for r in out)
     assert all(r["clean_text"] == f"only line {r['doc_id']}" for r in out)
+
+
+def test_unimax_allocation_waterfill():
+    from smartreader_ray.functions import unimax_allocation
+
+    # head language absorbs the leftover once the tail is capped
+    q = unimax_allocation({"fr": 64, "de": 70, "es": 73, "zh": 75,
+                           "en": 218}, budget=400)
+    assert q == {"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 118}
+    # nobody capped: even split, leftover to lexicographically first
+    q = unimax_allocation({"a": 10, "b": 10, "c": 100}, budget=50,
+                          max_epochs=2)
+    assert q == {"a": 17, "b": 17, "c": 16} and sum(q.values()) == 50
+    # budget >= total capacity: everyone takes the full cap
+    q = unimax_allocation({"a": 3, "b": 5}, budget=100, max_epochs=2)
+    assert q == {"a": 6, "b": 10}
+
+
+def test_unimax_mix_selection(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import unimax_mix
+
+    docs = ([{"doc_id": i, "lang": "small"} for i in range(3)]
+            + [{"doc_id": 100 + i, "lang": "big"} for i in range(20)])
+    out = unimax_mix(ray.data.from_items(docs), budget=10).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # small capped at its 3 docs; big gets the remaining 7, lowest ids
+    assert sorted(by_lang["small"]) == [0, 1, 2]
+    assert sorted(by_lang["big"]) == [100 + i for i in range(7)]
