@@ -1551,6 +1551,110 @@ def _q_bm25_search(sf_dir: str):
     return bm25_search(_docs(sf_dir), ["spark", "merge"], k=20)
 
 
+_SEARCH_EVAL_QUERIES = [("table", "hash"), ("merge", "group"),
+                        ("slow", "key"), ("customer", "join"),
+                        ("vector", "small"), ("spark", "spark")]
+
+
+def _q_search_eval(sf_dir: str):
+    """Retrieval-quality evaluation (`functions/ngrams.py:search_eval`):
+    six 2-term BM25 queries graded against exact-phrase binary
+    relevance — hits / first_rank / MRR / DCG / nDCG@10 per query, with
+    the harmonic gain table scaled by lcm(1..11)=27720 so every rank
+    metric is an exact int64 and nDCG is ONE IEEE division (the
+    containment_pairs float contract). One stats pass + one corpus
+    aggregate + per-block top-k reduce; the last query ("spark spark",
+    a self-bigram) exercises the zero-relevance path."""
+    from smartreader_ray.functions.ngrams import search_eval
+
+    return search_eval(_docs(sf_dir), _SEARCH_EVAL_QUERIES, k=10)
+
+
+def _search_eval_oracle() -> str:
+    """Generated oracle for search_eval: shared tf/len/rel stats CTE,
+    then per query a BM25 scoring CTE (bit-identical float tree to
+    `bm25_search`'s proven oracle), a top-10 ranking, and integer
+    harmonic-gain metrics; UNION ALL over queries."""
+    terms = sorted({t for q in _SEARCH_EVAL_QUERIES for t in q})
+    t_idx = {t: j for j, t in enumerate(terms)}
+    tf_cols = ",\n".join(
+        f"CAST(len(list_filter(a, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for t, j in t_idx.items())
+    rel_cols = ",\n".join(
+        "CASE WHEN len(list_filter(generate_series(1, len(a) - 1), "
+        f"i -> list_extract(a, i) = '{t1}' AND "
+        f"list_extract(a, i + 1) = '{t2}')) > 0 "
+        f"THEN 1 ELSE 0 END AS rel{qi}"
+        for qi, (t1, t2) in enumerate(_SEARCH_EVAL_QUERIES))
+    df_cols = ",\n".join(
+        f"CAST(count(*) FILTER (tf{j} > 0) AS DOUBLE) AS df{j}"
+        for j in range(len(terms)))
+    nrel_cols = ",\n".join(
+        f"CAST(sum(rel{qi}) AS BIGINT) AS nrel{qi}"
+        for qi in range(len(_SEARCH_EVAL_QUERIES)))
+
+    def term_expr(j: int) -> str:
+        return (f"ln(1.0 + (n - df{j} + 0.5) / (df{j} + 0.5)) * "
+                f"((tf{j} * (1.2 + 1.0)) / (tf{j} + 1.2 * "
+                "((1.0 - 0.75) + 0.75 * (len / (sl / n)))))")
+
+    blocks = []
+    for qi, (t1, t2) in enumerate(_SEARCH_EVAL_QUERIES):
+        j0, j1 = t_idx[t1], t_idx[t2]
+        blocks.append(f"""
+            SELECT '{t1} {t2}' AS query,
+                   (SELECT nrel{qi} FROM tot) AS n_relevant,
+                   CAST(coalesce(sum(CASE WHEN rel = 1 THEN 1 END), 0)
+                        AS BIGINT) AS hits,
+                   CAST(coalesce(min(rnk) FILTER (rel = 1), 0)
+                        AS BIGINT) AS first_rank,
+                   CAST(CASE WHEN min(rnk) FILTER (rel = 1) IS NULL
+                        THEN 0 ELSE 27720 // (min(rnk) FILTER (rel = 1))
+                        END AS BIGINT) AS mrr_q27720,
+                   CAST(coalesce(sum(27720 // (rnk + 1))
+                                 FILTER (rel = 1), 0) AS BIGINT)
+                       AS dcg_q27720,
+                   CAST(coalesce(list_sum(list_transform(
+                        generate_series(1, LEAST(CAST(
+                            (SELECT nrel{qi} FROM tot) AS BIGINT), 10)),
+                        i -> 27720 // (i + 1))), 0) AS BIGINT)
+                       AS idcg_q27720
+            FROM (
+                SELECT rel{qi} AS rel,
+                       row_number() OVER (ORDER BY
+                           {term_expr(j0)} + {term_expr(j1)} DESC,
+                           doc_id) AS rnk
+                FROM pd, tot WHERE tf{j0} > 0 OR tf{j1} > 0
+            ) WHERE rnk <= 10""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS a
+            FROM documents
+        ),
+        pd AS (
+            SELECT doc_id, CAST(len(a) AS BIGINT) AS len,
+                   {tf_cols},
+                   {rel_cols}
+            FROM base
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(len) AS DOUBLE) AS sl,
+                   {df_cols},
+                   {nrel_cols}
+            FROM pd
+        ),
+        m AS ({union})
+        SELECT query, n_relevant, hits, first_rank, mrr_q27720,
+               dcg_q27720, idcg_q27720,
+               CASE WHEN idcg_q27720 = 0 THEN 0.0
+                    ELSE CAST(dcg_q27720 AS DOUBLE)
+                         / CAST(idcg_q27720 AS DOUBLE) END AS ndcg
+        FROM m ORDER BY query
+    """
+
+
 def _q_benford_audit(sf_dir: str):
     """Benford first-significant-digit audit over lineitem prices —
     the classic fabricated-data / ETL-corruption screen: per digit
@@ -7779,6 +7883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "benford_audit": _q_benford_audit,
         "bm25_search": _q_bm25_search,
+        "search_eval": _q_search_eval,
         "term_drift": _q_term_drift,
         "hybrid_search": _q_hybrid_search,
         "blocklist_rates": _q_blocklist_rates,
@@ -11301,6 +11406,7 @@ def oracle_sql() -> dict[str, str]:
         # bm25_search: the identical float tree — constant-foldable
         # (1.2+1.0)/(1.0-0.75) instead of 2.2/0.25 literals, explicit
         # two-term sum (never SUM()), same ln shape.
+        "search_eval": _search_eval_oracle(),
         "bm25_search": """
             WITH base AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS a

@@ -1227,3 +1227,167 @@ def vocab_growth(ds, doc_col: str = "doc_id", text_col: str = "text",
         "new_terms": pa.array(out_new, type=pa.int64()),
         "vocab_cum": pa.array(out_vocab, type=pa.int64()),
     })
+
+
+_HARMONIC_LCM = 27720  # lcm(1..11): 27720/(r+1) exact for ranks 1..10
+
+
+def search_eval(ds, queries, k: int = 10, doc_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75):
+    """Ranked-retrieval EVALUATION harness (the TREC-style companion of
+    :func:`bm25_search`): for each 2-term query, score the corpus with
+    BM25, take the top ``k``, and grade the ranking against binary
+    ground-truth relevance = exact adjacent-phrase presence
+    ("t1 t2" as consecutive tokens). Per query the output row carries
+    ``n_relevant, hits, first_rank`` and three rank metrics:
+
+    - gain function: HARMONIC 1/(rank+1) instead of the classic
+      1/log2(rank+1), scaled by 27720 = lcm(1..11) so every partial sum
+      is an exact int64 — ``dcg_q27720``, ``idcg_q27720`` (ideal: best
+      min(n_relevant, k) ranks) and ``mrr_q27720`` = 27720/first_rank
+      are integers the SQL oracle replays term-for-term (the same gain
+      family, only the gain table differs from log2);
+    - ``ndcg`` is ONE IEEE division of the two exact ints (0.0 when the
+      query has no relevant docs).
+
+    Scale shape: ONE stats pass computes doc length, per-term tf
+    (vectorized equality over the flattened token array) and per-query
+    phrase-relevance flags (successor equality, doc-boundary masked);
+    one corpus aggregate gives N / Σlen / df / n_relevant; scoring
+    reuses `bm25_search`'s bit-fixed float expression; each block
+    reduces to its local top-k per query, so the driver sees ≤
+    |queries|·k·blocks candidate rows — never the corpus.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    import ray.data
+
+    queries = [tuple(q) for q in queries]
+    if not queries or len(queries) > 8 or any(len(q) != 2 for q in queries):
+        raise ValueError("search_eval: 1..8 queries of exactly 2 terms")
+    if k > 10:
+        raise ValueError("search_eval: k <= 10 (harmonic gain table "
+                         "is exact for ranks 1..10)")
+    terms = sorted({t for q in queries for t in q})
+    t_idx = {t: j for j, t in enumerate(terms)}
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, row_idx, lens = _tokens_flat(batch, text_col)
+        n = batch.num_rows
+        eqs = {j: pc.equal(flat, t).to_numpy(zero_copy_only=False)
+               for t, j in t_idx.items()}
+        cols = {doc_col: batch.column(doc_col),
+                "len": pa.array(lens.astype(np.int64))}
+        for j in range(len(terms)):
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(row_idx[eqs[j]], minlength=n).astype(np.int64))
+        same_doc = row_idx[:-1] == row_idx[1:] if len(flat) > 1 else \
+            np.zeros(0, dtype=bool)
+        for qi, (t1, t2) in enumerate(queries):
+            if len(flat) > 1:
+                hit = eqs[t_idx[t1]][:-1] & eqs[t_idx[t2]][1:] & same_doc
+                rel = np.bincount(row_idx[:-1][hit], minlength=n) > 0
+            else:
+                rel = np.zeros(n, dtype=bool)
+            cols[f"rel{qi}"] = pa.array(rel.astype(np.int64))
+        return pa.Table.from_pydict(cols)
+
+    per_doc = ds.select_columns([doc_col, text_col]).map_batches(
+        stats, batch_format="pyarrow").materialize()  # consumed twice
+
+    def tot_partial(bt: pa.Table) -> pa.Table:
+        cols = {"n_docs": pa.array([bt.num_rows], type=pa.int64()),
+                "sum_len": pa.array([int(bt.column("len").to_numpy(
+                    zero_copy_only=False).sum())], type=pa.int64())}
+        for j in range(len(terms)):
+            tf = bt.column(f"tf{j}").to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+        for qi in range(len(queries)):
+            r = bt.column(f"rel{qi}").to_numpy(zero_copy_only=False)
+            cols[f"nrel{qi}"] = pa.array([int(r.sum())], type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_len", alias_name="sum_len")]
+    aggs += [Sum(f"df{j}", alias_name=f"df{j}") for j in range(len(terms))]
+    aggs += [Sum(f"nrel{qi}", alias_name=f"nrel{qi}")
+             for qi in range(len(queries))]
+    tot = (per_doc.map_batches(tot_partial, batch_format="pyarrow")
+           .aggregate(*aggs))
+    n_docs, sum_len = float(tot["n_docs"]), float(tot["sum_len"])
+    avg_len = sum_len / n_docs
+    nrel = [int(tot[f"nrel{qi}"]) for qi in range(len(queries))]
+    idf = [math.log(1.0 + (n_docs - float(tot[f"df{j}"]) + 0.5)
+                    / (float(tot[f"df{j}"]) + 0.5))
+           for j in range(len(terms))]
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+
+    def local_topk(bt: pa.Table) -> pa.Table:
+        L = bt.column("len").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        norm = k1 * (one_minus_b + b * (L / avg_len))
+        ids = bt.column(doc_col).to_numpy(zero_copy_only=False)
+        out_qi, out_id, out_sc, out_rel = [], [], [], []
+        for qi, (t1, t2) in enumerate(queries):
+            j0, j1 = t_idx[t1], t_idx[t2]
+            tf0 = bt.column(f"tf{j0}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            tf1 = bt.column(f"tf{j1}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            s = (idf[j0] * ((tf0 * k1p1) / (tf0 + norm))
+                 + idf[j1] * ((tf1 * k1p1) / (tf1 + norm)))
+            m = (tf0 > 0) | (tf1 > 0)
+            if not m.any():
+                continue
+            cand_ids, cand_s = ids[m], s[m]
+            rel = bt.column(f"rel{qi}").to_numpy(zero_copy_only=False)[m]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out_qi.extend([qi] * len(order))
+            out_id.extend(cand_ids[order].tolist())
+            out_sc.extend(cand_s[order].tolist())
+            out_rel.extend(rel[order].tolist())
+        return pa.table({
+            "qi": pa.array(out_qi, type=pa.int64()),
+            doc_col: pa.array(out_id, type=pa.int64()),
+            "score": pa.array(out_sc, type=pa.float64()),
+            "rel": pa.array(out_rel, type=pa.int64()),
+        })
+
+    cands = per_doc.map_batches(local_topk, batch_format="pyarrow")
+    rows = cands.take_all()  # <= |queries| * k * blocks rows
+
+    out = {c: [] for c in ("query", "n_relevant", "hits", "first_rank",
+                           "mrr_q27720", "dcg_q27720", "idcg_q27720",
+                           "ndcg")}
+    for qi, (t1, t2) in enumerate(queries):
+        r = [x for x in rows if x["qi"] == qi]
+        r.sort(key=lambda x: (-x["score"], x[doc_col]))
+        top = r[:k]
+        ranks_rel = [i + 1 for i, x in enumerate(top) if x["rel"]]
+        dcg = sum(_HARMONIC_LCM // (i + 1) for i in ranks_rel)
+        ideal = min(nrel[qi], k)
+        idcg = sum(_HARMONIC_LCM // (i + 1)
+                   for i in range(1, ideal + 1))
+        first = ranks_rel[0] if ranks_rel else 0
+        out["query"].append(f"{t1} {t2}")
+        out["n_relevant"].append(nrel[qi])
+        out["hits"].append(len(ranks_rel))
+        out["first_rank"].append(first)
+        out["mrr_q27720"].append(_HARMONIC_LCM // first if first else 0)
+        out["dcg_q27720"].append(dcg)
+        out["idcg_q27720"].append(idcg)
+        out["ndcg"].append(float(dcg) / float(idcg) if idcg else 0.0)
+
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "query": pa.array(out["query"], type=pa.string()),
+        "n_relevant": pa.array(out["n_relevant"], type=pa.int64()),
+        "hits": pa.array(out["hits"], type=pa.int64()),
+        "first_rank": pa.array(out["first_rank"], type=pa.int64()),
+        "mrr_q27720": pa.array(out["mrr_q27720"], type=pa.int64()),
+        "dcg_q27720": pa.array(out["dcg_q27720"], type=pa.int64()),
+        "idcg_q27720": pa.array(out["idcg_q27720"], type=pa.int64()),
+        "ndcg": pa.array(out["ndcg"], type=pa.float64()),
+    })).sort("query")

@@ -372,3 +372,30 @@ def test_chi2_terms_discriminative(ray_session):
     # "the" appears in every doc -> degenerate table -> chi2 defined 0
     the_rows = [r for r in out if r["term"] == "the"]
     assert the_rows and all(r["chi2"] == 0.0 for r in the_rows)
+
+
+def test_search_eval_metrics(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import search_eval
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta alpha beta alpha beta"},  # rel, tf-heavy
+        {"doc_id": 2, "text": "alpha beta gamma"},                  # rel
+        {"doc_id": 3, "text": "beta alpha gamma"},                  # terms, no phrase
+        {"doc_id": 4, "text": "gamma gamma gamma"},                 # no terms
+    ]
+    out = search_eval(ray.data.from_items(docs),
+                      [("alpha", "beta"), ("gamma", "alpha")],
+                      k=10).take_all()
+    by_q = {r["query"]: r for r in out}
+    ab = by_q["alpha beta"]
+    assert ab["n_relevant"] == 2 and ab["hits"] == 2
+    assert ab["first_rank"] == 1  # doc 1 ranks first (highest tf)
+    assert ab["mrr_q27720"] == 27720
+    # ranks 1 and 2 relevant: dcg = 27720/2 + 27720/3 = ideal -> ndcg 1.0
+    assert ab["dcg_q27720"] == 13860 + 9240 == ab["idcg_q27720"]
+    assert ab["ndcg"] == 1.0
+    ga = by_q["gamma alpha"]  # phrase "gamma alpha" occurs nowhere
+    assert ga["n_relevant"] == 0 and ga["ndcg"] == 0.0
+    assert ga["first_rank"] == 0 and ga["mrr_q27720"] == 0
