@@ -5095,6 +5095,28 @@ def _q_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def _q_kcore(sf_dir: str):
+    """Fixed-round k-core peeling (`functions/graph.py:kcore_rounds`,
+    Seidman's cohesion core, synchronous-peel formulation) of the part
+    hand-off graph: 3 rounds at k=22 — the graph peels 28983 → 15749
+    edges at sf0.01 with 1277 nodes surviving. Edges live as ONE packed
+    int64 per round; survivors broadcast as a sorted array; the oracle
+    unrolls the same 3 rounds as semi-join CTEs."""
+    import ray.data
+
+    from smartreader_ray.functions.graph import (consecutive_edges,
+                                                 kcore_rounds)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    edges = consecutive_edges(
+        li, "l_orderkey", "l_linenumber", "l_partkey", seq_stride=1000
+    )
+    return kcore_rounds(edges, k=22, rounds=3)
+
+
 def _q_cdc_reprocess_chain(sf_dir: str):
     """Composed chain #7 — incremental reprocessing driven by CDC:
     snapshot-diff the two corpus versions (`setops.table_diff`), keep
@@ -7962,6 +7984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_ratio": _q_compress_ratio,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
+        "kcore": _q_kcore,
         "cdc_reprocess_chain": _q_cdc_reprocess_chain,
         "mad_outliers": _q_mad_outliers,
         "user_paths": _q_user_paths,
@@ -12308,6 +12331,47 @@ def oracle_sql() -> dict[str, str]:
         # triangles: same degree-(then id)-ordered orientation via SQL
         # row-value comparison; wedges = oriented out-neighbor pairs;
         # closing edge looked up in the undirected edge set.
+        # kcore: unroll the 3 synchronous peel rounds as CTEs — each
+        # round recomputes degrees over the surviving edge set and
+        # keeps edges whose BOTH endpoints still have deg >= 22.
+        "kcore": """
+            WITH li AS (
+                SELECT l_orderkey * 1000 + l_linenumber AS k, l_partkey
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b ON b.k = a.k + 1
+                WHERE a.l_partkey <> b.l_partkey
+            ), e0 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a,
+                                GREATEST(src, dst) AS b
+                FROM e
+            ),
+            d1 AS (SELECT v, count(*) AS deg FROM (
+                       SELECT a AS v FROM e0
+                       UNION ALL SELECT b AS v FROM e0) GROUP BY v),
+            a1 AS (SELECT v FROM d1 WHERE deg >= 22),
+            e1 AS (SELECT a, b FROM e0
+                   WHERE a IN (SELECT v FROM a1)
+                     AND b IN (SELECT v FROM a1)),
+            d2 AS (SELECT v, count(*) AS deg FROM (
+                       SELECT a AS v FROM e1
+                       UNION ALL SELECT b AS v FROM e1) GROUP BY v),
+            a2 AS (SELECT v FROM d2 WHERE deg >= 22),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT v FROM a2)
+                     AND b IN (SELECT v FROM a2)),
+            d3 AS (SELECT v, count(*) AS deg FROM (
+                       SELECT a AS v FROM e2
+                       UNION ALL SELECT b AS v FROM e2) GROUP BY v),
+            a3 AS (SELECT v FROM d3 WHERE deg >= 22),
+            e3 AS (SELECT a, b FROM e2
+                   WHERE a IN (SELECT v FROM a3)
+                     AND b IN (SELECT v FROM a3))
+            SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3)
+            GROUP BY v ORDER BY v
+        """,
         "triangles": """
             WITH li AS (
                 SELECT l_orderkey * 1000 + l_linenumber AS k, l_partkey

@@ -1182,3 +1182,110 @@ def bfs_hops(edges, sources, max_hops: int = 4,
         frontier = unseen.map_batches(lambda b: b.select(["v"]),
                                       batch_format="pyarrow")
     return visited.sort("v")
+
+
+def kcore_rounds(edges, k: int = 3, rounds: int = 3,
+                 src_col: str = "src", dst_col: str = "dst",
+                 alive_max: int = 50_000_000):
+    """Fixed-round k-core peeling of the undirected graph induced by a
+    directed edge list — the cohesion filter link-graph curation uses
+    to separate densely-embedded pages from spam tendrils (Seidman's
+    k-core, the batched "peel degree < k, repeat" formulation; each
+    round here is one synchronous peel, exactly the round structure of
+    the MapReduce k-core algorithms). The FIXED ``rounds`` contract
+    (rather than run-to-fixpoint) keeps the operator deterministic AND
+    SQL-replayable — the oracle unrolls the same R rounds as CTEs; at
+    convergence (edges stop shrinking) the result IS the true k-core.
+
+    Output: one row per node with ≥ 1 surviving edge after R peels —
+    ``(v, deg)``, the node's degree within the peeled edge set, sorted
+    by node id.
+
+    Scale shape: canonical distinct edges live as ONE packed int64
+    (lo << 32 | hi; loud guard: node ids must fit 31 bits — widen to a
+    2-column exchange past that), so the initial distinct and every
+    round's filter exchange 8 B/edge. Each round = per-block degree
+    partials (np.unique over unpacked endpoints) → one node-sized
+    ``groupby Sum`` → survivors (deg ≥ k) broadcast once as a sorted
+    array via ``ray.put`` (bounded by ``alive_max``; the named
+    alternative past the bound is two semi-joins on the endpoint
+    columns) → vectorized searchsorted filter of the packed edges,
+    materialized so the next round starts from the shrunk list instead
+    of replaying the lineage.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    lim = np.int64(1) << np.int64(31)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(src_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = pc.cast(batch.column(dst_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(s) and (min(s.min(), d.min()) < 0
+                       or max(s.max(), d.max()) >= lim):
+            raise ValueError("kcore_rounds: node ids outside [0, 2^31) "
+                             "— use a 2-column edge exchange")
+        m = s != d
+        lo = np.minimum(s[m], d[m])
+        hi = np.maximum(s[m], d[m])
+        e = np.unique((lo << np.int64(32)) | hi)
+        return pa.table({"e": pa.array(e, type=pa.int64())})
+
+    def first_of_group(group: pa.Table) -> pa.Table:
+        return group.select(["e"]).slice(0, 1)
+
+    cur = (edges.map_batches(pack, batch_format="pyarrow")
+           .groupby("e").map_groups(first_of_group,
+                                    batch_format="pyarrow")
+           .materialize())
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("e").to_numpy(zero_copy_only=False)
+        v = np.concatenate([e >> np.int64(32),
+                            e & np.int64(0xFFFFFFFF)])
+        uv, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv, type=pa.int64()),
+                         "c": pa.array(c.astype(np.int64),
+                                       type=pa.int64())})
+
+    def degrees(ds):
+        return (ds.map_batches(degree_partial, batch_format="pyarrow")
+                .groupby("v").aggregate(Sum("c", alias_name="deg")))
+
+    for _ in range(rounds):
+        surv_parts = [b.column("v").to_numpy(zero_copy_only=False)
+                      for b in degrees(cur).filter(expr=f"deg >= {k}")
+                      .select_columns(["v"])
+                      .iter_batches(batch_format="pyarrow")]
+        alive = (np.sort(np.concatenate(surv_parts))
+                 if surv_parts else np.empty(0, np.int64))
+        if len(alive) > alive_max:
+            raise ValueError(
+                f"kcore_rounds: {len(alive)} surviving nodes exceed "
+                f"the broadcast bound {alive_max} — switch the round "
+                "filter to two endpoint semi-joins")
+        alive_ref = ray.put(alive)
+
+        def keep_alive(batch: pa.Table, _ref=alive_ref) -> pa.Table:
+            al = ray.get(_ref)
+            e = batch.column("e").to_numpy(zero_copy_only=False)
+            if not len(al):
+                return pa.table({"e": pa.array([], type=pa.int64())})
+            a = e >> np.int64(32)
+            b = e & np.int64(0xFFFFFFFF)
+
+            def member(x):
+                p = np.searchsorted(al, x)
+                p[p == len(al)] = 0
+                return al[p] == x
+
+            return pa.table({"e": pa.array(e[member(a) & member(b)],
+                                           type=pa.int64())})
+
+        cur = cur.map_batches(keep_alive,
+                              batch_format="pyarrow").materialize()
+
+    return degrees(cur).sort("v")

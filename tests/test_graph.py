@@ -333,3 +333,28 @@ def test_bfs_hops_empty_sources_raise(ray_session):
         "dst": pa.array([2], type=pa.int64())}))
     with pytest.raises(ValueError, match="non-empty"):
         bfs_hops(eds, [])
+
+
+def test_kcore_rounds_peels_tendrils(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import kcore_rounds
+
+    # 4-clique (nodes 0..3) with a pendant path 3-10-11: the path peels
+    # off in two rounds at k=2; the clique is the stable 2-core.
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = clique + [(3, 10), (10, 11)]
+    ds = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in edges])
+    out = {r["v"]: r["deg"]
+           for r in kcore_rounds(ds, k=2, rounds=3).take_all()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[v] == 3 for v in range(4))
+
+    # rounds=0 returns raw canonical-distinct degrees
+    out0 = {r["v"]: r["deg"]
+            for r in kcore_rounds(ds, k=2, rounds=0).take_all()}
+    assert out0[10] == 2 and out0[11] == 1
+
+    # k above the max degree empties the graph
+    assert kcore_rounds(ds, k=10, rounds=2).take_all() == []
