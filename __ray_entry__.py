@@ -2278,6 +2278,71 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, min_count=2).sort("doc_id")
 
 
+def _q_c4_clean_chain(sf_dir: str):
+    """Composed chain #37 — the C4/CCNet line-hygiene pipeline end to
+    end: plant line boundaries (8 + doc_id%5) → corpus-wide
+    duplicate-line removal (`line_dedup`) → gate out boilerplate-heavy
+    docs (more than half their lines removed: 2·n_removed > n_lines,
+    integer-exact) → stamp each doc's source back via the vectorized
+    `hash_join` (doc-sized thin tables, never text) → per-source
+    rollup: docs seen/kept/dropped, lines removed, clean chars kept.
+    ONE SQL oracle replays the whole chain."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from smartreader_ray.functions import line_dedup
+    from smartreader_ray.functions.join import hash_join
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            g = 8 + int(did) % 5
+            toks = (text or "").strip().split(" ")
+            out.append("\n".join(
+                " ".join(toks[i:i + g])
+                for i in range(0, len(toks), g)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    ld = line_dedup(docs.map_batches(plant, batch_format="pyarrow"),
+                    min_count=2)
+
+    def stats(b: pa.Table) -> pa.Table:
+        n_lines = b.column("n_lines").to_numpy(zero_copy_only=False)
+        n_rm = b.column("n_removed").to_numpy(zero_copy_only=False)
+        kept = (2 * n_rm <= n_lines).astype(np.int64)
+        chars = pc.utf8_length(b.column("clean_text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "kept": pa.array(kept, type=pa.int64()),
+            "lines_removed": b.column("n_removed"),
+            "clean_chars": pa.array(chars * kept, type=pa.int64()),
+        })
+
+    per_doc = ld.map_batches(stats, batch_format="pyarrow")
+    joined = hash_join(
+        per_doc, docs.select_columns(["doc_id", "source"]),
+        "doc_id", "doc_id",
+        ["kept", "lines_removed", "clean_chars"], ["source"])
+    from ray.data.aggregate import Count
+
+    return (joined.groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("kept", alias_name="n_kept"),
+                       Sum("lines_removed", alias_name="lines_removed"),
+                       Sum("clean_chars", alias_name="clean_chars"))
+            .sort("source"))
+
+
 def _q_winnow_fps(sf_dir: str):
     """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03;
     `functions/winnow.py`): FNV-1a over 4-token shingles, window-4
@@ -7886,6 +7951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_lcs": _q_substring_lcs,
         "dup_passages_hashed": _q_dup_passages_hashed,
         "line_dedup": _q_line_dedup,
+        "c4_clean_chain": _q_c4_clean_chain,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
@@ -9825,6 +9891,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                             FILTER (WHERE NOT dup), '') AS clean_text
             FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        # c4_clean_chain: the full line-hygiene chain in one statement —
+        # line_dedup replay + the 2*removed <= lines keep gate + source
+        # rollup (clean chars counted over kept docs only).
+        "c4_clean_chain": """
+            WITH m AS (
+                SELECT doc_id, 8 + doc_id % 5 AS g,
+                       string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i,
+                       array_to_string(a[1 + i*g : (i+1)*g], ' ') AS line
+                FROM m,
+                     UNNEST(range(CAST((len(a) + g - 1) // g
+                                       AS BIGINT))) AS t(i)
+            ),
+            cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+            marked AS (
+                SELECT l.doc_id, l.line, (cnt.c >= 2) AS dup
+                FROM lines l JOIN cnt USING (line)
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_lines,
+                       count(*) FILTER (WHERE dup) AS n_removed,
+                       coalesce(sum(length(line) + 1)
+                                FILTER (WHERE NOT dup), 0)
+                           - CASE WHEN count(*) FILTER (WHERE NOT dup)
+                                       > 0 THEN 1 ELSE 0 END
+                           AS clean_chars
+                FROM marked GROUP BY doc_id
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN 2 * p.n_removed <= p.n_lines
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(p.n_removed) AS BIGINT) AS lines_removed,
+                   CAST(sum(CASE WHEN 2 * p.n_removed <= p.n_lines
+                                 THEN p.clean_chars ELSE 0 END)
+                        AS BIGINT) AS clean_chars
+            FROM per_doc p JOIN documents d USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
         """,
         # lm_perplexity: replay the bigram LM's training counts off the
         # same held-in slice and re-derive each doc's integer sufficient
