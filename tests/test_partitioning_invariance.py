@@ -145,3 +145,55 @@ def test_pagerank_invariant_across_edge_partitioning(ray_session):
                  ray.data.from_arrow(nodes), node_col="v", iterations=3)
     )
     assert one == many
+
+
+def test_line_dedup_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import line_dedup
+
+    # inject real newlines so lines repeat across docs
+    tbl = _docs_tbl()
+    texts = [t.replace(" ", "\n", 3) for t in tbl.column("text").to_pylist()]
+    tbl = tbl.set_column(1, "text", pa.array(texts, type=pa.string()))
+    a = ray.data.from_arrow(tbl)
+    b = ray.data.from_arrow(tbl).repartition(6)
+    assert _rows(line_dedup(a, min_count=2)) == \
+        _rows(line_dedup(b, min_count=2))
+
+
+def test_chi2_terms_invariant(ray_session):
+    from smartreader_ray.functions import chi2_terms
+
+    a, b = _pair(ray_session)
+    assert _rows(chi2_terms(a, label_col="lang", top_k=5)) == \
+        _rows(chi2_terms(b, label_col="lang", top_k=5))
+
+
+def test_unimax_mix_invariant(ray_session):
+    from smartreader_ray.functions import unimax_mix
+
+    a, b = _pair(ray_session)
+    assert _rows(unimax_mix(a, budget=10)) == \
+        _rows(unimax_mix(b, budget=10))
+
+
+def test_kcore_invariant(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import kcore_rounds
+
+    edges = [{"src": a % 7, "dst": (a * 3 + 1) % 7} for a in range(30)]
+    x = ray.data.from_items(edges)
+    y = ray.data.from_items(edges).repartition(5)
+    assert _rows(kcore_rounds(x, k=2, rounds=2)) == \
+        _rows(kcore_rounds(y, k=2, rounds=2))
+
+
+def test_search_eval_invariant(ray_session):
+    from smartreader_ray.functions import search_eval
+
+    a, b = _pair(ray_session)
+    qs = [("alpha", "beta"), ("gamma", "delta")]
+    assert _rows(search_eval(a, qs, k=5)) == _rows(search_eval(b, qs, k=5))

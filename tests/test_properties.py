@@ -297,3 +297,28 @@ def test_warc_roundtrip_property(pages, compress):
         assert rec["headers"]["warc-target-uri"] == uri
         _, body = rec["block"].split(b"\r\n\r\n", 1)
         assert body == html.encode("utf-8")
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    st.dictionaries(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                    st.integers(min_value=0, max_value=1000),
+                    min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=1, max_value=3),
+)
+def test_unimax_allocation_properties(counts, budget, epochs):
+    from smartreader_ray.functions import unimax_allocation
+
+    quota = unimax_allocation(counts, budget, epochs)
+    caps = {k: n * epochs for k, n in counts.items()}
+    assert set(quota) == set(counts)
+    # never over cap, never negative
+    assert all(0 <= quota[k] <= caps[k] for k in quota)
+    # exhausts min(budget, total capacity) exactly
+    assert sum(quota.values()) == min(budget, sum(caps.values()))
+    # water level: any key below its cap must be within 1 unit of the
+    # maximum uncapped allocation (the uniform share)
+    uncapped = [quota[k] for k in quota if quota[k] < caps[k]]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
