@@ -178,6 +178,21 @@ def _q_compress_ratio(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution entropy
+    (`functions/textstats.py:char_entropy`) — the gibberish /
+    encoding-junk / filler detector on the character axis. Pure
+    per-doc kernel, zero shuffle; entropy in NANO-NATS as the
+    order-independent integer sum of floored per-char terms (the
+    source_entropy DSIR trick), replayed bit-for-bit by the oracle
+    over per-character unnest counts."""
+    from smartreader_ray.functions.textstats import char_entropy
+
+    return (_docs(sf_dir).map_batches(char_entropy,
+                                      batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def _q_bpe_tokens(sf_dir: str):
     """GPT-2-style pre-tokenizer counts (LLM-budget estimator); the
     stdlib-re pattern uses lookahead RE2 lacks → rows-only check, unit
@@ -8048,6 +8063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_activity": _q_ewma_activity,
         "decontam_clean_chain": _q_decontam_clean_chain,
         "compress_ratio": _q_compress_ratio,
+        "char_entropy": _q_char_entropy,
         "basket_pairs": _q_basket_pairs,
         "triangles": _q_triangles,
         "kcore": _q_kcore,
@@ -9891,6 +9907,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                             FILTER (WHERE NOT dup), '') AS clean_text
             FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        # char_entropy: per-character counts via indexed unnest, then
+        # the identical floored nano-nat expression, integer-summed.
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, length(text) AS n,
+                       unnest(list_transform(
+                           generate_series(1, length(text)),
+                           i -> text[i])) AS c
+                FROM documents
+            ),
+            cc AS (SELECT doc_id, any_value(n) AS n, c, count(*) AS cnt
+                   FROM ch GROUP BY doc_id, c),
+            per AS (
+                SELECT doc_id,
+                       CAST(any_value(n) AS BIGINT) AS n_chars,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(sum(CAST(floor(1000000000.0 *
+                            ((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(n AS DOUBLE)
+                                  / CAST(cnt AS DOUBLE))))
+                            AS BIGINT)) AS BIGINT) AS entropy_nano
+                FROM cc GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   coalesce(p.n_chars, 0) AS n_chars,
+                   coalesce(p.n_distinct, 0) AS n_distinct,
+                   coalesce(p.entropy_nano, 0) AS entropy_nano
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY doc_id
         """,
         # c4_clean_chain: the full line-hygiene chain in one statement —
         # line_dedup replay + the 2*removed <= lines keep gate + source

@@ -488,3 +488,46 @@ def readability_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "n_vowel_groups": pa.array(v, type=pa.int64()),
         "fk_grade": pa.array(grade, type=pa.float64()),
     })
+
+
+def char_entropy(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Per-document CHARACTER-distribution entropy — the cheap
+    gibberish / encoding-junk / repeated-filler detector that token
+    stats miss (mojibake and base64 blobs have near-maximal char
+    entropy; `aaaa…` filler has near-zero): the RedPajama-v2/Gopher
+    quality-signal family's character axis.
+
+    Pure per-doc ``map_batches`` kernel, zero shuffle. Entropy is the
+    ORDER-INDEPENDENT integer sum of per-character nano-nat terms
+    (the `source_entropy` DSIR floored-ln trick — an IEEE Σ −p·ln p
+    would be summation-order-dependent and unhashable across engines):
+    ``entropy_nano = Σ_chars floor(10⁹ · (c/n) · ln(n/c))``. Counting
+    is vectorized over UTF-32 code points per doc (np.unique), which
+    matches SQL's per-character semantics code point for code point.
+
+    Output per doc: ``(doc_id, n_chars, n_distinct, entropy_nano)``;
+    empty docs score (0, 0, 0).
+    """
+    ids = batch.column(id_col)
+    out_n, out_d, out_e = [], [], []
+    for t in batch.column(text_col).to_pylist():
+        cp = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+        n = len(cp)
+        if n == 0:
+            out_n.append(0); out_d.append(0); out_e.append(0)
+            continue
+        _, c = np.unique(cp, return_counts=True)
+        cf = c.astype(np.float64)
+        nf = np.float64(n)
+        terms = np.floor(1e9 * ((cf / nf) * np.log(nf / cf))).astype(
+            np.int64)
+        out_n.append(n)
+        out_d.append(len(c))
+        out_e.append(int(terms.sum()))
+    return pa.table({
+        id_col: ids,
+        "n_chars": pa.array(out_n, type=pa.int64()),
+        "n_distinct": pa.array(out_d, type=pa.int64()),
+        "entropy_nano": pa.array(out_e, type=pa.int64()),
+    })

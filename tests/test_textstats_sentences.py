@@ -100,3 +100,31 @@ def test_readability_stats_kernel(ray_session):
             == (w, s, v), (did, r)
         want = 0.39 * (float(w) / s) + 11.8 * (float(v) / w) - 15.59
         assert r["fk_grade"] == want
+
+
+def test_char_entropy_extremes(ray_session):
+    import math
+
+    import ray.data
+
+    from smartreader_ray.functions import char_entropy
+
+    docs = [
+        {"doc_id": 1, "text": "aaaaaaaa"},        # zero entropy
+        {"doc_id": 2, "text": "abcdefgh"},        # maximal: ln(8)
+        {"doc_id": 3, "text": ""},                # empty
+        {"doc_id": 4, "text": "aabb"},            # ln(2)
+    ]
+    out = {r["doc_id"]: r
+           for r in ray.data.from_items(docs)
+           .map_batches(char_entropy, batch_format="pyarrow")
+           .take_all()}
+    assert out[1]["entropy_nano"] == 0 and out[1]["n_distinct"] == 1
+    # uniform over 8 chars: each term floor(1e9 * (1/8) * ln 8)
+    import numpy as np
+    term = int(np.floor(1e9 * ((np.float64(1.0) / 8.0)
+                               * np.log(np.float64(8.0) / 1.0))))
+    assert out[2]["entropy_nano"] == 8 * term
+    assert out[3] == {"doc_id": 3, "n_chars": 0, "n_distinct": 0,
+                      "entropy_nano": 0}
+    assert abs(out[4]["entropy_nano"] / 1e9 - math.log(2)) < 1e-8
