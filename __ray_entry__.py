@@ -2718,6 +2718,62 @@ def _q_chi2_terms(sf_dir: str):
         label_col="lang", top_k=15)
 
 
+def _q_chi2_lid_chain(sf_dir: str):
+    """Composed chain #38 — feature selection → classifier → eval, the
+    classic build-a-cheap-domain-classifier loop: χ² top-15 vocabulary
+    per language (`chi2_terms`) → broadcast the 75-term vocab → score
+    every doc per label by DISTINCT vocab terms present (vectorized
+    isin + packed (row, term-idx) unique, all integer) → predict the
+    argmax label (ties → label asc) → confusion matrix against the
+    corpus's true lang labels. Output (true_lang, pred_label, n). One
+    SQL oracle replays vocabulary, scoring and argmax."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from smartreader_ray.functions.ngrams import _tokens_flat, chi2_terms
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    vocab_rows = chi2_terms(docs, label_col="lang", top_k=15).take_all()
+    labels = sorted({r["label"] for r in vocab_rows})
+    vocab = {lb: np.array(sorted({r["term"] for r in vocab_rows
+                                  if r["label"] == lb}))
+             for lb in labels}
+    vocab_ref = ray.put((labels, vocab))
+
+    def classify(b: pa.Table) -> pa.Table:
+        lbs, voc = ray.get(vocab_ref)
+        flat, row_idx, _ = _tokens_flat(b, "text")
+        toks = flat.to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        scores = np.zeros((n, len(lbs)), dtype=np.int64)
+        for j, lb in enumerate(lbs):
+            v = voc[lb]
+            pos = np.searchsorted(v, toks)
+            pos[pos == len(v)] = 0
+            hit = v[pos] == toks
+            if hit.any():
+                packed = row_idx[hit] * np.int64(64) + pos[hit]
+                uniq = np.unique(packed)
+                scores[:, j] = np.bincount(
+                    (uniq // np.int64(64)).astype(np.int64),
+                    minlength=n)
+        pred = np.argmax(scores, axis=1)  # first max = label asc
+        return pa.table({
+            "true_lang": b.column("lang"),
+            "pred_label": pa.array([lbs[p] for p in pred],
+                                   type=pa.string()),
+        })
+
+    return (docs.map_batches(classify, batch_format="pyarrow")
+            .groupby(["true_lang", "pred_label"])
+            .aggregate(Count(alias_name="n"))
+            .sort(["true_lang", "pred_label"]))
+
+
 def _q_bigram_counts(sf_dir: str):
     """Top-100 corpus bigrams: vectorized successor-pairing over the
     flattened token array per block, partial counts before the one
@@ -7934,6 +7990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "term_doc_freq": _q_term_doc_freq,
         "chi2_terms": _q_chi2_terms,
+        "chi2_lid_chain": _q_chi2_lid_chain,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
@@ -10550,6 +10607,90 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY label ORDER BY chi2 DESC, term) <= 15
             ORDER BY label, chi2 DESC, term
+        """,
+        # chi2_lid_chain: chi2_terms CTE stack -> top-15 vocab per
+        # label -> per-(doc,label) distinct-vocab-hit counts (zero
+        # rows kept via the cross join) -> argmax with label-asc ties
+        # -> confusion counts against the true lang column.
+        "chi2_lid_chain": """
+            WITH tl AS (
+                SELECT DISTINCT doc_id, lang AS label,
+                       unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            ),
+            lt AS (
+                SELECT label, term, CAST(count(*) AS BIGINT) AS a
+                FROM tl WHERE term <> '' GROUP BY label, term
+            ),
+            nl AS (
+                SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_label
+                FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            tt AS (
+                SELECT term, CAST(sum(a) AS BIGINT) AS t
+                FROM lt GROUP BY term
+            ),
+            scored AS (
+                SELECT lt.label, lt.term,
+                       CASE WHEN tt.t = tot.n OR nl.n_label = tot.n
+                            THEN 0.0
+                            ELSE (CAST(tot.n AS DOUBLE) *
+                                  ((CAST(lt.a AS DOUBLE) *
+                                    CAST(tot.n - nl.n_label
+                                         - (tt.t - lt.a) AS DOUBLE)
+                                    - CAST(nl.n_label - lt.a AS DOUBLE) *
+                                      CAST(tt.t - lt.a AS DOUBLE))
+                                   *
+                                   (CAST(lt.a AS DOUBLE) *
+                                    CAST(tot.n - nl.n_label
+                                         - (tt.t - lt.a) AS DOUBLE)
+                                    - CAST(nl.n_label - lt.a AS DOUBLE) *
+                                      CAST(tt.t - lt.a AS DOUBLE))))
+                                 / ((CAST(lt.a + (nl.n_label - lt.a)
+                                          AS DOUBLE) *
+                                     CAST((tt.t - lt.a)
+                                          + (tot.n - nl.n_label
+                                             - (tt.t - lt.a)) AS DOUBLE))
+                                    *
+                                    (CAST(lt.a + (tt.t - lt.a) AS DOUBLE) *
+                                     CAST((nl.n_label - lt.a)
+                                          + (tot.n - nl.n_label
+                                             - (tt.t - lt.a)) AS DOUBLE)))
+                       END AS chi2
+                FROM lt
+                JOIN nl USING (label)
+                JOIN tt USING (term), tot
+            ),
+            vocab AS (
+                SELECT label, term FROM scored
+                QUALIFY row_number() OVER (
+                    PARTITION BY label ORDER BY chi2 DESC, term) <= 15
+            ),
+            dt AS (SELECT DISTINCT doc_id, term FROM tl),
+            sc AS (
+                SELECT d.doc_id, v.label, count(DISTINCT v.term) AS s
+                FROM dt d JOIN vocab v USING (term)
+                GROUP BY d.doc_id, v.label
+            ),
+            allp AS (
+                SELECT doc.doc_id, l.label, coalesce(sc.s, 0) AS s
+                FROM documents doc
+                CROSS JOIN (SELECT DISTINCT label FROM vocab) l
+                LEFT JOIN sc ON sc.doc_id = doc.doc_id
+                            AND sc.label = l.label
+            ),
+            pred AS (
+                SELECT doc_id, label AS pred_label
+                FROM allp
+                QUALIFY row_number() OVER (
+                    PARTITION BY doc_id ORDER BY s DESC, label) = 1
+            )
+            SELECT d.lang AS true_lang, p.pred_label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY d.lang, p.pred_label
+            ORDER BY d.lang, p.pred_label
         """,
         "bigram_counts": """
             WITH toks AS (
