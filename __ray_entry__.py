@@ -5165,6 +5165,38 @@ def _q_k_anonymity(sf_dir: str):
         ["c_mktsegment", "c_nationkey"])
 
 
+def _q_l_diversity(sf_dir: str):
+    """l-diversity release gate (`functions/curation.py:l_diversity`,
+    Machanavajjhala et al.): customer (segment × nation) groups whose
+    account-balance band (floor(acctbal/2000)) shows fewer than l=4
+    distinct values — groups that pass size checks but leak the
+    sensitive attribute by uniformity. Two collapsing exchanges
+    (distinct pairs, then combinations); rows never move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.curation import l_diversity
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def band(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("c_acctbal"), pa.float64()), 2000.0)),
+            pa.int64())
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "band": v,
+        })
+
+    return (l_diversity(cust.map_batches(band, batch_format="pyarrow"),
+                        ["c_mktsegment", "c_nationkey"], "band", l=4)
+            .sort(["c_mktsegment", "c_nationkey"]))
+
+
 def _q_join_explain(sf_dir: str):
     """Join planning profiler (`functions/join.py: join_cardinality`):
     exact inner-join output size Σ c_l(k)·c_r(k), distinct-key overlap
@@ -8116,6 +8148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr": _q_bloom_fpr,
         "join_explain": _q_join_explain,
         "k_anonymity": _q_k_anonymity,
+        "l_diversity": _q_l_diversity,
         "semantic_decontam": _q_semantic_decontam,
         "ewma_activity": _q_ewma_activity,
         "decontam_clean_chain": _q_decontam_clean_chain,
@@ -12555,6 +12588,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.vec_id ORDER BY t.vec_id
         """,
         # k_anonymity: GROUP BY ... HAVING count < k.
+        # l_diversity: distinct (quasi, band) pairs with row counts,
+        # then per-combination distinct-band + row totals, under-l.
+        "l_diversity": """
+            WITH pairs AS (
+                SELECT c_mktsegment,
+                       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0)
+                            AS BIGINT) AS band,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_sensitive,
+                   CAST(sum(n) AS BIGINT) AS n_rows
+            FROM pairs GROUP BY 1, 2
+            HAVING count(*) < 4
+            ORDER BY c_mktsegment, c_nationkey
+        """,
         "k_anonymity": """
             SELECT c_mktsegment, c_nationkey,
                    CAST(count(*) AS BIGINT) AS n

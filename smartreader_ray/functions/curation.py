@@ -678,6 +678,53 @@ def token_dropout(ds, rate_den: int = 8, doc_col: str = "doc_id",
         aug, batch_format="pyarrow")
 
 
+def l_diversity(ds, quasi_cols: list[str], sensitive_col: str,
+                l: int = 3):
+    """The l-diversity companion of :func:`k_anonymity` (Machanavajjhala
+    et al., ICDE 2006): a quasi-identifier group can be large enough to
+    pass k-anonymity yet still leak — if every member shares the same
+    SENSITIVE value, membership alone discloses it. Returns the
+    violating groups: ``(*quasi_cols, n_sensitive, n_rows)`` where the
+    group's distinct-sensitive-value count is below ``l``.
+
+    Ray shape, two collapsing exchanges, row data never moves past the
+    first map: per-block partials pre-combine to distinct
+    (quasi, sensitive) pairs with row counts → one groupby over the
+    pair table (bounded by QI-domain × sensitive-domain, not rows) →
+    one groupby over quasi combinations counting pairs (= distinct
+    sensitive values) and summing rows → the under-l filter.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    cols = quasi_cols + [sensitive_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(cols).append_column(
+            "n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = t.group_by(cols).aggregate([("n", "sum")])
+        return g.rename_columns(cols + ["n"])
+
+    pairs = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(cols)
+             .aggregate(Sum("n", alias_name="n")))
+
+    def under_l(b: pa.Table) -> pa.Table:
+        ns = pc.cast(b.column("n_sensitive"), pa.int64())
+        t = b.set_column(b.schema.get_field_index("n_sensitive"),
+                         "n_sensitive", ns)
+        t = t.set_column(t.schema.get_field_index("n_rows"), "n_rows",
+                         pc.cast(t.column("n_rows"), pa.int64()))
+        return t.filter(pc.less(ns, l))
+
+    return (pairs.groupby(quasi_cols)
+            .aggregate(Count(alias_name="n_sensitive"),
+                       Sum("n", alias_name="n_rows"))
+            .map_batches(under_l, batch_format="pyarrow"))
+
+
 def k_anonymity(ds, quasi_cols: list[str], k: int = 10):
     """Privacy / governance audit: rows sharing a quasi-identifier
     combination form an anonymity set; any combination with fewer than

@@ -332,3 +332,24 @@ def test_k_anonymity_flags_small_groups(ray_session):
                 ray.data.from_arrow(t).repartition(parts),
                 ["seg", "nat"], k=10).take_all())
         assert out == [("B", 2, 3), ("C", 4, 1)]
+
+
+def test_l_diversity_flags_uniform_groups(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import l_diversity
+
+    rows = (
+        # group A: 4 rows but only one sensitive value -> flagged
+        [{"seg": "A", "nat": 1, "s": 10}] * 4
+        # group B: 3 rows, 3 distinct values -> passes l=2
+        + [{"seg": "B", "nat": 1, "s": v} for v in (1, 2, 3)]
+        # group C: 2 rows, 2 distinct -> passes
+        + [{"seg": "C", "nat": 2, "s": v} for v in (5, 6)]
+    )
+    out = l_diversity(ray.data.from_items(rows), ["seg", "nat"], "s",
+                      l=2).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["seg"], r["nat"]) == ("A", 1)
+    assert r["n_sensitive"] == 1 and r["n_rows"] == 4
