@@ -5197,6 +5197,40 @@ def _q_l_diversity(sf_dir: str):
             .sort(["c_mktsegment", "c_nationkey"]))
 
 
+def _q_t_closeness(sf_dir: str):
+    """t-closeness release gate (`functions/curation.py:t_closeness`,
+    Li et al. ICDE'07) — the distribution leg of the privacy triad:
+    customer (segment × nation) groups whose account-balance-band
+    distribution sits further than t = 9/20 total-variation distance
+    from the corpus baseline, decided by EXACT integer
+    cross-multiplication (no float ever). Same pair exchange as
+    l_diversity; the oracle replays the numerator and the gate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions.curation import t_closeness
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def band(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("c_acctbal"), pa.float64()), 2000.0)),
+            pa.int64())
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "band": v,
+        })
+
+    return (t_closeness(cust.map_batches(band, batch_format="pyarrow"),
+                        ["c_mktsegment", "c_nationkey"], "band",
+                        t_num=9, t_den=20)
+            .sort(["c_mktsegment", "c_nationkey"]))
+
+
 def _q_join_explain(sf_dir: str):
     """Join planning profiler (`functions/join.py: join_cardinality`):
     exact inner-join output size Σ c_l(k)·c_r(k), distinct-key overlap
@@ -8149,6 +8183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_explain": _q_join_explain,
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
+        "t_closeness": _q_t_closeness,
         "semantic_decontam": _q_semantic_decontam,
         "ewma_activity": _q_ewma_activity,
         "decontam_clean_chain": _q_decontam_clean_chain,
@@ -12588,6 +12623,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.vec_id ORDER BY t.vec_id
         """,
         # k_anonymity: GROUP BY ... HAVING count < k.
+        # t_closeness: pair counts -> global bands + total -> exact
+        # integer TVD numerator (present terms + missing-band mass) ->
+        # the 20*tvd_num > 18*ng*N cross-multiplied gate.
+        "t_closeness": """
+            WITH pairs AS (
+                SELECT c_mktsegment,
+                       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       CAST(floor(CAST(c_acctbal AS DOUBLE) / 2000.0)
+                            AS BIGINT) AS band,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM customer GROUP BY 1, 2, 3
+            ),
+            gb AS (SELECT band, CAST(sum(c) AS BIGINT) AS cb
+                   FROM pairs GROUP BY band),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pairs),
+            grp AS (SELECT c_mktsegment, c_nationkey,
+                           CAST(sum(c) AS BIGINT) AS ng
+                    FROM pairs GROUP BY 1, 2),
+            terms AS (
+                SELECT p.c_mktsegment, p.c_nationkey,
+                       CAST(sum(abs(p.c * t.n - g2.ng * gb.cb))
+                            AS BIGINT) AS pt,
+                       CAST(sum(gb.cb) AS BIGINT) AS pcb
+                FROM pairs p
+                JOIN gb USING (band)
+                JOIN grp g2 USING (c_mktsegment, c_nationkey), tot t
+                GROUP BY 1, 2
+            )
+            SELECT t2.c_mktsegment, t2.c_nationkey,
+                   g2.ng AS n_rows,
+                   CAST(t2.pt + g2.ng * (t.n - t2.pcb) AS BIGINT)
+                       AS tvd_num
+            FROM terms t2
+            JOIN grp g2 USING (c_mktsegment, c_nationkey), tot t
+            WHERE 20 * (t2.pt + g2.ng * (t.n - t2.pcb))
+                  > 2 * 9 * g2.ng * t.n
+            ORDER BY c_mktsegment, c_nationkey
+        """,
         # l_diversity: distinct (quasi, band) pairs with row counts,
         # then per-combination distinct-band + row totals, under-l.
         "l_diversity": """

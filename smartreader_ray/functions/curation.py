@@ -725,6 +725,82 @@ def l_diversity(ds, quasi_cols: list[str], sensitive_col: str,
             .map_batches(under_l, batch_format="pyarrow"))
 
 
+def t_closeness(ds, quasi_cols: list[str], sensitive_col: str,
+                t_num: int = 9, t_den: int = 20):
+    """The third leg of the privacy triad (Li, Li & Venkatasubramanian,
+    ICDE 2007): a group can be k-anonymous AND l-diverse yet still leak
+    if its sensitive-value DISTRIBUTION diverges from the corpus
+    baseline (e.g. 95 % one disease vs 5 % globally). Flags groups
+    whose total-variation distance to the global distribution exceeds
+    ``t = t_num/t_den`` — computed EXACTLY in integers: with group
+    pair-counts c_gb, group size n_g, global band counts c_b, total N,
+
+        TVD_g = Σ_b |c_gb·N − n_g·c_b| / (2·n_g·N)
+
+    (bands absent from the group contribute n_g·c_b, folded in as
+    n_g·(N − Σ_present c_b)), and the gate is the integer
+    cross-multiplication ``t_den·tvd_num > 2·t_num·n_g·N`` — no float
+    ever. Loud guard: c·N must stay under 2⁶² (past that, scale both
+    sides down by a common factor first).
+
+    Ray shape: the same distinct-(quasi, sensitive)-pair exchange as
+    :func:`l_diversity`; global band counts + N are a tiny broadcast;
+    per-group math runs inside a ``map_groups`` over the pair table
+    (all of a group's bands co-locate). Output (violating groups
+    only): ``(*quasi_cols, n_rows, tvd_num)``; the caller recovers
+    TVD as tvd_num / (2·n_rows·N).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    cols = quasi_cols + [sensitive_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(cols).append_column(
+            "n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = t.group_by(cols).aggregate([("n", "sum")])
+        return g.rename_columns(cols + ["n"])
+
+    pairs = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby(cols)
+             .aggregate(Sum("n", alias_name="n"))
+             .materialize())  # consumed twice: global bands + groups
+
+    gb = {r[sensitive_col]: int(r["n"])
+          for r in pairs.groupby(sensitive_col)
+          .aggregate(Sum("n", alias_name="n")).iter_rows()}
+    n_total = sum(gb.values())
+    if n_total and max(gb.values()) * n_total >= (1 << 62):
+        raise OverflowError(
+            "t_closeness: c_b*N reaches 2^62 — rescale counts by a "
+            "common factor before the integer cross-multiplication")
+    gb_ref = ray.put((gb, n_total))
+
+    def group_tvd(group: pa.Table) -> pa.Table:
+        bands, n = ray.get(gb_ref)
+        c = group.column("n").to_numpy(zero_copy_only=False)
+        ng = int(c.sum())
+        cb = np.fromiter(
+            (bands[v] for v in group.column(sensitive_col).to_pylist()),
+            dtype=np.int64, count=group.num_rows)
+        present = int(np.abs(c * n - ng * cb).sum())
+        tvd_num = present + ng * (n - int(cb.sum()))
+        if t_den * tvd_num <= 2 * t_num * ng * n:
+            return pa.table(
+                {q: group.column(q).slice(0, 0) for q in quasi_cols}
+                | {"n_rows": pa.array([], type=pa.int64()),
+                   "tvd_num": pa.array([], type=pa.int64())})
+        return pa.table(
+            {q: group.column(q).slice(0, 1) for q in quasi_cols}
+            | {"n_rows": pa.array([ng], type=pa.int64()),
+               "tvd_num": pa.array([tvd_num], type=pa.int64())})
+
+    return pairs.groupby(quasi_cols).map_groups(group_tvd,
+                                                batch_format="pyarrow")
+
+
 def k_anonymity(ds, quasi_cols: list[str], k: int = 10):
     """Privacy / governance audit: rows sharing a quasi-identifier
     combination form an anonymity set; any combination with fewer than

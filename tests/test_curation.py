@@ -353,3 +353,30 @@ def test_l_diversity_flags_uniform_groups(ray_session):
     r = out[0]
     assert (r["seg"], r["nat"]) == ("A", 1)
     assert r["n_sensitive"] == 1 and r["n_rows"] == 4
+
+
+def test_t_closeness_flags_skewed_groups(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import t_closeness
+
+    rows = (
+        # group A: all rows in band 0 while the corpus is 50/50 ->
+        # TVD = 0.5, above t = 0.3
+        [{"seg": "A", "nat": 1, "s": 0}] * 10
+        # group B mirrors the corpus distribution -> TVD small
+        + [{"seg": "B", "nat": 1, "s": v} for v in ([0] * 5 + [1] * 5)]
+        # group C: all band 1
+        + [{"seg": "C", "nat": 1, "s": 1}] * 5
+    )
+    out = {(r["seg"], r["nat"]): r
+           for r in t_closeness(ray.data.from_items(rows),
+                                ["seg", "nat"], "s",
+                                t_num=3, t_den=10).take_all()}
+    # corpus: band0 = 15/25, band1 = 10/25
+    # A: |10*25 - 10*15| + 10*(25-15) = 100+100=200; tvd = 200/(2*10*25)=0.4
+    assert ("A", 1) in out and out[("A", 1)]["tvd_num"] == 200
+    # B: |5*25-10*15| + |5*25-10*10| = 25+25=50 -> 0.1 -> passes
+    assert ("B", 1) not in out
+    # C: |5*25-5*10| + 5*(25-10) = 75+75 = 150 -> 150/250 = 0.6 -> flagged
+    assert ("C", 1) in out and out[("C", 1)]["tvd_num"] == 150
