@@ -2774,6 +2774,20 @@ def _q_chi2_lid_chain(sf_dir: str):
             .sort(["true_lang", "pred_label"]))
 
 
+def _q_log_odds_terms(sf_dir: str):
+    """Fightin'-Words log-odds with Dirichlet prior
+    (`functions/ngrams.py:log_odds_terms`, Monroe et al. 2008): the 15
+    most en-leaning and 15 most rest-leaning terms by z-scored smoothed
+    log-odds over collection frequencies — the effect-size complement
+    of `chi2_terms`. One vocab-sized exchange; fixed-order libm
+    ln/sqrt tree replayed bit-for-bit by the oracle."""
+    from smartreader_ray.functions.ngrams import log_odds_terms
+
+    return log_odds_terms(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+        label_col="lang", target_label="en", top_k=15)
+
+
 def _q_bigram_counts(sf_dir: str):
     """Top-100 corpus bigrams: vectorized successor-pairing over the
     flattened token array per block, partial counts before the one
@@ -8057,6 +8071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "chi2_terms": _q_chi2_terms,
         "chi2_lid_chain": _q_chi2_lid_chain,
+        "log_odds_terms": _q_log_odds_terms,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
@@ -10675,6 +10690,43 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY label ORDER BY chi2 DESC, term) <= 15
             ORDER BY label, chi2 DESC, term
+        """,
+        # log_odds_terms: side-split collection frequencies, totals off
+        # the same count table, the identical ln/sqrt z expression,
+        # both rank ends via ordered-limit subqueries.
+        "log_odds_terms": """
+            WITH tok AS (
+                SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                       unnest(string_split(trim(text), ' ')) AS term
+                FROM documents
+            ),
+            cnt AS (
+                SELECT term,
+                       CAST(sum(is_t) AS BIGINT) AS cf_target,
+                       CAST(sum(1 - is_t) AS BIGINT) AS cf_rest
+                FROM tok WHERE term <> '' GROUP BY term
+            ),
+            tot AS (SELECT CAST(sum(cf_target) AS BIGINT) AS n1,
+                           CAST(sum(cf_rest) AS BIGINT) AS n2,
+                           CAST(count(*) AS BIGINT) AS v
+                    FROM cnt),
+            sc AS (
+                SELECT term, cf_target, cf_rest,
+                       (ln((cf_target + 0.5)
+                           / (n1 + 0.5 * v - cf_target - 0.5))
+                        - ln((cf_rest + 0.5)
+                             / (n2 + 0.5 * v - cf_rest - 0.5)))
+                       / sqrt(1.0 / (cf_target + 0.5)
+                              + 1.0 / (cf_rest + 0.5)) AS z
+                FROM cnt, tot
+            )
+            SELECT * FROM (
+                (SELECT term, cf_target, cf_rest, z FROM sc
+                 ORDER BY z DESC, term LIMIT 15)
+                UNION ALL
+                (SELECT term, cf_target, cf_rest, z FROM sc
+                 ORDER BY z ASC, term LIMIT 15)
+            ) ORDER BY z DESC, term
         """,
         # chi2_lid_chain: chi2_terms CTE stack -> top-15 vocab per
         # label -> per-(doc,label) distinct-vocab-hit counts (zero

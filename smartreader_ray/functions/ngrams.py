@@ -1391,3 +1391,103 @@ def search_eval(ds, queries, k: int = 10, doc_col: str = "doc_id",
         "idcg_q27720": pa.array(out["idcg_q27720"], type=pa.int64()),
         "ndcg": pa.array(out["ndcg"], type=pa.float64()),
     })).sort("query")
+
+
+def log_odds_terms(ds, text_col: str = "text", label_col: str = "lang",
+                   target_label: str = "en", top_k: int = 15):
+    """Monroe, Colaresi & Quinn's "Fightin' Words" log-odds-ratio with
+    a Dirichlet prior (2008 — the standard corpus-comparison statistic;
+    the EFFECT-SIZE complement of :func:`chi2_terms`' significance
+    ranking): for every term, the z-scored difference in smoothed
+    log-odds between the target label's token stream and the rest,
+
+        δ_t = ln((c1+½)/(n1+V/2−c1−½)) − ln((c2+½)/(n2+V/2−c2−½))
+        z_t = δ_t / sqrt(1/(c1+½) + 1/(c2+½))
+
+    with COLLECTION frequencies c (not doc counts), side totals n1/n2
+    and vocab size V (the α=½ uninformative prior). The float tree is
+    fixed-order libm ln/sqrt on exact int64 counts — the SQL oracle
+    replays it bit for bit. Output: the ``top_k`` most target-leaning
+    (z desc) and ``top_k`` most rest-leaning (z asc) terms, columns
+    ``(term, cf_target, cf_rest, z)``, ordered (z desc, term).
+
+    Scale shape: ONE vocab-sized exchange — per-block partials emit
+    (term, cf_target, cf_rest) with the side split done map-side, the
+    groupby Sums both columns; totals n1/n2/V are three numbers
+    derived from the same materialized count table; scoring is one
+    vectorized ``map_batches``; the two rank ends ride select_k
+    partials + a tiny global sort.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(b, text_col)
+        is_t = np.asarray(
+            [lb == target_label for lb in b.column(label_col).to_pylist()],
+            dtype=bool)
+        terms = flat.to_pandas()
+        mask = (terms.str.len() > 0).to_numpy()
+        d = pd.DataFrame({
+            "term": terms[mask],
+            "ct": is_t[row_idx[mask]].astype(np.int64),
+        })
+        g = d.groupby("term", sort=False)["ct"]
+        s, cnt = g.sum(), g.size()
+        return pa.table({
+            "term": pa.array(s.index, type=pa.string()),
+            "cf_target": pa.array(s.to_numpy(), type=pa.int64()),
+            "cf_rest": pa.array((cnt - s).to_numpy(), type=pa.int64()),
+        })
+
+    counts = (ds.select_columns([text_col, label_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("cf_target", alias_name="cf_target"),
+                         Sum("cf_rest", alias_name="cf_rest"))
+              .materialize())  # consumed for totals + scoring + 2 rank ends
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n1": pa.array([int(b.column("cf_target").to_numpy(
+                zero_copy_only=False).sum())], type=pa.int64()),
+            "n2": pa.array([int(b.column("cf_rest").to_numpy(
+                zero_copy_only=False).sum())], type=pa.int64()),
+            "v": pa.array([b.num_rows], type=pa.int64()),
+        })
+
+    tot = (counts.map_batches(tot_partial, batch_format="pyarrow")
+           .aggregate(Sum("n1", alias_name="n1"),
+                      Sum("n2", alias_name="n2"),
+                      Sum("v", alias_name="v")))
+    n1, n2, v = (np.float64(tot["n1"]), np.float64(tot["n2"]),
+                 np.float64(tot["v"]))
+
+    def score(b: pa.Table) -> pa.Table:
+        c1 = b.column("cf_target").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c2 = b.column("cf_rest").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        d1 = np.log((c1 + 0.5) / (n1 + 0.5 * v - c1 - 0.5))
+        d2 = np.log((c2 + 0.5) / (n2 + 0.5 * v - c2 - 0.5))
+        delta = d1 - d2
+        var = 1.0 / (c1 + 0.5) + 1.0 / (c2 + 0.5)
+        z = delta / np.sqrt(var)
+        return b.append_column("z", pa.array(z, type=pa.float64()))
+
+    scored = counts.map_batches(score, batch_format="pyarrow")
+
+    def ends(order):
+        def local(b: pa.Table) -> pa.Table:
+            if b.num_rows > top_k:
+                idx = pc.select_k_unstable(
+                    b, k=top_k,
+                    sort_keys=[("z", order), ("term", "ascending")])
+                b = b.take(idx)
+            return b
+        return (scored.map_batches(local, batch_format="pyarrow")
+                .sort(["z", "term"],
+                      descending=[order == "descending", False])
+                .limit(top_k))
+
+    return (ends("descending").union(ends("ascending"))
+            .sort(["z", "term"], descending=[True, False]))

@@ -399,3 +399,23 @@ def test_search_eval_metrics(ray_session):
     ga = by_q["gamma alpha"]  # phrase "gamma alpha" occurs nowhere
     assert ga["n_relevant"] == 0 and ga["ndcg"] == 0.0
     assert ga["first_rank"] == 0 and ga["mrr_q27720"] == 0
+
+
+def test_log_odds_terms_direction(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import log_odds_terms
+
+    docs = ([{"doc_id": i, "lang": "en",
+              "text": "hello world common common"} for i in range(5)]
+            + [{"doc_id": 5 + i, "lang": "fr",
+                "text": "bonjour monde common common"} for i in range(5)])
+    out = log_odds_terms(ray.data.from_items(docs), label_col="lang",
+                         target_label="en", top_k=2).take_all()
+    zs = {r["term"]: r["z"] for r in out}
+    # en-exclusive terms lean positive, fr-exclusive negative
+    assert zs["hello"] > 0 and zs["world"] > 0
+    assert zs["bonjour"] < 0 and zs["monde"] < 0
+    assert zs["hello"] == zs["world"]  # symmetric counts, same z
+    top = max(out, key=lambda r: r["z"])
+    assert top["cf_target"] == 5 and top["cf_rest"] == 0
