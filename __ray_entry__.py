@@ -2788,6 +2788,61 @@ def _q_log_odds_terms(sf_dir: str):
         label_col="lang", target_label="en", top_k=15)
 
 
+def _q_textrank_terms(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    integer PageRank (`functions/graph.py:pagerank` — the
+    supplier_pagerank fixed-point arithmetic, bit-reproducible) over
+    the word co-occurrence graph: distinct adjacent-token pairs,
+    symmetrized, self-loops dropped, terms mapped to sorted-vocab ids.
+    The graph is vocab-sized (the pair set is bounded by vocab², far
+    below it in practice), so the edge build rides the existing bigram
+    partial + one vocab-sized exchange; five unrolled rounds replay in
+    SQL. Output: every term with (rank, outdeg), ordered (rank DESC,
+    term)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from smartreader_ray.functions.graph import pagerank
+    from smartreader_ray.functions.ngrams import _partial_bigram_counts
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    bigrams = (docs.map_batches(
+        lambda b: _partial_bigram_counts(b, "text"),
+        batch_format="pyarrow")
+        .groupby("bigram").count())
+    pair_list = [r["bigram"].split(" ", 1)
+                 for r in bigrams.iter_rows()]  # vocab²-bounded
+    pairs = {(a, b) for a, b in pair_list if a != b}
+    vocab = sorted({t for p in pairs for t in p})
+    t_id = {t: i for i, t in enumerate(vocab)}
+    sym = sorted({(t_id[a], t_id[b]) for a, b in pairs}
+                 | {(t_id[b], t_id[a]) for a, b in pairs})
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in sym], type=pa.int64()),
+        "dst": pa.array([e[1] for e in sym], type=pa.int64()),
+    }))
+    nodes = ray.data.from_arrow(pa.table({
+        "v": pa.array(np.arange(len(vocab), dtype=np.int64)),
+    }))
+    ranked = pagerank(edges, nodes, iterations=5)
+
+    vref = ray.put(vocab)
+
+    def back(b: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        ids = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": pa.array([vs[i] for i in ids], type=pa.string()),
+            "rank": b.column("rank"),
+            "outdeg": b.column("outdeg"),
+        })
+
+    return (ranked.map_batches(back, batch_format="pyarrow")
+            .sort(["rank", "term"], descending=[True, False]))
+
+
 def _q_bigram_counts(sf_dir: str):
     """Top-100 corpus bigrams: vectorized successor-pairing over the
     flattened token array per block, partial counts before the one
@@ -8072,6 +8127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_terms": _q_chi2_terms,
         "chi2_lid_chain": _q_chi2_lid_chain,
         "log_odds_terms": _q_log_odds_terms,
+        "textrank_terms": _q_textrank_terms,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
@@ -10690,6 +10746,119 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY label ORDER BY chi2 DESC, term) <= 15
             ORDER BY label, chi2 DESC, term
+        """,
+        # textrank_terms: distinct adjacent pairs -> sorted-vocab ids ->
+        # symmetric edges -> the supplier_pagerank integer CTE stack
+        # (five unrolled rounds) -> term join-back.
+        "textrank_terms": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS l
+                FROM documents
+            ),
+            bi AS (
+                SELECT DISTINCT list_extract(l, i) AS t1,
+                                list_extract(l, i + 1) AS t2
+                FROM toks,
+                     unnest(generate_series(1, len(l) - 1)) AS s(i)
+                WHERE list_extract(l, i) <> ''
+                  AND list_extract(l, i + 1) <> ''
+                  AND list_extract(l, i) <> list_extract(l, i + 1)
+            ),
+            vocab AS (
+                SELECT term,
+                       row_number() OVER (ORDER BY term) - 1 AS v
+                FROM (SELECT t1 AS term FROM bi
+                      UNION SELECT t2 FROM bi)
+            ),
+            e AS (
+                SELECT va.v AS src, vb.v AS dst
+                FROM bi JOIN vocab va ON va.term = bi.t1
+                        JOIN vocab vb ON vb.term = bi.t2
+                UNION
+                SELECT vb.v, va.v
+                FROM bi JOIN vocab va ON va.term = bi.t1
+                        JOIN vocab vb ON vb.term = bi.t2
+            ),
+            nodes AS (SELECT v FROM vocab),
+            od AS (
+                SELECT src AS v, CAST(count(*) AS BIGINT) AS outdeg
+                FROM e GROUP BY src
+            ),
+            r0 AS (
+                SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+            ),
+            r1 AS (
+                SELECT n.v,
+                       CAST(150000000000
+                            + (85 * COALESCE(s.infl, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS v,
+                           CAST(SUM(p.r // od.outdeg) AS BIGINT) AS infl
+                    FROM e JOIN r0 p ON p.v = e.src
+                           JOIN od ON od.v = e.src
+                    GROUP BY e.dst
+                ) s ON s.v = n.v
+            ),
+            r2 AS (
+                SELECT n.v,
+                       CAST(150000000000
+                            + (85 * COALESCE(s.infl, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS v,
+                           CAST(SUM(p.r // od.outdeg) AS BIGINT) AS infl
+                    FROM e JOIN r1 p ON p.v = e.src
+                           JOIN od ON od.v = e.src
+                    GROUP BY e.dst
+                ) s ON s.v = n.v
+            ),
+            r3 AS (
+                SELECT n.v,
+                       CAST(150000000000
+                            + (85 * COALESCE(s.infl, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS v,
+                           CAST(SUM(p.r // od.outdeg) AS BIGINT) AS infl
+                    FROM e JOIN r2 p ON p.v = e.src
+                           JOIN od ON od.v = e.src
+                    GROUP BY e.dst
+                ) s ON s.v = n.v
+            ),
+            r4 AS (
+                SELECT n.v,
+                       CAST(150000000000
+                            + (85 * COALESCE(s.infl, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS v,
+                           CAST(SUM(p.r // od.outdeg) AS BIGINT) AS infl
+                    FROM e JOIN r3 p ON p.v = e.src
+                           JOIN od ON od.v = e.src
+                    GROUP BY e.dst
+                ) s ON s.v = n.v
+            ),
+            r5 AS (
+                SELECT n.v,
+                       CAST(150000000000
+                            + (85 * COALESCE(s.infl, 0)) // 100
+                            AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS v,
+                           CAST(SUM(p.r // od.outdeg) AS BIGINT) AS infl
+                    FROM e JOIN r4 p ON p.v = e.src
+                           JOIN od ON od.v = e.src
+                    GROUP BY e.dst
+                ) s ON s.v = n.v
+            )
+            SELECT vc.term, rr.r AS "rank",
+                   COALESCE(od.outdeg, 0) AS outdeg
+            FROM nodes n
+            JOIN r5 rr ON rr.v = n.v
+            LEFT JOIN od ON od.v = n.v
+            JOIN vocab vc ON vc.v = n.v
+            ORDER BY "rank" DESC, vc.term
         """,
         # log_odds_terms: side-split collection frequencies, totals off
         # the same count table, the identical ln/sqrt z expression,
