@@ -7899,6 +7899,26 @@ def _q_span_pack_chain(sf_dir: str):
             .sort(["doc_id", "seq_idx"]))
 
 
+def _q_chi2_drift(sf_dir: str):
+    """Categorical drift (`functions/audit.py:chi2_drift`): 2×k χ²
+    homogeneity of the event-type mix before vs after Jan 16 — the
+    categorical companion of `ks_drift` (event types have no ordering
+    for a CDF). Per-category contributions are two IEEE divisions of
+    exact int64 products, floored to order-independent nano units;
+    one (half, category)-sized exchange."""
+    import datetime
+
+    import ray.data
+
+    from smartreader_ray.functions.audit import chi2_drift
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"])
+    return chi2_drift(ev, "event_type", "ts",
+                      datetime.datetime(2024, 1, 16))
+
+
 def _q_ks_drift(sf_dir: str):
     """Exact two-sample KS drift of every source's n_chars CDF vs src0
     (`functions/audit.py: ks_drift`): integer cross-multiplied max
@@ -8306,6 +8326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_pack_chain": _q_span_pack_chain,
         "near_dedup_best_chain": _q_near_dedup_best_chain,
         "ks_drift": _q_ks_drift,
+        "chi2_drift": _q_chi2_drift,
         "source_affixes": _q_source_affixes,
         "affix_strip_chain": _q_affix_strip_chain,
         "sentence_stats": _q_sentence_stats,
@@ -13679,6 +13700,32 @@ def oracle_sql() -> dict[str, str]:
         # ks_drift: exact unbinned two-sample KS — per-source cumulative
         # counts on the shared value grid, integer cross-multiplied max
         # deviation, one IEEE division.
+        # chi2_drift: half-split counts per category, then the exact
+        # integer-product chi-square contributions in floored nano
+        # units (identical float tree: two divisions then one add).
+        "chi2_drift": """
+            WITH c AS (
+                SELECT event_type AS category,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                     THEN 0 ELSE 1 END) AS BIGINT) AS b
+                FROM events GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+                           CAST(sum(b) AS BIGINT) AS n2
+                    FROM c)
+            SELECT category, a AS n_early, b AS n_late,
+                   CAST(floor(1000000000.0 * (
+                        CAST((a*(n1+n2) - n1*(a+b))
+                             * (a*(n1+n2) - n1*(a+b)) AS DOUBLE)
+                          / CAST((a+b) * n1 * (n1+n2) AS DOUBLE)
+                      + CAST((b*(n1+n2) - n2*(a+b))
+                             * (b*(n1+n2) - n2*(a+b)) AS DOUBLE)
+                          / CAST((a+b) * n2 * (n1+n2) AS DOUBLE)))
+                        AS BIGINT) AS contrib_nano
+            FROM c, tot ORDER BY category
+        """,
         "ks_drift": """
             WITH c AS (
                 SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT)

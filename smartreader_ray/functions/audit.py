@@ -396,3 +396,80 @@ def ks_drift(ds, group_col: str, value_col: str, baseline: str):
     return (counts.repartition(1)
             .map_batches(finalize, batch_format="pyarrow")
             .sort("group"))
+
+
+def chi2_drift(ds, cat_col: str, ts_col: str, split_ts):
+    """Categorical drift — the 2×k χ² homogeneity test comparing a
+    categorical column's distribution BEFORE vs AFTER ``split_ts``
+    (the categorical companion of :func:`ks_drift`; KS needs an
+    ordering, event types have none). Per category t with early/late
+    counts (a, b), half totals (n1, n2), margin m = a+b and N = n1+n2,
+    the χ² contribution
+
+        (a − n1·m/N)²/(n1·m/N) + (b − n2·m/N)²/(n2·m/N)
+      = (aN − n1m)²/(N·n1·m) + (bN − n2m)²/(N·n2·m)
+
+    is two IEEE divisions of EXACT int64 products, scaled to nano
+    units and floored so the per-category values — and any sum a
+    consumer takes over them — are order-independent integers (the
+    source_entropy nano trick). Loud guard: |aN − n1·m| must stay
+    below 2³¹ so its square fits int64.
+
+    Scale shape: one (half, category)-sized counting exchange,
+    pre-combined per block; the finalize sees only the k-row
+    contingency table. Returns (category, n_early, n_late,
+    contrib_nano) sorted by category.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        early = pc.less(b.column(ts_col), pa.scalar(split_ts)).to_numpy(
+            zero_copy_only=False)
+        d = pd.DataFrame({"cat": b.column(cat_col).to_pylist(),
+                          "a": early.astype(np.int64)})
+        g = d.groupby("cat", sort=False)["a"]
+        s, cnt = g.sum(), g.size()
+        return pa.table({
+            "cat": pa.array(s.index, type=pa.string()),
+            "a": pa.array(s.to_numpy(), type=pa.int64()),
+            "b": pa.array((cnt - s).to_numpy(), type=pa.int64()),
+        })
+
+    counts = (ds.select_columns([cat_col, ts_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("cat")
+              .aggregate(Sum("a", alias_name="a"),
+                         Sum("b", alias_name="b")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        n1, n2 = int(a.sum()), int(b.sum())
+        n = n1 + n2
+        m = a + b
+        d1 = a * n - n1 * m
+        d2 = b * n - n2 * m
+        if len(m) and max(int(np.abs(d1).max()),
+                          int(np.abs(d2).max())) >= (1 << 31):
+            raise OverflowError(
+                "chi2_drift: |aN - n1*m| reaches 2^31; its square wraps "
+                "int64 — subsample or rescale counts first")
+        r1 = (d1 * d1).astype(np.float64) / (m * n1 * n).astype(
+            np.float64)
+        r2 = (d2 * d2).astype(np.float64) / (m * n2 * n).astype(
+            np.float64)
+        contrib = np.floor(1e9 * (r1 + r2)).astype(np.int64)
+        return pa.table({
+            "category": t.column("cat"),
+            "n_early": pa.array(a, type=pa.int64()),
+            "n_late": pa.array(b, type=pa.int64()),
+            "contrib_nano": pa.array(contrib, type=pa.int64()),
+        })
+
+    # k rows by construction — one block
+    return (counts.repartition(1)
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort("category"))

@@ -217,3 +217,32 @@ def test_ks_drift_matches_bruteforce(ray_session):
     assert by["g1"]["ks"] == by["g1"]["ks_num"] / float(4 * 6)
     assert by["g2"]["ks_num"] == 0
     assert by["g2"]["ks"] == 0.0
+
+
+def test_chi2_drift_detects_mix_shift(ray_session):
+    import datetime
+
+    import ray.data
+
+    from smartreader_ray.functions.audit import chi2_drift
+
+    split = datetime.datetime(2024, 1, 16)
+    early = datetime.datetime(2024, 1, 10)
+    late = datetime.datetime(2024, 1, 20)
+    rows = (
+        # 'stable' is 50/50 across the split -> zero contribution
+        [{"event_type": "stable", "ts": early}] * 10
+        + [{"event_type": "stable", "ts": late}] * 10
+        # 'shifted' only exists late -> large contribution
+        + [{"event_type": "shifted", "ts": late}] * 10
+    )
+    out = {r["category"]: r
+           for r in chi2_drift(ray.data.from_items(rows), "event_type",
+                               "ts", split).take_all()}
+    assert out["stable"]["n_early"] == 10 and out["stable"]["n_late"] == 10
+    assert out["shifted"]["n_early"] == 0 and out["shifted"]["n_late"] == 10
+    # stable isn't exactly the margin ratio (10/20 early overall vs
+    # 10/30 margin) so it carries some signal, but far less than the
+    # appears-from-nowhere category
+    assert out["shifted"]["contrib_nano"] > out["stable"]["contrib_nano"]
+    assert out["shifted"]["contrib_nano"] > 0
