@@ -305,6 +305,11 @@ def run_main() -> dict:
     ):
         queries[name] = round(bench_query(q[name], sf_dir), 3)
 
+    # auto-coverage: any queries() entry not named above (newly added
+    # operators) still gets benched, so the artifact never goes stale
+    for name in sorted(set(q) - set(queries)):
+        queries[name] = round(bench_query(q[name], sf_dir), 3)
+
     sentinel_after = run_sentinel()
     total = round(sum(queries.values()), 3)
     return {
