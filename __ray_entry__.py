@@ -2788,6 +2788,21 @@ def _q_log_odds_terms(sf_dir: str):
         label_col="lang", target_label="en", top_k=15)
 
 
+def _q_good_turing(sf_dir: str):
+    """Good–Turing unseen mass + Chao1 richness per source
+    (`functions/ngrams.py:good_turing`) — the corpus-saturation
+    estimators behind 'is this source exhausted?'. One (source, term)
+    exchange collapsed to frequency-of-frequencies; exact int64
+    sufficient statistics, each float ONE fixed-order expression."""
+    import ray.data
+
+    from smartreader_ray.functions.ngrams import good_turing
+
+    return good_turing(ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"]))
+
+
 def _q_textrank_terms(sf_dir: str):
     """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
     integer PageRank (`functions/graph.py:pagerank` — the
@@ -8148,6 +8163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lid_chain": _q_chi2_lid_chain,
         "log_odds_terms": _q_log_odds_terms,
         "textrank_terms": _q_textrank_terms,
+        "good_turing": _q_good_turing,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
@@ -10767,6 +10783,40 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY label ORDER BY chi2 DESC, term) <= 15
             ORDER BY label, chi2 DESC, term
+        """,
+        # good_turing: (source, term) counts -> frequency-of-
+        # frequencies -> the identical GT / Chao1 float expressions.
+        "good_turing": """
+            WITH st AS (
+                SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT source,
+                             unnest(string_split(trim(text), ' '))
+                                 AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY source, term
+            ),
+            tot AS (
+                SELECT source,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS vocab,
+                       CAST(count(*) FILTER (c = 1) AS BIGINT) AS f1,
+                       CAST(count(*) FILTER (c = 2) AS BIGINT) AS f2
+                FROM st GROUP BY source
+            )
+            SELECT source, n_tokens, vocab, f1, f2,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(f1 AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS unseen_mass,
+                   CASE WHEN f2 > 0
+                        THEN CAST(vocab AS DOUBLE)
+                             + (CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE))
+                               / (2.0 * CAST(f2 AS DOUBLE))
+                        ELSE CAST(vocab AS DOUBLE)
+                             + (CAST(f1 AS DOUBLE)
+                                * (CAST(f1 AS DOUBLE) - 1.0)) / 2.0
+                   END AS chao1
+            FROM tot ORDER BY source
         """,
         # textrank_terms: distinct adjacent pairs -> sorted-vocab ids ->
         # symmetric edges -> the supplier_pagerank integer CTE stack

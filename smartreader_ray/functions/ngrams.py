@@ -1491,3 +1491,100 @@ def log_odds_terms(ds, text_col: str = "text", label_col: str = "lang",
 
     return (ends("descending").union(ends("ascending"))
             .sort(["z", "term"], descending=[True, False]))
+
+
+def good_turing(ds, text_col: str = "text", source_col: str = "source"):
+    """Per-source corpus-saturation estimators: Good–Turing unseen
+    mass and the Chao1 richness lower bound (Good 1953; Chao 1984 —
+    the standard "do we need more data from this source?" statistics):
+
+    - ``unseen_mass`` = f1/N — the GT estimate of the probability the
+      NEXT token drawn from the source is a previously-unseen type;
+    - ``chao1`` = V + f1²/(2·f2) (the f2=0 bias-corrected form
+      V + f1·(f1−1)/2 when no doubletons exist) — the estimated true
+      vocabulary size;
+
+    where V = observed vocabulary, N = token total, f1/f2 = singleton/
+    doubleton type counts. All sufficient statistics are exact int64;
+    each float column is ONE fixed-order IEEE expression the SQL
+    oracle replays bit-for-bit.
+
+    Scale shape: ONE (source, term) counting exchange (per-block
+    pandas partials pre-combine, so ≤ |vocab|×|sources| rows per block
+    cross); the frequency-of-frequencies rollup collapses that table
+    to sources × {1, 2, other} before the driver-visible result.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(b, text_col)
+        src = b.column(source_col).to_pandas()
+        terms = flat.to_pandas()
+        mask = (terms.str.len() > 0).to_numpy()
+        d = pd.DataFrame({
+            "source": src.iloc[row_idx[mask]].to_numpy(),
+            "term": terms[mask],
+        })
+        g = d.groupby(["source", "term"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pa.table({
+            "source": pa.array(idx["source"], type=pa.string()),
+            "term": pa.array(idx["term"], type=pa.string()),
+            "c": pa.array(g.to_numpy(), type=pa.int64()),
+        })
+
+    st = (ds.select_columns([text_col, source_col])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["source", "term"])
+          .aggregate(Sum("c", alias_name="c")))
+
+    def fof_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        src = b.column("source").to_pandas()
+        d = pd.DataFrame({
+            "source": src,
+            "n": c,
+            "v": np.ones(len(c), dtype=np.int64),
+            "f1": (c == 1).astype(np.int64),
+            "f2": (c == 2).astype(np.int64),
+        })
+        g = d.groupby("source", sort=False).sum()
+        return pa.table({
+            "source": pa.array(g.index, type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+            "v": pa.array(g["v"].to_numpy(), type=pa.int64()),
+            "f1": pa.array(g["f1"].to_numpy(), type=pa.int64()),
+            "f2": pa.array(g["f2"].to_numpy(), type=pa.int64()),
+        })
+
+    tot = (st.map_batches(fof_partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_tokens"),
+                      Sum("v", alias_name="vocab"),
+                      Sum("f1", alias_name="f1"),
+                      Sum("f2", alias_name="f2")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        v = b.column("vocab").to_numpy(zero_copy_only=False)
+        f1 = b.column("f1").to_numpy(zero_copy_only=False)
+        f2 = b.column("f2").to_numpy(zero_copy_only=False)
+        nf, vf = n.astype(np.float64), v.astype(np.float64)
+        f1f, f2f = f1.astype(np.float64), f2.astype(np.float64)
+        unseen = np.where(n > 0, f1f / np.where(n > 0, nf, 1.0), 0.0)
+        chao1 = np.where(
+            f2 > 0,
+            vf + (f1f * f1f) / (2.0 * np.where(f2 > 0, f2f, 1.0)),
+            vf + (f1f * (f1f - 1.0)) / 2.0)
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "vocab": pa.array(v, type=pa.int64()),
+            "f1": pa.array(f1, type=pa.int64()),
+            "f2": pa.array(f2, type=pa.int64()),
+            "unseen_mass": pa.array(unseen, type=pa.float64()),
+            "chao1": pa.array(chao1, type=pa.float64()),
+        })
+
+    return (tot.map_batches(finalize, batch_format="pyarrow")
+            .sort("source"))

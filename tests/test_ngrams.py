@@ -419,3 +419,26 @@ def test_log_odds_terms_direction(ray_session):
     assert zs["hello"] == zs["world"]  # symmetric counts, same z
     top = max(out, key=lambda r: r["z"])
     assert top["cf_target"] == 5 and top["cf_rest"] == 0
+
+
+def test_good_turing_estimators(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import good_turing
+
+    docs = [
+        # srcA: tokens a a b c  -> N=4 V=3 f1=2 (b,c) f2=1 (a... no, a
+        # appears twice -> f2=1); unseen = 2/4, chao1 = 3 + 4/(2*1) = 5
+        {"doc_id": 1, "source": "srcA", "text": "a a b c"},
+        # srcB: all singletons, no doubletons -> bias-corrected branch
+        {"doc_id": 2, "source": "srcB", "text": "x y z"},
+    ]
+    out = {r["source"]: r
+           for r in good_turing(ray.data.from_items(docs)).take_all()}
+    a = out["srcA"]
+    assert (a["n_tokens"], a["vocab"], a["f1"], a["f2"]) == (4, 3, 2, 1)
+    assert a["unseen_mass"] == 0.5 and a["chao1"] == 5.0
+    b = out["srcB"]
+    assert (b["n_tokens"], b["vocab"], b["f1"], b["f2"]) == (3, 3, 3, 0)
+    assert b["unseen_mass"] == 1.0
+    assert b["chao1"] == 3.0 + 3.0 * 2.0 / 2.0  # V + f1(f1-1)/2
