@@ -2788,6 +2788,18 @@ def _q_log_odds_terms(sf_dir: str):
         label_col="lang", target_label="en", top_k=15)
 
 
+def _q_term_burstiness(sf_dir: str):
+    """Church–Gale burstiness (`functions/ngrams.py:term_burstiness`):
+    top-20 terms by per-doc-count variance-to-mean ratio — the
+    content-vs-function-word axis frequency alone misses. Vocab-sized
+    exchange of exact (Σc, Σc², df) int64 partials; the VMR float
+    tree is replayed bit-for-bit."""
+    from smartreader_ray.functions.ngrams import term_burstiness
+
+    return term_burstiness(
+        _docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_good_turing(sf_dir: str):
     """Good–Turing unseen mass + Chao1 richness per source
     (`functions/ngrams.py:good_turing`) — the corpus-saturation
@@ -8164,6 +8176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_odds_terms": _q_log_odds_terms,
         "textrank_terms": _q_textrank_terms,
         "good_turing": _q_good_turing,
+        "term_burstiness": _q_term_burstiness,
         "bigram_counts": _q_bigram_counts,
         "tfidf_terms": _q_tfidf_terms,
         "quality_zscore": _q_quality_zscore,
@@ -10783,6 +10796,32 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY label ORDER BY chi2 DESC, term) <= 15
             ORDER BY label, chi2 DESC, term
+        """,
+        # term_burstiness: per-(term, doc) counts, per-term exact
+        # (cf, sc2, df) sums, then the identical VMR float tree.
+        "term_burstiness": """
+            WITH td AS (
+                SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id,
+                             unnest(string_split(trim(text), ' '))
+                                 AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY term, doc_id
+            ),
+            tot AS (
+                SELECT term,
+                       CAST(sum(c) AS BIGINT) AS cf,
+                       CAST(sum(c * c) AS BIGINT) AS sc2,
+                       CAST(count(*) AS BIGINT) AS df
+                FROM td GROUP BY term
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+            SELECT term, df, cf,
+                   ((CAST(sc2 AS DOUBLE)
+                     - (CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE)) / n)
+                    / n) / (CAST(cf AS DOUBLE) / n) AS vmr
+            FROM tot, nn
+            ORDER BY vmr DESC, term LIMIT 20
         """,
         # good_turing: (source, term) counts -> frequency-of-
         # frequencies -> the identical GT / Chao1 float expressions.

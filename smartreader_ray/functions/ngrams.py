@@ -1588,3 +1588,74 @@ def good_turing(ds, text_col: str = "text", source_col: str = "source"):
 
     return (tot.map_batches(finalize, batch_format="pyarrow")
             .sort("source"))
+
+
+def term_burstiness(ds, text_col: str = "text", top_k: int = 20):
+    """Church–Gale term burstiness: the variance-to-mean ratio (VMR)
+    of each term's per-document count over ALL docs (zeros included) —
+    ≈1 for Poisson-scattered function words, ≫1 for bursty topical
+    words that pile into few documents (the classic content-word
+    detector; public). Exact int64 sufficient statistics per term
+    (Σc, Σc², doc frequency) from one vocab-sized exchange; with N
+    docs, population variance = (Σc² − (Σc)²/N)/N and
+
+        vmr = ((sc2 − (sc·sc)/N)/N) / (sc/N)
+
+    is ONE fixed-order float tree the oracle replays. Output: top_k
+    terms by (vmr DESC, term), columns (term, df, cf, vmr).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, row_idx, _ = _tokens_flat(b, text_col)
+        terms = flat.to_pandas()
+        mask = (terms.str.len() > 0).to_numpy()
+        d = pd.DataFrame({"term": terms[mask], "row": row_idx[mask]})
+        per = d.groupby(["term", "row"], sort=False).size()
+        idx = per.index.to_frame(index=False)
+        c = per.to_numpy()
+        d2 = pd.DataFrame({"term": idx["term"].to_numpy(), "sc": c,
+                           "sc2": c * c,
+                           "df": np.ones(len(c), dtype=np.int64)})
+        g = d2.groupby("term", sort=False).sum()
+        return pa.table({
+            "term": pa.array(g.index, type=pa.string()),
+            "sc": pa.array(g["sc"].to_numpy(), type=pa.int64()),
+            "sc2": pa.array(g["sc2"].to_numpy(), type=pa.int64()),
+            "df": pa.array(g["df"].to_numpy(), type=pa.int64()),
+        })
+
+    n_docs = float(ds.count())
+    totals = (ds.select_columns([text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("sc", alias_name="cf"),
+                         Sum("sc2", alias_name="sc2"),
+                         Sum("df", alias_name="df")))
+
+    def score(b: pa.Table) -> pa.Table:
+        sc = b.column("cf").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sc2 = b.column("sc2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        vmr = ((sc2 - (sc * sc) / n_docs) / n_docs) / (sc / n_docs)
+        return pa.table({
+            "term": b.column("term"),
+            "df": b.column("df"),
+            "cf": b.column("cf"),
+            "vmr": pa.array(vmr, type=pa.float64()),
+        })
+
+    scored = totals.map_batches(score, batch_format="pyarrow")
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows > top_k:
+            idx = pc.select_k_unstable(
+                b, k=top_k,
+                sort_keys=[("vmr", "descending"), ("term", "ascending")])
+            b = b.take(idx)
+        return b
+
+    return (scored.map_batches(local, batch_format="pyarrow")
+            .sort(["vmr", "term"], descending=[True, False])
+            .limit(top_k))

@@ -442,3 +442,25 @@ def test_good_turing_estimators(ray_session):
     assert (b["n_tokens"], b["vocab"], b["f1"], b["f2"]) == (3, 3, 3, 0)
     assert b["unseen_mass"] == 1.0
     assert b["chao1"] == 3.0 + 3.0 * 2.0 / 2.0  # V + f1(f1-1)/2
+
+
+def test_term_burstiness_ranks_bursty_terms(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import term_burstiness
+
+    docs = (
+        # 'bursty' piles 8 occurrences into one of 8 docs
+        [{"doc_id": 0, "text": "bursty " * 7 + "bursty"}]
+        # 'flat' appears exactly once in every doc
+        + [{"doc_id": i, "text": "flat"} for i in range(1, 8)]
+    )
+    docs[0]["text"] += " flat"
+    out = {r["term"]: r
+           for r in term_burstiness(ray.data.from_items(docs),
+                                    top_k=5).take_all()}
+    # flat: every doc once -> variance 0 -> vmr 0
+    assert out["flat"]["vmr"] == 0.0 and out["flat"]["df"] == 8
+    # bursty: mean 1, E[c^2] = 64/8 = 8 -> var 7 -> vmr 7
+    assert out["bursty"]["cf"] == 8 and out["bursty"]["df"] == 1
+    assert abs(out["bursty"]["vmr"] - 7.0) < 1e-12
