@@ -2358,6 +2358,93 @@ def _q_c4_clean_chain(sf_dir: str):
             .sort("source"))
 
 
+def _q_pretrain_mix_chain(sf_dir: str):
+    """Composed chain #39 — the pretraining-mix tail end to end:
+    plant line boundaries → corpus-wide duplicate-line removal
+    (`line_dedup`) → drop docs whose cleaned text is empty → re-count
+    whitespace tokens on the CLEANED text → stamp lang back via the
+    vectorized `hash_join` → exact integer UniMax water-fill of a
+    380-doc budget across languages (quota = each language's lowest
+    doc_ids among survivors) → greedy first-fit packing of the
+    selected docs into 256-token training sequences per language →
+    per-language rollup (docs, sequences, tokens). ONE SQL oracle
+    replays every stage, the packing via a recursive CTE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from smartreader_ray.functions import line_dedup
+    from smartreader_ray.functions.join import hash_join
+    from smartreader_ray.functions.sampling import unimax_allocation
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            g = 8 + int(did) % 5
+            toks = (text or "").strip().split(" ")
+            out.append("\n".join(
+                " ".join(toks[i:i + g])
+                for i in range(0, len(toks), g)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    ld = line_dedup(docs.map_batches(plant, batch_format="pyarrow"),
+                    min_count=2)
+
+    def tokens(b: pa.Table) -> pa.Table:
+        clean = pc.utf8_trim_whitespace(b.column("clean_text"))
+        keep = pc.not_equal(clean, "")
+        t = b.filter(keep)
+        clean = pc.utf8_trim_whitespace(t.column("clean_text"))
+        n_tok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "tok": n_tok})
+
+    toks = ld.map_batches(tokens, batch_format="pyarrow")
+    tagged = hash_join(toks, docs.select_columns(["doc_id", "lang"]),
+                       "doc_id", "doc_id", ["doc_id", "tok"],
+                       ["lang"]).materialize()  # counts + selection
+
+    counts = {r["lang"]: int(r["count()"])
+              for r in tagged.groupby("lang").count().iter_rows()}
+    quota = unimax_allocation(counts, budget=380, max_epochs=1)
+    quota_ref = ray.put(quota)
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        lang = group.column("lang")[0].as_py()
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        tk = group.column("tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:int(q.get(lang, 0))]
+        n_seqs, cur = 0, 0
+        for j in order:
+            t = int(tk[j])
+            if cur and cur + t > 256:
+                cur = 0  # close the open pack; count only on open
+            if cur == 0:
+                n_seqs += 1
+                cur = t
+            else:
+                cur += t
+        return pa.table({
+            "lang": pa.array([lang], type=pa.string()),
+            "n_docs": pa.array([len(order)], type=pa.int64()),
+            "n_seqs": pa.array([n_seqs], type=pa.int64()),
+            "n_tokens": pa.array([int(tk[order].sum()) if len(order)
+                                  else 0], type=pa.int64()),
+        })
+
+    return (tagged.groupby("lang")
+            .map_groups(pack_group, batch_format="pyarrow")
+            .sort("lang"))
+
+
 def _q_winnow_fps(sf_dir: str):
     """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03;
     `functions/winnow.py`): FNV-1a over 4-token shingles, window-4
@@ -8210,6 +8297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages_hashed": _q_dup_passages_hashed,
         "line_dedup": _q_line_dedup,
         "c4_clean_chain": _q_c4_clean_chain,
+        "pretrain_mix_chain": _q_pretrain_mix_chain,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
@@ -10153,6 +10241,106 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                             FILTER (WHERE NOT dup), '') AS clean_text
             FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        # pretrain_mix_chain: line_dedup replay -> cleaned-token
+        # recount -> UniMax window-cumsum water-fill (budget 380) ->
+        # per-lang quota prefix -> recursive-CTE greedy 256-token
+        # packing -> per-lang rollup.
+        "pretrain_mix_chain": r"""
+            WITH RECURSIVE m AS (
+                SELECT doc_id, 8 + doc_id % 5 AS g,
+                       string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i,
+                       array_to_string(a[1 + i*g : (i+1)*g], ' ') AS line
+                FROM m,
+                     UNNEST(range(CAST((len(a) + g - 1) // g
+                                       AS BIGINT))) AS t(i)
+            ),
+            cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+            marked AS (
+                SELECT l.doc_id, l.i, l.line, (cnt.c >= 2) AS dup
+                FROM lines l JOIN cnt USING (line)
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       coalesce(string_agg(line, chr(10) ORDER BY i)
+                                FILTER (WHERE NOT dup), '') AS clean_text
+                FROM marked GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT p.doc_id, d.lang,
+                       CAST(len(string_split_regex(trim(p.clean_text),
+                                                   '\s+'))
+                            AS BIGINT) AS tok
+                FROM per_doc p JOIN documents d USING (doc_id)
+                WHERE trim(p.clean_text) <> ''
+            ),
+            c2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY lang),
+            ord AS (
+                SELECT lang, n, n AS cap,
+                       row_number() OVER (ORDER BY n, lang) AS i,
+                       sum(n) OVER (ORDER BY n, lang
+                                    ROWS UNBOUNDED PRECEDING) AS s,
+                       count(*) OVER () AS k
+                FROM c2
+            ),
+            flag AS (
+                SELECT *, (cap * (k - i + 1) + (s - cap) <= 380) AS capped
+                FROM ord
+            ),
+            agg AS (
+                SELECT coalesce(sum(cap) FILTER (WHERE capped), 0) AS s_k,
+                       count(*) FILTER (WHERE NOT capped) AS mm
+                FROM flag
+            ),
+            quotas AS (
+                SELECT f.lang,
+                       CASE WHEN f.capped THEN f.cap
+                            ELSE (380 - a2.s_k) // a2.mm
+                                 + CASE WHEN row_number() OVER (
+                                            PARTITION BY f.capped
+                                            ORDER BY f.lang)
+                                        <= (380 - a2.s_k) % a2.mm
+                                        THEN 1 ELSE 0 END
+                       END AS quota
+                FROM flag f, agg a2
+            ),
+            sel AS (
+                SELECT t.lang, t.doc_id, t.tok,
+                       row_number() OVER (PARTITION BY t.lang
+                                          ORDER BY t.doc_id) AS rn
+                FROM tok t
+            ),
+            kept AS (
+                SELECT s.lang, s.doc_id, s.tok, s.rn
+                FROM sel s JOIN quotas q USING (lang)
+                WHERE s.rn <= q.quota
+            ),
+            gseq AS (
+                SELECT lang, rn, doc_id, tok,
+                       doc_id AS pack_id, tok AS acc
+                FROM kept WHERE rn = 1
+                UNION ALL
+                SELECT k.lang, k.rn, k.doc_id, k.tok,
+                       CASE WHEN g.acc + k.tok > 256
+                            THEN k.doc_id ELSE g.pack_id END,
+                       CASE WHEN g.acc + k.tok > 256
+                            THEN k.tok ELSE g.acc + k.tok END
+                FROM gseq g JOIN kept k
+                     ON k.lang = g.lang AND k.rn = g.rn + 1
+            )
+            SELECT q.lang,
+                   CAST(coalesce(count(g2.doc_id), 0) AS BIGINT)
+                       AS n_docs,
+                   CAST(coalesce(count(DISTINCT g2.pack_id), 0)
+                        AS BIGINT) AS n_seqs,
+                   CAST(coalesce(sum(g2.tok), 0) AS BIGINT) AS n_tokens
+            FROM quotas q LEFT JOIN gseq g2 USING (lang)
+            GROUP BY q.lang ORDER BY q.lang
         """,
         # char_entropy: per-character counts via indexed unnest, then
         # the identical floored nano-nat expression, integer-summed.
