@@ -2358,6 +2358,37 @@ def _q_c4_clean_chain(sf_dir: str):
             .sort("source"))
 
 
+def _q_intra_dedup(sf_dir: str):
+    """Within-document repeated-line removal
+    (`functions/dedup.py:intra_line_dedup_batch`) — the intra-doc leg
+    of C4 line hygiene (kill copy-paste stutter inside one page; the
+    corpus-wide leg is `line_dedup`). Lines are planted at TOKEN
+    granularity (spaces → newlines) so the tiny-vocab corpus gives
+    every doc real intra-doc repeats; the kernel is per-doc, zero
+    shuffle. Oracle replays keep-first-occurrence with a windowed
+    row_number."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from smartreader_ray.functions import intra_line_dedup_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.utf8_trim_whitespace(b.column("text")), " ", "\n"),
+        })
+
+    return (ds.map_batches(plant, batch_format="pyarrow")
+            .map_batches(intra_line_dedup_batch, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def _q_pretrain_mix_chain(sf_dir: str):
     """Composed chain #39 — the pretraining-mix tail end to end:
     plant line boundaries → corpus-wide duplicate-line removal
@@ -8298,6 +8329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "c4_clean_chain": _q_c4_clean_chain,
         "pretrain_mix_chain": _q_pretrain_mix_chain,
+        "intra_dedup": _q_intra_dedup,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
@@ -10241,6 +10273,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                             FILTER (WHERE NOT dup), '') AS clean_text
             FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        # intra_dedup: token-granularity lines, keep-first via a
+        # (doc, line) windowed row_number, re-join in original order.
+        "intra_dedup": """
+            WITH lines AS (
+                SELECT doc_id, i, list_extract(a, i + 1) AS line
+                FROM (SELECT doc_id, string_split(trim(text), ' ') AS a
+                      FROM documents),
+                     UNNEST(range(CAST(len(a) AS BIGINT))) AS t(i)
+            ),
+            firsts AS (
+                SELECT doc_id, i, line,
+                       row_number() OVER (PARTITION BY doc_id, line
+                                          ORDER BY i) AS rn
+                FROM lines
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_removed,
+                   coalesce(string_agg(line, chr(10) ORDER BY i)
+                            FILTER (WHERE rn = 1), '') AS clean_text
+            FROM firsts GROUP BY doc_id ORDER BY doc_id
         """,
         # pretrain_mix_chain: line_dedup replay -> cleaned-token
         # recount -> UniMax window-cumsum water-fill (budget 380) ->

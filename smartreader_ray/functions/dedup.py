@@ -1859,3 +1859,36 @@ def priority_dedup(ds, priority_col: str, key_tokens: int = 5,
         })
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def intra_line_dedup_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           sep: str = "\n") -> pa.Table:
+    """WITHIN-document repeated-line removal — the intra-doc leg of the
+    C4 line hygiene that :func:`line_dedup` does corpus-wide: each
+    document keeps only the FIRST occurrence of every line (order
+    preserved), killing copy-paste stutter and repeated boilerplate
+    inside a single page. Pure per-doc ``map_batches`` kernel, zero
+    shuffle, no state — the embarrassingly-parallel complement of the
+    corpus-level pass.
+
+    Output per doc: ``(doc_id, n_lines, n_removed, clean_text)``.
+    """
+    ids = batch.column(id_col)
+    n_lines, n_removed, clean = [], [], []
+    for t in batch.column(text_col).to_pylist():
+        lines = (t or "").split(sep)
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        n_lines.append(len(lines))
+        n_removed.append(len(lines) - len(kept))
+        clean.append(sep.join(kept))
+    return pa.table({
+        id_col: ids,
+        "n_lines": pa.array(n_lines, type=pa.int64()),
+        "n_removed": pa.array(n_removed, type=pa.int64()),
+        "clean_text": pa.array(clean, type=pa.string()),
+    })

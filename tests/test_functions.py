@@ -1702,3 +1702,24 @@ def test_unimax_mix_selection(ray_session):
     # small capped at its 3 docs; big gets the remaining 7, lowest ids
     assert sorted(by_lang["small"]) == [0, 1, 2]
     assert sorted(by_lang["big"]) == [100 + i for i in range(7)]
+
+
+def test_intra_line_dedup_keeps_first(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import intra_line_dedup_batch
+
+    docs = [
+        {"doc_id": 1, "text": "nav\nbody one\nnav\nbody two\nnav"},
+        {"doc_id": 2, "text": "only\nunique\nlines"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = {r["doc_id"]: r
+           for r in ray.data.from_items(docs)
+           .map_batches(intra_line_dedup_batch, batch_format="pyarrow")
+           .take_all()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_removed"] == 2
+    assert out[1]["clean_text"] == "nav\nbody one\nbody two"
+    assert out[2]["n_removed"] == 0
+    assert out[3] == {"doc_id": 3, "n_lines": 1, "n_removed": 0,
+                      "clean_text": ""}
