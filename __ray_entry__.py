@@ -2358,6 +2358,39 @@ def _q_c4_clean_chain(sf_dir: str):
             .sort("source"))
 
 
+def _q_c4_line_gates(sf_dir: str):
+    """C4 structural line gates
+    (`functions/curation.py:c4_line_gates_batch`, Raffel et al. §2.2):
+    drop lines under 3 words, flag docs retaining fewer than 5 lines —
+    planted line boundaries (8 + doc_id%5; the remainder line is the
+    natural short-line casualty, 88 lines dropped / 184 docs flagged
+    at sf0.01). Per-doc kernel, zero shuffle; windowless SQL replay."""
+    import pyarrow as pa
+    import ray.data
+
+    from smartreader_ray.functions import c4_line_gates_batch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            g = 8 + int(did) % 5
+            toks = (text or "").strip().split(" ")
+            out.append("\n".join(
+                " ".join(toks[i:i + g])
+                for i in range(0, len(toks), g)))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return (ds.map_batches(plant, batch_format="pyarrow")
+            .map_batches(c4_line_gates_batch, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def _q_intra_dedup(sf_dir: str):
     """Within-document repeated-line removal
     (`functions/dedup.py:intra_line_dedup_batch`) — the intra-doc leg
@@ -8330,6 +8363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_chain": _q_c4_clean_chain,
         "pretrain_mix_chain": _q_pretrain_mix_chain,
         "intra_dedup": _q_intra_dedup,
+        "c4_line_gates": _q_c4_line_gates,
         "dup_clusters": _q_dup_clusters,
         "dup_clusters_lp": _q_dup_clusters_lp,
         "weighted_mix": _q_weighted_mix,
@@ -10272,6 +10306,36 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed,
                    coalesce(string_agg(line, chr(10) ORDER BY i)
                             FILTER (WHERE NOT dup), '') AS clean_text
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        # c4_line_gates: planted lines, >=3-word keep filter, >=5-line
+        # doc flag, surviving lines re-joined in order.
+        "c4_line_gates": """
+            WITH m AS (
+                SELECT doc_id, 8 + doc_id % 5 AS g,
+                       string_split(trim(text), ' ') AS a
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i,
+                       array_to_string(a[1 + i*g : (i+1)*g], ' ') AS line
+                FROM m,
+                     UNNEST(range(CAST((len(a) + g - 1) // g
+                                       AS BIGINT))) AS t(i)
+            ),
+            marked AS (
+                SELECT doc_id, i, line,
+                       (len(string_split(line, ' ')) >= 3) AS ok
+                FROM lines
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE ok) AS BIGINT)
+                       AS n_kept_lines,
+                   CAST(CASE WHEN count(*) FILTER (WHERE ok) >= 5
+                             THEN 1 ELSE 0 END AS BIGINT) AS kept,
+                   coalesce(string_agg(line, chr(10) ORDER BY i)
+                            FILTER (WHERE ok), '') AS clean_text
             FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         # intra_dedup: token-granularity lines, keep-first via a

@@ -837,3 +837,37 @@ def k_anonymity(ds, quasi_cols: list[str], k: int = 10):
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(under_k, batch_format="pyarrow")
     )
+
+
+def c4_line_gates_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id", min_words: int = 3,
+                        min_lines: int = 5,
+                        sep: str = "\n") -> pa.Table:
+    """The C4 line-level structural gates (Raffel et al. 2020, §2.2 —
+    public): drop every line with fewer than ``min_words`` whitespace
+    words, then flag documents retaining fewer than ``min_lines``
+    lines. (C4 also gates on terminal punctuation; the corpus has
+    none, so that axis lives with the planted-boundary readability
+    ops.) Pure per-doc ``map_batches`` kernel, zero shuffle.
+
+    Output per doc: ``(doc_id, n_lines, n_kept_lines, kept,
+    clean_text)`` — ``kept`` is int64 0/1, ``clean_text`` the
+    surviving lines re-joined (regardless of the doc gate, so a
+    downstream chain can choose to salvage).
+    """
+    ids = batch.column(id_col)
+    n_lines, n_kept, kept_flag, clean = [], [], [], []
+    for t in batch.column(text_col).to_pylist():
+        lines = (t or "").split(sep)
+        keep = [ln for ln in lines if len(ln.split()) >= min_words]
+        n_lines.append(len(lines))
+        n_kept.append(len(keep))
+        kept_flag.append(1 if len(keep) >= min_lines else 0)
+        clean.append(sep.join(keep))
+    return pa.table({
+        id_col: ids,
+        "n_lines": pa.array(n_lines, type=pa.int64()),
+        "n_kept_lines": pa.array(n_kept, type=pa.int64()),
+        "kept": pa.array(kept_flag, type=pa.int64()),
+        "clean_text": pa.array(clean, type=pa.string()),
+    })

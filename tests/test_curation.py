@@ -380,3 +380,26 @@ def test_t_closeness_flags_skewed_groups(ray_session):
     assert ("B", 1) not in out
     # C: |5*25-5*10| + 5*(25-10) = 75+75 = 150 -> 150/250 = 0.6 -> flagged
     assert ("C", 1) in out and out[("C", 1)]["tvd_num"] == 150
+
+
+def test_c4_line_gates(ray_session):
+    import ray.data
+
+    from smartreader_ray.functions import c4_line_gates_batch
+
+    docs = [
+        {"doc_id": 1,
+         "text": "one two three\nshort\na b c d\nx y z\nkeep me now\nlast line here"},
+        {"doc_id": 2, "text": "a b\nc d"},  # everything under 3 words
+    ]
+    out = {r["doc_id"]: r
+           for r in ray.data.from_items(docs)
+           .map_batches(c4_line_gates_batch, batch_format="pyarrow")
+           .take_all()}
+    r1 = out[1]
+    assert r1["n_lines"] == 6 and r1["n_kept_lines"] == 5
+    assert r1["kept"] == 1
+    assert "short" not in r1["clean_text"]
+    r2 = out[2]
+    assert r2["n_kept_lines"] == 0 and r2["kept"] == 0
+    assert r2["clean_text"] == ""
